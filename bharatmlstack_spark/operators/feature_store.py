@@ -1,0 +1,266 @@
+"""FeatureStore: persist / retrieve / retrieve_decoded as Catalyst plans.
+
+The reference's hot path (SURVEY.md §3.1 — RetrieveFeatures,
+online-feature-store/internal/handler/feature/retrieve.go:88-523) is a
+9-state cache-tier waterfall + per-key scatter-gather + byte-matrix fill.
+Here the whole lifecycle is ONE declarative plan:
+
+    keys LEFT JOIN feature table(s) ON pk       (J1/J2; broadcast keys)
+      WHERE expires_at > now                    (P4 TTL -> treated-as-absent)
+      SELECT coalesce(col, default)             (P3 default fill; also covers
+                                                 schema-version reconcile --
+                                                 rows written before a feature
+                                                 existed hold NULL)
+      optional quantized cast (feat@FP16)       (P2)
+      fan back out to original request order    (A6 dedup + restore)
+
+Tiers, channels, write-backs, and negative caches disappear — Catalyst
+column pruning plays the role of FG->store projection (scylla.go:93-107) and
+a broadcast hash join plays the role of the batched point lookup.
+
+At 100 TB scale: the feature table is the big side (keys are the request —
+small), so the plan broadcasts the deduped key set and the scan prunes to
+requested FG columns only; no full-table shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from bharatmlstack_spark.registry import DataType, Entity, FeatureGroup, SchemaRegistry
+from bharatmlstack_spark.functions.quantize import check_quantization_compat, quantize_column
+
+_REQ_IDX = "__req_idx"
+
+
+@dataclass
+class FeatureSelector:
+    """One requested feature: FG label + feature label + optional @quant."""
+
+    fg_label: str
+    feature_label: str
+    quantize_to: DataType | None = None
+
+    @property
+    def output_column(self) -> str:
+        return f"{self.fg_label}__{self.feature_label}"
+
+
+def parse_feature_selector(fg_label: str, token: str) -> FeatureSelector:
+    """Parse ``feature`` or ``feature@DataTypeFP16`` / ``feature@FP16``
+    (ref: retrieve.go:1071-1090 splits on '@' with a DataType-prefixed
+    suffix)."""
+    if "@" not in token:
+        return FeatureSelector(fg_label, token)
+    label, suffix = token.split("@", 1)
+    name = suffix.removeprefix("DataType")
+    try:
+        target = DataType(name)
+    except ValueError:
+        try:
+            target = DataType[name.upper().replace("VECTOR", "_VECTOR")]
+        except KeyError:
+            raise ValueError(f"unknown quantization suffix {suffix!r} on {token!r}")
+    return FeatureSelector(fg_label, label, target)
+
+
+class FeatureStore:
+    """Entity-keyed feature persistence + retrieval over parquet tables.
+
+    One wide table per (entity, store): PK columns + ``fg__feature`` value
+    columns + ``schema_version`` + ``expires_at`` metadata columns. The
+    reference's PSDB byte blocks (perm_storage_datablock_v2.go) carry exactly
+    {typed values, schema version, expiry} — those semantics land as ordinary
+    typed columns; parquet ZSTD replaces opportunistic block compression.
+    """
+
+    def __init__(self, spark: SparkSession, registry: SchemaRegistry, base_path: str):
+        self.spark = spark
+        self.registry = registry
+        self.base_path = base_path
+
+    def _table_path(self, entity_label: str, store_id: int = 0) -> str:
+        return os.path.join(self.base_path, entity_label, f"store_{store_id}")
+
+    # ------------------------------------------------------------------
+    # persist (S2 + write path §3.2)
+    # ------------------------------------------------------------------
+
+    def persist(self, entity_label: str, df: DataFrame, store_id: int = 0) -> None:
+        """Validate against the registry, stamp schema_version/expires_at,
+        and upsert latest-wins by PK (the reference's full-row upsert,
+        scylla.go:168-253; MERGE INTO in Delta terms, expressed here as
+        union + row_number over parquet).
+        """
+        entity = self.registry.entity(entity_label)
+        for k in entity.key_columns:
+            if k not in df.columns:
+                raise ValueError(f"persist missing key column {k!r}")
+
+        ttl = max(
+            (fg.ttl_seconds for fg in entity.feature_groups.values()), default=0
+        )
+        out = df
+        if "schema_version" not in out.columns:
+            active = {fg.active_version for fg in entity.feature_groups.values()}
+            out = out.withColumn("schema_version", F.lit(max(active, default=1)))
+        if "expires_at" not in out.columns:
+            exp = (
+                F.timestamp_seconds(F.unix_timestamp(F.current_timestamp()) + F.lit(ttl))
+                if ttl > 0
+                else F.lit(None).cast("timestamp")
+            )
+            out = out.withColumn("expires_at", exp)
+
+        path = self._table_path(entity_label, store_id)
+        if os.path.exists(path):
+            existing = self.spark.read.parquet(path)
+            out = out.withColumn("__w", F.lit(1))
+            existing = existing.withColumn("__w", F.lit(0))
+            merged = existing.unionByName(out, allowMissingColumns=True)
+            w = Window.partitionBy(*entity.key_columns).orderBy(F.desc("__w"))
+            out = (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__w")
+            )
+            # parquet can't overwrite a path being read: stage then swap
+            tmp = path + "__staging"
+            out.write.mode("overwrite").parquet(tmp)
+            final = self.spark.read.parquet(tmp)
+            final.write.mode("overwrite").parquet(path)
+        else:
+            out.write.mode("overwrite").parquet(path)
+
+    def load(self, entity_label: str, store_id: int = 0) -> DataFrame:
+        return self.spark.read.parquet(self._table_path(entity_label, store_id))
+
+    # ------------------------------------------------------------------
+    # retrieve (the hot path, §3.1)
+    # ------------------------------------------------------------------
+
+    def retrieve(
+        self,
+        entity_label: str,
+        selections: dict[str, list[str]],
+        keys_df: DataFrame,
+        feature_table: DataFrame | None = None,
+        now: Column | None = None,
+        keep_request_order: bool = True,
+    ) -> DataFrame:
+        """Batch point-lookup as one plan.
+
+        ``selections``: fg_label -> feature tokens (with optional @quant).
+        ``keys_df``: request keys, duplicates allowed — output has one row
+        per request row, in request order (A6 fan-out), defaults filled for
+        missing/expired keys (P3/P4).
+        ``feature_table``: override the stored table (used by fixture-backed
+        oracle queries); defaults to the entity's store-0 table.
+        """
+        entity = self.registry.entity(entity_label)
+        selectors = self._resolve(entity, selections)  # P1 validation
+        table = feature_table if feature_table is not None else self.load(entity_label)
+        now = now if now is not None else F.current_timestamp()
+
+        # P4: expired rows are absent (negative-cache semantics at source,
+        # scylla.go:148-162)
+        if "expires_at" in table.columns:
+            table = table.filter(
+                F.col("expires_at").isNull() | (F.col("expires_at") > now)
+            )
+
+        # column pruning: only requested FG columns leave the scan
+        needed = [s.output_column for s in selectors]
+        table = table.select(*entity.key_columns, *[c for c in needed if c in table.columns])
+
+        keys = keys_df.select(*entity.key_columns)
+        if keep_request_order:
+            keys = keys_df.select(
+                *entity.key_columns, F.monotonically_increasing_id().alias(_REQ_IDX)
+            )
+        # A6: dedup request keys before the join, fan out after
+        uniq = keys.select(*entity.key_columns).dropDuplicates(entity.key_columns)
+
+        # J1: left join — request keys are small; broadcast them so the big
+        # feature table never shuffles
+        joined = F.broadcast(uniq).join(table, on=entity.key_columns, how="left")
+
+        # P3 defaults + P2 quantization
+        cols: list[Column] = [F.col(k) for k in entity.key_columns]
+        for s in selectors:
+            fg = entity.fg(s.fg_label)
+            feat = fg.feature(s.feature_label)
+            base = (
+                F.col(s.output_column)
+                if s.output_column in joined.columns
+                else F.lit(None).cast(fg.data_type.spark_type)
+            )
+            col = self._with_default(base, fg, feat)
+            if s.quantize_to is not None:
+                check_quantization_compat(fg.data_type, s.quantize_to)
+                col = quantize_column(col, s.quantize_to, vector=fg.data_type.is_vector)
+            cols.append(col.alias(s.output_column))
+        result = joined.select(*cols)
+
+        if keep_request_order:
+            result = (
+                keys.join(F.broadcast(result), on=entity.key_columns, how="left")
+                .orderBy(_REQ_IDX)
+                .drop(_REQ_IDX)
+            )
+        return result
+
+    def retrieve_decoded(self, *args, **kwargs) -> DataFrame:
+        """RetrieveDecodedResult (F13): stringified feature values; vectors
+        join elements with ',' (ref: internal/handler/feature/features.go:
+        61-119, HelperVectorFeature*ToConcatenatedString)."""
+        df = self.retrieve(*args, **kwargs)
+        entity = self.registry.entity(args[0] if args else kwargs["entity_label"])
+        out: list[Column] = []
+        for name, dtype in df.dtypes:
+            if name in entity.key_columns:
+                out.append(F.col(name))
+            elif dtype.startswith("array"):
+                out.append(F.concat_ws(",", F.col(name).cast("array<string>")).alias(name))
+            elif dtype == "boolean":
+                out.append(
+                    F.when(F.col(name), F.lit("true")).otherwise(F.lit("false")).alias(name)
+                )
+            else:
+                out.append(F.col(name).cast("string").alias(name))
+        return df.select(*out)
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _resolve(entity: Entity, selections: dict[str, list[str]]) -> list[FeatureSelector]:
+        """P1/P8: label -> (fg, feature) resolution; unknown labels error
+        (retrieve.go:695-789)."""
+        out = []
+        for fg_label, tokens in selections.items():
+            fg = entity.fg(fg_label)
+            for token in tokens:
+                sel = parse_feature_selector(fg_label, token)
+                fg.feature(sel.feature_label)  # raises on unknown feature
+                out.append(sel)
+        return out
+
+    @staticmethod
+    def _with_default(col: Column, fg: FeatureGroup, feat) -> Column:
+        """Default fill (P3). Vector defaults broadcast a scalar default to
+        the FG's fixed VectorLength when the default isn't already a list."""
+        default = feat.default
+        if default is None:
+            return col
+        if fg.data_type.is_vector:
+            if isinstance(default, (list, tuple)):
+                dlit = F.array(*[F.lit(v) for v in default])
+            else:
+                dlit = F.array_repeat(F.lit(default), feat.vector_length or 1)
+            return F.coalesce(col, dlit.cast(fg.data_type.spark_type))
+        return F.coalesce(col, F.lit(default).cast(fg.data_type.spark_type))

@@ -1,0 +1,670 @@
+"""Declared (Spark query, DuckDB oracle SQL) pairs — the correctness gate.
+
+Every implemented operator from SURVEY.md §2 appears here as a named query
+over the driver's synthetic tables plus a DuckDB-equivalent SQL string.
+Column names are aliased identically on both sides; the driver hash-compares
+values order-insensitively.
+
+Float-determinism discipline (both engines are IEEE-754 but evaluation
+*order* differs between them):
+- sums over many rows go through DECIMAL (exact, order-independent), cast
+  to DOUBLE at the end;
+- element-wise float math uses identical left-associative expression trees
+  (e.g. explicit 64-term dot products) so results are bit-identical;
+- interpolating percentiles round to 6 dp to absorb ulp-level divergence;
+- timestamps travel as epoch-millis BIGINT (events.parquet is ns-precision,
+  which Spark reads via spark.sql.legacy.parquet.nanosAsLong as BIGINT
+  nanos and DuckDB as TIMESTAMP — epoch-ms is the common ground);
+- row_number windows always carry a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark import fixtures
+from bharatmlstack_spark.fixtures import (
+    FIXED_NOW,
+    LIVE_FEATURES_CTE,
+    REQUEST_KEYS_CTE,
+    USER_FEATURES_CTE,
+)
+
+_FEATURE_CTES = f"WITH {USER_FEATURES_CTE},\n{LIVE_FEATURES_CTE},\n{REQUEST_KEYS_CTE}"
+from bharatmlstack_spark.operators.event_store import EventStore, TOTAL_WEEKS
+from bharatmlstack_spark.operators.feature_store import FeatureStore
+from bharatmlstack_spark.operators.knn import FilterSpec, VectorSearch, compile_filters
+from bharatmlstack_spark.operators.normalize import (
+    norm_min_max,
+    norm_percentile,
+    percentile_rank,
+)
+from bharatmlstack_spark.functions.expressions import rpn_to_column
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as epoch-millis BIGINT (see module docstring)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_ms", F.expr("ts div 1000000"))
+        .drop("ts")
+    )
+
+
+# ===========================================================================
+# Headline aggregate (TPC-H Q1 shape) — the bench workhorse.
+# Spark: partial (map-side) agg + single shuffle on the 2 group keys.
+# ===========================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount"))
+                * (F.lit(1) + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ===========================================================================
+# Feature store: the ONFS hot path (S1, J1/J2, P1-P4, A6, O3, F13)
+# ===========================================================================
+
+_FEATURE_SELECT_SQL = f"""
+{_FEATURE_CTES}
+SELECT
+  k.user_id,
+  COALESCE(f.demo_int32__age, 0) AS demo_int32__age,
+  COALESCE(f.demo_fp__acct_bal, CAST(0.0 AS FLOAT)) AS demo_fp__acct_bal,
+  COALESCE(f.demo_str__location, 'NA') AS demo_str__location,
+  COALESCE(f.demo_str__subscription_type, 'none') AS demo_str__subscription_type,
+  COALESCE(f.demo_bool__is_active, FALSE) AS demo_bool__is_active,
+  COALESCE(f.demo_vec__taste_vec[1], CAST(0.0 AS FLOAT)) AS taste_0,
+  COALESCE(f.demo_vec__taste_vec[8], CAST(0.0 AS FLOAT)) AS taste_7
+FROM request_keys k LEFT JOIN live f USING (user_id)
+"""
+
+
+@query("feature_retrieve", oracle=_FEATURE_SELECT_SQL)
+def feature_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: batch key lookup with TTL, defaults, dup keys (SURVEY §3.1)."""
+    fs = FeatureStore(spark, fixtures.user_registry(), base_path="/tmp/unused")
+    table = fixtures.user_features(spark, sf_dir)
+    keys = fixtures.request_keys(spark, sf_dir)
+    out = fs.retrieve(
+        "user",
+        {
+            "demo_int32": ["age"],
+            "demo_fp": ["acct_bal"],
+            "demo_str": ["location", "subscription_type"],
+            "demo_bool": ["is_active"],
+            "demo_vec": ["taste_vec"],
+        },
+        keys,
+        feature_table=table,
+        now=F.lit(FIXED_NOW).cast("timestamp"),
+        keep_request_order=True,
+    )
+    # surface two vector elements as scalars (driver hashing of raw arrays
+    # is engine-dependent; element extraction is not)
+    return out.select(
+        "user_id",
+        "demo_int32__age",
+        "demo_fp__acct_bal",
+        "demo_str__location",
+        "demo_str__subscription_type",
+        "demo_bool__is_active",
+        F.element_at("demo_vec__taste_vec", 1).alias("taste_0"),
+        F.element_at("demo_vec__taste_vec", 8).alias("taste_7"),
+    )
+
+
+@query(
+    "feature_retrieve_decoded",
+    oracle=f"""
+{_FEATURE_CTES}
+SELECT
+  k.user_id,
+  CAST(COALESCE(f.demo_int32__age, 0) AS VARCHAR) AS age_str,
+  CASE WHEN COALESCE(f.demo_bool__is_active, FALSE) THEN 'true' ELSE 'false' END AS is_active_str,
+  COALESCE(f.demo_str__location, 'NA') AS location_str
+FROM request_keys k LEFT JOIN live f USING (user_id)
+""",
+)
+def feature_retrieve_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: RetrieveDecodedResult stringification (int/bool/string columns;
+    float formatting is engine-specific so the decoded oracle pins the
+    integer/boolean paths — features.go:61-119)."""
+    df = feature_retrieve(spark, sf_dir)
+    return df.select(
+        "user_id",
+        F.col("demo_int32__age").cast("string").alias("age_str"),
+        F.when(F.col("demo_bool__is_active"), "true").otherwise("false").alias("is_active_str"),
+        F.col("demo_str__location").alias("location_str"),
+    )
+
+
+@query(
+    "feature_missing_keys",
+    oracle=f"""
+{_FEATURE_CTES}
+SELECT DISTINCT k.user_id
+FROM request_keys k ANTI JOIN live f USING (user_id)
+""",
+)
+def feature_missing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: keys requested but absent/expired (left_anti), the reference's
+    cache-miss extraction (retrieve.go:287-311)."""
+    table = fixtures.user_features(spark, sf_dir).filter(
+        F.col("expires_at") > F.lit(FIXED_NOW).cast("timestamp")
+    )
+    keys = fixtures.request_keys(spark, sf_dir)
+    return keys.join(table, on="user_id", how="left_anti").distinct()
+
+
+# ===========================================================================
+# Event store (interaction-store): A1/T1/T2/P5/A5/W5/O2
+# ===========================================================================
+
+
+@query(
+    "events_merge_trim",
+    oracle="""
+SELECT event_id, user_id, ts_ms, event_type
+FROM (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, date_trunc('week', ts)
+           ORDER BY epoch_ms(ts) DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn <= 20
+""",
+)
+def events_merge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/T2: newest-N retention per (user, week). The reference trims to
+    500/week on persist (persist/click.go:165-182); N=20 here so the small
+    fixture actually trims."""
+    ev = _events_ms(spark, sf_dir)
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("week", F.timestamp_millis(F.col("ts_ms")))
+    ).orderBy(F.desc("ts_ms"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .select("event_id", "user_id", "ts_ms", "event_type")
+    )
+
+
+@query(
+    "events_range_user",
+    oracle="""
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
+FROM events
+WHERE user_id = 7
+  AND epoch_ms(ts) BETWEEN epoch_ms(TIMESTAMP '2024-01-05') AND epoch_ms(TIMESTAMP '2024-01-25')
+ORDER BY ts_ms DESC, event_id DESC
+LIMIT 40
+""",
+)
+def events_range_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/P5/A5: per-user time-range query, newest first, capped limit
+    (retrieve/click.go:239-263). Catalyst plans TakeOrderedAndProject."""
+    import datetime as dt
+
+    ev = _events_ms(spark, sf_dir)
+    start = int(dt.datetime(2024, 1, 5, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    end = int(dt.datetime(2024, 1, 25, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    return (
+        ev.filter(F.col("user_id") == 7)
+        .filter(F.col("ts_ms").between(start, end))
+        .orderBy(F.desc("ts_ms"), F.desc("event_id"))
+        .limit(40)
+        .select("event_id", "user_id", "ts_ms", "event_type", "value")
+    )
+
+
+@query(
+    "events_union_types",
+    oracle="""
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, 'CLICK' AS interaction_type
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, 'ORDER' AS interaction_type
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def events_union_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: RetrieveInteractions = clicks ∪ orders (time_series.proto:47-62)."""
+    ev = _events_ms(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms", F.lit("CLICK").alias("interaction_type")
+    )
+    orders = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms", F.lit("ORDER").alias("interaction_type")
+    )
+    return EventStore.union_interactions(clicks, orders)
+
+
+@query(
+    "events_weekly_buckets",
+    oracle=f"""
+SELECT user_id, weekofyear(ts) % {TOTAL_WEEKS} AS week_slot, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id, weekofyear(ts) % {TOTAL_WEEKS}
+""",
+)
+def events_weekly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/SS3: the 24-slot weekly ring (ISO week %% 24 — utils.go:148-151,
+    persist/click.go:131) as a tumbling-window aggregation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_millis(F.expr("ts div 1000000"))
+    )
+    from bharatmlstack_spark.operators.event_store import week_index
+
+    return ev.groupBy(
+        "user_id", week_index(F.col("ts")).alias("week_slot")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ===========================================================================
+# Expression engine (numerix F1-F8) over the lineitem score matrix
+# ===========================================================================
+
+_MATRIX_SQL = """
+score_matrix AS (
+  SELECT l_orderkey * 10 + l_linenumber AS entity_id,
+         l_discount AS ctr, l_tax AS cvr,
+         l_extendedprice AS price, l_quantity AS qty
+  FROM lineitem
+)
+"""
+
+
+def _matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("entity_id"),
+        F.col("l_discount").alias("ctr"),
+        F.col("l_tax").alias("cvr"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+@query(
+    "rpn_score",
+    oracle=f"""
+WITH {_MATRIX_SQL.strip()}
+SELECT entity_id, ABS(qty * price + GREATEST(ctr, cvr)) AS score
+FROM score_matrix
+""",
+)
+def rpn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F4/F6/F8: RPN `qty price * ctr cvr max + abs` compiled to a native
+    Column (matrix.rs:130-201) — exact float ops only, so bit-stable."""
+    m = _matrix(spark, sf_dir)
+    col = rpn_to_column("qty price * ctr cvr max + abs", set(m.columns))
+    return m.select("entity_id", col.alias("score"))
+
+
+@query(
+    "rpn_bool_compare",
+    oracle=f"""
+WITH {_MATRIX_SQL.strip()}
+SELECT entity_id,
+       CAST(CAST(ctr > 0.05 AS INT) AS DOUBLE) AS hot,
+       CAST(CAST(ctr > 0.05 AND cvr > 0.05 AS INT) AS DOUBLE) AS hot_and_taxed
+FROM score_matrix
+""",
+)
+def rpn_bool_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F5: comparisons produce 1.0/0.0; & requires 0/1 operands
+    (fp32_ops.rs:110-206)."""
+    m = _matrix(spark, sf_dir)
+    hot = rpn_to_column("ctr 0.05 >", set(m.columns))
+    both = rpn_to_column("ctr 0.05 > cvr 0.05 > &", set(m.columns))
+    return m.select("entity_id", hot.alias("hot"), both.alias("hot_and_taxed"))
+
+
+@query(
+    "rpn_literal_div",
+    oracle=f"""
+WITH {_MATRIX_SQL.strip()}
+SELECT entity_id, price / qty AS unit_price
+FROM score_matrix
+WHERE qty > 0
+""",
+)
+def rpn_literal_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 division with the reference's divide-by-zero error domain — the
+    fixture has qty > 0 everywhere, pre-filtered to keep parity."""
+    m = _matrix(spark, sf_dir).filter(F.col("qty") > 0)
+    col = rpn_to_column("price qty /", set(m.columns))
+    return m.select("entity_id", col.alias("unit_price"))
+
+
+# ===========================================================================
+# Window normalizations (numerix W1-W3)
+# ===========================================================================
+
+
+@query(
+    "norm_min_max",
+    oracle="""
+SELECT l_orderkey * 10 + l_linenumber AS entity_id,
+       CASE WHEN MAX(l_extendedprice) OVER w - MIN(l_extendedprice) OVER w = 0
+            THEN 1.0
+            ELSE (l_extendedprice - MIN(l_extendedprice) OVER w)
+                 / (MAX(l_extendedprice) OVER w - MIN(l_extendedprice) OVER w)
+       END AS norm
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag)
+""",
+)
+def q_norm_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (fp32_ops.rs:239-247): per-partition (x-min)/(max-min), constant
+    partition -> 1.0."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("entity_id"),
+        "l_returnflag",
+        "l_extendedprice",
+    )
+    out = norm_min_max(l, "l_extendedprice", output="norm", partition_by=["l_returnflag"])
+    return out.select("entity_id", "norm")
+
+
+@query(
+    "percentile_rank",
+    oracle="""
+SELECT entity_id,
+       CASE WHEN MIN(price) OVER w = MAX(price) OVER w THEN 1.0
+            ELSE CAST(ROW_NUMBER() OVER (PARTITION BY flag ORDER BY price ASC, entity_id ASC) - 1 AS DOUBLE)
+                 / CAST(COUNT(*) OVER w - 1 AS DOUBLE)
+       END AS rank
+FROM (
+  SELECT l_orderkey * 10 + l_linenumber AS entity_id, l_returnflag AS flag,
+         l_extendedprice AS price
+  FROM lineitem
+)
+WINDOW w AS (PARTITION BY flag)
+""",
+)
+def q_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (fp32_ops.rs:280-304): positional i/(n-1) in value order,
+    constant partition -> 1.0; entity_id tiebreak pins tie order."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("entity_id"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    out = percentile_rank(
+        l, "price", output="rank", partition_by=["flag"], tiebreak=["entity_id"]
+    )
+    return out.select("entity_id", "rank")
+
+
+@query(
+    "norm_percentile_5_95",
+    oracle="""
+SELECT entity_id,
+       ROUND(
+         CASE WHEN COUNT(*) OVER w = 1 THEN 1.0
+              WHEN lo = hi THEN price - 1.0
+              ELSE (price - LEAST(lo, hi)) / (GREATEST(lo, hi) - LEAST(lo, hi))
+         END, 6) AS norm
+FROM (
+  SELECT l_orderkey * 10 + l_linenumber AS entity_id, l_returnflag AS flag,
+         l_extendedprice AS price,
+         CAST(quantile_cont(l_extendedprice, 0.05) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS lo,
+         CAST(quantile_cont(l_extendedprice, 0.95) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS hi
+  FROM lineitem
+)
+WINDOW w AS (PARTITION BY flag)
+""",
+)
+def q_norm_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 (fp32_ops.rs:249-317): percentile-bounds normalization with the
+    reference's edge rules; 6-dp rounding absorbs interpolation ulp."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("entity_id"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    out = norm_percentile(l, "price", 5.0, 95.0, output="raw_norm", partition_by=["flag"])
+    return out.select("entity_id", F.round("raw_norm", 6).alias("norm"))
+
+
+# ===========================================================================
+# Vector search (skye J6/J7/W4/P6) over the embeddings table
+# ===========================================================================
+
+_EMB_DIM = 64
+
+
+def _dot_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    """Left-associative explicit dot product (bit-stable across engines)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    )
+
+
+def _dot_col(a: str, b: str, dim: int = _EMB_DIM) -> Column:
+    out = None
+    for i in range(1, dim + 1):
+        term = F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        out = term if out is None else out + term
+    return out
+
+
+def _eucl_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)) * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return f"SQRT({terms})"
+
+
+def _eucl_col(a: str, b: str, dim: int = _EMB_DIM) -> Column:
+    out = None
+    for i in range(1, dim + 1):
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        term = d * d
+        out = term if out is None else out + term
+    return F.sqrt(out)
+
+
+@query(
+    "knn_dot",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5)
+SELECT query_id, vec_id, label, score, rank FROM (
+  SELECT q.query_id, c.vec_id, c.label,
+         {_dot_sql('c.embedding', 'q.qe')} AS score,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {_dot_sql('c.embedding', 'q.qe')} DESC, c.vec_id ASC) AS rank
+  FROM c CROSS JOIN q
+) WHERE rank <= 10
+""",
+)
+def knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/W4/T3: exact KNN top-10 by dot product, queries broadcast
+    (qdrant.go:351-412). Explicit 64-term fold keeps scores bit-identical
+    to the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= 5)
+    scored = c.crossJoin(F.broadcast(q)).withColumn("score", _dot_col("embedding", "qe"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "label", "score", "rank")
+    )
+
+
+@query(
+    "knn_euclidean",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5)
+SELECT query_id, vec_id, dist, rank FROM (
+  SELECT q.query_id, c.vec_id,
+         {_eucl_sql('c.embedding', 'q.qe')} AS dist,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY {_eucl_sql('c.embedding', 'q.qe')} ASC, c.vec_id ASC) AS rank
+  FROM c CROSS JOIN q
+) WHERE rank <= 10
+""",
+)
+def knn_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 with EUCLIDEAN ranking (ascending — nearest first)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= 5)
+    scored = c.crossJoin(F.broadcast(q)).withColumn("dist", _eucl_col("embedding", "qe"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+
+
+@query(
+    "dot_score_ids",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+ids AS (SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0),
+c AS (SELECT e.vec_id, e.embedding FROM embeddings e SEMI JOIN ids USING (vec_id))
+SELECT c.vec_id, {_dot_sql('c.embedding', 'q.qe')} AS score
+FROM c CROSS JOIN q
+""",
+)
+def dot_score_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/F17: dot-product scoring for an explicit candidate id list
+    (skye.proto:67-83, adapter.go:68): semi-join then per-row score."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("qe"))
+    ids = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    c = emb.join(F.broadcast(ids), on="vec_id", how="left_semi")
+    return c.crossJoin(F.broadcast(q)).select(
+        "vec_id", _dot_col("embedding", "qe").alias("score")
+    )
+
+
+@query(
+    "filter_candidates",
+    oracle="""
+SELECT p_partkey AS candidate_id, p_brand, p_size, p_retailprice
+FROM part
+WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+  AND p_size > 10 AND p_size < 40
+  AND p_retailprice >= 910.0 AND p_retailprice <= 980.0
+  AND p_type LIKE '%M%'
+""",
+)
+def filter_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7: the skye payload-filter compiler (filters.go:54-191) — IN +
+    BTW (exclusive) + BTWE (inclusive) + SEARCH, one conjunction."""
+    part = _t(spark, sf_dir, "part")
+    pred = compile_filters(
+        [
+            FilterSpec("p_brand", "IN", ["Brand#11", "Brand#22", "Brand#33"]),
+            FilterSpec("p_size", "BTW", [10, 40]),
+            FilterSpec("p_retailprice", "BTWE", [910.0, 980.0]),
+            FilterSpec("p_type", "SEARCH", ["M"]),
+        ]
+    )
+    return part.filter(pred).select(
+        F.col("p_partkey").alias("candidate_id"), "p_brand", "p_size", "p_retailprice"
+    )
+
+
+# ===========================================================================
+# Sorts / top-k (T1/T4)
+# ===========================================================================
+
+
+@query(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: global top-k — Catalyst TakeOrderedAndProject (per-partition
+    heap + merge), the scalable form of the reference's desc-merge."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,109 @@
+"""EventStore semantics (A1/T1/T2/P5/A5/W5/O2) pinned to interaction-store."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.operators.event_store import (
+    MAX_RETRIEVE_LIMIT,
+    EventStore,
+    week_index,
+)
+
+
+def _dt(*args):
+    return datetime(*args, tzinfo=timezone.utc).replace(tzinfo=None)
+
+
+@pytest.fixture(scope="module")
+def store():
+    return EventStore(user_col="user_id", ts_col="ts", max_per_week=3)
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    rows = []
+    base = datetime(2024, 1, 1)
+    for i in range(10):  # 10 events, same user, same week
+        rows.append((1, base.replace(hour=i), f"e{i}"))
+    rows.append((2, base, "other"))
+    rows.append((1, datetime(2024, 3, 1), "later-week"))
+    return spark.createDataFrame(rows, ["user_id", "ts", "name"])
+
+
+def test_merge_trim_caps_per_user_week(store, small):
+    """persist/click.go:165-182: newest max_per_week survive."""
+    out = store.merge_trim(small)
+    mine = out.filter(F.col("user_id") == 1).collect()
+    january = [r for r in mine if r["ts"].month == 1]
+    assert len(january) == 3
+    assert sorted(r["ts"].hour for r in january) == [7, 8, 9]  # newest 3
+    assert any(r["ts"].month == 3 for r in mine)  # other week untouched
+
+
+def test_merge_trim_with_new_batch(store, small, spark):
+    new = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 23), "newest")], ["user_id", "ts", "name"]
+    )
+    out = store.merge_trim(small, new)
+    jan = out.filter((F.col("user_id") == 1) & (F.month("ts") == 1)).collect()
+    assert len(jan) == 3
+    assert any(r["name"] == "newest" for r in jan)
+
+
+def test_validate_range_rejects_future_end(store):
+    """retrieve/retrieve.go:22-36."""
+    now = _dt(2024, 6, 1)
+    with pytest.raises(ValueError, match="future"):
+        store.validate_range(_dt(2024, 5, 1), _dt(2024, 7, 1), now)
+
+
+def test_validate_range_rejects_over_24_weeks(store):
+    now = _dt(2024, 12, 1)
+    with pytest.raises(ValueError, match="24 weeks"):
+        store.validate_range(_dt(2024, 1, 1), _dt(2024, 11, 30), now)
+
+
+def test_validate_range_rejects_inverted(store):
+    now = _dt(2024, 6, 1)
+    with pytest.raises(ValueError, match="start after end"):
+        store.validate_range(_dt(2024, 5, 2), _dt(2024, 5, 1), now)
+
+
+def test_retrieve_desc_and_limit(store, small):
+    out = store.retrieve(
+        small,
+        1,
+        _dt(2024, 1, 1),
+        _dt(2024, 1, 2),
+        limit=4,
+        now=_dt(2024, 6, 1),
+    ).collect()
+    assert len(out) == 4
+    hours = [r["ts"].hour for r in out]
+    assert hours == sorted(hours, reverse=True)  # newest first
+
+
+def test_retrieve_limit_capped_at_2000(store, small):
+    """T4: server caps client limit (retrieve.go:38-43)."""
+    out = store.retrieve(small, 1, _dt(2024, 1, 1), _dt(2024, 1, 2), limit=999999)
+    # plan must embed 2000, not 999999 — count is tiny anyway
+    assert out.count() <= MAX_RETRIEVE_LIMIT
+
+
+def test_union_interactions(spark):
+    clicks = spark.createDataFrame([(1, "c")], ["user_id", "catalog"])
+    orders = spark.createDataFrame([(1, "o", "sub1")], ["user_id", "catalog", "sub_order"])
+    out = EventStore.union_interactions(clicks, orders)
+    assert out.count() == 2
+    assert "sub_order" in out.columns  # allowMissingColumns
+
+
+def test_week_index_matches_iso(spark):
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 4),), (datetime(2024, 12, 30),)], ["ts"]
+    )
+    out = df.select(week_index(F.col("ts")).alias("w")).collect()
+    assert out[0]["w"] == 1  # ISO week 1
+    assert out[1]["w"] == 1  # 2024-12-30 is ISO week 1 of 2025 -> 1 % 24

@@ -1,0 +1,188 @@
+"""FeatureStore: retrieve semantics (J1/P1-P4/A6), persist round-trip (S2),
+quantized projection (P2/F9), decoded output (F13)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark import fixtures
+from bharatmlstack_spark.operators.feature_store import FeatureStore, parse_feature_selector
+from bharatmlstack_spark.registry import DataType
+
+
+@pytest.fixture()
+def fs(spark, tmp_path):
+    return FeatureStore(spark, fixtures.user_registry(), str(tmp_path / "features"))
+
+
+@pytest.fixture(scope="module")
+def table(spark, sf_dir):
+    return fixtures.user_features(spark, sf_dir)
+
+
+def _now():
+    return F.lit(fixtures.FIXED_NOW).cast("timestamp")
+
+
+def test_parse_selector():
+    s = parse_feature_selector("fg", "acct_bal@DataTypeFP16")
+    assert s.feature_label == "acct_bal" and s.quantize_to == DataType.FP16
+    s = parse_feature_selector("fg", "vec@DataTypeFP8E5M2Vector")
+    assert s.quantize_to == DataType.FP8E5M2_VECTOR
+    s = parse_feature_selector("fg", "plain")
+    assert s.quantize_to is None
+    with pytest.raises(ValueError):
+        parse_feature_selector("fg", "x@DataTypeBogus")
+
+
+def test_retrieve_hit_and_default(fs, spark, table):
+    keys = spark.createDataFrame([(1,), (99999999,)], ["user_id"])
+    out = fs.retrieve(
+        "user",
+        {"demo_int32": ["age"], "demo_str": ["location"], "demo_bool": ["is_active"]},
+        keys,
+        feature_table=table,
+        now=_now(),
+    ).orderBy("user_id")
+    rows = out.collect()
+    assert rows[0]["demo_int32__age"] == 21  # 20 + 1 % 60
+    assert rows[1]["demo_int32__age"] == 0  # default for missing key
+    assert rows[1]["demo_str__location"] == "NA"
+    assert rows[1]["demo_bool__is_active"] is False
+
+
+def test_retrieve_expired_key_gets_defaults(fs, spark, table):
+    """P4: user_id % 10 == 0 rows carry a past expires_at -> treated absent
+    (scylla.go:148-162 -> negative cache -> defaults)."""
+    keys = spark.createDataFrame([(10,), (11,)], ["user_id"])
+    out = fs.retrieve(
+        "user", {"demo_int32": ["age"]}, keys, feature_table=table, now=_now()
+    ).orderBy("user_id").collect()
+    assert out[0]["demo_int32__age"] == 0  # expired -> default
+    assert out[1]["demo_int32__age"] == 20 + 11 % 60
+
+
+def test_retrieve_duplicate_keys_fan_out(fs, spark, table):
+    """A6: dup request keys collapse for the lookup, fan back out in the
+    result (retrieve.go:608-693,901-904)."""
+    keys = spark.createDataFrame([(3,), (3,), (4,)], ["user_id"])
+    out = fs.retrieve(
+        "user", {"demo_int32": ["age"]}, keys, feature_table=table, now=_now()
+    )
+    vals = [r["user_id"] for r in out.collect()]
+    assert sorted(vals) == [3, 3, 4]
+
+
+def test_retrieve_unknown_feature_errors(fs, spark, table):
+    keys = spark.createDataFrame([(1,)], ["user_id"])
+    with pytest.raises(KeyError):
+        fs.retrieve("user", {"demo_int32": ["nope"]}, keys, feature_table=table)
+    with pytest.raises(KeyError):
+        fs.retrieve("bogus_fg", {}, keys)
+
+
+def test_retrieve_quantized_projection(fs, spark, table):
+    """P2: feat@DataTypeFP16 cast-on-read (retrieve.go:892-899)."""
+    import numpy as np
+
+    keys = spark.createDataFrame([(2,)], ["user_id"])
+    out = fs.retrieve(
+        "user",
+        {"demo_fp": ["acct_bal@DataTypeFP16"]},
+        keys,
+        feature_table=table,
+        now=_now(),
+    ).collect()
+    raw = table.filter(F.col("user_id") == 2).collect()[0]["demo_fp__acct_bal"]
+    assert out[0]["demo_fp__acct_bal"] == np.float32(np.float16(raw))
+
+
+def test_retrieve_quantize_widen_rejected(fs, spark, table):
+    keys = spark.createDataFrame([(1,)], ["user_id"])
+    with pytest.raises(ValueError):
+        fs.retrieve(
+            "user",
+            {"demo_fp": ["acct_bal@DataTypeFP64"]},  # FP32 -> FP64 widens
+            keys,
+            feature_table=table,
+        )
+
+
+def test_persist_and_reload(fs, spark):
+    df = spark.createDataFrame(
+        [(1, 30), (2, 40)], ["user_id", "demo_int32__age"]
+    )
+    fs.persist("user", df)
+    loaded = fs.load("user")
+    assert loaded.count() == 2
+    assert "schema_version" in loaded.columns and "expires_at" in loaded.columns
+
+
+def test_persist_upsert_latest_wins(fs, spark):
+    """S2: full-row upsert (scylla.go:168-253) — second write for the same
+    key replaces the first."""
+    fs.persist("user", spark.createDataFrame([(1, 30)], ["user_id", "demo_int32__age"]))
+    fs.persist("user", spark.createDataFrame([(1, 99), (2, 50)], ["user_id", "demo_int32__age"]))
+    rows = {r["user_id"]: r["demo_int32__age"] for r in fs.load("user").collect()}
+    assert rows == {1: 99, 2: 50}
+
+
+def test_persist_missing_key_column_errors(fs, spark):
+    with pytest.raises(ValueError):
+        fs.persist("user", spark.createDataFrame([(30,)], ["demo_int32__age"]))
+
+
+def test_retrieve_decoded(fs, spark, table):
+    keys = spark.createDataFrame([(1,), (99999999,)], ["user_id"])
+    out = fs.retrieve_decoded(
+        "user",
+        {"demo_int32": ["age"], "demo_bool": ["is_active"], "demo_vec": ["taste_vec"]},
+        keys,
+        feature_table=table,
+        now=_now(),
+    ).orderBy("user_id")
+    rows = out.collect()
+    assert rows[0]["demo_int32__age"] == "21"
+    assert rows[0]["demo_bool__is_active"] in ("true", "false")
+    assert "," in rows[0]["demo_vec__taste_vec"]  # comma-joined vector (F13)
+    assert rows[1]["demo_int32__age"] == "0"
+
+
+def test_schema_version_reconcile(spark, tmp_path):
+    """Rows written under v1 served against active v2: the new feature
+    falls back to its default (retrieve.go:833-858)."""
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            "user",
+            ["user_id"],
+            {
+                "fg": FeatureGroup(
+                    "fg",
+                    1,
+                    DataType.INT32,
+                    features={
+                        1: [Feature("a", 0, default=-1)],
+                        2: [Feature("a", 0, default=-1), Feature("b", 1, default=7)],
+                    },
+                    active_version=2,
+                )
+            },
+        )
+    )
+    fs = FeatureStore(spark, reg, str(tmp_path / "f"))
+    # v1 row: no fg__b column at all
+    v1 = spark.createDataFrame([(1, 5)], ["user_id", "fg__a"]).withColumn(
+        "schema_version", F.lit(1)
+    )
+    keys = spark.createDataFrame([(1,)], ["user_id"])
+    out = fs.retrieve("user", {"fg": ["a", "b"]}, keys, feature_table=v1).collect()
+    assert out[0]["fg__a"] == 5
+    assert out[0]["fg__b"] == 7  # default for feature absent in stored version
