@@ -1,0 +1,106 @@
+"""Text-analysis functions for training-data pipelines: language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (JVM-side, codegen-friendly) with exact
+integer/ratio arithmetic so every one of them is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "de", "et", "est", "une", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+LANG_PRIORITY = ["en", "es", "de", "fr", "zh"]  # tie-break order
+
+WORD_RE = r"\s+"
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer split
+
+
+def words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), WORD_RE)
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def token_count(col: Column | str) -> Column:
+    """BPE-ish token count: letter runs, digit runs, and single punctuation
+    marks (regexp_count is JVM-side; DuckDB twin:
+    len(regexp_extract_all(...)))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_RE))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    punct = F.regexp_count(c, F.lit(r"[^\sA-Za-z0-9]"))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(0.0)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_STOPWORDS["en"]
+    ws = words(col)
+    hits = F.size(F.filter(ws, lambda w: F.lower(w).isin([s.lower() for s in sw])))
+    return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws).cast("double")).otherwise(0.0)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    stopword presence (the classic C4/Gopher-style cheap filters), exact
+    arithmetic only."""
+    wc = word_count(col).cast("double")
+    length_ok = F.when((wc >= 10) & (wc <= 1000), 1.0).otherwise(0.0)
+    low_punct = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
+    has_stop = F.when(stopword_ratio(col) >= 0.05, 1.0).otherwise(0.0)
+    return (length_ok + low_punct + has_stop) / F.lit(3.0)
+
+
+def _stopword_hits(ws: Column, stopwords: list[str]) -> Column:
+    # NB: the HOF lambda must be single-parameter — a second (default) arg
+    # makes pyspark pass the element INDEX into it.
+    lowered = [s.lower() for s in stopwords]
+    return F.size(F.filter(ws, lambda w: F.lower(w).isin(lowered)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic core)."""
+    ws = words(col)
+    return {lang: _stopword_hits(ws, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over per-language stopword hits, ties resolved by
+    LANG_PRIORITY order; all-zero -> 'und'."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str, mod: int = 2**31 - 1) -> Column:
+    """Order-sensitive rolling hash over words: fold
+    h = (h*31 + (len(w)*131 + ascii(first_char(w)))) mod p.
+
+    Engine-portable by construction (no xxhash): the DuckDB twin is
+    list_reduce over string_split with the same arithmetic."""
+    ws = words(col)
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: (
+            acc * 31 + (F.length(w) * 131 + F.ascii(F.substring(w, 1, 1)))
+        ) % mod,
+    )

@@ -1,0 +1,293 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup
+— each expressed as shuffle-lean DataFrame plans:
+
+- exact:       one hash-aggregate on the normalized text (or any key set).
+- n-gram Jaccard: shingle-explode -> equi-join on shingle -> per-pair
+  intersection counts. The join key is the shingle, so only docs sharing a
+  shingle ever meet — no O(n²) cross product.
+- MinHash+LSH: k hash slots per shingle folded map-side to a k-wide
+  signature, banded; candidate pairs = equi-join on (band_idx, band_hash).
+  At 100 TB the band join is THE scale path: cost ~ (docs x bands), not
+  docs².
+- SimHash:     per-token hash bit votes -> 64-bit fingerprint; near-dups by
+  hamming distance over banded fingerprint pieces.
+- embedding:   cosine over an embedding column, banded by LSH
+  (operators/lsh.py) or brute-force for small collections.
+
+All hashing uses Spark's xxhash64 (JVM-side, seed-stable) — these plans are
+deterministic across runs/clusters but intentionally NOT DuckDB-expressible
+(xxhash64 differs), so their oracle entries are either pair-recall checks
+via the Jaccard verifier or rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams. transform over a 0..len-n sequence keeps the
+    whole thing JVM-side (no UDF)."""
+    words = tokenize(col)
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, on: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one representative row per duplicate group (hash-aggregate:
+    single shuffle on the dedup key)."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    keepers = df.groupBy(*on).agg(agg.alias(id_col)).select(id_col)
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (also the exact verifier for LSH candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Plan: explode distinct shingles -> self equi-join on shingle (docs with
+    zero overlap never pair) -> count intersections -> Jaccard from set
+    sizes. Shuffles on the shingle then on the pair — both key-local.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature ARRAY<BIGINT>[num_hashes]): slot i = min over
+    shingles of xxhash64(i, shingle). The k hashes are computed per shingle
+    in one projection; the mins fold map-side in one aggregate."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Band the signature; docs colliding in any band become candidates.
+
+    One explode + one equi-join on (band_idx, band_hash) — the sub-linear
+    path that replaces the all-pairs product at scale.
+    """
+    sig_len_expr = F.size(F.col(sig_col))
+    banded = signatures.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col(sig_col),
+                                b * (sig_len_expr / bands).cast("int") + 1,
+                                (sig_len_expr / bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full pipeline: shingle -> minhash -> band -> bucket-join -> verify
+    candidates with exact Jaccard (the classic LSH dedup shape)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, bands)
+    verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold)
+    return cands.join(verified, on=["id_a", "id_b"], how="inner")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1 weighted by
+    term frequency; fingerprint bit b set iff the vote is positive."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                # shiftrightunsigned avoids a 1<<63 literal (Java long overflow)
+                F.when(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into 64/band_bits
+    pieces; any pair within distance d < #pieces must collide on one piece
+    — so candidates come from an equi-join on (piece_idx, piece), then the
+    exact popcount filter."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    pieces = fingerprints.select(
+        F.col("id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("piece_idx", "piece"),
+    )
+    a, b = pieces.alias("a"), pieces.alias("b")
+    return (
+        a.join(b, on=["piece_idx", "piece"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (brute force; swap the pair
+    source for operators/lsh.py buckets at scale)."""
+    from bharatmlstack_spark.functions.vector import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("emb_a", "emb_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

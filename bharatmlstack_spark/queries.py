@@ -44,18 +44,7 @@ from bharatmlstack_spark.operators.normalize import (
 )
 from bharatmlstack_spark.functions.expressions import rpn_to_column
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+from bharatmlstack_spark.query_registry import ORACLES, QUERIES, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -660,6 +649,11 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# pull in the other query families (registration side effects)
+import bharatmlstack_spark.queries_joins  # noqa: E402,F401
+import bharatmlstack_spark.queries_text  # noqa: E402,F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,422 @@
+"""Join / aggregation / set-op / pipeline query-oracle pairs.
+
+Covers SURVEY.md §2.3 (J4/J5 generalized joins), §2.4 (A2/A4 aggregations),
+§2.7 (row-level set ops O1), uint64 decimal widening (§1.2), plus the
+pair/slate expansion and DAG pipeline shapes (U1-U3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.query_registry import query
+from bharatmlstack_spark.pipeline import (
+    ExpressionComponent,
+    FeatureComponent,
+    Pipeline,
+    ScoringComponent,
+    expand_pairs,
+    expand_slates,
+)
+from bharatmlstack_spark.functions.expressions import ExpressionEngine
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Generalized joins (TPC-H shapes: the scale proof for J1/J2/J4)
+# ===========================================================================
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       epoch_ms(o_orderdate) AS orderdate_ms
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi-join + agg + top-k: customer side broadcasts, lineitem
+    (the big side at 100 TB) never shuffles before the filter."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .withColumn("orderdate_ms", F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "orderdate_ms")
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: region/nation/customer broadcast up the chain so the
+    only shuffle is the final small-key aggregate."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    dims = F.broadcast(
+        c.join(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey), c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "entity_resolution_join",
+    oracle="""
+SELECT c_custkey AS user_id, p_brand AS category,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_items
+FROM customer JOIN orders ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN part ON p_partkey = l_partkey
+GROUP BY c_custkey, p_brand
+""",
+)
+def entity_resolution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: composite-entity feature assembly — (user x category) keys built
+    from matrix columns then resolved against feature tables
+    (inferflow feature_component.go:216-258, matrix.go:162-179)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("c_custkey").alias("user_id"), F.col("p_brand").alias("category"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ===========================================================================
+# Pair / slate expansion (J5) + DAG pipeline (U1-U3)
+# ===========================================================================
+
+_REQUESTS_SQL = """
+requests AS (
+  SELECT o_orderkey AS request_id,
+         [o_orderkey*10+1, o_orderkey*10+2, o_orderkey*10+3, o_orderkey*10+4, o_orderkey*10+5] AS target_ids,
+         [{'first': 0, 'second': 1}, {'first': 1, 'second': 2}, {'first': 2, 'second': 3}] AS pairs,
+         [[0,1,2],[2,3,4]] AS slates
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+"""
+
+
+def _requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("request_id"),
+        F.array(*[(k * 10 + i) for i in range(1, 6)]).alias("target_ids"),
+        F.array(
+            *[
+                F.struct(F.lit(a).alias("first"), F.lit(b).alias("second"))
+                for a, b in [(0, 1), (1, 2), (2, 3)]
+            ]
+        ).alias("pairs"),
+        F.array(
+            F.array(F.lit(0), F.lit(1), F.lit(2)), F.array(F.lit(2), F.lit(3), F.lit(4))
+        ).alias("slates"),
+    )
+
+
+@query(
+    "pair_expansion",
+    oracle=f"""
+WITH {_REQUESTS_SQL.strip()},
+p AS (
+  SELECT request_id, target_ids,
+         unnest(pairs) AS pr,
+         generate_subscripts(pairs, 1) - 1 AS pair_idx
+  FROM requests
+)
+SELECT request_id, pair_idx,
+       pr.first AS first_idx, pr.second AS second_idx,
+       target_ids[pr.first + 1] AS first_target,
+       target_ids[pr.second + 1] AS second_target
+FROM p
+""",
+)
+def pair_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 PairWise: posexplode pairs + positional join to targets
+    (predict.proto:84-97, predator_component.go:175-191)."""
+    return expand_pairs(_requests(spark, sf_dir))
+
+
+@query(
+    "slate_expansion",
+    oracle=f"""
+WITH {_REQUESTS_SQL.strip()},
+s AS (
+  SELECT request_id, target_ids,
+         unnest(slates) AS slate,
+         generate_subscripts(slates, 1) - 1 AS slate_idx
+  FROM requests
+)
+SELECT request_id, slate_idx,
+       array_to_string([target_ids[i + 1] FOR i IN slate], ',') AS slate_targets_csv
+FROM s
+""",
+)
+def slate_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 SlateWise: slates of target indices -> resolved target lists
+    (predict.proto:116-133); CSV-encoded so the hash compare is
+    engine-neutral."""
+    out = expand_slates(_requests(spark, sf_dir))
+    return out.select(
+        "request_id",
+        "slate_idx",
+        F.concat_ws(",", F.col("slate_targets").cast("array<string>")).alias(
+            "slate_targets_csv"
+        ),
+    )
+
+
+@query(
+    "pipeline_inference",
+    oracle="""
+WITH ctx AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 500 = 0
+),
+feat AS (
+  SELECT ctx.o_orderkey, ctx.o_totalprice, c.c_acctbal, CAST(c.c_nationkey AS INT) AS c_nationkey
+  FROM ctx LEFT JOIN customer c ON ctx.o_custkey = c.c_custkey
+)
+SELECT o_orderkey,
+       o_totalprice * 0.5 + c_acctbal AS score,
+       (o_totalprice * 0.5 + c_acctbal) * 0.001 + CAST(c_nationkey AS DOUBLE) * 1.0 AS model_score
+FROM feat
+""",
+)
+def pipeline_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3 end-to-end: the inferflow DAG as composition — feature fetch
+    (J4) -> numerix expression (U1) -> model-scoring stub (U3), one
+    Catalyst plan (SURVEY.md §3.3)."""
+    ctx = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 500 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.col("c_nationkey").cast("int").alias("c_nationkey")
+    )
+    eng = ExpressionEngine()
+    eng.register("halfprice_plus_bal", "o_totalprice 0.5 * c_acctbal +", output_column="score")
+    pipe = (
+        Pipeline()
+        .add(
+            FeatureComponent(
+                "fetch_user", cust, key_map={"c_custkey": "o_custkey"},
+                feature_cols=["c_acctbal", "c_nationkey"],
+            )
+        )
+        .add(ExpressionComponent("numerix", eng, "halfprice_plus_bal"), depends_on=["fetch_user"])
+        .add(
+            ScoringComponent(
+                "model", input_cols=["score", "c_nationkey"], weights=[0.001, 1.0]
+            ),
+            depends_on=["numerix"],
+        )
+    )
+    return pipe.run(ctx).select("o_orderkey", "score", "model_score")
+
+
+# ===========================================================================
+# Aggregations (A2/A4) and set ops (O1 row-level)
+# ===========================================================================
+
+
+@query(
+    "last_write_wins",
+    oracle="""
+SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: last-write-wins merge per (entity, column-group) — the skye
+    aggregator's only-latest-survives semantics
+    (consumers/handler/aggregator/scylla_aggregator.go:47)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_ms", F.expr("ts div 1000000")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_ms"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "percentile_by_group",
+    oracle="""
+SELECT event_type,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+       ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95,
+       CAST(MIN(value) AS DOUBLE) AS vmin,
+       CAST(MAX(value) AS DOUBLE) AS vmax
+FROM events
+GROUP BY event_type
+""",
+)
+def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: min/max reductions + interpolating percentile — numerix
+    compute_percentile (fp32_ops.rs:334-348) == percentile_cont."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "rollup_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup — free in Spark (SURVEY.md §2.4 note: the
+    reference has no grouping sets; exposed as an engine extension)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "segment_except",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+""",
+)
+def segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3 row-level: set difference (the reference's ordered-set
+    Difference on metadata — utils/set_operations.go — generalized to
+    rows)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(big).distinct()
+
+
+@query(
+    "segment_intersect",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+""",
+)
+def segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 row-level: set intersection."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(big)
+
+
+@query(
+    "uint64_decimal_sum",
+    oracle="""
+SELECT CAST(SUM(CAST(c_custkey AS DECIMAL(20,0)) * 123456789) AS VARCHAR) AS total,
+       CAST(MAX(CAST(c_custkey AS DECIMAL(20,0)) * 123456789) AS VARCHAR) AS biggest
+FROM customer
+""",
+)
+def uint64_decimal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 uint64 widening: values beyond int64 live in DECIMAL(20,0);
+    arithmetic stays exact (stringified — decimal wire formats differ)."""
+    c = _t(spark, sf_dir, "customer")
+    v = F.col("c_custkey").cast("decimal(20,0)") * 123456789
+    return c.agg(
+        F.sum(v).cast("decimal(38,0)").cast("string").alias("total"),
+        F.max(v).cast("decimal(38,0)").cast("string").alias("biggest"),
+    )

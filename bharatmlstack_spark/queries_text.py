@@ -1,0 +1,292 @@
+"""Text-analysis + deduplication query-oracle pairs over `documents` /
+`embeddings` — the training-data-pipeline operator family.
+
+The dedup corpus injects deterministic duplicates (exact copies and
+suffix-mutated near-copies) so exact dedup, Jaccard, MinHash-LSH, and
+SimHash all have known-positive pairs at every scale factor.
+
+MinHash/SimHash plans hash with Spark's xxhash64 (seed-stable, JVM-side) —
+not expressible in DuckDB, so those two entries are declared rows-only; the
+n-gram-Jaccard verifier (same pair universe) carries the exact-match oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.query_registry import query
+from bharatmlstack_spark.functions import text as TX
+from bharatmlstack_spark.operators import dedup as DD
+
+# ---------------------------------------------------------------------------
+# corpus fixture: documents + exact copies (id+10000) + near copies (id+20000)
+# ---------------------------------------------------------------------------
+
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' zz9' AS text, lang FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    exact = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang"
+    )
+    near = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        "lang",
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()}
+SELECT c.doc_id, c.lang FROM corpus c
+SEMI JOIN (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text) k
+  ON c.doc_id = k.doc_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-aggregate on text, keep lowest doc_id — one
+    shuffle on the content key."""
+    return DD.exact_dedup(corpus(spark, sf_dir), on=["text"], id_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (also the LSH verifier) — full SQL oracle
+# ---------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+wordlists AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN generate_series(1, len(ws) - 2)]
+  )) AS shingle
+  FROM wordlists WHERE len(ws) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLE_SQL.strip()}
+SELECT id_a, id_b,
+       ROUND(CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard >= 0.8: shingle-explode + equi-join, no cross
+    product. Exact/near copies pair with their originals."""
+    out = DD.ngram_jaccard_pairs(
+        corpus(spark, sf_dir), id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH and SimHash — rows-only (xxhash64 is not DuckDB-expressible)
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_minhash_lsh")  # rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle -> 64-slot MinHash -> 16 bands -> bucket-join -> Jaccard
+    verify. Deterministic (seeded xxhash64) but engine-specific hashing, so
+    the driver records the weaker rows-only check; pytest asserts the
+    injected duplicate pairs are all recovered."""
+    out = DD.minhash_lsh_dedup_pairs(
+        corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=16,
+        threshold=0.8,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_simhash")  # rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash + banded hamming<=3 pairs (engine-specific hashing ->
+    rows-only; pytest pins recall on injected dups)."""
+    fp = DD.simhash(corpus(spark, sf_dir), id_col="doc_id", text_col="text")
+    return DD.simhash_near_pairs(fp, max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH ecorpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+  FROM ecorpus a CROSS JOIN ecorpus b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM pairs WHERE ROUND(cosine, 6) >= 0.99
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: injected exact copies must pair at
+    cosine 1.0. Rounded to 6dp (dot-fold order differs from DuckDB's
+    list_dot_product)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    ec = e.unionAll(dup)
+    out = DD.embedding_near_dup_pairs(ec, id_col="vec_id", threshold=-2.0)
+    return (
+        out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+       ROUND(CAST(len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace words + BPE-ish regex tokens) and
+    punctuation ratio — pure JVM expressions."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        TX.word_count("text").alias("n_words"),
+        TX.token_count("text").alias("n_tokens"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    sw = ", ".join(f"'{w}'" for w in TX.LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"x -> lower(x) IN ({sw})))"
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS label,
+         {_lang_hits_sql('en')} AS s_en,
+         {_lang_hits_sql('es')} AS s_es,
+         {_lang_hits_sql('de')} AS s_de,
+         {_lang_hits_sql('fr')} AS s_fr,
+         {_lang_hits_sql('zh')} AS s_zh
+  FROM documents
+)
+SELECT doc_id, label,
+       CASE
+         WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+         WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+         ELSE 'zh'
+       END AS lang_guess
+FROM scored
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by per-language stopword hits, priority tie-break."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", F.col("lang").alias("label"), TX.lang_id("text").alias("lang_guess"))
+
+
+@query(
+    "quality_score",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS wc,
+         CAST(len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS pr,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> lower(x) IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE)
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS sr
+  FROM documents
+)
+SELECT doc_id,
+       ROUND((CASE WHEN wc >= 10 AND wc <= 1000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS quality
+FROM base
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style cheap quality filters composited to [0,1]."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", F.round(TX.quality_score("text"), 6).alias("quality"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(trim(text), '\s+'),
+                          w -> CAST(length(w) * 131 + ascii(substr(w, 1, 1)) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 2147483647
+       ) AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (engine-portable fold —
+    no xxhash), the cheap doc-identity for incremental pipelines."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
