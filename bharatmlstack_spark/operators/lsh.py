@@ -1,0 +1,246 @@
+"""Approximate nearest neighbor over embedding columns — the scale path.
+
+Brute-force KNN (operators/knn.py) is exact and fine up to ~10^6 candidates
+per executor; at 100 TB the cross product dies. Two sub-linear variants:
+
+- Random-hyperplane LSH (signed projections -> bit signature -> band
+  equi-join): candidates = rows sharing a band with the query; exact score
+  only on candidates. Cost ~ (rows x bands) map-side + a bucket-local join.
+- IVF (inverted file): k coarse centroids (sampled + refined driver-side on
+  a tiny sample — NOT a full kmeans over the data), each row assigned to
+  its nearest centroid map-side; queries probe the nprobe nearest cells.
+  The probe join is an equi-join on cell id.
+
+Projection vectors / centroids are deterministic (seeded numpy) and enter
+the plan as literal arrays — broadcast scalars, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.functions.vector import dot
+from bharatmlstack_spark.operators.knn import score_column
+
+
+def _lit_vec(v: np.ndarray) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_bits(emb_col: Column | str, planes: np.ndarray) -> Column:
+    """Sign-bit signature: bit i = 1 iff emb . plane_i >= 0 — one long per
+    <=64 planes, computed entirely JVM-side."""
+    emb = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    sig = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(dot(emb, _lit_vec(p)) >= 0, F.shiftleft(one, i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    return sig
+
+
+def band_columns(sig: Column, n_bands: int, band_bits: int) -> list[Column]:
+    mask = (1 << band_bits) - 1
+    return [
+        F.shiftright(sig, i * band_bits).bitwiseAND(F.lit(mask)).alias(f"band_{i}")
+        for i in range(n_bands)
+    ]
+
+
+class LshIndex:
+    """Random-hyperplane LSH ANN index as a pure DataFrame plan."""
+
+    def __init__(
+        self,
+        dim: int,
+        n_planes: int = 16,
+        n_bands: int = 4,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ):
+        if n_planes % n_bands:
+            raise ValueError("n_planes must divide into n_bands evenly")
+        self.planes = random_hyperplanes(dim, n_planes, seed)
+        self.n_bands = n_bands
+        self.band_bits = n_planes // n_bands
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def index(self, candidates: DataFrame) -> DataFrame:
+        """(id, embedding, band_idx, band_hash) exploded — persist/bucket
+        this by (band_idx, band_hash) at scale for a shuffle-free probe."""
+        sig = signature_bits(self.emb_col, self.planes).alias("__sig")
+        with_sig = candidates.select(self.id_col, self.emb_col, sig)
+        bands = band_columns(F.col("__sig"), self.n_bands, self.band_bits)
+        return with_sig.select(
+            self.id_col,
+            self.emb_col,
+            F.posexplode(F.array(*[b for b in bands])).alias("band_idx", "band_hash"),
+        )
+
+    def search(
+        self,
+        indexed: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: str = "DOT",
+        query_id_col: str = "query_id",
+        query_emb_col: str = "query_embedding",
+    ) -> DataFrame:
+        """Probe: band the queries identically, equi-join on
+        (band_idx, band_hash), dedup candidates, exact-score, top-k."""
+        qsig = signature_bits(query_emb_col, self.planes).alias("__sig")
+        q = queries.select(query_id_col, query_emb_col, qsig)
+        qbands = q.select(
+            query_id_col,
+            query_emb_col,
+            F.posexplode(
+                F.array(*band_columns(F.col("__sig"), self.n_bands, self.band_bits))
+            ).alias("band_idx", "band_hash"),
+        )
+        cands = (
+            indexed.join(F.broadcast(qbands), on=["band_idx", "band_hash"])
+            .dropDuplicates([query_id_col, self.id_col])
+        )
+        scored = cands.withColumn(
+            "score", score_column(metric, F.col(self.emb_col), F.col(query_emb_col))
+        )
+        ascending = metric.upper() in ("EUCLID", "EUCLIDEAN", "L2")
+        order = [F.asc("score") if ascending else F.desc("score"), F.asc(self.id_col)]
+        w = Window.partitionBy(query_id_col).orderBy(*order)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, self.id_col, "score", "rank")
+        )
+
+
+class IvfIndex:
+    """IVF coarse-quantizer ANN: nearest-centroid cells + nprobe search.
+
+    Centroids are fit on a driver-side SAMPLE (a few k rows) with a few
+    Lloyd iterations in numpy — the data-scale work (assignment) stays in
+    the cluster plan.
+    """
+
+    def __init__(
+        self,
+        n_cells: int = 16,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ):
+        self.n_cells = n_cells
+        self.seed = seed
+        self.id_col = id_col
+        self.emb_col = emb_col
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, candidates: DataFrame, sample_size: int = 4096, iters: int = 5) -> "IvfIndex":
+        total = candidates.count()
+        frac = min(1.0, sample_size / max(total, 1))
+        sample = np.array(
+            candidates.sample(fraction=frac, seed=self.seed)
+            .select(self.emb_col)
+            .limit(sample_size)
+            .rdd.map(lambda r: r[0])
+            .collect(),
+            dtype=np.float64,
+        )
+        rng = np.random.default_rng(self.seed)
+        cents = sample[rng.choice(len(sample), size=min(self.n_cells, len(sample)), replace=False)]
+        for _ in range(iters):
+            d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(len(cents)):
+                pts = sample[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        self.centroids = cents
+        return self
+
+    def _cell_col(self, emb: Column) -> Column:
+        """argmin over centroid distances, as a pure expression chain."""
+        assert self.centroids is not None, "call fit() first"
+        best_d: Column | None = None
+        best_i: Column = F.lit(0)
+        for i, c in enumerate(self.centroids):
+            cl = _lit_vec(c)
+            d = F.aggregate(
+                F.zip_with(emb, cl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0).cast("double"),
+                lambda a, x: a + x,
+            )
+            if best_d is None:
+                best_d, best_i = d, F.lit(0)
+            else:
+                best_i = F.when(d < best_d, F.lit(i)).otherwise(best_i)
+                best_d = F.least(best_d, d)
+        return best_i
+
+    def index(self, candidates: DataFrame) -> DataFrame:
+        return candidates.withColumn("cell", self._cell_col(F.col(self.emb_col)))
+
+    def search(
+        self,
+        indexed: DataFrame,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 4,
+        metric: str = "DOT",
+        query_id_col: str = "query_id",
+        query_emb_col: str = "query_embedding",
+    ) -> DataFrame:
+        assert self.centroids is not None, "call fit() first"
+        # nprobe nearest cells per query, computed driver-free as a small
+        # cross join (queries x centroids is tiny)
+        cent_df_rows = [(i,) for i in range(len(self.centroids))]
+        spark = queries.sparkSession
+        cents = spark.createDataFrame(cent_df_rows, ["cell"]).withColumn(
+            "centroid",
+            F.element_at(
+                F.array(*[_lit_vec(c) for c in self.centroids]),
+                (F.col("cell") + 1).cast("int"),
+            ),
+        )
+        qc = (
+            queries.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cdist",
+                F.aggregate(
+                    F.zip_with(
+                        F.col(query_emb_col), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda a, x: a + x,
+                ),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(F.asc("cdist"), F.asc("cell"))
+        probes = (
+            qc.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= nprobe)
+            .select(query_id_col, query_emb_col, "cell")
+        )
+        cands = indexed.join(F.broadcast(probes), on="cell")
+        scored = cands.withColumn(
+            "score", score_column(metric, F.col(self.emb_col), F.col(query_emb_col))
+        )
+        ascending = metric.upper() in ("EUCLID", "EUCLIDEAN", "L2")
+        order = [F.asc("score") if ascending else F.desc("score"), F.asc(self.id_col)]
+        w2 = Window.partitionBy(query_id_col).orderBy(*order)
+        return (
+            scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, self.id_col, "score", "rank")
+        )

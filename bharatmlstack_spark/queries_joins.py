@@ -420,3 +420,52 @@ def uint64_decimal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v).cast("decimal(38,0)").cast("string").alias("total"),
         F.max(v).cast("decimal(38,0)").cast("string").alias("biggest"),
     )
+
+
+# ===========================================================================
+# ANN scale path (LSH / IVF) — rows-only (seeded-hash plans, engine-specific)
+# ===========================================================================
+
+
+@query("ann_lsh_dot")  # rows-only
+def ann_lsh_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-linear ANN: random-hyperplane LSH bands -> bucket equi-join ->
+    exact re-score, top-10 per query. pytest pins recall >= 0.5 vs the
+    brute-force oracle (tests/test_lsh_multimodal.py)."""
+    from bharatmlstack_spark.operators.lsh import LshIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    idx = LshIndex(dim=64, n_planes=16, n_bands=8)
+    return idx.search(idx.index(cands), queries_df, k=10, metric="DOT")
+
+
+@query("ann_ivf_dot")  # rows-only
+def ann_ivf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: nprobe-cell probe -> exact re-score."""
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    idx = IvfIndex(n_cells=16).fit(cands, sample_size=512, iters=3)
+    return idx.search(idx.index(cands), queries_df, k=10, nprobe=4, metric="DOT")
+
+
+@query("multimodal_features")  # rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media -> mapInPandas feature
+    extraction (decode stubbed; batch shapes + schema real)."""
+    from bharatmlstack_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    out = extract_features(media, dim=8)
+    return out.select(
+        "media_id", "modality", "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )

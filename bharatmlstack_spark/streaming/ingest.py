@@ -1,0 +1,203 @@
+"""Structured Streaming ingestion — the reference's Kafka consumers as
+streaming jobs (SURVEY.md §2.9).
+
+Reference surface:
+- SS1 feature-persist consumer with per-entity ordering
+  (online-feature-store/internal/consumer/listeners/kafka.go:49-120 — FNV
+  worker sharding keeps per-key order; Spark analog: repartition by key
+  inside foreachBatch before the upsert)
+- SS2 upsert-with-TTL (persist.go:375-383 SetTTL; reads drop expired)
+- SS3/SS4 weekly tumbling windows + late-data merge (persist/click.go)
+- SS5 stateful top-K per (user, week) cap 500 (persist/click.go:178-181)
+- SS9 realtime embedding aggregation (skye scylla_aggregator.go)
+
+Design: every sink is ``foreachBatch`` re-using the BATCH operators
+(FeatureStore.persist, EventStore.merge_trim), so streaming correctness
+reduces to the batch oracle checks — the micro-batch is just a small batch.
+Kafka sources need the kafka connector package on the cluster; the file
+source paths below are drop-in equivalents and are what the tests drive.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.operators.event_store import EventStore
+from bharatmlstack_spark.operators.feature_store import FeatureStore
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def kafka_feature_source(
+    spark: SparkSession, brokers: str, topic: str, value_schema: str
+) -> DataFrame:
+    """SS1: the feature-persist topic as a stream.
+
+    The reference's payload is a protobuf persist.Query; here the wire
+    format is JSON with an explicit schema (schema registry-driven, never
+    inferred). Requires spark-sql-kafka on the cluster classpath.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("q")
+    ).select("q.*")
+
+
+def kafka_event_source(
+    spark: SparkSession, brokers: str, topic: str, value_schema: str
+) -> DataFrame:
+    """SS1 for interaction events (click/order consumers)."""
+    return kafka_feature_source(spark, brokers, topic, value_schema)
+
+
+# ---------------------------------------------------------------------------
+# sinks (foreachBatch -> batch operators)
+# ---------------------------------------------------------------------------
+
+
+def feature_upsert_sink(
+    stream_df: DataFrame,
+    feature_store: FeatureStore,
+    entity_label: str,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """SS1+SS2: per-micro-batch upsert through FeatureStore.persist — the
+    same latest-wins MERGE the batch path uses, so per-key ordering inside
+    a batch is resolved by the window, and TTL stamping comes from the
+    entity's registry TTL (persist.go:375-383)."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        key_cols = feature_store.registry.entity(entity_label).key_columns
+        # per-key ordering guarantee (the FNV worker sharding analog):
+        # co-locate each key before the upsert
+        feature_store.persist(entity_label, batch_df.repartition(*key_cols))
+
+    writer = stream_df.writeStream.foreachBatch(_upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_retention(
+    stream_df: DataFrame,
+    store: EventStore,
+    state_path: str,
+    checkpoint_dir: str,
+    spark: SparkSession,
+    trigger_once: bool = False,
+):
+    """SS3+SS5 (batch-MERGE fallback path): merge each micro-batch into the
+    parquet event state and re-trim to top-N per (user, week) — exactly
+    EventStore.merge_trim, so late/out-of-order arrivals re-sort within
+    their week (SS4, persist/click.go:165-182)."""
+    import os
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(state_path):
+            existing = spark.read.parquet(state_path)
+            merged = store.merge_trim(existing, batch_df)
+        else:
+            merged = store.merge_trim(batch_df)
+        tmp = state_path + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: str = "7 days",
+    watermark: str = "14 days",
+) -> DataFrame:
+    """SS3/SS4: tumbling weekly window with a late-data watermark — the
+    declarative form of the 24-slot ring; rows later than the watermark are
+    dropped, inside it they merge into their window (the reference re-sorts
+    within the week on every persist)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("week_start"),
+            user_col,
+            "n_events",
+        )
+    )
+
+
+def stateful_top_events(
+    stream_df: DataFrame,
+    k: int = 500,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    payload_col: str = "event_id",
+    watermark_col: str | None = None,
+):
+    """SS5: incremental per-user top-K newest events via
+    applyInPandasWithState — the true streaming-state form of the 500/week
+    cap (persist/click.go:178-181). State = the current top-K list per
+    user; each micro-batch merges, re-sorts desc, truncates.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{user_col} long, {ts_col} long, {payload_col} long"
+    state_schema = f"ts array<long>, payload array<long>"
+
+    def update(key, pdf_iter, state: GroupState):
+        rows_ts: list[int] = []
+        rows_payload: list[int] = []
+        if state.exists:
+            (ts_list, payload_list) = state.get
+            rows_ts = list(ts_list)
+            rows_payload = list(payload_list)
+        for pdf in pdf_iter:
+            rows_ts.extend(int(v) for v in pdf[ts_col])
+            rows_payload.extend(int(v) for v in pdf[payload_col])
+        order = sorted(
+            range(len(rows_ts)), key=lambda i: (-rows_ts[i], -rows_payload[i])
+        )[:k]
+        rows_ts = [rows_ts[i] for i in order]
+        rows_payload = [rows_payload[i] for i in order]
+        state.update((rows_ts, rows_payload))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]] * len(rows_ts),
+                ts_col: rows_ts,
+                payload_col: rows_payload,
+            }
+        )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

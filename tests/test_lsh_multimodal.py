@@ -1,0 +1,108 @@
+"""LSH/IVF ANN recall vs brute force; multimodal batch plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.operators.knn import VectorSearch
+from bharatmlstack_spark.operators.lsh import IvfIndex, LshIndex
+from bharatmlstack_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+
+
+def _brute_topk(emb, queries, k):
+    cands = emb.filter(F.col("vec_id") >= 3).withColumnRenamed("vec_id", "candidate_id")
+    vs = VectorSearch(id_col="candidate_id")
+    out = vs.knn(cands, queries, k=k, metric="DOT")
+    return {
+        (r["query_id"], r["candidate_id"]) for r in out.collect()
+    }
+
+
+def test_lsh_recall_vs_brute_force(spark, emb, queries):
+    truth = _brute_topk(emb, queries, k=10)
+    cands = emb.filter(F.col("vec_id") >= 3)
+    idx = LshIndex(dim=64, n_planes=16, n_bands=8)  # 2-bit bands: high recall
+    indexed = idx.index(cands)
+    got = idx.search(indexed, queries, k=10, metric="DOT")
+    found = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_bands_validate():
+    with pytest.raises(ValueError):
+        LshIndex(dim=8, n_planes=10, n_bands=4)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb, queries):
+    truth = _brute_topk(emb, queries, k=10)
+    cands = emb.filter(F.col("vec_id") >= 3)
+    idx = IvfIndex(n_cells=8).fit(cands, sample_size=256, iters=3)
+    indexed = idx.index(cands)
+    got = idx.search(indexed, queries, k=10, nprobe=4, metric="DOT")
+    found = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_cells_cover_all_rows(spark, emb):
+    cands = emb.limit(100)
+    idx = IvfIndex(n_cells=4).fit(cands, sample_size=64, iters=2)
+    indexed = idx.index(cands)
+    assert indexed.filter(F.col("cell").isNull()).count() == 0
+    assert indexed.count() == 100
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_extract_features_shapes(spark):
+    media = synthetic_media(spark, n=9)
+    out = extract_features(media, dim=8)
+    rows = out.collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+        norm = float(np.linalg.norm(r["feature"]))
+        assert norm == pytest.approx(1.0, abs=1e-5)
+
+
+def test_extract_features_deterministic(spark):
+    media = synthetic_media(spark, n=4)
+    a = {r["media_id"]: list(r["feature"]) for r in extract_features(media).collect()}
+    b = {r["media_id"]: list(r["feature"]) for r in extract_features(media).collect()}
+    assert a == b
+
+
+def test_strict_decode_raises(spark):
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(Exception):  # NotImplementedError inside the task
+        extract_features(media, strict_decode=True).collect()
+
+
+def test_sample_frames_video_only(spark):
+    media = synthetic_media(spark, n=9)
+    frames = sample_frames(media, every_n_bytes=32, max_frames=3).collect()
+    assert len(frames) > 0
+    ids = {r["media_id"] for r in frames}
+    videos = {r["media_id"] for r in media.filter(F.col("modality") == "video").collect()}
+    assert ids <= videos
+    for r in frames:
+        assert len(r["frame_bytes"]) <= 32

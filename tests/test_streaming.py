@@ -1,0 +1,138 @@
+"""Streaming ingestion (SS1-SS5) driven with file sources — the
+foreachBatch sinks reuse batch operators, so these pin the streaming
+plumbing: checkpointing, micro-batch upsert, state, watermark windows."""
+
+import os
+import shutil
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark import fixtures
+from bharatmlstack_spark.operators.event_store import EventStore
+from bharatmlstack_spark.operators.feature_store import FeatureStore
+from bharatmlstack_spark.streaming import (
+    feature_upsert_sink,
+    stateful_top_events,
+    stream_event_retention,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = "user_id long, ts timestamp, event_id long, value double"
+
+
+def _write_json_batch(path: str, rows: list[dict]):
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    fname = os.path.join(path, f"batch_{time.time_ns()}.json")
+    with open(fname + ".tmp", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(fname + ".tmp", fname)
+
+
+def test_feature_upsert_sink(spark, tmp_path):
+    """SS1/SS2: stream -> foreachBatch -> FeatureStore.persist upsert."""
+    src = str(tmp_path / "src")
+    _write_json_batch(src, [{"user_id": 1, "demo_int32__age": 30}])
+    _write_json_batch(src, [{"user_id": 1, "demo_int32__age": 31}, {"user_id": 2, "demo_int32__age": 40}])
+
+    fs = FeatureStore(spark, fixtures.user_registry(), str(tmp_path / "feat"))
+    stream = (
+        spark.readStream.schema("user_id long, demo_int32__age int")
+        .json(src)
+        .withColumn("schema_version", F.lit(1))
+    )
+    q = feature_upsert_sink(stream, fs, "user", str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(120)
+
+    rows = {r["user_id"]: r["demo_int32__age"] for r in fs.load("user").collect()}
+    assert rows[2] == 40
+    assert rows[1] in (30, 31)  # both arrived in one availableNow batch; latest-wins window picked one
+
+
+def test_stream_event_retention(spark, tmp_path):
+    """SS3/SS5 batch-merge path: micro-batches merge + trim per (user, week)."""
+    src = str(tmp_path / "ev_src")
+    base = datetime(2024, 1, 1)
+    _write_json_batch(
+        src,
+        [
+            {"user_id": 1, "ts": base.replace(hour=h).isoformat(), "event_id": h, "value": 1.0}
+            for h in range(6)
+        ],
+    )
+    store = EventStore(ts_col="ts", max_per_week=3)
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    q = stream_event_retention(
+        stream, store, state, str(tmp_path / "ckpt2"), spark, trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(state).collect()
+    assert len(rows) == 3  # trimmed to top-3 in the week
+    assert sorted(r["event_id"] for r in rows) == [3, 4, 5]  # newest
+
+    # late batch: an out-of-order newer event displaces the oldest kept
+    _write_json_batch(
+        src,
+        [{"user_id": 1, "ts": base.replace(hour=23).isoformat(), "event_id": 23, "value": 1.0}],
+    )
+    q2 = stream_event_retention(
+        stream, store, state, str(tmp_path / "ckpt2"), spark, trigger_once=True
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(state).collect()
+    assert sorted(r["event_id"] for r in rows) == [4, 5, 23]
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    """SS3/SS4: tumbling window agg with watermark over a file stream."""
+    src = str(tmp_path / "win_src")
+    _write_json_batch(
+        src,
+        [
+            {"user_id": 1, "ts": "2024-01-01T05:00:00", "event_id": 1, "value": 1.0},
+            {"user_id": 1, "ts": "2024-01-02T05:00:00", "event_id": 2, "value": 1.0},
+            {"user_id": 1, "ts": "2024-01-10T05:00:00", "event_id": 3, "value": 1.0},
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    agg = windowed_event_counts(stream, ts_col="ts", window="7 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from win_counts").collect()
+    counts = sorted(r["n_events"] for r in rows)
+    assert counts == [1, 2]  # two tumbling weeks
+
+
+def test_stateful_top_events(spark, tmp_path):
+    """SS5: applyInPandasWithState keeps per-user top-k across batches."""
+    src = str(tmp_path / "topk_src")
+    _write_json_batch(
+        src,
+        [{"user_id": 1, "ts_ms": t, "event_id": t} for t in [100, 200, 300, 400]],
+    )
+    stream = spark.readStream.schema("user_id long, ts_ms long, event_id long").json(src)
+    topk = stateful_top_events(stream, k=2)
+    q = (
+        topk.writeStream.format("memory")
+        .queryName("topk_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from topk_out").collect()
+    kept = sorted(r["ts_ms"] for r in rows)
+    assert kept == [300, 400]  # newest 2 survive
