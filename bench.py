@@ -23,14 +23,23 @@ from bharatmlstack_spark.queries import all_queries
 # headline set: one per operator family, heaviest variants
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "entity_resolution_join",
     "feature_retrieve",
     "events_merge_trim",
     "events_weekly_buckets",
+    "last_write_wins",
     "rpn_score",
     "norm_min_max",
     "percentile_rank",
     "knn_dot",
+    "ann_lsh_dot",
     "topk_orders",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "doc_fingerprint",
 ]
 
 

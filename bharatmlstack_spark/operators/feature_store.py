@@ -35,7 +35,6 @@ from pyspark.sql import Window
 from bharatmlstack_spark.registry import DataType, Entity, FeatureGroup, SchemaRegistry
 from bharatmlstack_spark.functions.quantize import check_quantization_compat, quantize_column
 
-_REQ_IDX = "__req_idx"
 
 
 @dataclass
@@ -179,12 +178,8 @@ class FeatureStore:
         table = table.select(*entity.key_columns, *[c for c in needed if c in table.columns])
 
         keys = keys_df.select(*entity.key_columns)
-        if keep_request_order:
-            keys = keys_df.select(
-                *entity.key_columns, F.monotonically_increasing_id().alias(_REQ_IDX)
-            )
         # A6: dedup request keys before the join, fan out after
-        uniq = keys.select(*entity.key_columns).dropDuplicates(entity.key_columns)
+        uniq = keys.dropDuplicates(entity.key_columns)
 
         # J1: left join — request keys are small; broadcast them so the big
         # feature table never shuffles
@@ -208,11 +203,11 @@ class FeatureStore:
         result = joined.select(*cols)
 
         if keep_request_order:
-            result = (
-                keys.join(F.broadcast(result), on=entity.key_columns, how="left")
-                .orderBy(_REQ_IDX)
-                .drop(_REQ_IDX)
-            )
+            # fan-out: one output row per request row (dup keys duplicate —
+            # bag-semantics join restores request multiplicity). No orderBy:
+            # a global sort is pure cost at scale; DataFrames are unordered
+            # and callers needing request order can carry their own index.
+            result = keys.join(F.broadcast(result), on=entity.key_columns, how="left")
         return result
 
     def retrieve_decoded(self, *args, **kwargs) -> DataFrame:

@@ -469,3 +469,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "modality", "n_bytes",
         F.round(F.element_at("feature", 1), 6).alias("f0"),
     )
+
+
+@query("feature_retrieve_quantized")  # rows-only: fp16/fp8 round-trip has no SQL twin
+def feature_retrieve_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/F9 end-to-end: @DataTypeFP16 and @DataTypeFP8E5M2 cast-on-read
+    projections (pinned bit-exact against pkg/float8 vectors in
+    tests/test_quantize.py; DuckDB has no half/fp8 codec)."""
+    from bharatmlstack_spark import fixtures
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+
+    fs = FeatureStore(spark, fixtures.user_registry(), base_path="/tmp/unused")
+    keys = fixtures.request_keys(spark, sf_dir)
+    out = fs.retrieve(
+        "user",
+        {"demo_fp": ["acct_bal@DataTypeFP16"], "demo_vec": ["taste_vec@DataTypeFP8E5M2Vector"]},
+        keys,
+        feature_table=fixtures.user_features(spark, sf_dir),
+        now=F.lit(fixtures.FIXED_NOW).cast("timestamp"),
+    )
+    return out.select(
+        "user_id",
+        F.col("demo_fp__acct_bal").alias("bal_fp16"),
+        F.element_at("demo_vec__taste_vec", 1).alias("taste0_fp8"),
+    )
+
+
+@query(
+    "events_retention_window",
+    oracle="""
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+FROM events
+WHERE epoch_ms(ts) >= epoch_ms(TIMESTAMP '2024-01-20') - CAST(24 AS BIGINT) * 7 * 24 * 3600 * 1000
+""",
+)
+def events_retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS3: the 24-week rolling retention as a predicate (the ring's
+    overwrite-on-wrap, batch form) against a fixed now."""
+    import datetime as dt
+
+    from bharatmlstack_spark.operators.event_store import EventStore
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_ms", F.expr("ts div 1000000"))
+        .select("event_id", "user_id", "ts_ms")
+    )
+    store = EventStore(ts_col="ts_ms")
+    now_ms = int(dt.datetime(2024, 1, 20, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    cutoff = now_ms - 24 * 7 * 24 * 3600 * 1000
+    return ev.filter(F.col("ts_ms") >= cutoff)
+
+
+@query(
+    "cube_orders_status",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets extension (free in Spark; SURVEY §2.4 note)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
