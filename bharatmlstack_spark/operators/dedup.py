@@ -106,6 +106,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard >= threshold via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. 2007) — same output as ngram_jaccard_pairs, sub-linear
+    candidate generation.
+
+    With a global shingle order (rarest first), two sets with J >= t MUST
+    share an element within each one's first (n - ceil(t*n) + 1) shingles,
+    so the join touches only those prefixes; survivors are verified exactly
+    with array_intersect over the full sets. At 100 TB this turns the
+    all-shared-shingles join (the dominant shuffle) into a prefix-only join
+    ~ (1-t) of the size, with verification on the (small) candidate set.
+    """
+    import math
+
+    sets = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    )
+    sh = sets.select("id", F.explode("shingles").alias("shingle"))
+    # global rarity order: document frequency, then lexicographic tiebreak
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, on="shingle")
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        # prefix size: n - ceil(t*n) + 1
+        .filter(F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
+        .select("id", "shingle")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cands = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verification on candidates only: array_intersect over full sets
+    sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

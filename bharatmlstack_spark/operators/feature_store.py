@@ -163,27 +163,43 @@ class FeatureStore:
         """
         entity = self.registry.entity(entity_label)
         selectors = self._resolve(entity, selections)  # P1 validation
-        table = feature_table if feature_table is not None else self.load(entity_label)
         now = now if now is not None else F.current_timestamp()
 
-        # P4: expired rows are absent (negative-cache semantics at source,
-        # scylla.go:148-162)
-        if "expires_at" in table.columns:
-            table = table.filter(
-                F.col("expires_at").isNull() | (F.col("expires_at") > now)
-            )
-
-        # column pruning: only requested FG columns leave the scan
-        needed = [s.output_column for s in selectors]
-        table = table.select(*entity.key_columns, *[c for c in needed if c in table.columns])
+        # J2 multi-store scatter-gather (retrieve.go:436-444): group the
+        # requested FGs by store and join each store's table once; with an
+        # explicit feature_table override everything reads from it.
+        if feature_table is not None:
+            store_tables: dict[int, DataFrame] = {0: feature_table}
+            by_store = {0: selectors}
+        else:
+            by_store = {}
+            for s in selectors:
+                sid = entity.fg(s.fg_label).store_id
+                by_store.setdefault(sid, []).append(s)
+            store_tables = {sid: self.load(entity_label, sid) for sid in by_store}
 
         keys = keys_df.select(*entity.key_columns)
         # A6: dedup request keys before the join, fan out after
         uniq = keys.dropDuplicates(entity.key_columns)
 
-        # J1: left join — request keys are small; broadcast them so the big
-        # feature table never shuffles
-        joined = F.broadcast(uniq).join(table, on=entity.key_columns, how="left")
+        # J1: left join per store — request keys are small; broadcast them
+        # so the big feature tables never shuffle
+        joined = F.broadcast(uniq)
+        for sid, sels in by_store.items():
+            table = store_tables[sid]
+            # P4: expired rows are absent (negative-cache semantics at
+            # source, scylla.go:148-162)
+            if "expires_at" in table.columns:
+                table = table.filter(
+                    F.col("expires_at").isNull() | (F.col("expires_at") > now)
+                )
+            # column pruning: only this store's requested FG columns leave
+            # the scan (FG->store projection, scylla.go:93-107)
+            needed = [s.output_column for s in sels]
+            table = table.select(
+                *entity.key_columns, *[c for c in needed if c in table.columns]
+            )
+            joined = joined.join(table, on=entity.key_columns, how="left")
 
         # P3 defaults + P2 quantization
         cols: list[Column] = [F.col(k) for k in entity.key_columns]

@@ -662,3 +662,73 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)
+
+
+@query(
+    "feature_retrieve_composite",
+    oracle=f"""
+{_FEATURE_CTES},
+composite_keys AS (
+  SELECT c_custkey AS user_id, CAST(c_nationkey AS BIGINT) AS nation_key
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey AS user_id, CAST(c_nationkey AS BIGINT) + 100 AS nation_key
+  FROM customer WHERE c_custkey % 70 = 0
+)
+SELECT k.user_id, k.nation_key,
+       COALESCE(f.demo_int32__age, 0) AS demo_int32__age,
+       COALESCE(f.demo_str__location, 'NA') AS demo_str__location
+FROM composite_keys k LEFT JOIN live f
+  ON k.user_id = f.user_id AND k.nation_key = f.nation_key
+""",
+)
+def feature_retrieve_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-PK lookup (ordered key columns, config/models.go:27-47):
+    join on (user_id, nation_key); a wrong nation_key misses -> defaults."""
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            "user_nation",
+            ["user_id", "nation_key"],
+            {
+                "demo_int32": FeatureGroup(
+                    "demo_int32", 1, DataType.INT32, {1: [Feature("age", 0, default=0)]}
+                ),
+                "demo_str": FeatureGroup(
+                    "demo_str",
+                    3,
+                    DataType.STRING,
+                    {1: [
+                        Feature("location", 0, default="NA", string_length=16),
+                        Feature("subscription_type", 1, default="none", string_length=16),
+                    ]},
+                ),
+            },
+        )
+    )
+    fs = FeatureStore(spark, reg, base_path="/tmp/unused")
+    c = _t(spark, sf_dir, "customer")
+    hits = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").cast("bigint").alias("nation_key"),
+    )
+    misses = c.filter(F.col("c_custkey") % 70 == 0).select(
+        F.col("c_custkey").alias("user_id"),
+        (F.col("c_nationkey").cast("bigint") + 100).alias("nation_key"),
+    )
+    out = fs.retrieve(
+        "user_nation",
+        {"demo_int32": ["age"], "demo_str": ["location"]},
+        hits.unionAll(misses),
+        feature_table=fixtures.user_features(spark, sf_dir),
+        now=F.lit(FIXED_NOW).cast("timestamp"),
+    )
+    return out.select("user_id", "nation_key", "demo_int32__age", "demo_str__location")

@@ -107,9 +107,11 @@ WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard >= 0.8: shingle-explode + equi-join, no cross
-    product. Exact/near copies pair with their originals."""
-    out = DD.ngram_jaccard_pairs(
+    """3-gram shingle Jaccard >= 0.8 via prefix filtering (AllPairs) —
+    exact same pairs as the naive shingle self-join (tested equivalent),
+    with candidate generation bounded by the (1-t) prefix instead of every
+    shared shingle."""
+    out = DD.ngram_jaccard_pairs_prefix(
         corpus(spark, sf_dir), id_col="doc_id", text_col="text", n=3, threshold=0.8
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

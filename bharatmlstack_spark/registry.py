@@ -155,6 +155,7 @@ class FeatureGroup:
     features: dict[int, list[Feature]]
     active_version: int = 1
     ttl_seconds: int = 0  # 0 = no expiry
+    store_id: int = 0  # multi-store routing (models.go:52 StoreId)
 
     def version_features(self, version: int | None = None) -> list[Feature]:
         v = self.active_version if version is None else version
@@ -233,6 +234,7 @@ class SchemaRegistry:
                     "data_type": o.data_type.value,
                     "active_version": o.active_version,
                     "ttl_seconds": o.ttl_seconds,
+                    "store_id": o.store_id,
                     "features": {
                         str(v): [vars(f) for f in feats] for v, feats in o.features.items()
                     },
@@ -253,6 +255,7 @@ class SchemaRegistry:
                     data_type=DataType(fg["data_type"]),
                     active_version=fg["active_version"],
                     ttl_seconds=fg["ttl_seconds"],
+                    store_id=fg.get("store_id", 0),
                     features={
                         int(v): [Feature(**f) for f in feats]
                         for v, feats in fg["features"].items()

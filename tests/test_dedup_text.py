@@ -117,3 +117,16 @@ def test_fingerprint_order_sensitive(spark):
     out = {r["id"]: r["f"] for r in df.select("id", TX.fingerprint("t").alias("f")).collect()}
     assert out[1] == out[3]
     assert out[1] != out[2]  # rolling hash is order-sensitive
+
+
+def test_prefix_jaccard_equals_naive(docs):
+    """Prefix filtering (AllPairs) is exact: identical pair set + values."""
+    naive = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in DD.ngram_jaccard_pairs_prefix(docs, threshold=0.5).collect()
+    }
+    assert naive == fast and len(naive) >= 2

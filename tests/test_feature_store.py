@@ -186,3 +186,74 @@ def test_schema_version_reconcile(spark, tmp_path):
     out = fs.retrieve("user", {"fg": ["a", "b"]}, keys, feature_table=v1).collect()
     assert out[0]["fg__a"] == 5
     assert out[0]["fg__b"] == 7  # default for feature absent in stored version
+
+
+def test_multi_store_scatter_gather(spark, tmp_path):
+    """J2: FGs on different stores resolve via one join per store
+    (retrieve.go:436-444 FG->storeId grouping)."""
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            "user",
+            ["user_id"],
+            {
+                "fg_a": FeatureGroup(
+                    "fg_a", 1, DataType.INT32, {1: [Feature("x", 0, default=-1)]}, store_id=0
+                ),
+                "fg_b": FeatureGroup(
+                    "fg_b", 2, DataType.STRING, {1: [Feature("y", 0, default="na")]}, store_id=1
+                ),
+            },
+        )
+    )
+    fs = FeatureStore(spark, reg, str(tmp_path / "ms"))
+    fs.persist("user", spark.createDataFrame([(1, 10)], ["user_id", "fg_a__x"]), store_id=0)
+    fs.persist("user", spark.createDataFrame([(1, "hi")], ["user_id", "fg_b__y"]), store_id=1)
+    keys = spark.createDataFrame([(1,), (2,)], ["user_id"])
+    out = fs.retrieve("user", {"fg_a": ["x"], "fg_b": ["y"]}, keys).orderBy("user_id").collect()
+    assert out[0]["fg_a__x"] == 10 and out[0]["fg_b__y"] == "hi"
+    assert out[1]["fg_a__x"] == -1 and out[1]["fg_b__y"] == "na"  # defaults across stores
+
+
+def test_composite_key_retrieve(fs, spark, table):
+    """Composite PK (user_id, nation_key) — Key.Sequence ordering
+    (config/models.go:27-47)."""
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            "user_nation",
+            ["user_id", "nation_key"],
+            {
+                "demo_int32": FeatureGroup(
+                    "demo_int32", 1, DataType.INT32, {1: [Feature("age", 0, default=0)]}
+                )
+            },
+        )
+    )
+    fs2 = FeatureStore(spark, reg, fs.base_path)
+    real = table.select("user_id", "nation_key").limit(1).collect()[0]
+    keys = spark.createDataFrame(
+        [(real["user_id"], real["nation_key"]), (real["user_id"], real["nation_key"] + 99)],
+        ["user_id", "nation_key"],
+    )
+    out = fs2.retrieve(
+        "user_nation", {"demo_int32": ["age"]}, keys, feature_table=table, now=_now()
+    ).orderBy("nation_key").collect()
+    assert out[0]["demo_int32__age"] != 0 or real["user_id"] % 10 == 0
+    assert out[1]["demo_int32__age"] == 0  # wrong nation_key -> miss -> default

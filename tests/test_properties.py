@@ -1,0 +1,151 @@
+"""Property tests: quantization laws (hypothesis, pure numpy) and a
+random-RPN differential test (seeded generator, Spark vs a pure-Python
+stack interpreter)."""
+
+import math
+import operator
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bharatmlstack_spark.functions.quantize import (
+    fp16_roundtrip_np,
+    fp8e4m3_roundtrip_np,
+    fp8e5m2_roundtrip_np,
+)
+
+finite_floats = st.floats(
+    min_value=-1e5, max_value=1e5, allow_nan=False, allow_infinity=False
+)
+
+
+@given(st.lists(finite_floats, min_size=1, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_quantize_idempotent(xs):
+    """q(q(x)) == q(x) for every codec (a projection must be idempotent)."""
+    x = np.array(xs, dtype=np.float64)
+    for q in (fp16_roundtrip_np, fp8e5m2_roundtrip_np, fp8e4m3_roundtrip_np):
+        once = q(x)
+        twice = q(once.astype(np.float64))
+        np.testing.assert_array_equal(once, twice)
+
+
+@given(finite_floats, finite_floats)
+@settings(max_examples=200, deadline=None)
+def test_quantize_monotone(a, b):
+    """x <= y implies q(x) <= q(y) (rounding preserves order)."""
+    lo, hi = sorted((a, b))
+    x = np.array([lo, hi], dtype=np.float64)
+    for q in (fp16_roundtrip_np, fp8e5m2_roundtrip_np, fp8e4m3_roundtrip_np):
+        out = q(x)
+        if not (np.isnan(out[0]) or np.isnan(out[1])):
+            assert out[0] <= out[1]
+
+
+@given(st.floats(min_value=-448, max_value=448, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_e4m3_error_bound(x):
+    """Relative error of E4M3 rounding <= 2^-4 for normal-range values
+    (3 mantissa bits -> half-ulp 2^-4)."""
+    out = float(fp8e4m3_roundtrip_np(np.array([x]))[0])
+    if abs(x) >= 0.015625:  # min normal
+        assert not math.isnan(out)
+        assert abs(out - x) <= abs(x) * 2**-4 + 1e-12
+
+
+@given(st.floats(min_value=-57000, max_value=57000, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_e5m2_error_bound(x):
+    """Relative error of E5M2 <= 2^-3 for normal-range values (2 mantissa
+    bits)."""
+    out = float(fp8e5m2_roundtrip_np(np.array([x]))[0])
+    if abs(x) >= 6.1035156e-05:
+        assert abs(out - x) <= abs(x) * 2**-3 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# RPN differential test: Spark compilation vs pure-Python interpreter
+# ---------------------------------------------------------------------------
+
+_BIN = {
+    "+": operator.add,
+    "-": operator.sub,
+    "*": operator.mul,
+    "^": lambda a, b: math.pow(a, b) if not (a < 0 and b != int(b)) else float("nan"),
+    ">": lambda a, b: float(a > b),
+    "<": lambda a, b: float(a < b),
+    ">=": lambda a, b: float(a >= b),
+    "<=": lambda a, b: float(a <= b),
+    "==": lambda a, b: float(a == b),
+    "min": min,
+    "max": max,
+}
+_UN = {"abs": abs, "exp": math.exp}
+
+
+def _py_eval(tokens, row):
+    stack = []
+    for t in tokens:
+        if t in _BIN:
+            b, a = stack.pop(), stack.pop()
+            stack.append(_BIN[t](a, b))
+        elif t in _UN:
+            stack.append(_UN[t](stack.pop()))
+        else:
+            stack.append(row[t] if t in row else float(t))
+    assert len(stack) == 1
+    return stack[0]
+
+
+def _random_rpn(rng, cols, depth=0):
+    """Generate a random well-formed RPN token list (division/log excluded:
+    their error domains are separately pinned in test_expressions)."""
+    if depth > 3 or rng.random() < 0.35:
+        if rng.random() < 0.6:
+            return [rng.choice(cols)]
+        return [str(round(rng.uniform(-5, 5), 3))]
+    if rng.random() < 0.25:
+        return _random_rpn(rng, cols, depth + 1) + [rng.choice(list(_UN))]
+    op = rng.choice([o for o in _BIN if o not in ("^", "exp")])
+    return (
+        _random_rpn(rng, cols, depth + 1)
+        + _random_rpn(rng, cols, depth + 1)
+        + [op]
+    )
+
+
+def test_rpn_differential_vs_python(spark):
+    """100 random expressions, Spark-compiled vs Python-interpreted, same
+    rows — one collect for all."""
+    from pyspark.sql import functions as F
+
+    from bharatmlstack_spark.functions.expressions import rpn_to_column
+
+    rng = random.Random(4242)
+    cols = ["a", "b", "c"]
+    rows = [
+        {"a": rng.uniform(-10, 10), "b": rng.uniform(-10, 10), "c": rng.uniform(0.1, 5)}
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame([(r["a"], r["b"], r["c"]) for r in rows], cols)
+
+    exprs = [_random_rpn(rng, cols) for _ in range(100)]
+    select = [F.col(c) for c in cols] + [
+        rpn_to_column(" ".join(toks), set(cols)).alias(f"e{i}")
+        for i, toks in enumerate(exprs)
+    ]
+    out = df.select(*select).collect()
+    for row_in, row_out in zip(rows, out):
+        for i, toks in enumerate(exprs):
+            expected = _py_eval(toks, row_in)
+            got = row_out[f"e{i}"]
+            if math.isnan(expected):
+                assert got is None or math.isnan(got), (toks, got)
+            else:
+                assert got == pytest.approx(expected, rel=1e-12, abs=1e-12), (
+                    " ".join(toks),
+                    row_in,
+                )
