@@ -1,0 +1,19 @@
+from bharatmlstack_spark.plans.explain_tools import (
+    explain_formatted,
+    has_broadcast_join,
+    has_whole_stage_codegen,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from bharatmlstack_spark.plans.skew import salted_join
+
+__all__ = [
+    "explain_formatted",
+    "has_broadcast_join",
+    "has_whole_stage_codegen",
+    "pushed_filters",
+    "read_schemas",
+    "shuffle_count",
+    "salted_join",
+]

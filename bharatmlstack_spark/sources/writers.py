@@ -1,0 +1,67 @@
+"""Partition-aware table writers — the storage layout half of the scale
+story.
+
+At 100 TB the difference between a usable and an unusable table is the
+write layout: partition columns that match the dominant predicates
+(partition pruning), file sizes that match maxPartitionBytes, and bucketing
+on join keys so co-located joins skip the shuffle entirely.
+
+Conventions for this engine's tables:
+- feature tables: partitioned by a key-hash bucket column (point lookups
+  prune to one bucket-file group; the composite PK stays intact in-row)
+- event tables:   partitioned by week (the dominant predicate is a time
+  range — partition pruning serves the 24-week window for free)
+- embedding tables: bucketed by candidate id for join-free scoring
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.operators.event_store import week_start
+
+
+def write_feature_table(
+    df: DataFrame, path: str, key_cols: list[str], n_buckets: int = 64
+) -> None:
+    """Hash-bucketed layout: `key_bucket = xxhash64(keys) % n` partition
+    column. A point/batch retrieve computes the same bucket for its keys and
+    prunes to matching directories (the parquet analog of Scylla's
+    token-range routing, scylla.go:80-167)."""
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    (
+        df.withColumn("key_bucket", bucket)
+        .repartition("key_bucket")
+        .write.mode("overwrite")
+        .partitionBy("key_bucket")
+        .parquet(path)
+    )
+
+
+def read_feature_table_for_keys(spark, path: str, keys_df: DataFrame, key_cols: list[str], n_buckets: int = 64) -> DataFrame:
+    """Prune the bucketed table to only the buckets the request keys hash
+    into (collected driver-side — the request is small by definition)."""
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    wanted = [r[0] for r in keys_df.select(bucket.alias("b")).distinct().collect()]
+    return spark.read.parquet(path).filter(F.col("key_bucket").isin(wanted))
+
+
+def write_event_table(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Week-partitioned layout: the 24-week retention and every time-range
+    retrieve become partition pruning (SS3; interaction-store's
+    bucket-table-per-8-weeks made declarative)."""
+    (
+        df.withColumn("week", F.date_format(week_start(F.col(ts_col)), "yyyy-MM-dd"))
+        .repartition("week")
+        .write.mode("overwrite")
+        .partitionBy("week")
+        .parquet(path)
+    )
+
+
+def write_zstd(df: DataFrame, path: str, **options) -> None:
+    """Plain write with ZSTD (the reference compresses PSDB blocks
+    opportunistically — internal/compression/zstd.go; parquet's codec is
+    the columnar equivalent and is on by default in session.py)."""
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path, **options)

@@ -1,0 +1,136 @@
+"""Plan-shape regression tests: assert the PHYSICAL plan stays the one we
+want at scale — pushdown reaches scans, dims broadcast, scans prune, no
+shuffle creep. A refactor that de-optimizes fails here even with correct
+results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schemas,
+    salted_join,
+    shuffle_count,
+)
+from bharatmlstack_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir, qs):
+    df = qs["q1_pricing_summary"](spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf  # predicate reached the parquet scan
+    schemas = read_schemas(df)
+    assert all("l_comment" not in s and "l_partkey" not in s for s in schemas)
+    assert shuffle_count(df) == 1  # partial agg -> single exchange -> final
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir, qs):
+    df = qs["q3_shipping_priority"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "BUILDING" in pf and "l_shipdate" in pf
+
+
+def test_feature_retrieve_no_sort_one_prune(spark, sf_dir, qs):
+    from bharatmlstack_spark.plans import explain_formatted
+
+    df = qs["feature_retrieve"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "Sort" not in plan  # the hot path must not globally sort
+    assert has_broadcast_join(df)
+    # customer scan prunes to the columns the fixture derives from
+    assert any("c_custkey" in s for s in read_schemas(df))
+
+
+def test_events_range_is_take_ordered(spark, sf_dir, qs):
+    from bharatmlstack_spark.plans import explain_formatted
+
+    df = qs["events_range_user"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_formatted(df)
+
+
+def test_topk_orders_take_ordered_no_global_sort(spark, sf_dir, qs):
+    from bharatmlstack_spark.plans import explain_formatted
+
+    plan = explain_formatted(qs["topk_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort path
+
+
+def test_knn_broadcasts_queries(spark, sf_dir, qs):
+    df = qs["knn_dot"](spark, sf_dir)
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in str(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_merge_trim_single_shuffle(spark, sf_dir, qs):
+    df = qs["events_merge_trim"](spark, sf_dir)
+    assert shuffle_count(df) == 1  # one window shuffle on (user, week)
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot" if i % 4 else "cold",)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], ["k", "w"])
+    plain = big.join(small, on="k").select("k", "v", "w")
+    salted = salted_join(big, small, on="k", salt=4).select("k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left(spark):
+    big = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    small = spark.createDataFrame([("a", 10)], ["k", "w"])
+    out = salted_join(big, small, on="k", salt=3, how="left").collect()
+    d = {r["k"]: r["w"] for r in out}
+    assert d == {"a": 10, "b": None}
+
+
+def test_bucketed_feature_layout_prunes(spark, tmp_path):
+    """Key-hash bucketing: a batch retrieve reads only the buckets its keys
+    hash into (partition pruning on key_bucket)."""
+    from bharatmlstack_spark.sources.writers import (
+        read_feature_table_for_keys,
+        write_feature_table,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("x")
+    )
+    path = str(tmp_path / "bucketed")
+    write_feature_table(df, path, key_cols=["user_id"], n_buckets=16)
+
+    keys = spark.createDataFrame([(5,), (6,)], ["user_id"])
+    pruned = read_feature_table_for_keys(spark, path, keys, ["user_id"], n_buckets=16)
+    # correctness: the requested keys are present
+    got = {r["user_id"] for r in pruned.join(keys, "user_id", "left_semi").collect()}
+    assert got == {5, 6}
+    # pruning: far fewer rows scanned than the full table
+    assert pruned.count() < 1000
+
+
+def test_week_partitioned_events_prune(spark, tmp_path):
+    from datetime import datetime
+
+    from bharatmlstack_spark.plans import explain_formatted
+    from bharatmlstack_spark.sources.writers import write_event_table
+
+    rows = [
+        (1, datetime(2024, 1, 1 + d), d) for d in range(0, 21, 2)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    path = str(tmp_path / "events_weekly")
+    write_event_table(df, path)
+
+    loaded = spark.read.parquet(path).filter(F.col("week") == "2024-01-01")
+    assert loaded.count() == 4  # Jan 1,3,5,7 fall in the Jan-1 ISO week
+    plan = explain_formatted(loaded)
+    assert "PartitionFilters" in plan  # pruning happens at the source
