@@ -101,6 +101,13 @@ class FeatureStore:
             if k not in df.columns:
                 raise ValueError(f"persist missing key column {k!r}")
 
+        # U4 ParseFeatureValue: ingest values must match the FG's registered
+        # type (persist.go:209); unknown fg__feature columns are rejected
+        # like unknown labels on read. Compatible numerics coerce to the
+        # declared width — the reference's wire containers carry small ints
+        # as int64/float64 and downcast on parse (SURVEY §1.2).
+        df = self._validate_persist_schema(entity, df)
+
         ttl = max(
             (fg.ttl_seconds for fg in entity.feature_groups.values()), default=0
         )
@@ -247,6 +254,56 @@ class FeatureStore:
         return df.select(*out)
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _validate_persist_schema(entity: Entity, df: DataFrame) -> DataFrame:
+        """U4: per-column type check against the registry (the wire-value
+        validation ParseFeatureValue performs per feature).
+
+        Numeric columns coerce (cast) to the declared type — the wire shape
+        is wider containers (int64/float64) downcast on parse; cross-kind
+        mismatches (string vs numeric, scalar vs vector) are rejected.
+        """
+        from pyspark.sql.types import ArrayType, NumericType, StringType, BooleanType
+
+        meta = {"schema_version", "expires_at"}
+        known: dict[str, FeatureGroup] = {}
+        for fg in entity.feature_groups.values():
+            for feat in fg.version_features():
+                known[fg.column_name(feat.label)] = fg
+
+        def kind(dt) -> str:
+            if isinstance(dt, ArrayType):
+                return "vec_" + kind(dt.elementType)
+            if isinstance(dt, NumericType):
+                return "num"
+            if isinstance(dt, StringType):
+                return "str"
+            if isinstance(dt, BooleanType):
+                return "bool"
+            return dt.simpleString()
+
+        out = df
+        for field in df.schema.fields:
+            name = field.name
+            if name in entity.key_columns or name in meta:
+                continue
+            fg = known.get(name)
+            if fg is None:
+                raise ValueError(
+                    f"persist: column {name!r} matches no registered feature on "
+                    f"entity {entity.label!r}"
+                )
+            expected = fg.data_type.spark_type
+            if field.dataType.simpleString() == expected.simpleString():
+                continue
+            if kind(field.dataType) != kind(expected):
+                raise TypeError(
+                    f"persist: column {name!r} is {field.dataType.simpleString()}, "
+                    f"FG {fg.label!r} expects {expected.simpleString()}"
+                )
+            out = out.withColumn(name, F.col(name).cast(expected))
+        return out
 
     @staticmethod
     def _resolve(entity: Entity, selections: dict[str, list[str]]) -> list[FeatureSelector]:

@@ -539,3 +539,131 @@ def cube_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+# ===========================================================================
+# Window-frame / sessionization / JSON extensions
+# ===========================================================================
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+SELECT event_id, user_id, session_id FROM (
+  SELECT event_id, user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                     > 30 * 60 * 1000
+                OR LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  )
+)
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum —
+    the canonical training-pipeline event transform."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_ms", F.expr("ts div 1000000")
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w_ord)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("__new", is_new)
+        .withColumn("session_id", F.sum("__new").over(w_run))
+        .select("event_id", "user_id", "session_id")
+    )
+
+
+@query(
+    "rolling_7d_user_value",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d,
+       COUNT(*) OVER w AS n_7d
+FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window (rowsBetween/rangeBetween — the frame spec the
+    reference lacks, SURVEY §2.5 note): per-user trailing-7-day sum/count."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_ms", F.expr("ts div 1000000")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-604800000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+@query(
+    "props_json_extract",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+""",
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON metadata extraction (engine extension — the reference keeps
+    metadata opaque, time_series.proto:20; Spark's get_json_object opens
+    it)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("prop_k")
+    )
+
+
+@query(
+    "key_string_join",
+    oracle="""
+SELECT c_custkey AS user_id,
+       concat_ws('|', CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)) AS row_key
+FROM customer
+""",
+)
+def key_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: composite key -> 'k1|k2' row-key string (retrieve.go:79-81)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("user_id"),
+        F.concat_ws(
+            "|", F.col("c_custkey").cast("string"), F.col("c_nationkey").cast("string")
+        ).alias("row_key"),
+    )
+
+
+@query(
+    "distinct_users_by_type",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (absent in the reference, free in Spark —
+    SURVEY §2.4 note)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -257,3 +257,14 @@ def test_composite_key_retrieve(fs, spark, table):
     ).orderBy("nation_key").collect()
     assert out[0]["demo_int32__age"] != 0 or real["user_id"] % 10 == 0
     assert out[1]["demo_int32__age"] == 0  # wrong nation_key -> miss -> default
+
+
+def test_persist_type_validation(fs, spark):
+    """U4 ParseFeatureValue: wrong-typed or unknown columns are rejected
+    (persist.go:209)."""
+    bad_type = spark.createDataFrame([(1, "not-an-int")], ["user_id", "demo_int32__age"])
+    with pytest.raises(TypeError, match="expects"):
+        fs.persist("user", bad_type)
+    unknown = spark.createDataFrame([(1, 5)], ["user_id", "nonexistent__col"])
+    with pytest.raises(ValueError, match="matches no registered feature"):
+        fs.persist("user", unknown)
