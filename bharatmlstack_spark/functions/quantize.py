@@ -207,6 +207,83 @@ def check_quantization_compat(source: "DataType", target: "DataType") -> None:
         )
 
 
+# --------------------------------------------------------------------------
+# narrow STORAGE codecs: fp16 -> int16 bits, fp8 -> int8 code
+# (SURVEY.md §4: the one genuinely custom physical piece — parquet has no
+# fp16/fp8, so narrow floats store as SMALLINT/TINYINT bit patterns at 2x/4x
+# density vs FLOAT, with encode/decode functions at the boundary.)
+# --------------------------------------------------------------------------
+
+
+def fp16_encode_np(x: np.ndarray) -> np.ndarray:
+    """float -> IEEE-half bit pattern as int16 (storage form)."""
+    with np.errstate(over="ignore"):
+        return np.asarray(x, dtype=np.float64).astype(np.float16).view(np.int16)
+
+
+def fp16_decode_np(bits: np.ndarray) -> np.ndarray:
+    return np.asarray(bits, dtype=np.int16).view(np.float16).astype(np.float32)
+
+
+def fp8e5m2_encode_np(x: np.ndarray) -> np.ndarray:
+    """float -> E5M2 code byte as int8 (storage form): round via the fp16
+    truncation then keep the high byte."""
+    with np.errstate(over="ignore"):
+        h = np.asarray(x, dtype=np.float64).astype(np.float16)
+    u = h.view(np.uint16)
+    rounded = (u.astype(np.uint32) + 0x7F + ((u >> 8) & 1)).astype(np.uint32)
+    code = (rounded >> 8).astype(np.uint8)
+    code = np.where(np.isnan(h), np.uint8(0x7F), code)  # canonical NaN
+    return code.view(np.int8)
+
+
+def fp8e5m2_decode_np(code: np.ndarray) -> np.ndarray:
+    u = code.astype(np.int8).view(np.uint8).astype(np.uint16) << 8
+    return u.view(np.float16).astype(np.float32)
+
+
+
+
+def _make_scalar_udf(core, out_type):
+    @pandas_udf(out_type)
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series(core(s.to_numpy(dtype=np.float64)), index=s.index)
+
+    return f
+
+
+def _make_decode_udf(core, in_dtype):
+    @pandas_udf(T.FloatType())
+    def f(s: pd.Series) -> pd.Series:
+        return pd.Series(core(s.to_numpy(dtype=in_dtype)), index=s.index)
+
+    return f
+
+
+_FP16_ENCODE = _make_scalar_udf(fp16_encode_np, T.ShortType())
+_FP16_DECODE = _make_decode_udf(fp16_decode_np, np.int16)
+_FP8E5M2_ENCODE = _make_scalar_udf(fp8e5m2_encode_np, T.ByteType())
+_FP8E5M2_DECODE = _make_decode_udf(fp8e5m2_decode_np, np.int8)
+
+
+def fp16_encode(col: Column) -> Column:
+    """Storage form: SMALLINT holding the IEEE-half bit pattern."""
+    return _FP16_ENCODE(col)
+
+
+def fp16_decode(col: Column) -> Column:
+    return _FP16_DECODE(col)
+
+
+def fp8e5m2_encode(col: Column) -> Column:
+    """Storage form: TINYINT holding the E5M2 code."""
+    return _FP8E5M2_ENCODE(col)
+
+
+def fp8e5m2_decode(col: Column) -> Column:
+    return _FP8E5M2_DECODE(col)
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Expose the round-trips to spark.sql as named functions."""
     spark.udf.register("fp16_roundtrip", _FP16)
@@ -215,3 +292,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("fp16_roundtrip_vec", _FP16_V)
     spark.udf.register("fp8e5m2_roundtrip_vec", _FP8E5M2_V)
     spark.udf.register("fp8e4m3_roundtrip_vec", _FP8E4M3_V)
+    spark.udf.register("fp16_encode", _FP16_ENCODE)
+    spark.udf.register("fp16_decode", _FP16_DECODE)
+    spark.udf.register("fp8e5m2_encode", _FP8E5M2_ENCODE)
+    spark.udf.register("fp8e5m2_decode", _FP8E5M2_DECODE)

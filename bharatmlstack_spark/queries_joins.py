@@ -667,3 +667,54 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "parts_never_ordered",
+    oracle="""
+SELECT p_partkey, p_brand FROM part
+ANTI JOIN lineitem ON p_partkey = l_partkey
+""",
+)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 row-level anti-join at fact scale: keys absent from the fact
+    table (the reference's missing-key extraction generalized)."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select("p_partkey", "p_brand")
+
+
+@query(
+    "pairwise_inference",
+    oracle=f"""
+WITH {_REQUESTS_SQL.strip()},
+p AS (
+  SELECT request_id, target_ids,
+         unnest(pairs) AS pr,
+         generate_subscripts(pairs, 1) - 1 AS pair_idx
+  FROM requests
+)
+SELECT request_id, pair_idx,
+       target_ids[pr.first + 1] AS first_target,
+       target_ids[pr.second + 1] AS second_target,
+       CAST(target_ids[pr.first + 1] AS DOUBLE) * 0.001
+         + CAST(target_ids[pr.second + 1] AS DOUBLE) * 0.002 AS pair_score
+FROM p
+""",
+)
+def pairwise_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+U3 end-to-end: PairWise expansion then the scoring stub over both
+    resolved targets (the predator component's pair shaping,
+    predator_component.go:175-191)."""
+    from bharatmlstack_spark.pipeline import ScoringComponent
+
+    pairs = expand_pairs(_requests(spark, sf_dir))
+    scored = ScoringComponent(
+        "pair_model",
+        input_cols=["first_target", "second_target"],
+        output_col="pair_score",
+        weights=[0.001, 0.002],
+    ).apply(pairs)
+    return scored.select(
+        "request_id", "pair_idx", "first_target", "second_target", "pair_score"
+    )
