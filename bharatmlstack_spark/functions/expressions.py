@@ -93,34 +93,43 @@ def rpn_to_column(
     columns: set[str] | None = None,
     literals: dict[str, float] | None = None,
     strict: bool = True,
+    dtype: str = "double",
 ) -> Column:
     """Compile a whitespace-tokenized postfix expression to one Column.
 
     ``columns`` restricts which tokens resolve as column references (when
     None, any non-operator non-numeric token is treated as a column).
     ``literals`` are the named constants carried in compute metadata (F7).
+    ``dtype`` selects the arithmetic width: 'double' is the fp64 twin
+    (numerix fp64_ops.rs), 'float' mimics the f32 kernels exactly — every
+    operand and intermediate result rounds to float32 (fp32_ops.rs), so
+    accumulated rounding matches a matrix declared DataTypeFP32.
     """
     literals = literals or {}
     stack: list[Column] = []
     tokens = rpn.split()
     if not tokens:
         raise RPNCompileError("empty expression")
+
+    def w(col: Column) -> Column:  # round intermediates to the compute width
+        return col.cast(dtype)
+
     for tok in tokens:
         if tok in _BINARY:
             if len(stack) < 2:
                 raise RPNCompileError(f"stack underflow at operator {tok!r}")
             b, a = stack.pop(), stack.pop()
-            stack.append(_BINARY[tok](a, b, strict))
+            stack.append(w(_BINARY[tok](a, b, strict)))
         elif tok in _UNARY:
             if len(stack) < 1:
                 raise RPNCompileError(f"stack underflow at operator {tok!r}")
-            stack.append(_UNARY[tok](stack.pop(), strict))
+            stack.append(w(_UNARY[tok](stack.pop(), strict)))
         elif tok in literals:
-            stack.append(F.lit(float(literals[tok])).cast("double"))
+            stack.append(F.lit(float(literals[tok])).cast(dtype))
         elif _is_number(tok):
-            stack.append(F.lit(float(tok)).cast("double"))
+            stack.append(F.lit(float(tok)).cast(dtype))
         elif columns is None or tok in columns:
-            stack.append(F.col(tok).cast("double"))
+            stack.append(F.col(tok).cast(dtype))
         else:
             raise RPNCompileError(f"unknown token {tok!r}")
     if len(stack) != 1:

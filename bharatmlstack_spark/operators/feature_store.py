@@ -90,11 +90,22 @@ class FeatureStore:
     # persist (S2 + write path §3.2)
     # ------------------------------------------------------------------
 
-    def persist(self, entity_label: str, df: DataFrame, store_id: int = 0) -> None:
+    def persist(
+        self,
+        entity_label: str,
+        df: DataFrame,
+        store_id: int = 0,
+        order_col: str | None = None,
+    ) -> None:
         """Validate against the registry, stamp schema_version/expires_at,
         and upsert latest-wins by PK (the reference's full-row upsert,
         scylla.go:168-253; MERGE INTO in Delta terms, expressed here as
         union + row_number over parquet).
+
+        Duplicate keys WITHIN the incoming batch collapse to one row —
+        ordered by ``order_col`` descending when given (e.g. an event-time
+        column, the per-key ordering the reference's sharded consumer
+        guarantees — kafka.go:80-95), arbitrarily-but-singly otherwise.
         """
         entity = self.registry.entity(entity_label)
         for k in entity.key_columns:
@@ -122,6 +133,17 @@ class FeatureStore:
                 else F.lit(None).cast("timestamp")
             )
             out = out.withColumn("expires_at", exp)
+
+        # collapse duplicate keys inside the batch (latest-by-order_col wins)
+        if order_col is not None:
+            w_in = Window.partitionBy(*entity.key_columns).orderBy(F.desc(order_col))
+            out = (
+                out.withColumn("__rn", F.row_number().over(w_in))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            out = out.dropDuplicates(entity.key_columns)
 
         path = self._table_path(entity_label, store_id)
         if os.path.exists(path):

@@ -732,3 +732,52 @@ def feature_retrieve_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         now=F.lit(FIXED_NOW).cast("timestamp"),
     )
     return out.select("user_id", "nation_key", "demo_int32__age", "demo_str__location")
+
+
+@query(
+    "events_batch_topn",
+    oracle="""
+SELECT event_id, user_id, ts_ms FROM (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+  FROM events
+  SEMI JOIN (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 3) u USING (user_id)
+) WHERE rn <= 25
+""",
+)
+def events_batch_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch variant of the per-user range query (EventStore.retrieve_batch):
+    top-N newest per requested user in ONE plan — semi-join + window
+    instead of N point queries (the batch-API shape J1 takes for events)."""
+    ev = _events_ms(spark, sf_dir)
+    users = ev.filter(F.col("user_id") % 10 == 3).select("user_id").distinct()
+    store = EventStore(ts_col="ts_ms")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_ms"), F.desc("event_id"))
+    return (
+        ev.join(F.broadcast(users), on="user_id", how="left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 25)
+        .select("event_id", "user_id", "ts_ms")
+    )
+
+
+@query(
+    "get_embeddings_bulk",
+    oracle="""
+SELECT e.vec_id, e.label, CAST(e.embedding[1] AS FLOAT) AS e0, CAST(e.embedding[64] AS FLOAT) AS e63
+FROM embeddings e
+SEMI JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 9 = 0) ids USING (vec_id)
+""",
+)
+def get_embeddings_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skye GetEmbedding bulk retrieval (skye.proto GetEmbedding): key
+    semi-join; first/last elements surfaced for the hash compare."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ids = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    out = VectorSearch(id_col="vec_id").get_embeddings(emb, ids)
+    return out.select(
+        "vec_id",
+        "label",
+        F.element_at("embedding", 1).alias("e0"),
+        F.element_at("embedding", 64).alias("e63"),
+    )

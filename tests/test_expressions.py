@@ -116,3 +116,19 @@ def test_engine_registry(mat):
     eng.register("ctr_boost", "a b * k +", literals={"k": 1.0}, output_column="score")
     out = eng.apply(mat, "ctr_boost")
     assert [r["score"] for r in out.orderBy("id").collect()] == [7.0, 41.0]
+
+
+def test_fp32_compute_mode(mat, spark):
+    """dtype='float' mimics numerix's f32 kernels: intermediates round to
+    float32 (fp32_ops.rs), diverging from the fp64 twin where f32 can't
+    represent the exact value."""
+    df = spark.createDataFrame([(1, 0.1, 0.2)], ["id", "x", "y"])
+    f32 = df.withColumn("out", rpn_to_column("x y +", {"x", "y"}, dtype="float"))
+    f64 = df.withColumn("out", rpn_to_column("x y +", {"x", "y"}, dtype="double"))
+    import numpy as np
+
+    v32 = f32.collect()[0]["out"]
+    v64 = f64.collect()[0]["out"]
+    assert v32 == np.float32(np.float32(0.1) + np.float32(0.2))
+    assert v64 == 0.1 + 0.2
+    assert abs(v32 - v64) > 0  # the widths genuinely differ

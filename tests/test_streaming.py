@@ -136,3 +136,50 @@ def test_stateful_top_events(spark, tmp_path):
     rows = spark.sql("select * from topk_out").collect()
     kept = sorted(r["ts_ms"] for r in rows)
     assert kept == [300, 400]  # newest 2 survive
+
+
+def test_streaming_embedding_aggregation(spark, tmp_path):
+    """SS9: realtime embedding/payload aggregation — changed columns merge
+    into the stored row, latest wins (skye scylla_aggregator.go:47),
+    expressed as the same foreachBatch upsert over an embeddings entity."""
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            "candidate",
+            ["candidate_id"],
+            {
+                "emb": FeatureGroup(
+                    "emb", 1, DataType.FP32_VECTOR,
+                    {1: [Feature("vector", 0, vector_length=4)]},
+                ),
+                "payload": FeatureGroup(
+                    "payload", 2, DataType.STRING, {1: [Feature("brand", 0, default="?")]}
+                ),
+            },
+        )
+    )
+    fs = FeatureStore(spark, reg, str(tmp_path / "cand"))
+    src = str(tmp_path / "emb_src")
+    _write_json_batch(
+        src,
+        [
+            {"candidate_id": 1, "emb__vector": [1.0, 0, 0, 0], "payload__brand": "a"},
+            {"candidate_id": 1, "emb__vector": [0.0, 1, 0, 0], "payload__brand": "b"},
+        ],
+    )
+    stream = spark.readStream.schema(
+        "candidate_id long, emb__vector array<float>, payload__brand string"
+    ).json(src)
+    q = feature_upsert_sink(stream, fs, "candidate", str(tmp_path / "ck9"), trigger_once=True)
+    q.awaitTermination(120)
+    rows = fs.load("candidate").collect()
+    assert len(rows) == 1  # latest-wins merged into one stored row
+    assert rows[0]["payload__brand"] in ("a", "b")
