@@ -112,10 +112,15 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    broadcast_sets: bool = True,
 ) -> DataFrame:
     """Exact Jaccard >= threshold via prefix filtering (AllPairs/PPJoin,
     Bayardo et al. 2007) — same output as ngram_jaccard_pairs, sub-linear
     candidate generation.
+
+    ``broadcast_sets`` broadcasts the (id -> shingle array) side of the
+    verification joins — right up to ~10M docs; beyond that pass False and
+    the verify becomes two shuffle joins on the pair ids.
 
     With a global shingle order (rarest first), two sets with J >= t MUST
     share an element within each one's first (n - ceil(t*n) + 1) shingles,
@@ -129,7 +134,10 @@ def ngram_jaccard_pairs_prefix(
     sets = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
-    sh = sets.select("id", F.explode("shingles").alias("shingle"))
+    # carry the set size from the array — saves a whole count-window pass
+    sh = sets.select(
+        "id", F.size("shingles").alias("__n"), F.explode("shingles").alias("shingle")
+    )
     # global rarity order: document frequency, then lexicographic tiebreak
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -140,7 +148,6 @@ def ngram_jaccard_pairs_prefix(
                 Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
             ),
         )
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
         # prefix size: n - ceil(t*n) + 1
         .filter(F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
         .select("id", "shingle")
@@ -155,6 +162,8 @@ def ngram_jaccard_pairs_prefix(
     # exact verification on candidates only: array_intersect over full sets
     sa = sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    if broadcast_sets:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         cands.join(sa, on="id_a")
         .join(sb, on="id_b")

@@ -368,7 +368,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 EXCEPT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
 """,
 )
 def segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +378,7 @@ def segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     big = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 200000)
+        .filter(F.col("o_totalprice") > 400000)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.exceptAll(big).distinct()
@@ -389,7 +389,7 @@ def segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 INTERSECT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
 """,
 )
 def segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,7 +397,7 @@ def segment_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     big = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 200000)
+        .filter(F.col("o_totalprice") > 400000)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.intersect(big)

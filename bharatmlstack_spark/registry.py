@@ -217,6 +217,45 @@ class SchemaRegistry:
     def entities(self) -> list[str]:
         return sorted(self._entities)
 
+    def evolve(
+        self,
+        entity_label: str,
+        fg_label: str,
+        add_features: list[Feature],
+        activate: bool = True,
+    ) -> int:
+        """Create the next schema version of an FG by appending features
+        (the horizon edit-feature flow: versions are append-only, existing
+        sequences immutable, new features get the next sequence numbers).
+
+        Returns the new version number. Old rows keep their written
+        ``schema_version``; reads reconcile with per-feature default
+        fallback (retrieve.go:833-858 — exercised in
+        tests/test_feature_store.py::test_schema_version_reconcile).
+        """
+        fg = self.entity(entity_label).fg(fg_label)
+        current = fg.version_features(fg.active_version)
+        next_seq = max((f.sequence for f in current), default=-1) + 1
+        existing_labels = {f.label for f in current}
+        new_feats = list(current)
+        for i, f in enumerate(add_features):
+            if f.label in existing_labels:
+                raise ValueError(f"feature {f.label!r} already exists in FG {fg_label!r}")
+            new_feats.append(
+                Feature(
+                    label=f.label,
+                    sequence=next_seq + i,
+                    default=f.default,
+                    string_length=f.string_length,
+                    vector_length=f.vector_length,
+                )
+            )
+        new_version = max(fg.features) + 1
+        fg.features[new_version] = new_feats
+        if activate:
+            fg.active_version = new_version
+        return new_version
+
     # -- JSON round-trip (the registry is explicit metadata, never inferred) --
 
     def to_json(self) -> str:
