@@ -157,6 +157,53 @@ class VectorSearch:
             .drop(query_emb_col)
         )
 
+    def knn_per_query(
+        self,
+        candidates: DataFrame,
+        queries: DataFrame,
+        k: int,
+        query_filters: dict[Any, list[FilterSpec]],
+        metric: str = "DOT",
+        global_filters: list[FilterSpec] | None = None,
+        query_id_col: str = "query_id",
+        query_emb_col: str = "query_embedding",
+        now: Column | None = None,
+    ) -> DataFrame:
+        """J6 with PER-QUERY filters (skye.proto:7-16 — each candidate
+        request carries its own filters; globals merge into every one,
+        qdrant.go:393-412).
+
+        The per-query predicate compiles to one disjunction
+        ``OR_q (query_id == q AND preds_q)`` applied after the broadcast
+        cross join — still a single plan, no per-query job fan-out.
+        """
+        joined = candidates.crossJoin(
+            F.broadcast(queries.select(query_id_col, query_emb_col))
+        )
+        branches = []
+        for qid, specs in query_filters.items():
+            pred = compile_filters(specs, global_filters, now)
+            qmatch = F.col(query_id_col) == F.lit(qid)
+            branches.append(qmatch & pred if pred is not None else qmatch)
+        # queries absent from the dict get only the global filters
+        listed = list(query_filters.keys())
+        rest = ~F.col(query_id_col).isin(listed) if listed else F.lit(True)
+        gpred = compile_filters(None, global_filters, now)
+        branches.append(rest & gpred if gpred is not None else rest)
+        joined = joined.filter(reduce(lambda a, b: a | b, branches))
+
+        score = score_column(metric, F.col(self.emb_col), F.col(query_emb_col))
+        scored = joined.withColumn("score", score)
+        ascending = metric.upper() in ("EUCLID", "EUCLIDEAN", "L2")
+        order = [F.asc("score") if ascending else F.desc("score"), F.asc(self.id_col)]
+        w = Window.partitionBy(query_id_col).orderBy(*order)
+        return (
+            scored.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .withColumnRenamed("__rank", "rank")
+            .drop(query_emb_col)
+        )
+
     def score_ids(
         self,
         candidates: DataFrame,

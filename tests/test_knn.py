@@ -124,3 +124,30 @@ def test_get_embeddings(spark, cands):
     ids = spark.createDataFrame([("b",), ("zz",)], ["candidate_id"])
     out = VectorSearch().get_embeddings(cands, ids).collect()
     assert len(out) == 1 and out[0]["candidate_id"] == "b"
+
+
+def test_knn_per_query_filters(spark, cands):
+    """P7 per-query filters: each request carries its own predicate set;
+    globals apply to every query (skye.proto:7-16)."""
+    qs = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, [1.0, 1.0]), (3, [1.0, 1.0])],
+        ["query_id", "query_embedding"],
+    )
+    out = VectorSearch().knn_per_query(
+        cands,
+        qs,
+        k=10,
+        query_filters={
+            1: [FilterSpec("brand", "IN", ["x"])],
+            2: [FilterSpec("brand", "IN", ["y"])],
+            # query 3 not listed -> only global filters apply
+        },
+        global_filters=[FilterSpec("size", "LTE", [30])],
+        metric="DOT",
+    )
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r["candidate_id"])
+    assert sorted(by_q[1]) == ["a", "b"]  # brand x, size<=30
+    assert by_q[2] == ["c"]  # brand y, size<=30 (d is 35)
+    assert sorted(by_q[3]) == ["a", "b", "c"]  # globals only
