@@ -718,3 +718,72 @@ def pairwise_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "request_id", "pair_idx", "first_target", "second_target", "pair_score"
     )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_custkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-filter (HAVING) over a fact join — TPC-H q18 shape."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("o_orderkey", "o_custkey", F.col("__q").cast("double").alias("total_qty"))
+    )
+
+
+@query(
+    "orders_priority_pivot",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS n_other
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (count FILTER) — wide feature
+    construction from categorical events."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias("n_high"),
+        F.count(
+            F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        ).alias("n_other"),
+    )
+
+
+@query(
+    "l2_normalized_embeddings",
+    oracle=f"""
+SELECT vec_id,
+       CAST(embedding[1] AS DOUBLE) / sqrt({' + '.join(f'CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)' for i in range(1, 65))}) AS u0
+FROM embeddings
+""",
+)
+def l2_normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalization of an embedding column (F.transform element-wise;
+    first normalized element surfaced; explicit fold keeps it bit-stable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = None
+    for i in range(1, 65):
+        t = F.element_at("embedding", i).cast("double") * F.element_at("embedding", i).cast("double")
+        sq = t if sq is None else sq + t
+    return emb.select(
+        "vec_id",
+        (F.element_at("embedding", 1).cast("double") / F.sqrt(sq)).alias("u0"),
+    )
