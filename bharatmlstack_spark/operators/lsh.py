@@ -67,6 +67,7 @@ class LshIndex:
         seed: int = 42,
         id_col: str = "vec_id",
         emb_col: str = "embedding",
+        use_arrow: bool = True,
     ):
         if n_planes % n_bands:
             raise ValueError("n_planes must divide into n_bands evenly")
@@ -75,11 +76,34 @@ class LshIndex:
         self.band_bits = n_planes // n_bands
         self.id_col = id_col
         self.emb_col = emb_col
+        # Arrow path: one numpy matmul per batch instead of n_planes nested
+        # aggregate expressions — ~2x faster and the shape that scales with
+        # n_planes. Index and search MUST use the same path (sign of a
+        # near-zero projection can differ between fold orders).
+        self.use_arrow = use_arrow
+
+    def _signature(self, emb_col: str) -> Column:
+        if not self.use_arrow:
+            return signature_bits(emb_col, self.planes)
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        planes = self.planes
+        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+        def _sig(s):
+            m = np.stack(s.to_numpy())
+            bits = (m @ planes.T) >= 0
+            return pd.Series(bits @ weights, index=s.index)
+
+        # no type hints: pandas is imported locally, so string annotations
+        # would not resolve at decoration time
+        return pandas_udf(_sig, "long")(F.col(emb_col))
 
     def index(self, candidates: DataFrame) -> DataFrame:
         """(id, embedding, band_idx, band_hash) exploded — persist/bucket
         this by (band_idx, band_hash) at scale for a shuffle-free probe."""
-        sig = signature_bits(self.emb_col, self.planes).alias("__sig")
+        sig = self._signature(self.emb_col).alias("__sig")
         with_sig = candidates.select(self.id_col, self.emb_col, sig)
         bands = band_columns(F.col("__sig"), self.n_bands, self.band_bits)
         return with_sig.select(
@@ -99,7 +123,7 @@ class LshIndex:
     ) -> DataFrame:
         """Probe: band the queries identically, equi-join on
         (band_idx, band_hash), dedup candidates, exact-score, top-k."""
-        qsig = signature_bits(query_emb_col, self.planes).alias("__sig")
+        qsig = self._signature(query_emb_col).alias("__sig")
         q = queries.select(query_id_col, query_emb_col, qsig)
         qbands = q.select(
             query_id_col,
