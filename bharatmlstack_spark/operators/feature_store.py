@@ -256,17 +256,31 @@ class FeatureStore:
         return result
 
     def retrieve_decoded(self, *args, **kwargs) -> DataFrame:
-        """RetrieveDecodedResult (F13): stringified feature values; vectors
-        join elements with ',' (ref: internal/handler/feature/features.go:
-        61-119, HelperVectorFeature*ToConcatenatedString)."""
+        """RetrieveDecodedResult (F13): stringified feature values.
+
+        Vectors join elements with ':' and boolean vector elements encode
+        as '1'/'0', matching HelperVectorFeature*ToConcatenatedString
+        (deserialized_psdb_v2.go:348-513 — strings.Join(values, ":"),
+        bools -> "1"/"0"); scalar stringification via features.go:61-119.
+        """
         df = self.retrieve(*args, **kwargs)
         entity = self.registry.entity(args[0] if args else kwargs["entity_label"])
         out: list[Column] = []
         for name, dtype in df.dtypes:
             if name in entity.key_columns:
                 out.append(F.col(name))
+            elif dtype == "array<boolean>":
+                out.append(
+                    F.concat_ws(
+                        ":",
+                        F.transform(
+                            F.col(name),
+                            lambda x: F.when(x, F.lit("1")).otherwise(F.lit("0")),
+                        ),
+                    ).alias(name)
+                )
             elif dtype.startswith("array"):
-                out.append(F.concat_ws(",", F.col(name).cast("array<string>")).alias(name))
+                out.append(F.concat_ws(":", F.col(name).cast("array<string>")).alias(name))
             elif dtype == "boolean":
                 out.append(
                     F.when(F.col(name), F.lit("true")).otherwise(F.lit("false")).alias(name)

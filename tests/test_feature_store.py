@@ -143,7 +143,7 @@ def test_retrieve_decoded(fs, spark, table):
     rows = out.collect()
     assert rows[0]["demo_int32__age"] == "21"
     assert rows[0]["demo_bool__is_active"] in ("true", "false")
-    assert "," in rows[0]["demo_vec__taste_vec"]  # comma-joined vector (F13)
+    assert ":" in rows[0]["demo_vec__taste_vec"]  # colon-joined vector (F13, deserialized_psdb_v2.go:358)
     assert rows[1]["demo_int32__age"] == "0"
 
 
