@@ -168,6 +168,37 @@ class FeatureStore:
     def load(self, entity_label: str, store_id: int = 0) -> DataFrame:
         return self.spark.read.parquet(self._table_path(entity_label, store_id))
 
+    def materialize(
+        self,
+        entity_label: str,
+        feature_df: DataFrame,
+        store_id: int = 0,
+        order_col: str | None = None,
+    ) -> None:
+        """Offline feature materialization: the py-sdk's Spark feature-push
+        flow (spark_feature_push_client/client.py:47-150 — partition-wise
+        encode + push) collapsed to a direct table upsert, since the engine
+        IS Spark. ``feature_df`` is any DataFrame of PK + fg__feature
+        columns (e.g. an aggregation over fact tables)."""
+        self.persist(entity_label, feature_df, store_id=store_id, order_col=order_col)
+
+    def compact(self, entity_label: str, store_id: int = 0, now: Column | None = None) -> int:
+        """SS2 companion job: physically drop expired rows (reads already
+        treat them as absent; compaction reclaims storage — the declarative
+        form of Scylla TTL eviction). Returns rows removed."""
+        now = now if now is not None else F.current_timestamp()
+        table = self.load(entity_label, store_id)
+        if "expires_at" not in table.columns:
+            return 0
+        live = table.filter(F.col("expires_at").isNull() | (F.col("expires_at") > now))
+        removed = table.count() - live.count()
+        if removed:
+            path = self._table_path(entity_label, store_id)
+            tmp = path + "__staging"
+            live.write.mode("overwrite").parquet(tmp)
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        return removed
+
     # ------------------------------------------------------------------
     # retrieve (the hot path, §3.1)
     # ------------------------------------------------------------------

@@ -781,3 +781,31 @@ def get_embeddings_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).alias("e0"),
         F.element_at("embedding", 64).alias("e63"),
     )
+
+
+@query(
+    "materialize_user_features",
+    oracle="""
+SELECT o_custkey AS user_id,
+       COUNT(*) AS orders__n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS orders__total_spend,
+       MAX(epoch_ms(o_orderdate)) AS orders__last_order_ms
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def materialize_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline feature materialization (the py-sdk push flow, §2.1 S7):
+    aggregate fact tables into per-entity feature columns ready for
+    FeatureStore.materialize — the compute half, oracle-checked; the
+    persist half is the tested upsert."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("orders__n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("orders__total_spend"),
+        F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias(
+            "orders__last_order_ms"
+        ),
+    )

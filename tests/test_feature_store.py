@@ -268,3 +268,40 @@ def test_persist_type_validation(fs, spark):
     unknown = spark.createDataFrame([(1, 5)], ["user_id", "nonexistent__col"])
     with pytest.raises(ValueError, match="matches no registered feature"):
         fs.persist("user", unknown)
+
+
+def test_materialize_and_compact(spark, tmp_path):
+    """Materialization round-trip + SS2 compaction of expired rows."""
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            "user",
+            ["user_id"],
+            {"orders": FeatureGroup("orders", 1, DataType.INT64,
+                                    {1: [Feature("n_orders", 0, default=0)]})},
+        )
+    )
+    fs = FeatureStore(spark, reg, str(tmp_path / "mat"))
+    feats = spark.createDataFrame([(1, 5), (2, 9)], ["user_id", "orders__n_orders"])
+    past = F.lit("2020-01-01").cast("timestamp")
+    future = F.lit("2030-01-01").cast("timestamp")
+    feats = feats.withColumn(
+        "expires_at", F.when(F.col("user_id") == 2, past).otherwise(future)
+    )
+    fs.materialize("user", feats)
+    assert fs.load("user").count() == 2
+
+    removed = fs.compact("user", now=F.lit("2026-01-01").cast("timestamp"))
+    assert removed == 1
+    rows = fs.load("user").collect()
+    assert len(rows) == 1 and rows[0]["user_id"] == 1
+    # idempotent
+    assert fs.compact("user", now=F.lit("2026-01-01").cast("timestamp")) == 0
