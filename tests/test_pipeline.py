@@ -103,3 +103,23 @@ def test_expand_slates(reqs):
     rows = {r["slate_idx"]: r["slate_targets"] for r in expand_slates(reqs).collect()}
     assert rows[0] == ["t0", "t1"]
     assert rows[1] == ["t1", "t2"]  # order inside slate preserved
+
+
+def test_pipeline_branched_dag(spark):
+    """Non-linear DAG: two independent feature branches merge into one
+    scoring node — the configured-graph case Kahn's algorithm exists for
+    (executor.go:36-98); order respects dependencies, branches commute."""
+    matrix = spark.createDataFrame([(1, 10, 100)], ["req", "uid", "pid"])
+    user_feats = spark.createDataFrame([(10, 2.0)], ["user_id", "u_bal"])
+    prod_feats = spark.createDataFrame([(100, 3.0)], ["product_id", "p_price"])
+    pipe = (
+        Pipeline()
+        .add(FeatureComponent("users", user_feats, key_map={"user_id": "uid"}))
+        .add(FeatureComponent("prods", prod_feats, key_map={"product_id": "pid"}))
+        .add(
+            ScoringComponent("score", input_cols=["u_bal", "p_price"], weights=[1.0, 10.0]),
+            depends_on=["users", "prods"],
+        )
+    )
+    row = pipe.run(matrix).collect()[0]
+    assert row["model_score"] == 32.0
