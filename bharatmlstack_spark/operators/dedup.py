@@ -134,11 +134,18 @@ def ngram_jaccard_pairs_prefix(
     sets = df.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
-    # carry the set size from the array — saves a whole count-window pass
+    # candidate generation runs on 8-byte shingle HASHES (xxhash64): the
+    # df-count shuffle, the rarity sort, and the prefix join all move longs
+    # instead of n-gram strings. The hash only has to provide a consistent
+    # global element order + equality for the prefix filter — a 64-bit
+    # collision could at worst add a spurious candidate, which the exact
+    # array_intersect verification below discards.
     sh = sets.select(
-        "id", F.size("shingles").alias("__n"), F.explode("shingles").alias("shingle")
+        "id",
+        F.size("shingles").alias("__n"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle"),
     )
-    # global rarity order: document frequency, then lexicographic tiebreak
+    # global rarity order: document frequency, then hash tiebreak
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         sh.join(dfreq, on="shingle")
