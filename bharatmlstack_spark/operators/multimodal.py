@@ -83,13 +83,19 @@ def extract_features(
     (raises NotImplementedError here, by design).
     """
 
+    # capture helpers as locals: cloudpickle then ships them BY VALUE, so
+    # executors do not need this package on their import path (module-level
+    # references pickle by name and break on workers without the package)
+    fake_feature = _fake_feature
+    decode_real = _decode_image_real
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if strict_decode:
                 for content, meta in zip(pdf["content"], pdf["meta"]):
-                    _decode_image_real(content, meta)
+                    decode_real(content, meta)
             feats = [
-                _fake_feature(bytes(c) if c is not None else b"", dim)
+                fake_feature(bytes(c) if c is not None else b"", dim)
                 for c in pdf["content"]
             ]
             yield pd.DataFrame(

@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import functools
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -10,14 +14,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def ensure_workers_have_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    The driver may import us from a sys.path entry its workers never see
+    (cloudpickle serializes module-level functions by REFERENCE, so any
+    pandas_udf/mapInPandas touching package code needs the package
+    importable worker-side). Zipped once per SparkContext, idempotent.
+    """
+    sc = spark.sparkContext
+    marker = "_bmls_pyfile_added"
+    if getattr(sc, marker, False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"bharatmlstack_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 - e.g. Spark Connect; workers share path then
+        pass
+    setattr(sc, marker, True)
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query; ``oracle=None`` declares a rows-only check (for
     genuinely non-SQL-expressible ops, e.g. xxhash-based LSH)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_workers_have_package(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco

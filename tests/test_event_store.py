@@ -107,3 +107,31 @@ def test_week_index_matches_iso(spark):
     out = df.select(week_index(F.col("ts")).alias("w")).collect()
     assert out[0]["w"] == 1  # ISO week 1
     assert out[1]["w"] == 1  # 2024-12-30 is ISO week 1 of 2025 -> 1 % 24
+
+
+def test_sessionize_matches_native_session_window(spark, sf_dir):
+    """Our lag+cumsum sessionization (events_sessionize query) and Spark's
+    native session_window agree on session COUNT per user (30-min gap) —
+    two independent implementations of the same semantics."""
+    from bharatmlstack_spark.queries_joins import events_sessionize
+
+    ours = events_sessionize(spark, sf_dir)
+    ours_counts = {
+        r["user_id"]: r["n"]
+        for r in ours.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n"))
+        .collect()
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_millis(F.expr("ts div 1000000"))
+    )
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    native_counts = {r["user_id"]: r["n"] for r in native.collect()}
+    assert ours_counts == native_counts
