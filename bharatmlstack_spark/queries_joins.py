@@ -787,3 +787,53 @@ def l2_normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         (F.element_at("embedding", 1).cast("double") / F.sqrt(sq)).alias("u0"),
     )
+
+
+@query(
+    "asof_feature_join",
+    oracle="""
+WITH labels AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'purchase'
+),
+feats AS (
+  SELECT user_id, epoch_ms(ts) AS fts_ms, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, epoch_ms(ts)
+)
+SELECT l.event_id, l.user_id, l.ts_ms, f.view_value
+FROM labels l ASOF LEFT JOIN feats f
+  ON l.user_id = f.user_id AND l.ts_ms >= f.fts_ms
+""",
+)
+def asof_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature retrieval: each purchase label gets
+    the newest PRIOR view value per user (leakage-free training join).
+    Spark has no ASOF JOIN; operators/asof.py realizes it as union +
+    ordered window forward-fill (one shuffle); the oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from bharatmlstack_spark.operators.asof import as_of_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_ms", F.expr("ts div 1000000")
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    # dedupe equal-ts feature rows (ASOF tie behavior is engine-ambiguous
+    # when several feature rows share one timestamp)
+    feats = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts_ms").alias("fts_ms"))
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = as_of_join(
+        labels,
+        feats,
+        on=["user_id"],
+        label_ts="ts_ms",
+        feature_ts="fts_ms",
+        feature_cols=["view_value"],
+    )
+    return out.select("event_id", "user_id", "ts_ms", "view_value")

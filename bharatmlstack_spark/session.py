@@ -36,6 +36,9 @@ def get_spark(
         # tiny; let Catalyst broadcast aggressively.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # runtime bloom filters prune the big side of shuffle joins on
+        # selective keys (complements broadcast + AQE at fact-fact scale)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: don't spin up 200 tasks for 60k-row inputs; AQE coalesces
