@@ -837,3 +837,50 @@ def asof_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         feature_cols=["view_value"],
     )
     return out.select("event_id", "user_id", "ts_ms", "view_value")
+
+
+@query(
+    "range_join_sessions",
+    oracle="""
+WITH windows AS (
+  SELECT user_id, event_id AS purchase_id,
+         epoch_ms(ts) - 7200000 AS w_start,
+         epoch_ms(ts) AS w_end
+  FROM events WHERE event_type = 'purchase' AND user_id % 20 = 0
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.click_id, w.purchase_id, c.user_id, c.ts_ms
+FROM clicks c JOIN windows w
+  ON c.user_id = w.user_id AND c.ts_ms BETWEEN w.w_start AND w.w_end
+""",
+)
+def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (engine extension — Spark would nested-loop the
+    BETWEEN predicate): clicks falling in the 2h window before each
+    purchase, via bucketized equi-join (operators/rangejoin.py); oracle is
+    the naive inequality join."""
+    from bharatmlstack_spark.operators.rangejoin import range_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_ms", F.expr("ts div 1000000")
+    )
+    windows = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 20 == 0)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts_ms") - 7200000).alias("w_start"),
+        F.col("ts_ms").alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_ms"
+    )
+    out = range_join(
+        clicks, windows, point_ts="ts_ms", start_col="w_start", end_col="w_end",
+        on=["user_id"], bucket_width=3600_000,
+    )
+    return out.select("click_id", "purchase_id", "user_id", "ts_ms")

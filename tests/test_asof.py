@@ -58,3 +58,35 @@ def test_asof_preserves_label_count(frames):
     labels, feats = frames
     out = as_of_join(labels, feats, on=["k"], label_ts="ts", feature_ts="fts", feature_cols=["v"])
     assert out.count() == labels.count()
+
+
+# -- range join -------------------------------------------------------------
+
+
+def test_range_join_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from bharatmlstack_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 5000), (3, 2, 100), (4, 1, 99)], ["pid", "k", "ts"]
+    )
+    ivals = spark.createDataFrame(
+        [(10, 1, 100, 200), (11, 1, 4000, 6000), (12, 2, 0, 50)],
+        ["iid", "k", "s", "e"],
+    )
+    fast = range_join(pts, ivals, "ts", "s", "e", on=["k"], bucket_width=100)
+    naive = pts.join(ivals, on="k").filter(F.col("ts").between(F.col("s"), F.col("e")))
+    fkeys = sorted((r["pid"], r["iid"]) for r in fast.collect())
+    nkeys = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    assert fkeys == nkeys == [(1, 10), (2, 11)]
+
+
+def test_range_join_left(spark):
+    from bharatmlstack_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 1, 100), (2, 1, 999999)], ["pid", "k", "ts"])
+    ivals = spark.createDataFrame([(10, 1, 50, 150)], ["iid", "k", "s", "e"])
+    out = range_join(pts, ivals, "ts", "s", "e", on=["k"], bucket_width=100, how="left")
+    got = {r["pid"]: r["iid"] for r in out.collect()}
+    assert got == {1: 10, 2: None}
