@@ -292,3 +292,94 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     no xxhash), the cheap doc-identity for incremental pipelines."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# training-set construction: deterministic splits + stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "train_test_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split
+FROM documents
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 split by multiplicative key hash — stable across
+    runs/engines (no rand()), the reproducible-pipeline way to split."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (F.col("doc_id") * 2654435761) % 100
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+) WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT)
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20%-per-language stratified sample: pseudo-random but
+    reproducible order via multiplicative hashing, exact per-stratum
+    quota."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    order = (F.col("doc_id") * 2654435761) % 1000003
+    w = Window.partitionBy("lang").orderBy(order.asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("lang")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.2).cast("bigint"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "feature_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(MIN(value) AS DOUBLE) AS vmin,
+       CAST(MAX(value) AS DOUBLE) AS vmax,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean,
+       ROUND(
+         sqrt(
+           CAST(SUM(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
+         ), 6) AS std
+FROM events
+GROUP BY event_type
+""",
+)
+def feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature statistics (the feature-scaling prep pass): exact
+    decimal moments -> double, so mean/std are order-independent and
+    engine-identical (population std, rounded 6dp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dec = F.col("value").cast("decimal(28,10)")
+    s1 = F.sum(dec).cast("double")
+    s2 = F.sum(dec * dec).cast("double")
+    n = F.count(F.lit(1))
+    mean = s1 / n
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(s2 / n - mean * mean), 6).alias("std"),
+    )
