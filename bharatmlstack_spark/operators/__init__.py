@@ -6,6 +6,11 @@ from bharatmlstack_spark.operators.normalize import (
     norm_percentile,
 )
 from bharatmlstack_spark.operators.knn import VectorSearch, FilterSpec
+from bharatmlstack_spark.operators.lsh import IvfIndex, LshIndex
+from bharatmlstack_spark.operators.asof import as_of_join
+from bharatmlstack_spark.operators.rangejoin import range_join
+from bharatmlstack_spark.operators import dedup
+from bharatmlstack_spark.operators import multimodal
 
 __all__ = [
     "FeatureStore",
@@ -16,4 +21,10 @@ __all__ = [
     "norm_percentile",
     "VectorSearch",
     "FilterSpec",
+    "LshIndex",
+    "IvfIndex",
+    "as_of_join",
+    "range_join",
+    "dedup",
+    "multimodal",
 ]
