@@ -11,6 +11,8 @@ from bharatmlstack_spark.operators.asof import as_of_join
 from bharatmlstack_spark.operators.rangejoin import range_join
 from bharatmlstack_spark.operators import dedup
 from bharatmlstack_spark.operators import multimodal
+from bharatmlstack_spark.operators import profile
+from bharatmlstack_spark.operators import sampling
 
 __all__ = [
     "FeatureStore",
@@ -27,4 +29,6 @@ __all__ = [
     "range_join",
     "dedup",
     "multimodal",
+    "profile",
+    "sampling",
 ]

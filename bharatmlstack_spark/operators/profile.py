@@ -1,0 +1,78 @@
+"""Data-profiling + feature-discretization operators.
+
+``profile_table`` is the ingest-time data-quality pass a training pipeline
+runs before trusting a new drop of data: null rates, exact cardinalities,
+numeric ranges — one scan, one aggregate row, exploded to a row per column.
+
+``quantile_bin`` is feature discretization (equal-frequency binning) the
+scale-safe way: ONE pass computes exact percentile boundaries, then bucket
+assignment is a scan-level expression against the broadcast 9-element
+boundary array — no global sort, no single-partition ntile window. At
+100 TB the boundary aggregate is a partial-agg tree and assignment stays
+embarrassingly parallel; swap ``F.percentile`` for
+``percentile_approx`` when exactness can yield to memory.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: nulls, exact distinct count, numeric min/max.
+
+    Single aggregate pass over the input (Catalyst fuses all the agg
+    expressions into one physical aggregate); the per-column explode runs
+    on the 1-row result. min/max are typed DOUBLE and NULL for
+    non-numeric columns — counts stay exact BIGINT for any type.
+    """
+    cols = columns or df.columns
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__mx_{c}"))
+    row = df.agg(*aggs)
+    per_col = [
+        row.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"__nn_{c}").cast("bigint").alias("n_nulls"),
+            F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+            (F.col(f"__mn_{c}") if c in numeric else F.lit(None).cast("double")).alias("vmin"),
+            (F.col(f"__mx_{c}") if c in numeric else F.lit(None).cast("double")).alias("vmax"),
+        )
+        for c in cols
+    ]
+    return reduce(lambda a, b: a.unionAll(b), per_col)
+
+
+def quantile_bin(
+    df: DataFrame, value_col: str, n_buckets: int = 10, keep: list[str] | None = None
+) -> DataFrame:
+    """Equal-frequency binning: bucket i holds values in (q_{i-1}, q_i].
+
+    boundaries = exact linear-interpolation percentiles (reference
+    percentile semantics — numerix fp32_ops.rs:334-348); assignment =
+    1 + |{b in boundaries : x > b}| via a JVM array filter on the
+    broadcast boundary row. Deterministic given the data multiset —
+    no ordering or partitioning dependence (unlike ntile).
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(p) for p in probs])).alias("__bs")
+    )
+    out_cols = (keep or [c for c in df.columns if c != value_col]) + [value_col]
+    joined = df.select(*out_cols).crossJoin(F.broadcast(bounds))
+    bucket = (
+        F.size(F.filter(F.col("__bs"), lambda b: F.col(value_col) > b)) + 1
+    ).alias("bucket")
+    return joined.select(*out_cols, bucket)

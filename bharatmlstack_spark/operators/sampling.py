@@ -1,0 +1,91 @@
+"""Deterministic sampling operators for training-set construction.
+
+All sampling here is hash-based, never ``rand()``: a row's fate is a pure
+function of its key, so samples are reproducible across runs, engines, and
+partitionings — the property a 100 TB pipeline needs for resumable /
+auditable dataset builds (and the property that makes every operator
+DuckDB-oracle-checkable).
+
+Multiplicative hashing (Knuth's 2654435761 over a modulus) is engine-
+portable integer arithmetic — identical in Spark and any SQL oracle,
+unlike xxhash64/md5-based fractions which differ per engine.
+
+Scale notes:
+- ``mix_sample`` is a scan-level filter — no shuffle, fully pushdown-able.
+- ``negative_sample`` bounds the candidate cross product by subsampling
+  users and the item pool FIRST (both hash-filters), so the expansion is
+  |users_kept| x |item_pool|, then one anti-join against observed
+  interactions and one per-user top-k window. The interactions side — the
+  100 TB side — is touched once, projected to the two key columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 * golden-ratio conjugate; engine-portable int mix
+
+
+def hash_fraction(key: Column | str, modulus: int = 10000) -> Column:
+    """Deterministic pseudo-uniform value in [0, modulus) from an integer
+    key. Pure int arithmetic -> identical in Spark / DuckDB / anything."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (c.cast("bigint") * F.lit(KNUTH)) % F.lit(modulus)
+
+
+def mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Corpus mixing: keep each row with a per-stratum rate (e.g. domain /
+    language re-weighting when assembling a training mix).
+
+    Deterministic per id — re-running at a higher rate yields a superset
+    (nested samples), which is what incremental corpus scaling wants.
+    """
+    frac = hash_fraction(id_col)
+    rate_expr: Column = F.lit(default_rate)
+    for value, rate in rates.items():
+        rate_expr = F.when(F.col(strata_col) == value, F.lit(rate)).otherwise(rate_expr)
+    return df.filter(frac < rate_expr * 10000)
+
+
+def negative_sample(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    users: DataFrame,
+    items: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Per-user hash-ranked negative sampling: for every user in ``users``,
+    the ``k`` items from ``items`` the user did NOT interact with, chosen
+    by a deterministic per-(user, item) hash order.
+
+    Mirrors the reference's implicit-feedback training shape (interaction
+    store supplies positives; negatives are synthesized) —
+    interaction-store/pkg/proto/time_series.proto:16-34 defines the
+    positive events; sampling is our engine extension.
+
+    ``users`` x ``items`` must be pre-bounded by the caller (hash-filter
+    subsets); the cross join is their product, broadcast on the item side.
+    """
+    u = users.select(F.col(user_col).cast("bigint").alias(user_col)).distinct()
+    i = items.select(F.col(item_col).cast("bigint").alias(item_col)).distinct()
+    pos = interactions.select(user_col, item_col).distinct()
+    cand = u.crossJoin(F.broadcast(i)).join(pos, on=[user_col, item_col], how="left_anti")
+    score = (
+        F.col(user_col) * F.lit(1000003) + F.col(item_col) * F.lit(KNUTH)
+    ) % F.lit(999999937)
+    w = Window.partitionBy(user_col).orderBy(score.asc(), F.col(item_col).asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

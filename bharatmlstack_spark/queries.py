@@ -654,6 +654,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pull in the other query families (registration side effects)
 import bharatmlstack_spark.queries_joins  # noqa: E402,F401
 import bharatmlstack_spark.queries_text  # noqa: E402,F401
+import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

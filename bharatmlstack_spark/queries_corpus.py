@@ -1,0 +1,254 @@
+"""Corpus-construction query-oracle pairs: the operators that turn a raw
+100 TB document/interaction dump into a training set — n-gram statistics,
+test-set contamination detection, corpus mixing, negative sampling, data
+profiling, and feature discretization.
+
+Float discipline follows bharatmlstack_spark/queries.py: counts and hash
+arithmetic are exact integers; the only float op here (quantile binning)
+compares bucket IDs, not the interpolated boundaries themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.operators import profile as PR
+from bharatmlstack_spark.operators import sampling as SP
+from bharatmlstack_spark.operators.dedup import word_shingles
+from bharatmlstack_spark.query_registry import query
+from bharatmlstack_spark.queries_text import CORPUS_SQL, corpus
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics (count-based LM data prep / vocab building)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_topk",
+    oracle=r"""
+WITH wordlists AS (
+  SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+bigrams AS (
+  SELECT unnest([ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]) AS ngram
+  FROM wordlists WHERE len(ws) >= 2
+)
+SELECT ngram, COUNT(*) AS cnt
+FROM bigrams GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 20
+""",
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k bigrams (vocabulary/statistics pass). zip_with
+    of the two shifted word arrays keeps n-gram construction JVM-side; the
+    global top-20 is TakeOrderedAndProject (per-partition heaps), never a
+    full sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.filter(F.size(ws) >= 2)
+        .select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (train docs sharing 5-grams with test docs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+split AS (
+  SELECT doc_id, text,
+         CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split
+  FROM corpus
+),
+wordlists AS (
+  SELECT doc_id, split, string_split_regex(trim(text), '\\s+') AS ws FROM split
+),
+shingles AS (
+  SELECT doc_id, split, unnest(list_distinct(
+    CASE WHEN len(ws) >= 5
+      THEN [array_to_string(ws[i:i+4], ' ') FOR i IN generate_series(1, len(ws) - 4)]
+      ELSE [array_to_string(ws, ' ')] END
+  )) AS shingle
+  FROM wordlists
+)
+SELECT tr.doc_id, COUNT(DISTINCT tr.shingle) AS n_shared
+FROM shingles tr JOIN shingles te USING (shingle)
+WHERE tr.split = 'train' AND te.split = 'test'
+GROUP BY tr.doc_id
+""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: train docs sharing >= 1 distinct 5-gram
+    with any test doc, with the count of contaminated 5-grams. The shingle
+    equi-join only meets docs that actually share an n-gram (key-local,
+    never O(n^2)); the injected duplicate corpus guarantees known
+    positives whenever a doc and its copy land in different splits."""
+    c = corpus(spark, sf_dir)
+    split = F.when(
+        (F.col("doc_id") * SP.KNUTH) % 100 < 80, F.lit("train")
+    ).otherwise(F.lit("test"))
+    sh = c.select(
+        "doc_id", split.alias("split"), F.explode(word_shingles("text", n=5)).alias("shingle")
+    )
+    tr = sh.filter(F.col("split") == "train").select("doc_id", "shingle")
+    te = sh.filter(F.col("split") == "test").select(F.col("shingle")).distinct()
+    return (
+        tr.join(te, on="shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing (per-language sampling rates)
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 1.0, "es": 0.5, "de": 0.25, "fr": 0.1, "zh": 0.05}
+
+
+@query(
+    "corpus_mix_sample",
+    oracle="""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 10000 < (
+  CASE lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5 WHEN 'de' THEN 0.25
+            WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.05 ELSE 0.0 END) * 10000
+""",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language re-weighting for a training mix: keep each doc with
+    a per-stratum rate, decided by a deterministic key hash — a pure
+    scan-level filter (no shuffle, pushdown-able), with nested-sample
+    reproducibility across rate changes."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SP.mix_sample(d, strata_col="lang", id_col="doc_id", rates=_MIX_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (implicit-feedback training pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "negative_sampling",
+    oracle="""
+WITH u AS (SELECT c_custkey FROM customer WHERE c_custkey % 30 = 0),
+i AS (SELECT p_partkey FROM part WHERE p_partkey % 20 = 0),
+pos AS (
+  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+cand AS (
+  SELECT u.c_custkey, i.p_partkey FROM u CROSS JOIN i
+  ANTI JOIN pos ON pos.c_custkey = u.c_custkey AND pos.p_partkey = i.p_partkey
+),
+ranked AS (
+  SELECT c_custkey, p_partkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_custkey
+           ORDER BY (c_custkey * 1000003 + p_partkey * 2654435761) % 999999937, p_partkey
+         ) AS rn
+  FROM cand
+)
+SELECT c_custkey, p_partkey FROM ranked WHERE rn <= 5
+""",
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user negative items for implicit-feedback training: hash-bounded
+    user/item pools -> cross join (broadcast items) -> anti-join against
+    observed (cust, part) purchases -> deterministic per-user top-5 by
+    key hash. The interactions fact is touched once, projected to 2 cols."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") % 30 == 0
+    )
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_partkey") % 20 == 0
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pos = orders.join(li, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey")
+    )
+    return SP.negative_sample(
+        pos, user_col="c_custkey", item_col="p_partkey", users=cust, items=parts, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-quality profile (ingest-time validation pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_profile",
+    oracle="""
+SELECT 'o_orderkey' AS column_name, SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS vmin, CAST(MAX(o_orderkey) AS DOUBLE) AS vmax
+FROM orders
+UNION ALL
+SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_totalprice), CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT o_orderstatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM orders
+""",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (nulls / exact distincts / numeric
+    range) in ONE aggregate pass; the row-per-column explode runs on the
+    single agg row. min/max for doubles are exact (no float summation)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return PR.profile_table(
+        o, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature discretization (equal-frequency binning)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_binning",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM orders
+)
+SELECT o_orderkey, 1 + len(list_filter(bs, x -> o_totalprice > x)) AS bucket
+FROM orders, b
+""",
+)
+def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning of order value: exact interpolated boundaries in one
+    agg (reference percentile semantics — numerix fp32_ops.rs:334-348),
+    assignment via broadcast boundary array — no global sort / ntile
+    single-partition window. Compares bucket IDs (integers), not floats."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return PR.quantile_bin(o, value_col="o_totalprice", n_buckets=10, keep=["o_orderkey"]).select(
+        "o_orderkey", "bucket"
+    )

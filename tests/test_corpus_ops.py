@@ -1,0 +1,106 @@
+"""Unit tests for sampling (mix/negative) and profiling/binning operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.operators import profile as PR
+from bharatmlstack_spark.operators import sampling as SP
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# mix_sample
+# ---------------------------------------------------------------------------
+
+
+def test_mix_sample_deterministic_and_rated(docs):
+    rates = {"en": 1.0, "zh": 0.0}
+    out = SP.mix_sample(docs, "lang", "doc_id", rates).select("doc_id", "lang")
+    rows = {r.doc_id for r in out.collect()}
+    again = {r.doc_id for r in SP.mix_sample(docs, "lang", "doc_id", rates).collect()}
+    assert rows == again
+    en_total = docs.filter(F.col("lang") == "en").count()
+    assert out.filter(F.col("lang") == "en").count() == en_total  # rate 1.0 keeps all
+    assert out.filter(F.col("lang") == "zh").count() == 0  # rate 0.0 drops all
+    assert out.filter(~F.col("lang").isin("en", "zh")).count() == 0  # default 0.0
+
+
+def test_mix_sample_nested_supersets(docs):
+    small = {r.doc_id for r in SP.mix_sample(docs, "lang", "doc_id", {"en": 0.2}).collect()}
+    big = {r.doc_id for r in SP.mix_sample(docs, "lang", "doc_id", {"en": 0.6}).collect()}
+    assert small <= big  # raising the rate only adds docs, never swaps them
+
+
+# ---------------------------------------------------------------------------
+# negative_sample
+# ---------------------------------------------------------------------------
+
+
+def test_negative_sample_excludes_positives_and_caps_k(spark):
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], ["user_id", "item_id"]
+    )
+    users = spark.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    items = spark.createDataFrame([(i,) for i in range(10, 16)], ["item_id"])
+    out = SP.negative_sample(pos, "user_id", "item_id", users, items, k=3)
+    got = [(r.user_id, r.item_id) for r in out.collect()]
+    assert len(got) == 9  # 3 users x k=3
+    assert (1, 10) not in got and (1, 11) not in got and (2, 10) not in got
+    per_user = {}
+    for u, _ in got:
+        per_user[u] = per_user.get(u, 0) + 1
+    assert per_user == {1: 3, 2: 3, 3: 3}
+
+
+def test_negative_sample_k_larger_than_pool(spark):
+    pos = spark.createDataFrame([(1, 10)], ["u", "i"])
+    users = spark.createDataFrame([(1,)], ["u"])
+    items = spark.createDataFrame([(10,), (11,)], ["i"])
+    out = SP.negative_sample(pos, "u", "i", users, items, k=5)
+    assert [(r.u, r.i) for r in out.collect()] == [(1, 11)]
+
+
+# ---------------------------------------------------------------------------
+# profile_table
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_counts_and_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, "b"), (4, 4.0, None)],
+        ["k", "v", "s"],
+    )
+    out = {r.column_name: r for r in PR.profile_table(df).collect()}
+    assert out["k"].n_nulls == 0 and out["k"].n_distinct == 4
+    assert out["k"].vmin == 1.0 and out["k"].vmax == 4.0
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert out["v"].vmin == 2.0 and out["v"].vmax == 4.0
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].vmin is None and out["s"].vmax is None
+
+
+# ---------------------------------------------------------------------------
+# quantile_bin
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_bin_equal_frequency(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)], ["k", "x"])
+    out = PR.quantile_bin(df, "x", n_buckets=10, keep=["k"])
+    counts = {r.bucket: r.cnt for r in out.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == set(range(1, 11))
+    assert all(c == 10 for c in counts.values())  # uniform data -> exact deciles
+    # monotone: higher value never lands in a lower bucket
+    rows = sorted((r.k, r.bucket) for r in out.collect())
+    buckets = [b for _, b in rows]
+    assert buckets == sorted(buckets)
+
+
+def test_quantile_bin_constant_column(spark):
+    df = spark.createDataFrame([(i, 7.0) for i in range(5)], ["k", "x"])
+    out = PR.quantile_bin(df, "x", n_buckets=4, keep=["k"])
+    assert {r.bucket for r in out.collect()} == {1}  # all boundaries equal -> bucket 1
