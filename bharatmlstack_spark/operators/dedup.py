@@ -129,21 +129,36 @@ def ngram_jaccard_pairs_prefix(
     all-shared-shingles join (the dominant shuffle) into a prefix-only join
     ~ (1-t) of the size, with verification on the (small) candidate set.
     """
-    import math
+    from pyspark import StorageLevel
 
+    # The whole pipeline runs on 8-byte shingle HASHES (xxhash64): the
+    # df-count shuffle, the rarity sort, the prefix join, and the
+    # verification intersect all move longs instead of n-gram strings.
+    # Shingling (regex split + per-position concat over every doc) is the
+    # single most expensive map in this plan and three branches consume it
+    # (prefix explode + both verification sides) — persisting the hashed
+    # sets makes it run ONCE, and long arrays are cheap to store.
+    # MEMORY_AND_DISK spills instead of OOMing at large corpus sizes;
+    # eviction just means recompute — correctness never depends on it.
+    # Jaccard over hashed distinct shingles == Jaccard over the strings
+    # unless xxhash64 collides within a candidate pair (~|set|^2/2^64;
+    # deterministic either way, and pinned by the DuckDB string oracle).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        # a small/compacted source (one parquet file) would pin the
+        # shingle map to a few cores; one cheap shuffle of the raw text
+        # spreads it across the cluster before the expensive map
+        df = df.repartition(par)
     sets = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
-    )
-    # candidate generation runs on 8-byte shingle HASHES (xxhash64): the
-    # df-count shuffle, the rarity sort, and the prefix join all move longs
-    # instead of n-gram strings. The hash only has to provide a consistent
-    # global element order + equality for the prefix filter — a 64-bit
-    # collision could at worst add a spurious candidate, which the exact
-    # array_intersect verification below discards.
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
+            "shingles"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sh = sets.select(
         "id",
         F.size("shingles").alias("__n"),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("shingle"),
+        F.explode("shingles").alias("shingle"),
     )
     # global rarity order: document frequency, then hash tiebreak
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -157,12 +172,25 @@ def ngram_jaccard_pairs_prefix(
         )
         # prefix size: n - ceil(t*n) + 1
         .filter(F.col("__pos") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
-        .select("id", "shingle")
+        .select("id", "shingle", "__n", "__pos")
     )
     a, b = ranked.alias("a"), ranked.alias("b")
+    t = F.lit(threshold)
+    # AllPairs length filter: J >= t forces t*|b| <= |a| (a is the smaller
+    # side under id order-independent size check); PPJoin position filter:
+    # the overlap still reachable past this shared prefix element,
+    # 1 + min(|a|-pos_a, |b|-pos_b), must meet the equivalent-overlap bound
+    # ceil(t/(1+t) * (|a|+|b|)). Both are row-local predicates evaluated
+    # inside the prefix join — they prune candidates before the dedup
+    # shuffle and the verification stage ever see them.
+    na, nb = F.col("a.__n"), F.col("b.__n")
+    overlap_bound = F.ceil(t / (1 + t) * (na + nb))
+    ubound = 1 + F.least(na - F.col("a.__pos"), nb - F.col("b.__pos"))
     cands = (
         a.join(b, on="shingle")
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.least(na, nb) >= F.ceil(t * F.greatest(na, nb)))
+        .filter(ubound >= overlap_bound)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
