@@ -13,11 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bharatmlstack_spark.operators import dedup as DD
 from bharatmlstack_spark.operators import profile as PR
 from bharatmlstack_spark.operators import sampling as SP
 from bharatmlstack_spark.operators.dedup import word_shingles
+from bharatmlstack_spark.operators.graph import connected_components
 from bharatmlstack_spark.query_registry import query
-from bharatmlstack_spark.queries_text import CORPUS_SQL, corpus
+from bharatmlstack_spark.queries_text import CORPUS_SQL, _SHINGLE_SQL, corpus
 
 # ---------------------------------------------------------------------------
 # corpus n-gram statistics (count-based LM data prep / vocab building)
@@ -251,4 +253,64 @@ def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return PR.quantile_bin(o, value_col="o_totalprice", n_buckets=10, keep=["o_orderkey"]).select(
         "o_orderkey", "bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: pairwise matches -> connected components
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {CORPUS_SQL.strip()},
+{_SHINGLE_SQL.strip()},
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard>=0.8 pairs -> connected components
+    (iterative min-label propagation, one edge-shuffle per round, diameter
+    rounds). The step that turns pairwise matches into keep-one-per-cluster
+    dedup decisions. Oracle = DuckDB recursive CTE reachability."""
+    pairs = DD.ngram_jaccard_pairs_prefix(
+        corpus(spark, sf_dir), id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# cardinality sketch (the 100 TB distinct-count path)
+# ---------------------------------------------------------------------------
+
+
+@query("sketch_distinct_users")  # rows-only: HLL estimates are engine-specific
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, rsd 1%) per event_type — the
+    sketch-based path for distinct counts at 100 TB, where exact
+    countDistinct's per-group dedup shuffle is the bottleneck. Estimates
+    are engine-specific -> rows-only here; pytest pins relative error
+    vs the exact count at < 5%."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )

@@ -104,3 +104,51 @@ def test_quantile_bin_constant_column(spark):
     df = spark.createDataFrame([(i, 7.0) for i in range(5)], ["k", "x"])
     out = PR.quantile_bin(df, "x", n_buckets=4, keep=["k"])
     assert {r.bucket for r in out.collect()} == {1}  # all boundaries equal -> bucket 1
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_clique(spark):
+    from bharatmlstack_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple rounds), clique 10-11-12,
+    # isolated node 99 via the nodes universe
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], ["id"])
+    out = {r.node: r.component for r in connected_components(edges, nodes=nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_endpoints_only(spark):
+    from bharatmlstack_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(5, 6)], ["id_a", "id_b"])
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {5: 5, 6: 5}
+
+
+# ---------------------------------------------------------------------------
+# cardinality sketch error bound
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_distinct_error_under_5pct(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r.event_type: r.a
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
