@@ -11,6 +11,9 @@ from bharatmlstack_spark.operators.asof import as_of_join
 from bharatmlstack_spark.operators.rangejoin import range_join
 from bharatmlstack_spark.operators import dedup
 from bharatmlstack_spark.operators import multimodal
+from bharatmlstack_spark.operators import chunking
+from bharatmlstack_spark.operators import graph
+from bharatmlstack_spark.operators import pq
 from bharatmlstack_spark.operators import profile
 from bharatmlstack_spark.operators import sampling
 
@@ -29,6 +32,9 @@ __all__ = [
     "range_join",
     "dedup",
     "multimodal",
+    "chunking",
+    "graph",
+    "pq",
     "profile",
     "sampling",
 ]

@@ -314,3 +314,71 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# chunking + sequence packing (corpus -> fixed-budget training sequences)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_chunks",
+    oracle=r"""
+WITH wordlists AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+chunked AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(ws[i*40+1 : i*40+50], ' ') AS chunk_text
+  FROM wordlists,
+       UNNEST(generate_series(0, CAST(ceil(greatest(len(ws) - 50, 0) / 40.0) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, chunk_idx, chunk_text,
+       CAST(len(string_split_regex(chunk_text, '\s+')) AS INT) AS n_words
+FROM chunked
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (window 50, stride 40): pure
+    per-row array ops + posexplode — map-side, no shuffle, scan-bandwidth
+    at 100 TB."""
+    from bharatmlstack_spark.operators.chunking import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(d, id_col="doc_id", text_col="text", window=50, stride=40)
+    return out.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text",
+        F.col("n_words").cast("int").alias("n_words"),
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+  FROM toks
+)
+SELECT doc_id, shard,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+       (cum - n_tokens) AS tokens_before
+FROM packed
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing to a 512-token budget, sharded
+    by doc hash so no executor ever windows the whole corpus — one
+    cumsum window per shard, deterministic given the data."""
+    from bharatmlstack_spark.operators.chunking import pack_sequences
+    from bharatmlstack_spark.functions import text as TX
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", TX.word_count("text").cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(d, id_col="doc_id", token_col="n_tokens", budget=512, n_shards=8)

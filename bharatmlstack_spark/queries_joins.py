@@ -457,6 +457,24 @@ def ann_ivf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(idx.index(cands), queries_df, k=10, nprobe=4, metric="DOT")
 
 
+@query("pq_ann_topk")  # rows-only
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: 16x uint8 codes per 64-dim vector (16x
+    storage compression), ADC shortlist-50 prune + exact re-rank top-10.
+    Deterministic fit (farthest-point init, fixed iters) -> stable output;
+    pytest pins recall vs exact KNN (tests/test_pq.py)."""
+    from bharatmlstack_spark.operators.pq import PqIndex
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    cands = emb.filter(F.col("vec_id") >= 5)
+    idx = PqIndex(m=16, k=64).fit(cands, sample_size=1024)
+    return idx.search(
+        idx.encode(cands), np.array(qrow[0]), k=10, rerank=cands, shortlist=50
+    )
+
+
 @query("multimodal_features")  # rows-only
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media -> mapInPandas feature

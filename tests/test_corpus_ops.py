@@ -152,3 +152,58 @@ def test_sketch_distinct_error_under_5pct(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
+
+
+# ---------------------------------------------------------------------------
+# chunking + packing
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from bharatmlstack_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 words
+    df = spark.createDataFrame([(1, text), (2, "just three words")], ["doc_id", "text"])
+    out = chunk_documents(df, window=50, stride=40)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: ceil((100-50)/40)=2 extra -> chunks 0,1,2
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)].chunk_text.split(" ")[0] == "w0"
+    assert rows[(1, 1)].chunk_text.split(" ")[0] == "w40"  # stride 40
+    assert rows[(1, 0)].chunk_text.split(" ")[40:] == rows[(1, 1)].chunk_text.split(" ")[:10]
+    assert rows[(1, 2)].n_words == 20  # tail chunk: words 80..99
+    # short doc: one whole chunk
+    assert rows[(2, 0)].chunk_text == "just three words" and rows[(2, 0)].n_words == 3
+    assert {k for k in rows if k[0] == 2} == {(2, 0)}
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    from bharatmlstack_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, window=10, stride=20)
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    from bharatmlstack_spark.operators.chunking import pack_sequences
+
+    # one shard (n_shards=1): docs of 300 tokens -> offsets 0,300,600,900
+    df = spark.createDataFrame([(i, 300) for i in range(4)], ["doc_id", "n_tokens"])
+    out = {r.doc_id: r for r in pack_sequences(df, budget=512, n_shards=1).collect()}
+    assert [out[i].tokens_before for i in range(4)] == [0, 300, 600, 900]
+    assert [out[i].bin for i in range(4)] == [0, 0, 1, 1]  # straddler stays in start bin
+    assert all(out[i].shard == 0 for i in range(4))
+
+
+def test_pack_sequences_sharding_is_disjoint(spark):
+    from bharatmlstack_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame([(i, 10) for i in range(40)], ["doc_id", "n_tokens"])
+    out = pack_sequences(df, budget=100, n_shards=4)
+    per_shard = {
+        r.shard: r.n for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_shard == {0: 10, 1: 10, 2: 10, 3: 10}
+    # offsets restart per shard
+    assert out.filter((F.col("tokens_before") == 0)).count() == 4
