@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "text_stats",
     "doc_fingerprint",
+    "corpus_mix_sample",
+    "quantile_binning",
+    "sequence_packing",
+    "negative_sampling",
+    "pq_ann_topk",
 ]
 
 

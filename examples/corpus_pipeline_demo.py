@@ -1,0 +1,103 @@
+"""End-to-end demo: raw document dump -> training-ready sequences.
+
+The LLM-data-pipeline workflow this engine adds beyond the reference's
+serving surface, every step a declarative Spark plan over the same
+synthetic corpus the correctness gate uses:
+
+  1. profile the drop (data-quality pass)
+  2. filter by quality + language-ID
+  3. re-weight the language mix (deterministic hash sampling)
+  4. dedup: exact -> near-dup pairs -> connected-component clusters
+  5. decontaminate against the held-out test split (5-gram overlap)
+  6. chunk long docs, pack into fixed-budget sequences
+  7. train/test split, reproducible
+
+    python examples/corpus_pipeline_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark import get_spark
+from bharatmlstack_spark.functions import text as TX
+from bharatmlstack_spark.operators import dedup as DD
+from bharatmlstack_spark.operators.chunking import chunk_documents, pack_sequences
+from bharatmlstack_spark.operators.graph import connected_components
+from bharatmlstack_spark.operators.profile import profile_table
+from bharatmlstack_spark.operators.sampling import KNUTH, mix_sample
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("corpus-pipeline-demo")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. profile the raw drop before trusting it
+    print("== 1. profile ==")
+    profile_table(docs, ["doc_id", "lang", "n_chars"]).show(truncate=False)
+
+    # 2. quality + language gates (all JVM expressions)
+    gated = docs.withColumn("quality", TX.quality_score("text")).withColumn(
+        "lang_guess", TX.lang_id("text")
+    )
+    kept = gated.filter((F.col("quality") >= 2 / 3) & (F.col("lang_guess") != "und"))
+    print(f"== 2. quality/lang gate: {docs.count()} -> {kept.count()} docs ==")
+
+    # 3. re-weight the language mix
+    mixed = mix_sample(
+        kept, "lang", "doc_id", {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.25, "zh": 0.25}
+    )
+    mixed.groupBy("lang").count().orderBy("lang").show()
+
+    # 4. dedup: exact, then near-dup clusters (keep cluster minimum)
+    exact = DD.exact_dedup(mixed, on=["text"], id_col="doc_id")
+    pairs = DD.ngram_jaccard_pairs_prefix(
+        exact, id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    dropped = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    deduped = exact.join(dropped, on="doc_id", how="left_anti")
+    print(f"== 4. dedup: {mixed.count()} -> exact {exact.count()} -> clustered {deduped.count()} ==")
+
+    # 5. decontaminate: drop train docs sharing a 5-gram with the test split
+    split = F.when((F.col("doc_id") * KNUTH) % 100 < 80, "train").otherwise("test")
+    tagged = deduped.withColumn("split", split)
+    sh = tagged.select(
+        "doc_id", "split", F.explode(DD.word_shingles("text", n=5)).alias("shingle")
+    )
+    test_sh = sh.filter(F.col("split") == "test").select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("split") == "train")
+        .join(test_sh, on="shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = tagged.join(contaminated, on="doc_id", how="left_anti")
+    print(f"== 5. decontaminate: dropped {tagged.count() - clean.count()} train docs ==")
+
+    # 6. chunk + pack the train side into 512-token sequences
+    train = clean.filter(F.col("split") == "train")
+    chunks = chunk_documents(train, window=50, stride=40)
+    with_ids = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("n_words").alias("n_tokens"),
+    )
+    packed = pack_sequences(with_ids, budget=512, n_shards=8)
+    n_bins = packed.select("shard", "bin").distinct().count()
+    print(f"== 6. {chunks.count()} chunks packed into {n_bins} sequences ==")
+
+    # 7. the split is already deterministic — same doc, same side, every run
+    clean.groupBy("split").count().show()
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,47 @@ def test_merge_trim_single_shuffle(spark, sf_dir, qs):
     assert shuffle_count(df) == 1  # one window shuffle on (user, week)
 
 
+def test_mix_sample_is_scan_level_filter(spark, sf_dir, qs):
+    # corpus mixing must stay a shuffle-free scan: filter + project only
+    df = qs["corpus_mix_sample"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    schemas = read_schemas(df)
+    assert all("text" not in s for s in schemas)  # only doc_id/lang leave the scan
+
+
+def test_negative_sampling_broadcasts_item_pool(spark, sf_dir, qs):
+    df = qs["negative_sampling"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "c_custkey" in pf  # user-pool hash filter reached the scan
+
+
+def test_quantile_bin_no_global_sort(spark, sf_dir, qs):
+    from bharatmlstack_spark.plans import explain_formatted
+
+    df = qs["quantile_binning"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "Sort" not in plan  # boundary-array assignment, never an ntile sort
+    # the single-row boundary aggregate broadcasts (nested-loop cross, 1 row)
+    assert "BroadcastExchange" in plan and "BroadcastNestedLoopJoin" in plan
+
+
+def test_sequence_packing_shards_the_window(spark, sf_dir, qs):
+    from bharatmlstack_spark.plans import explain_formatted
+
+    df = qs["sequence_packing"](spark, sf_dir)
+    # the cumsum window partitions by shard — a partial global sort would
+    # show as Sort without a partitioning expression; assert the window
+    # exchange is hash-partitioned on shard, not a single partition
+    plan = explain_formatted(df)
+    assert "hashpartitioning(shard" in plan
+
+
+def test_chunking_is_map_side_only(spark, sf_dir, qs):
+    df = qs["doc_chunks"](spark, sf_dir)
+    assert shuffle_count(df) == 0  # generate/explode pipeline, no exchange
+
+
 def test_salted_join_matches_plain(spark):
     big = spark.createDataFrame(
         [(k, i) for i in range(200) for k in ("hot" if i % 4 else "cold",)],
