@@ -382,3 +382,60 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", TX.word_count("text").cast("bigint").alias("n_tokens")
     )
     return pack_sequences(d, id_col="doc_id", token_col="n_tokens", budget=512, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (term weighting for retrieval / keyword extraction)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=r"""
+WITH tokens AS (
+  SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 5 AND doc_id < 100
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF, top-5 terms per doc (first 100 docs): token
+    explode -> two key-local aggregates (term df broadcasts back) -> per-
+    doc top-k window. The df table is vocabulary-sized, tiny next to the
+    corpus; rounded 6dp (ln is IEEE-identical, the product fold is not)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), on="term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 5) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tfidf")
+    )

@@ -601,6 +601,72 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_interarrival",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_gaps,
+       MIN(gap_ms) AS min_gap_ms,
+       MAX(gap_ms) AS max_gap_ms,
+       CAST(SUM(gap_ms) AS BIGINT) AS total_gap_ms
+FROM (
+  SELECT user_id,
+         epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap_ms
+  FROM events
+)
+WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+""",
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event time features (lag deltas per user): the classic
+    engagement-cadence signal. One user-partitioned window + one
+    aggregate, exact integer math."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_ms", F.expr("ts div 1000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap_ms")
+    return (
+        ev.select("user_id", gap)
+        .filter(F.col("gap_ms").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_ms").alias("min_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+            F.sum("gap_ms").alias("total_gap_ms"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the multi-rollup shape cube/rollup can't
+    express) — one pass, Spark expands to a single expand+aggregate."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
     "rolling_7d_user_value",
     oracle="""
 SELECT event_id, user_id,
