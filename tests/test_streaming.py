@@ -183,3 +183,47 @@ def test_streaming_embedding_aggregation(spark, tmp_path):
     rows = fs.load("candidate").collect()
     assert len(rows) == 1  # latest-wins merged into one stored row
     assert rows[0]["payload__brand"] in ("a", "b")
+
+
+def test_stream_dedup_sink_across_batches(spark, tmp_path):
+    """Streaming exact dedup: intra-batch dups collapse, cross-batch dups
+    never re-emit, state survives restart."""
+    from bharatmlstack_spark.streaming.ingest import stream_dedup_sink
+
+    src = str(tmp_path / "dd_src")
+    state = str(tmp_path / "dd_state")
+    out = str(tmp_path / "dd_out")
+
+    _write_json_batch(
+        src,
+        [
+            {"doc_id": 1, "text": "alpha beta"},
+            {"doc_id": 2, "text": "alpha beta"},  # intra-batch dup of 1
+            {"doc_id": 3, "text": "gamma"},
+        ],
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_dedup_sink(
+        stream, state, out, str(tmp_path / "dd_ck1"), spark,
+        content_col="text", id_col="doc_id", trigger_once=True,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3}  # lowest id wins the intra-batch tie
+
+    # second run: a cross-batch dup (same text, new id) plus one novel doc
+    _write_json_batch(
+        src,
+        [
+            {"doc_id": 9, "text": "alpha beta"},  # seen in batch 1 -> dropped
+            {"doc_id": 4, "text": "delta"},
+        ],
+    )
+    stream2 = spark.readStream.schema("doc_id long, text string").json(src)
+    q2 = stream_dedup_sink(
+        stream2, state, out, str(tmp_path / "dd_ck1"), spark,
+        content_col="text", id_col="doc_id", trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3, 4}  # 9 was suppressed by the fingerprint state
