@@ -439,3 +439,74 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 5) & (F.col("doc_id") < 100))
         .select("doc_id", "term", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# schema-version reconciliation on read (SURVEY §1.1.4, retrieve.go:833-858)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_schema_evolution",
+    oracle="""
+SELECT c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS profile__balance_cents,
+       CASE WHEN c_custkey % 2 = 1 THEN c_nationkey ELSE -1 END AS profile__nation
+FROM customer
+WHERE c_custkey % 7 = 0
+""",
+)
+def feature_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows written under FG schema v1 served against active v2: the
+    feature absent from the stored version resolves to its registered
+    default, per row (retrieve.go:833-858 reconcile). Even customer keys
+    carry v1 blocks (no `nation` slot -> default -1), odd keys v2. The
+    whole reconcile is the same single broadcast-key left join + coalesce
+    plan as every retrieve — versioning adds zero extra passes."""
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            "customer",
+            ["c_custkey"],
+            {
+                "profile": FeatureGroup(
+                    "profile",
+                    1,
+                    DataType.INT64,
+                    features={
+                        1: [Feature("balance_cents", 0, default=0)],
+                        2: [
+                            Feature("balance_cents", 0, default=0),
+                            Feature("nation", 1, default=-1),
+                        ],
+                    },
+                    active_version=2,
+                )
+            },
+        )
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    version = (F.lit(1) + (F.col("c_custkey") % 2)).cast("int")
+    stored = c.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("profile__balance_cents"),
+        F.when(F.col("c_custkey") % 2 == 1, F.col("c_nationkey"))
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("profile__nation"),
+        version.alias("schema_version"),
+    )
+    keys = c.filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    fs = FeatureStore(spark, reg, "/tmp/__bmls_schema_evo_unused")
+    return fs.retrieve(
+        "customer", {"profile": ["balance_cents", "nation"]}, keys, feature_table=stored
+    )
