@@ -133,6 +133,48 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, content binary, "
+    "meta struct<mime string, width int, height int, "
+    "sample_rate int, duration_ms bigint>"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 32, height: int = 32, strict_decode: bool = False
+) -> DataFrame:
+    """Image resize STUB with real batch plumbing: output meta carries the
+    target dimensions and the payload is deterministically re-derived at
+    the target byte budget (w*h). A real impl decodes + resamples in the
+    same mapInPandas slot; schema/partitioning/batch shape are identical.
+    Non-image rows pass through untouched."""
+    decode_real = _decode_image_real
+    budget = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for modality, content, meta in zip(
+                pdf["modality"], pdf["content"], pdf["meta"]
+            ):
+                data = bytes(content) if content is not None else b""
+                meta = dict(meta) if meta is not None else {}
+                if modality == "image":
+                    if strict_decode:
+                        decode_real(data, meta)
+                    # deterministic fake "resample": tile/truncate to budget
+                    reps = -(-budget // max(len(data), 1)) if data else 1
+                    data = (data * reps)[:budget] if data else b"\x00" * budget
+                    meta["width"], meta["height"] = width, height
+                contents.append(data)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": contents, "meta": metas}
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 16) -> DataFrame:
     """Deterministic fixture: binary payloads derived from the row id."""
     rows = []

@@ -106,3 +106,33 @@ def test_sample_frames_video_only(spark):
     assert ids <= videos
     for r in frames:
         assert len(r["frame_bytes"]) <= 32
+
+
+def test_resize_images_plumbing(spark):
+    from bharatmlstack_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=9)
+    out = resize_images(media, width=8, height=4).collect()
+    by_id = {r.media_id: r for r in out}
+    src = {r.media_id: r for r in media.collect()}
+    assert len(out) == 9  # non-image rows pass through
+    for mid, r in by_id.items():
+        if src[mid].modality == "image":
+            assert len(r.content) == 32  # w*h byte budget
+            assert r.meta.width == 8 and r.meta.height == 4
+        else:
+            assert bytes(r.content) == bytes(src[mid].content)  # untouched
+    # deterministic across runs
+    again = {r.media_id: bytes(r.content) for r in resize_images(media, 8, 4).collect()}
+    assert again == {m: bytes(r.content) for m, r in by_id.items()}
+
+
+def test_resize_images_strict_raises(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from bharatmlstack_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=3)
+    with _pytest.raises(Exception) as ei:
+        resize_images(media, strict_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
