@@ -253,3 +253,50 @@ def stream_dedup_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def attribution_join(
+    clicks: DataFrame,
+    conversions: DataFrame,
+    user_col: str = "user_id",
+    click_ts: str = "click_ts",
+    conv_ts: str = "conv_ts",
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream attribution join: each conversion matches the clicks
+    by the same user in the preceding attribution window — the
+    click->conversion labeling step of an online training pipeline,
+    declaratively.
+
+    Both sides carry watermarks, so Spark bounds the join state: a click
+    is held only until its attribution window plus the watermark has
+    passed, then evicted. The reference does this lookup-side (interaction
+    store queried at inference time); expressing it as a watermarked
+    interval join makes the label stream a first-class, replayable table.
+
+    Scale: state per user = clicks within the window, shuffled on user_id
+    — the same per-key sharding as every event op here.
+    """
+    c = clicks.withWatermark(click_ts, watermark)
+    v = conversions.withWatermark(conv_ts, watermark)
+    cond = (
+        (c[user_col] == v[user_col])
+        & (v[conv_ts] >= c[click_ts])
+        & (v[conv_ts] <= c[click_ts] + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return c.alias("c").join(v.alias("v"), cond, "inner").select(
+        c[user_col].alias(user_col),
+        F.col(f"c.{click_ts}"),
+        F.col(f"v.{conv_ts}"),
+        *[
+            F.col(f"c.{x}")
+            for x in clicks.columns
+            if x not in (user_col, click_ts)
+        ],
+        *[
+            F.col(f"v.{x}")
+            for x in conversions.columns
+            if x not in (user_col, conv_ts)
+        ],
+    )

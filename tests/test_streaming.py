@@ -227,3 +227,36 @@ def test_stream_dedup_sink_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 3, 4}  # 9 was suppressed by the fingerprint state
+
+
+def test_attribution_join_stream_stream(spark, tmp_path):
+    """Watermarked stream-stream interval join: conversions label the
+    clicks inside their attribution window, later clicks don't match."""
+    import json as _json
+    from bharatmlstack_spark.streaming.ingest import attribution_join
+
+    csrc, vsrc = str(tmp_path / "clicks"), str(tmp_path / "convs")
+    base = "2024-01-01T10:{m:02d}:00.000Z"
+    _write_json_batch(csrc, [
+        {"user_id": 1, "click_ts": base.format(m=0), "click_id": 100},
+        {"user_id": 1, "click_ts": base.format(m=30), "click_id": 101},
+        {"user_id": 2, "click_ts": base.format(m=0), "click_id": 200},
+    ])
+    # user 1 converts at 10:45 -> both clicks inside 1h window; user 2 never converts
+    _write_json_batch(vsrc, [
+        {"user_id": 1, "conv_ts": "2024-01-01T10:45:00.000Z", "order_id": 900},
+    ])
+    clicks = spark.readStream.schema(
+        "user_id long, click_ts timestamp, click_id long").json(csrc)
+    convs = spark.readStream.schema(
+        "user_id long, conv_ts timestamp, order_id long").json(vsrc)
+    out = attribution_join(clicks, convs)
+    q = (
+        out.writeStream.format("memory").queryName("attr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM attr").collect()
+    assert {(r.user_id, r.click_id, r.order_id) for r in rows} == {
+        (1, 100, 900), (1, 101, 900)
+    }
