@@ -211,6 +211,7 @@ class FeatureStore:
         feature_table: DataFrame | None = None,
         now: Column | None = None,
         keep_request_order: bool = True,
+        broadcast_keys: bool = True,
     ) -> DataFrame:
         """Batch point-lookup as one plan.
 
@@ -220,6 +221,13 @@ class FeatureStore:
         missing/expired keys (P3/P4).
         ``feature_table``: override the stored table (used by fixture-backed
         oracle queries); defaults to the entity's store-0 table.
+
+        ``broadcast_keys``: the request side broadcasts by default (the
+        batched-point-lookup shape — the feature table never shuffles).
+        Pass False when the "request" is itself table-sized (a 100M-key
+        backfill): the hint drops and AQE picks a sort-merge join; with
+        the bucketed layout (writers.write_feature_table) the join stays
+        pruned. Same rows either way (tested).
         """
         entity = self.registry.entity(entity_label)
         selectors = self._resolve(entity, selections)  # P1 validation
@@ -244,7 +252,7 @@ class FeatureStore:
 
         # J1: left join per store — request keys are small; broadcast them
         # so the big feature tables never shuffle
-        joined = F.broadcast(uniq)
+        joined = F.broadcast(uniq) if broadcast_keys else uniq
         for sid, sels in by_store.items():
             table = store_tables[sid]
             # P4: expired rows are absent (negative-cache semantics at
@@ -283,7 +291,8 @@ class FeatureStore:
             # bag-semantics join restores request multiplicity). No orderBy:
             # a global sort is pure cost at scale; DataFrames are unordered
             # and callers needing request order can carry their own index.
-            result = keys.join(F.broadcast(result), on=entity.key_columns, how="left")
+            fanout = F.broadcast(result) if broadcast_keys else result
+            result = keys.join(fanout, on=entity.key_columns, how="left")
         return result
 
     def retrieve_decoded(self, *args, **kwargs) -> DataFrame:

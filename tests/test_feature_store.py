@@ -305,3 +305,30 @@ def test_materialize_and_compact(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["user_id"] == 1
     # idempotent
     assert fs.compact("user", now=F.lit("2026-01-01").cast("timestamp")) == 0
+
+
+def test_retrieve_without_broadcast_matches(spark, sf_dir, tmp_path):
+    """SCALE.md claim, pinned: a table-sized request set (broadcast_keys=
+    False -> AQE sort-merge join) returns exactly the broadcast plan's
+    rows."""
+    from bharatmlstack_spark import fixtures
+    from bharatmlstack_spark.plans import explain_formatted
+
+    fs = FeatureStore(spark, fixtures.user_registry(), str(tmp_path / "nf"))
+    feats = fixtures.user_features(spark, sf_dir)
+    keys = fixtures.request_keys(spark, sf_dir)
+    sel = {"demo_int32": ["age"], "demo_str": ["location"]}
+
+    a = fs.retrieve("user", sel, keys, feature_table=feats)
+    ra = sorted(tuple(r) for r in a.collect())
+    # disable auto-broadcast so the no-hint plan genuinely sort-merges
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b = fs.retrieve("user", sel, keys, feature_table=feats, broadcast_keys=False)
+        plan = explain_formatted(b)
+        assert "BroadcastHashJoin" not in plan and "SortMergeJoin" in plan
+        rb = sorted(tuple(r) for r in b.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert ra == rb
