@@ -316,6 +316,24 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_percentile_value")  # rows-only: sketch estimates are engine-specific
+def sketch_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch) p50/p95/p99 per
+    event_type — the percentile path at 100 TB, where exact percentile's
+    per-group sorted buffer stops fitting. pytest pins rank error <= 1e-3
+    of exact; rows-only here (sketch internals are engine-specific)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias("p")
+    ).select(
+        "event_type",
+        F.col("p")[0].alias("p50"),
+        F.col("p")[1].alias("p95"),
+        F.col("p")[2].alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # chunking + sequence packing (corpus -> fixed-budget training sequences)
 # ---------------------------------------------------------------------------

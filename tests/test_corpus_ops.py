@@ -207,3 +207,29 @@ def test_pack_sequences_sharding_is_disjoint(spark):
     assert per_shard == {0: 10, 1: 10, 2: 10, 3: 10}
     # offsets restart per shard
     assert out.filter((F.col("tokens_before") == 0)).count() == 4
+
+
+def test_sketch_percentile_close_to_exact(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    approx = {
+        r.event_type: (r.p50, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("p"))
+        .select("event_type", F.col("p")[0].alias("p50"), F.col("p")[1].alias("p95"))
+        .collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for et, (a50, a95) in approx.items():
+        e50, e95 = exact[et]
+        # accuracy=10000 -> rank error ~1e-4; allow small value slack
+        assert abs(a50 - e50) <= max(0.05 * abs(e50), 0.3), (et, a50, e50)
+        assert abs(a95 - e95) <= max(0.05 * abs(e95), 0.3), (et, a95, e95)
