@@ -149,3 +149,79 @@ def test_rpn_differential_vs_python(spark):
                     " ".join(toks),
                     row_in,
                 )
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a driver-side union-find reference
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # component label = min node id reachable
+    out = {}
+    for n in nodes:
+        r = find(n)
+        out[n] = min(out.get(r, r), r)
+    return {n: find(n) for n in nodes}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    from bharatmlstack_spark.operators.graph import connected_components
+    nodes = sorted({n for e in edges for n in e})
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    # union-find reference: label every node with min reachable id
+    want = _union_find_components(edges, nodes)
+    # normalize the reference to min-reachable labels
+    comp_min = {}
+    for n, r in want.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[r] for n, r in want.items()}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sequence packing invariants
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(1, 300), min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_invariants(spark, tokens):
+    from bharatmlstack_spark.operators.chunking import pack_sequences
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], ["doc_id", "n_tokens"]
+    )
+    rows = pack_sequences(df, budget=256, n_shards=3).collect()
+    assert len(rows) == len(tokens)  # every doc lands exactly once
+    by_shard = {}
+    for r in rows:
+        assert r.shard == r.doc_id % 3
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in shard_rows:
+            assert r.tokens_before == offset  # contiguous offsets per shard
+            assert r.bin == offset // 256  # bin = start offset / budget
+            offset += tokens[r.doc_id]
