@@ -601,6 +601,41 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "min_cost_supplier",
+    oracle="""
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT c.l_partkey AS partkey, c.l_suppkey AS suppkey, CAST(c.cost AS DOUBLE) AS cost
+FROM costs c
+WHERE c.l_partkey < 200
+  AND c.cost = (SELECT MIN(c2.cost) FROM costs c2 WHERE c2.l_partkey = c.l_partkey)
+""",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery (min supply cost per
+    part) — Catalyst de-correlates it into an aggregate + join, the
+    rewrite the reference has no analog for. Costs are exact decimals so
+    the correlated equality is engine-identical."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_q2")
+    return spark.sql(
+        """
+        WITH costs AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))) AS cost
+          FROM __li_q2 GROUP BY l_partkey, l_suppkey
+        )
+        SELECT c.l_partkey AS partkey, c.l_suppkey AS suppkey, CAST(c.cost AS DOUBLE) AS cost
+        FROM costs c
+        WHERE c.l_partkey < 200
+          AND c.cost = (SELECT MIN(c2.cost) FROM costs c2 WHERE c2.l_partkey = c.l_partkey)
+        """
+    )
+
+
+@query(
     "events_interarrival",
     oracle="""
 SELECT user_id,
