@@ -601,6 +601,27 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, CAST(floor(value / 5.0) AS BIGINT)
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (the monitoring/drift
+    profile) — one map-side bucket expression + one aggregate; at 100 TB
+    the output is |types| x |buckets| rows, partial aggs do the work."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 5.0).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "min_cost_supplier",
     oracle="""
 WITH costs AS (
