@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "sequence_packing",
     "negative_sampling",
     "pq_ann_topk",
+    "tfidf_top_terms",
+    "doc_chunks",
 ]
 
 

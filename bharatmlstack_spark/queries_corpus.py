@@ -101,6 +101,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     never O(n^2)); the injected duplicate corpus guarantees known
     positives whenever a doc and its copy land in different splits."""
     c = corpus(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)  # spread the 5-gram map off the 3 union branches
     split = F.when(
         (F.col("doc_id") * SP.KNUTH) % 100 < 80, F.lit("train")
     ).otherwise(F.lit("test"))
