@@ -300,6 +300,51 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("id_a", "id_b"))
 
 
+@query(
+    "dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE {CORPUS_SQL.strip()},
+{_SHINGLE_SQL.strip()},
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+),
+dropped AS (
+  SELECT node FROM reach GROUP BY node HAVING node != MIN(lab)
+)
+SELECT c.doc_id, c.lang FROM corpus c
+ANTI JOIN dropped d ON c.doc_id = d.node
+""",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus: near-dup clusters keep their minimum doc_id,
+    every other cluster member is dropped — pairs -> components ->
+    anti-join, the complete keep-one-per-cluster dedup decision in one
+    composable plan (the demo's step 4, oracle-checked)."""
+    c = corpus(spark, sf_dir)
+    pairs = DD.ngram_jaccard_pairs_prefix(
+        c, id_col="doc_id", text_col="text", n=3, threshold=0.8
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    dropped = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return c.join(dropped, on="doc_id", how="left_anti").select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # cardinality sketch (the 100 TB distinct-count path)
 # ---------------------------------------------------------------------------
