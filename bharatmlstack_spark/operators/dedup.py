@@ -385,8 +385,10 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (brute force; swap the pair
-    source for operators/lsh.py buckets at scale)."""
+    """All pairs with cosine >= threshold — brute force O(n^2). This is the
+    ORACLE form only; the registered query and the scale path use
+    :func:`embedding_near_dup_pairs_lsh` (banded candidates, never
+    all-pairs)."""
     from bharatmlstack_spark.functions.vector import cosine_similarity
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
@@ -394,6 +396,62 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("emb_a", "emb_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH banding — the 100 TB
+    shape: candidates come from an equi-join on (band_idx, band_hash), so
+    work scales with bucket occupancy, never n^2.
+
+    Parameter trade: band_bits = n_planes/n_bands sets bucket sparsity
+    (2^bits buckets per band — candidate count divides by it) vs recall.
+    A pair at cosine c collides per plane with p = 1 - acos(c)/pi and is
+    missed only if ALL bands differ: (1 - p^bits)^bands. The defaults
+    (64 planes, 8 bands x 8 bits) target NEAR-EXACT dedup: 256 buckets per
+    band, miss ~8e-5 at c=0.99, and exact duplicates (identical vectors =>
+    identical signatures) are NEVER missed. For a looser threshold (0.9-ish
+    semantic dup) use more bands of fewer bits and accept denser buckets.
+    Verified exact against the brute-force form on the test corpus.
+    """
+    from bharatmlstack_spark.functions.vector import cosine_similarity
+    from bharatmlstack_spark.operators.lsh import LshIndex
+
+    idx = LshIndex(
+        dim, n_planes=n_planes, n_bands=n_bands, seed=seed,
+        id_col=id_col, emb_col=emb_col,
+    )
+    # both join branches read the banded index: persist so the signature
+    # UDF runs once (n_bands rows/vector — tiny next to the raw vectors)
+    banded = idx.index(df).persist()  # (id, emb, band_idx, band_hash)
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("emb_a"),
+        "band_idx",
+        "band_hash",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("emb_b"),
+        "band_idx",
+        "band_hash",
+    )
+    return (
+        a.join(b, on=["band_idx", "band_hash"])  # bucket equi-join
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])  # a pair may share several bands
         .withColumn("cosine", cosine_similarity("emb_a", "emb_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -35,6 +35,24 @@ from pyspark.sql import Window
 from bharatmlstack_spark.registry import DataType, Entity, FeatureGroup, SchemaRegistry
 from bharatmlstack_spark.functions.quantize import check_quantization_compat, quantize_column
 
+BUCKET_COL = "key_bucket"
+
+
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API so feature tables
+    can live on HDFS/S3/GCS, not just the driver-local filesystem
+    (``os.path.exists`` silently returns False for ``s3a://...``)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
+    """Same hash-bucket as sources.writers.write_feature_table — the parquet
+    analog of Scylla token-range routing (scylla.go:80-167)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
 
 
 @dataclass
@@ -78,10 +96,19 @@ class FeatureStore:
     typed columns; parquet ZSTD replaces opportunistic block compression.
     """
 
-    def __init__(self, spark: SparkSession, registry: SchemaRegistry, base_path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: SchemaRegistry,
+        base_path: str,
+        n_buckets: int = 64,
+    ):
         self.spark = spark
         self.registry = registry
         self.base_path = base_path
+        # hash-bucket fan-out of the physical layout; must stay constant for
+        # the lifetime of a table (it defines the partition directories)
+        self.n_buckets = n_buckets
 
     def _table_path(self, entity_label: str, store_id: int = 0) -> str:
         return os.path.join(self.base_path, entity_label, f"store_{store_id}")
@@ -145,25 +172,100 @@ class FeatureStore:
         else:
             out = out.dropDuplicates(entity.key_columns)
 
+        # physical layout: hash-bucket partition column (writers.py layout);
+        # an upsert then only touches the bucket directories its keys hash
+        # into — the other (n_buckets - touched) directories never rewrite
+        out = out.withColumn(
+            BUCKET_COL, _bucket_expr(entity.key_columns, self.n_buckets)
+        )
+
         path = self._table_path(entity_label, store_id)
-        if os.path.exists(path):
-            existing = self.spark.read.parquet(path)
-            out = out.withColumn("__w", F.lit(1))
-            existing = existing.withColumn("__w", F.lit(0))
-            merged = existing.unionByName(out, allowMissingColumns=True)
-            w = Window.partitionBy(*entity.key_columns).orderBy(F.desc("__w"))
-            out = (
-                merged.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn", "__w")
+        if not hadoop_path_exists(self.spark, path):
+            (
+                out.repartition(BUCKET_COL)
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(path)
             )
-            # parquet can't overwrite a path being read: stage then swap
-            tmp = path + "__staging"
-            out.write.mode("overwrite").parquet(tmp)
-            final = self.spark.read.parquet(tmp)
-            final.write.mode("overwrite").parquet(path)
+            return
+
+        existing = self.spark.read.parquet(path)
+        legacy = BUCKET_COL not in existing.columns
+        if legacy:
+            # pre-bucketed table: migrate to the partitioned layout on this
+            # write (one full rewrite, then scoped forever after)
+            existing = existing.withColumn(
+                BUCKET_COL, _bucket_expr(entity.key_columns, self.n_buckets)
+            )
+            touched = None
         else:
-            out.write.mode("overwrite").parquet(path)
+            # the incoming batch is the small side by contract — the list of
+            # touched buckets is <= n_buckets driver-side values
+            touched = sorted(
+                r[0] for r in out.select(BUCKET_COL).distinct().collect()
+            )
+            # partition pruning: only touched bucket dirs are read
+            existing = existing.filter(F.col(BUCKET_COL).isin(touched))
+
+        merged = self._merge_columnwise(existing, out, entity)
+
+        # parquet can't overwrite a path being read: stage then swap. With
+        # the partitioned layout the final write uses dynamic partition
+        # overwrite, so ONLY the touched bucket directories are replaced.
+        tmp = path + "__staging"
+        (
+            merged.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tmp)
+        )
+        final = self.spark.read.parquet(tmp)
+        writer = (
+            final.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+        )
+        if not legacy:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+        writer.parquet(path)
+
+    @staticmethod
+    def _merge_columnwise(existing: DataFrame, incoming: DataFrame, entity: Entity) -> DataFrame:
+        """Column-wise upsert merge (the reference's per-FG column write:
+        PersistV2 INSERTs only that FG's columns and Scylla leaves the rest
+        of the row intact — scylla.go:168-253).
+
+        For each key: columns PRESENT in the incoming batch take the
+        incoming value (including explicit NULLs — the cell-tombstone
+        semantics of writing null); columns ABSENT from the batch keep the
+        stored value. A single-FG persist therefore never nulls another
+        FG's columns on the same row.
+        """
+        keys = entity.key_columns
+        inc = incoming.withColumn("__present", F.lit(1)).alias("n")
+        ex = existing.alias("e")
+        cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+        joined = ex.join(inc, cond, "full_outer")
+        matched = F.col("n.__present").isNotNull()
+
+        cols: list[Column] = [
+            F.coalesce(F.col(f"n.{k}"), F.col(f"e.{k}")).alias(k) for k in keys
+        ]
+        value_cols = [c for c in existing.columns if c not in keys]
+        value_cols += [
+            c for c in incoming.columns if c not in keys and c not in value_cols
+        ]
+        for c in value_cols:
+            in_new = c in incoming.columns
+            in_old = c in existing.columns
+            if in_new and in_old:
+                expr = F.when(matched, F.col(f"n.{c}")).otherwise(F.col(f"e.{c}"))
+            elif in_new:
+                expr = F.col(f"n.{c}")
+            else:
+                expr = F.col(f"e.{c}")
+            cols.append(expr.alias(c))
+        return joined.select(*cols)
 
     def load(self, entity_label: str, store_id: int = 0) -> DataFrame:
         return self.spark.read.parquet(self._table_path(entity_label, store_id))
@@ -195,8 +297,16 @@ class FeatureStore:
         if removed:
             path = self._table_path(entity_label, store_id)
             tmp = path + "__staging"
-            live.write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            if BUCKET_COL in table.columns:
+                live.repartition(BUCKET_COL).write.mode("overwrite").partitionBy(
+                    BUCKET_COL
+                ).parquet(tmp)
+                self.spark.read.parquet(tmp).repartition(BUCKET_COL).write.mode(
+                    "overwrite"
+                ).partitionBy(BUCKET_COL).parquet(path)
+            else:
+                live.write.mode("overwrite").parquet(tmp)
+                self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
         return removed
 
     # ------------------------------------------------------------------
@@ -250,6 +360,16 @@ class FeatureStore:
         # A6: dedup request keys before the join, fan out after
         uniq = keys.dropDuplicates(entity.key_columns)
 
+        # bucket-partitioned layout: compute the same hash bucket on the
+        # request side and make it a join key — dynamic partition pruning
+        # then skips every untouched bucket directory at the scan (the
+        # token-range routing of scylla.go:80-167, without a driver collect)
+        bucketed = any(BUCKET_COL in t.columns for t in store_tables.values())
+        if bucketed:
+            uniq = uniq.withColumn(
+                BUCKET_COL, _bucket_expr(entity.key_columns, self.n_buckets)
+            )
+
         # J1: left join per store — request keys are small; broadcast them
         # so the big feature tables never shuffle
         joined = F.broadcast(uniq) if broadcast_keys else uniq
@@ -261,13 +381,18 @@ class FeatureStore:
                 table = table.filter(
                     F.col("expires_at").isNull() | (F.col("expires_at") > now)
                 )
+            join_keys = list(entity.key_columns)
+            if BUCKET_COL in table.columns:
+                join_keys.append(BUCKET_COL)
             # column pruning: only this store's requested FG columns leave
             # the scan (FG->store projection, scylla.go:93-107)
             needed = [s.output_column for s in sels]
             table = table.select(
-                *entity.key_columns, *[c for c in needed if c in table.columns]
+                *join_keys, *[c for c in needed if c in table.columns]
             )
-            joined = joined.join(table, on=entity.key_columns, how="left")
+            joined = joined.join(table, on=join_keys, how="left")
+        if bucketed:
+            joined = joined.drop(BUCKET_COL)
 
         # P3 defaults + P2 quantization
         cols: list[Column] = [F.col(k) for k in entity.key_columns]

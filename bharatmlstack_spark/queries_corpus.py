@@ -482,20 +482,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF, top-5 terms per doc (first 100 docs): token
     explode -> two key-local aggregates (term df broadcasts back) -> per-
     doc top-k window. The df table is vocabulary-sized, tiny next to the
-    corpus; rounded 6dp (ln is IEEE-identical, the product fold is not)."""
+    corpus; rounded 6dp (ln is IEEE-identical, the product fold is not).
+    n_docs folds in as a 1-row broadcast cross join — ONE documents scan
+    in the plan, no driver-side count action."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = d.count()
     tokens = d.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
     )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), on="term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
-        ).alias("tfidf"),
+    # tf is consumed by three branches (df agg, corpus-size agg, scoring):
+    # materialize it ONCE so the scan + explode + first shuffle never repeat.
+    # tf is the per-(doc, term) table — dedup'd counts, far smaller than the
+    # raw token stream it summarizes.
+    tf = (
+        tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size as a 1-row broadcast cross join — no driver-side count
+    # action, no second documents scan (every doc has >=1 token row: even
+    # empty text yields the '' term in both engines)
+    n = tf.agg(F.countDistinct("doc_id").cast("double").alias("__n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(F.broadcast(n))  # 1-row cross join, broadcast — no shuffle
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window
 

@@ -567,7 +567,7 @@ def cube_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_sessionize",
     oracle="""
-SELECT event_id, user_id, session_id FROM (
+SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM (
   SELECT event_id, user_id,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id

@@ -168,15 +168,20 @@ FROM pairs WHERE ROUND(cosine, 6) >= 0.99
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: injected exact copies must pair at
-    cosine 1.0. Rounded to 6dp (dot-fold order differs from DuckDB's
-    list_dot_product)."""
+    """Embedding-cosine near-dup via LSH-banded candidate pairs (the scale
+    path — bucket equi-join, never all-pairs; the brute-force cross join
+    survives only as the DuckDB oracle). Injected exact copies have
+    identical signatures, so banding recall for them is exactly 1. Rounded
+    to 6dp (dot-fold order differs from DuckDB's list_dot_product)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     dup = e.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
     ec = e.unionAll(dup)
-    out = DD.embedding_near_dup_pairs(ec, id_col="vec_id", threshold=-2.0)
+    dim = len(ec.select("embedding").head()[0])
+    out = DD.embedding_near_dup_pairs_lsh(
+        ec, dim=dim, id_col="vec_id", threshold=-2.0
+    )
     return (
         out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.99)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bharatmlstack_spark.operators.event_store import EventStore
-from bharatmlstack_spark.operators.feature_store import FeatureStore
+from bharatmlstack_spark.operators.feature_store import FeatureStore, hadoop_path_exists
 
 # ---------------------------------------------------------------------------
 # sources
@@ -106,12 +106,11 @@ def stream_event_retention(
     parquet event state and re-trim to top-N per (user, week) — exactly
     EventStore.merge_trim, so late/out-of-order arrivals re-sort within
     their week (SS4, persist/click.go:165-182)."""
-    import os
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if os.path.exists(state_path):
+        if hadoop_path_exists(spark, state_path):
             existing = spark.read.parquet(state_path)
             merged = store.merge_trim(existing, batch_df)
         else:
@@ -227,23 +226,35 @@ def stream_dedup_sink(
     the anti-join's bloom/shuffle handles; content never re-scans. Exactness
     is up to 64-bit collisions (the batch-side trade documented in
     dedup.exact_dedup on fingerprints).
+
+    Idempotence under at-least-once replay: output and state both land in
+    hive-style ``batch_id=N`` subdirectories. The state subdirectory is the
+    commit marker and is written LAST; a replayed batch whose state dir
+    already exists is skipped outright, and a replay after a partial
+    failure (output written, state not) deterministically overwrites its
+    own output dir before committing state — the same document can never
+    append twice.
     """
-    import os
 
     def _dedup(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        state_dir = f"{state_path}/batch_id={batch_id}"
+        if hadoop_path_exists(spark, state_dir):
+            return  # already committed — checkpoint replay
         b = batch_df.withColumn("__fp", F.xxhash64(F.col(content_col)))
         w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
         b = b.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
-        if os.path.exists(state_path):
-            seen = spark.read.parquet(state_path)
+        if hadoop_path_exists(spark, state_path):
+            seen = spark.read.parquet(state_path).select("__fp")
             b = b.join(seen, on="__fp", how="left_anti")
         # persist the batch result once; both writes reuse it
         b = b.persist()
         try:
-            b.drop("__fp").write.mode("append").parquet(out_path)
-            b.select("__fp").write.mode("append").parquet(state_path)
+            b.drop("__fp").write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+            b.select("__fp").write.mode("overwrite").parquet(state_dir)
         finally:
             b.unpersist()
 

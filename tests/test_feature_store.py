@@ -332,3 +332,89 @@ def test_retrieve_without_broadcast_matches(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert ra == rb
+
+
+def test_persist_partial_fg_preserves_other_fg_columns(fs, spark):
+    """Column-wise upsert (scylla.go:168-253 — PersistV2 INSERTs only the
+    batch's columns; Scylla leaves the rest of the row intact): a later
+    batch carrying only ONE FG's column must not null the other FG's
+    stored value for the same key."""
+    fs.persist(
+        "user",
+        spark.createDataFrame(
+            [(1, 30, "blr"), (2, 40, "del")],
+            ["user_id", "demo_int32__age", "demo_str__location"],
+        ),
+    )
+    # partial batch: only the age column, only key 1
+    fs.persist(
+        "user", spark.createDataFrame([(1, 99)], ["user_id", "demo_int32__age"])
+    )
+    rows = {
+        r["user_id"]: (r["demo_int32__age"], r["demo_str__location"])
+        for r in fs.load("user").collect()
+    }
+    assert rows[1] == (99, "blr")  # age updated, location preserved
+    assert rows[2] == (40, "del")  # untouched key fully preserved
+
+
+def test_persist_rewrites_only_touched_buckets(spark, tmp_path):
+    """Scale contract: an upsert rewrites a STRICT SUBSET of the bucket
+    partition directories — untouched key_bucket dirs keep their files
+    byte-identical (mtime + name)."""
+    import os
+
+    fs2 = FeatureStore(
+        spark, fixtures.user_registry(), str(tmp_path / "feat2"), n_buckets=8
+    )
+    base = spark.range(0, 64).select(
+        F.col("id").alias("user_id"), (F.col("id") % 60).cast("int").alias("demo_int32__age")
+    )
+    fs2.persist("user", base)
+    path = fs2._table_path("user")
+    def snapshot():
+        snap = {}
+        for d in sorted(os.listdir(path)):
+            if d.startswith("key_bucket="):
+                full = os.path.join(path, d)
+                snap[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return snap
+
+    before = snapshot()
+    assert len(before) > 1  # layout actually fanned out
+    # single-key upsert -> exactly one bucket touched
+    fs2.persist(
+        "user", spark.createDataFrame([(7, 59)], ["user_id", "demo_int32__age"])
+    )
+    after = snapshot()
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1  # strict subset: one bucket dir rewritten
+    rows = {r["user_id"]: r["demo_int32__age"] for r in fs2.load("user").collect()}
+    assert rows[7] == 59 and len(rows) == 64
+
+
+def test_retrieve_after_bucketed_persist_roundtrip(spark, tmp_path):
+    """retrieve() over the bucket-partitioned layout joins on the bucket
+    column too (dynamic partition pruning path) and returns clean rows."""
+    fs2 = FeatureStore(
+        spark, fixtures.user_registry(), str(tmp_path / "feat3"), n_buckets=8
+    )
+    fs2.persist(
+        "user",
+        spark.createDataFrame(
+            [(1, 30, "blr"), (2, 40, "del")],
+            ["user_id", "demo_int32__age", "demo_str__location"],
+        ),
+    )
+    keys = spark.createDataFrame([(1,), (2,), (777,)], ["user_id"])
+    out = fs2.retrieve(
+        "user", {"demo_int32": ["age"], "demo_str": ["location"]}, keys, now=_now()
+    )
+    assert "key_bucket" not in out.columns
+    rows = {r["user_id"]: (r["demo_int32__age"], r["demo_str__location"]) for r in out.collect()}
+    assert rows[1] == (30, "blr") and rows[2] == (40, "del")
+    assert rows[777] == (0, "NA")  # defaults for missing key

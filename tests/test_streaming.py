@@ -260,3 +260,38 @@ def test_attribution_join_stream_stream(spark, tmp_path):
     assert {(r.user_id, r.click_id, r.order_id) for r in rows} == {
         (1, 100, 900), (1, 101, 900)
     }
+
+
+def test_stream_dedup_sink_replay_idempotent(spark, tmp_path):
+    """At-least-once replay safety: re-running a batch whose state commit
+    already exists is a no-op — the same documents never append twice
+    (output + state land in batch_id-keyed dirs; state is the commit
+    marker, written last)."""
+    from bharatmlstack_spark.streaming.ingest import stream_dedup_sink
+
+    src = str(tmp_path / "rp_src")
+    state = str(tmp_path / "rp_state")
+    out = str(tmp_path / "rp_out")
+
+    _write_json_batch(
+        src, [{"doc_id": 1, "text": "alpha"}, {"doc_id": 2, "text": "beta"}]
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_dedup_sink(
+        stream, state, out, str(tmp_path / "rp_ck"), spark,
+        content_col="text", id_col="doc_id", trigger_once=True,
+    )
+    q.awaitTermination(120)
+
+    # simulate checkpoint replay: fresh checkpoint dir re-delivers batch 0
+    stream2 = spark.readStream.schema("doc_id long, text string").json(src)
+    q2 = stream_dedup_sink(
+        stream2, state, out, str(tmp_path / "rp_ck_replay"), spark,
+        content_col="text", id_col="doc_id", trigger_once=True,
+    )
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]  # no double append
+    fps = spark.read.parquet(state).select("__fp").collect()
+    assert len(fps) == 2

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -54,9 +55,14 @@ def main() -> int:
 
     queries, oracles = all_queries(), all_oracles()
     failed = []
+    attempted = 0
+    rows_only = 0
+    t_total = time.time()
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        attempted += 1
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -66,7 +72,11 @@ def main() -> int:
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"OK?   {name}: rows={len(s_rows)} (no oracle — rows-only check)")
+            rows_only += 1
+            print(
+                f"OK?   {name}: rows={len(s_rows)} (no oracle — rows-only check)"
+                f" [{time.time() - t0:.2f}s]"
+            )
             continue
         try:
             res = con.execute(oracles[name])
@@ -93,8 +103,13 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failed.append(name)
         else:
-            print(f"PASS  {name}: rows={len(s_rows)}")
-    print(f"\n{len(queries) - len(failed)}/{len(queries)} queries pass")
+            print(f"PASS  {name}: rows={len(s_rows)} [{time.time() - t0:.2f}s]")
+    skipped = len(queries) - attempted
+    print(
+        f"\n{attempted - len(failed)}/{attempted} attempted pass"
+        f" ({rows_only} rows-only, {skipped} skipped,"
+        f" {len(queries)} registered) [{time.time() - t_total:.1f}s total]"
+    )
     return 1 if failed else 0
 
 
