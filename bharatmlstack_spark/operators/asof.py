@@ -39,7 +39,11 @@ def as_of_join(
 
     ``tolerance_ms``: optional max lookback — a feature older than
     ``label_ts - tolerance_ms`` is treated as absent (stale-feature guard).
-    Timestamps are epoch-ms BIGINT columns.
+    Staleness is judged PER COLUMN: each column forward-fills independently
+    (``last(c, ignorenulls)``), so when the newest feature row has NULL in
+    column ``c`` the served value comes from an older row — the guard must
+    compare against the timestamp of the row that value actually came from,
+    not the newest feature row overall. Timestamps are epoch-ms BIGINT.
     """
     lab = labels.withColumn("__ts", F.col(label_ts).cast("long")).withColumn(
         "__is_label", F.lit(1)
@@ -57,18 +61,23 @@ def as_of_join(
         .orderBy(F.asc("__ts"), F.asc("__is_label"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = merged
+    # Fill value and its per-column source timestamp from the SAME original
+    # column in one projection (chained withColumn would make the ts
+    # expression see the already-filled value). All expressions share one
+    # window spec -> a single shuffle+sort regardless of column count.
+    exprs = []
     for c in feature_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    if tolerance_ms is not None:
-        feat_ts_fill = F.last(
-            F.when(F.col("__is_label") == 0, F.col("__ts")), ignorenulls=True
-        ).over(w)
-        stale = feat_ts_fill < F.col("__ts") - F.lit(int(tolerance_ms))
-        for c in feature_cols:
-            filled = filled.withColumn(
-                c, F.when(stale | feat_ts_fill.isNull(), F.lit(None)).otherwise(F.col(c))
-            )
+        val = F.last(c, ignorenulls=True).over(w)
+        if tolerance_ms is not None:
+            # __ts of the feature row this column's value actually came from
+            ts_c = F.last(
+                F.when((F.col("__is_label") == 0) & F.col(c).isNotNull(), F.col("__ts")),
+                ignorenulls=True,
+            ).over(w)
+            val = F.when(ts_c >= F.col("__ts") - F.lit(int(tolerance_ms)), val)
+        exprs.append(val.alias(c))
+    others = [F.col(c) for c in merged.columns if c not in feature_cols]
+    filled = merged.select(*others, *exprs)
     return (
         filled.filter(F.col("__is_label") == 1)
         .drop("__is_label", "__ts")

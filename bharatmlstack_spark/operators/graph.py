@@ -77,5 +77,15 @@ def connected_components(
         labels = new_labels.drop("__chg")
         if changed == 0:
             break
+    else:
+        # labels still moving when max_iter ran out: partial min-labels
+        # would silently split one cluster into several, and downstream
+        # dedup_survivors would keep multiple members of one cluster.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); graph diameter exceeds "
+            "max_iter — raise max_iter or use star-contraction for "
+            "long-chain graphs"
+        )
 
     return labels.select("node", F.col("label").alias("component"))

@@ -61,6 +61,133 @@ def kafka_event_source(
     return kafka_feature_source(spark, brokers, topic, value_schema)
 
 
+def decode_persist_queries(
+    df: DataFrame,
+    registry,
+    entity_label: str,
+    value_col: str = "value",
+    key_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Decode protobuf ``persist.Query`` payloads (the reference's actual
+    Kafka wire format, online-feature-store/pkg/proto/persist.proto:36-41)
+    into wide feature rows — one output row per ``Data`` entry.
+
+    Works identically on batch and streaming DataFrames (``mapInPandas``
+    is supported in both), so the streaming source decodes with the exact
+    code the round-trip test pins. The codec is
+    :mod:`bharatmlstack_spark.functions.protowire` — a pure-python proto3
+    wire implementation (no protobuf lib in the sandbox); payloads encoded
+    by any standard protobuf library parse (packed and unpacked accepted).
+
+    Column mapping mirrors the py-sdk push client in reverse
+    (spark_feature_push_client/client.py:47-150): per FG the declared
+    DataType picks the typed repeated field; feature order inside it is
+    the message's own ``feature_labels`` order. ``key_values`` arrive as
+    strings (proto schema) and cast to ``key_types`` when given.
+    """
+    from pyspark.sql import types as T
+
+    from bharatmlstack_spark.query_registry import ensure_workers_have_package
+    from bharatmlstack_spark.registry import DataType
+
+    entity = registry.entity(entity_label)
+    spark = df.sparkSession
+    ensure_workers_have_package(spark)
+
+    fields = [T.StructField(k, T.StringType(), True) for k in entity.key_columns]
+    fg_types: dict[str, DataType] = {}
+    for fg in entity.feature_groups.values():
+        fg_types[fg.label] = fg.data_type
+        fields.extend(fg.spark_fields)
+    schema = T.StructType(fields)
+    out_cols = [f.name for f in fields]
+    key_cols = list(entity.key_columns)
+    fg_datatype = {label: dt.value for label, dt in fg_types.items()}
+
+    # DataType -> Values wire field (client.py:80-150's switch, reversed)
+    def wire_field(dt_name: str) -> str:
+        base = dt_name.removesuffix("Vector")
+        if base.startswith(("FP8", "FP16", "FP32")):
+            return "fp32_values"
+        if base == "FP64":
+            return "fp64_values"
+        if base in ("Int8", "Int16", "Int32"):
+            return "int32_values"
+        if base == "Int64":
+            return "int64_values"
+        if base in ("Uint8", "Uint16", "Uint32"):
+            return "uint32_values"
+        if base == "Uint64":
+            return "uint64_values"
+        if base == "String":
+            return "string_values"
+        if base == "Bool":
+            return "bool_values"
+        raise ValueError(f"no wire field for {dt_name}")
+
+    def gen(batches):
+        import pandas as pd
+
+        from bharatmlstack_spark.functions import protowire
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for raw in pdf[value_col]:
+                q = protowire.decode_query(bytes(raw))
+                if q["entity_label"] != entity.label:
+                    raise ValueError(
+                        f"payload entity {q['entity_label']!r} != {entity.label!r}"
+                    )
+                for data in q["data"]:
+                    row = dict(zip(q["keys_schema"], data["key_values"]))
+                    for (fg_label, feats), vals in zip(
+                        q["fg_schemas"], data["feature_values"]
+                    ):
+                        dt_name = fg_datatype[fg_label]
+                        fld = wire_field(dt_name)
+                        vector = dt_name.endswith("Vector")
+                        for i, feat in enumerate(feats):
+                            col = f"{fg_label}__{feat}"
+                            if vector:
+                                vec = vals.get("vector", [])
+                                row[col] = (
+                                    list(vec[i].get(fld, [])) if i < len(vec) else None
+                                )
+                            else:
+                                lst = vals.get(fld, [])
+                                row[col] = lst[i] if i < len(lst) else None
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    out = df.select(value_col).mapInPandas(gen, schema)
+    for k, t in (key_types or {}).items():
+        out = out.withColumn(k, F.col(k).cast(t))
+    return out
+
+
+def protobuf_feature_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    registry,
+    entity_label: str,
+    key_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """SS1 with the reference's real wire format: Kafka records whose value
+    is a serialized ``persist.Query`` (what the py-sdk Spark push client
+    produces), decoded distributed via :func:`decode_persist_queries`."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return decode_persist_queries(
+        raw, registry, entity_label, value_col="value", key_types=key_types
+    )
+
+
 # ---------------------------------------------------------------------------
 # sinks (foreachBatch -> batch operators)
 # ---------------------------------------------------------------------------

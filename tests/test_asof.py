@@ -45,6 +45,24 @@ def test_asof_tolerance(frames):
     assert got[4] is None  # 1500 - 100 = 1400 > 200: stale -> absent
 
 
+def test_asof_tolerance_per_column(spark):
+    """ADVICE r1: staleness must be judged per column. The newest feature
+    row (in tolerance) has NULL in `a`, so `a` forward-fills from an older
+    row that is OUTSIDE tolerance -> `a` must be absent while `b` (carried
+    by the fresh row) survives."""
+    labels = spark.createDataFrame([(1, 1, 1000)], ["label_id", "k", "ts"])
+    feats = spark.createDataFrame(
+        [(1, 100, 7.0, "old"), (1, 950, None, "new")],
+        "k long, fts long, a double, b string",
+    )
+    out = as_of_join(
+        labels, feats, on=["k"], label_ts="ts", feature_ts="fts",
+        feature_cols=["a", "b"], tolerance_ms=200,
+    ).collect()[0]
+    assert out["a"] is None  # value came from ts=100, age 900 > 200
+    assert out["b"] == "new"  # value came from ts=950, age 50 <= 200
+
+
 def test_asof_multiple_feature_columns(spark):
     labels = spark.createDataFrame([(1, 1, 100)], ["label_id", "k", "ts"])
     feats = spark.createDataFrame([(1, 50, 1.0, "x")], ["k", "fts", "a", "b"])

@@ -175,3 +175,14 @@ def test_week_partitioned_events_prune(spark, tmp_path):
     assert loaded.count() == 4  # Jan 1,3,5,7 fall in the Jan-1 ISO week
     plan = explain_formatted(loaded)
     assert "PartitionFilters" in plan  # pruning happens at the source
+
+
+def test_dedup_embedding_cosine_no_cartesian(spark, sf_dir, qs):
+    """VERDICT r1 item 3: the registered embedding near-dup query must use
+    the LSH bucket equi-join — never a cross/nested-loop join over the
+    collection (the brute-force form survives only as the DuckDB oracle)."""
+    df = qs["dedup_embedding_cosine"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

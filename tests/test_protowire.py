@@ -1,0 +1,133 @@
+"""Protobuf persist.Query wire format: pure-codec round trip + Spark
+decode -> persist -> retrieve round trip (batch and streaming), mirroring
+the py-sdk push client's encoding (client.py:47-150) in reverse."""
+
+import pytest
+
+from bharatmlstack_spark import fixtures
+from bharatmlstack_spark.functions import protowire as pw
+
+
+def _sample_query():
+    # what the py-sdk client would emit for two user rows with every FG kind
+    fg_schemas = [
+        ("demo_int32", ["age"]),
+        ("demo_fp", ["acct_bal"]),
+        ("demo_str", ["location", "subscription_type"]),
+        ("demo_bool", ["is_active"]),
+        ("demo_vec", ["taste_vec"]),
+    ]
+    data = [
+        {
+            "key_values": ["1"],
+            "feature_values": [
+                {"int32_values": [34]},
+                {"fp32_values": [12.5]},
+                {"string_values": ["blr", "premium"]},
+                {"bool_values": [True]},
+                {"vector": [{"fp32_values": [0.5, 0.25, -1.0, 2.0, 0.0, 1.0, 3.5, -0.5]}]},
+            ],
+        },
+        {
+            "key_values": ["2"],
+            "feature_values": [
+                {"int32_values": [-7]},  # negative int32 exercises varint 2c
+                {"fp32_values": [-3.25]},
+                {"string_values": ["del", "none"]},
+                {"bool_values": [False]},
+                {"vector": [{"fp32_values": [1.0] * 8}]},
+            ],
+        },
+    ]
+    return ("user", ["user_id"], fg_schemas, data)
+
+
+def test_codec_round_trip():
+    entity, keys, fgs, data = _sample_query()
+    wire = pw.encode_query(entity, keys, fgs, data)
+    q = pw.decode_query(wire)
+    assert q["entity_label"] == "user"
+    assert q["keys_schema"] == ["user_id"]
+    assert q["fg_schemas"] == fgs
+    assert q["data"][0]["key_values"] == ["1"]
+    assert q["data"][0]["feature_values"][0]["int32_values"] == [34]
+    assert q["data"][1]["feature_values"][0]["int32_values"] == [-7]
+    assert q["data"][0]["feature_values"][2]["string_values"] == ["blr", "premium"]
+    assert q["data"][1]["feature_values"][3]["bool_values"] == [False]
+    assert q["data"][0]["feature_values"][4]["vector"][0]["fp32_values"][2] == -1.0
+
+
+def test_codec_unpacked_ints_accepted():
+    # some encoders emit unpacked repeated ints; decoder must accept both
+    body = pw._tag(3, 0) + pw._enc_varint(5) + pw._tag(3, 0) + pw._enc_varint(7)
+    assert pw.decode_values(bytes(body))["int32_values"] == [5, 7]
+
+
+def test_codec_rejects_malformed():
+    with pytest.raises(ValueError):
+        pw.decode_values(b"\xff" * 12)  # runaway varint
+
+
+def test_spark_decode_persist_retrieve_round_trip(spark, tmp_path):
+    """The full reference ingest path: py-sdk-style protobuf encode ->
+    distributed decode -> FeatureStore.persist -> green retrieve."""
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+    from bharatmlstack_spark.streaming.ingest import decode_persist_queries
+
+    wire = pw.encode_query(*_sample_query())
+    payloads = spark.createDataFrame([(wire,)], "value binary")
+    decoded = decode_persist_queries(
+        payloads, fixtures.user_registry(), "user", key_types={"user_id": "bigint"}
+    )
+    fs = FeatureStore(spark, fixtures.user_registry(), str(tmp_path / "pbfeat"))
+    fs.persist("user", decoded)
+
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame([(1,), (2,)], ["user_id"])
+    out = fs.retrieve(
+        "user",
+        {
+            "demo_int32": ["age"],
+            "demo_str": ["location"],
+            "demo_vec": ["taste_vec"],
+            "demo_bool": ["is_active"],
+        },
+        keys,
+        now=F.lit(fixtures.FIXED_NOW).cast("timestamp"),
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert rows[1]["demo_int32__age"] == 34
+    assert rows[2]["demo_int32__age"] == -7
+    assert rows[1]["demo_str__location"] == "blr"
+    assert rows[2]["demo_bool__is_active"] is False
+    assert rows[1]["demo_vec__taste_vec"][2] == -1.0
+    assert len(rows[2]["demo_vec__taste_vec"]) == 8
+
+
+def test_streaming_protobuf_ingest(spark, tmp_path):
+    """SS1 with the real wire format: a stream of persist.Query payloads
+    decoded + upserted per micro-batch; retrieve sees the features."""
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+    from bharatmlstack_spark.streaming.ingest import (
+        decode_persist_queries,
+        feature_upsert_sink,
+    )
+
+    src = str(tmp_path / "pb_src")
+    wire = pw.encode_query(*_sample_query())
+    spark.createDataFrame([(wire,)], "value binary").write.parquet(src)
+
+    stream = spark.readStream.schema("value binary").parquet(src)
+    decoded = decode_persist_queries(
+        stream, fixtures.user_registry(), "user", key_types={"user_id": "bigint"}
+    )
+    fs = FeatureStore(spark, fixtures.user_registry(), str(tmp_path / "pbfeat2"))
+    q = feature_upsert_sink(
+        decoded, fs, "user", str(tmp_path / "pb_ck"), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    rows = {r["user_id"]: r for r in fs.load("user").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["demo_fp__acct_bal"] == 12.5
