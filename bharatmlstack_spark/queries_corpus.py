@@ -433,7 +433,7 @@ packed AS (
 )
 SELECT doc_id, shard,
        CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
-       (cum - n_tokens) AS tokens_before
+       CAST(cum - n_tokens AS BIGINT) AS tokens_before
 FROM packed
 """,
 )

@@ -489,11 +489,99 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("feature_retrieve_quantized")  # rows-only: fp16/fp8 round-trip has no SQL twin
+def _quantized_oracle() -> str:
+    """DuckDB twin of the fp16 / fp8-E5M2 round-trips.
+
+    Both formats are tiny value grids, so the oracle materializes the
+    non-negative codebooks (fp16: 31744 finite codes; E5M2: 124) with exact
+    integer arithmetic and rounds by nearest-even ASOF lookup — the same
+    semantics as ``quantize.fp16_roundtrip_np`` / ``fp8e5m2_roundtrip_np``
+    (which mirror pkg/float8/float8_e5m2.go: E5M2 = round-to-nearest-even
+    at bit 8 of the fp16 pattern, i.e. double rounding fp32->fp16->E5M2).
+    Tie-to-even == codebook-index parity; 65536.0 is the virtual next-binade
+    value whose selection means overflow-to-infinity.
+    """
+    from bharatmlstack_spark.fixtures import (
+        LIVE_FEATURES_CTE,
+        REQUEST_KEYS_CTE,
+        USER_FEATURES_CTE,
+    )
+
+    return f"""
+WITH {USER_FEATURES_CTE},
+{LIVE_FEATURES_CTE},
+{REQUEST_KEYS_CTE},
+halfs AS (
+  SELECT i AS code,
+         CASE WHEN i < 1024 THEN (i / 1024.0) * POWER(2.0, -14)
+              ELSE (1.0 + (i % 1024) / 1024.0) * POWER(2.0, (i // 1024) - 15) END AS v
+  FROM generate_series(0, 31743) AS t(i)
+),
+e5m2 AS (
+  SELECT i AS code,
+         CASE WHEN i < 4 THEN (i / 4.0) * POWER(2.0, -14)
+              ELSE (1.0 + (i % 4) / 4.0) * POWER(2.0, (i // 4) - 15) END AS v
+  FROM generate_series(0, 123) AS t(i)
+),
+qin AS (
+  SELECT k.user_id,
+         CAST(COALESCE(f.demo_fp__acct_bal, CAST(0.0 AS FLOAT)) AS DOUBLE) AS bal,
+         CAST(COALESCE(f.demo_vec__taste_vec[1], CAST(0.0 AS FLOAT)) AS DOUBLE) AS t0
+  FROM request_keys k LEFT JOIN live f USING (user_id)
+),
+q2 AS (
+  SELECT user_id, t0,
+         ABS(bal) AS abal, CASE WHEN signbit(bal) THEN -1.0 ELSE 1.0 END AS sbal,
+         ABS(t0) AS at0, CASE WHEN signbit(t0) THEN -1.0 ELSE 1.0 END AS st0
+  FROM qin
+),
+r1 AS (  -- fp16(bal): nearest-even over the half grid
+  SELECT q.user_id, q.at0, q.st0,
+         q.sbal * CASE WHEN (q.abal - lo.v) < (COALESCE(hi.v, 65536.0) - q.abal)
+                         OR ((q.abal - lo.v) = (COALESCE(hi.v, 65536.0) - q.abal)
+                             AND lo.code % 2 = 0)
+                       THEN lo.v ELSE COALESCE(hi.v, 65536.0) END AS bal16
+  FROM q2 q
+  ASOF JOIN halfs lo ON q.abal >= lo.v
+  LEFT JOIN halfs hi ON hi.code = lo.code + 1
+),
+r2 AS (  -- fp16(t0): first rounding step of the E5M2 double-round
+  SELECT r.user_id, r.st0, r.bal16,
+         CASE WHEN (r.at0 - lo.v) < (COALESCE(hi.v, 65536.0) - r.at0)
+                OR ((r.at0 - lo.v) = (COALESCE(hi.v, 65536.0) - r.at0)
+                    AND lo.code % 2 = 0)
+              THEN lo.v ELSE COALESCE(hi.v, 65536.0) END AS t0h
+  FROM r1 r
+  ASOF JOIN halfs lo ON r.at0 >= lo.v
+  LEFT JOIN halfs hi ON hi.code = lo.code + 1
+),
+r3 AS (  -- E5M2(fp16(t0)): second rounding step
+  SELECT r.user_id, r.st0, r.bal16,
+         CASE WHEN r.t0h >= 65536.0 THEN r.t0h  -- fp16 overflow -> stays inf
+              WHEN (r.t0h - lo.v) < (COALESCE(hi.v, 65536.0) - r.t0h)
+                OR ((r.t0h - lo.v) = (COALESCE(hi.v, 65536.0) - r.t0h)
+                    AND lo.code % 2 = 0)
+              THEN lo.v ELSE COALESCE(hi.v, 65536.0) END AS t0e
+  FROM r2 r
+  ASOF JOIN e5m2 lo ON least(r.t0h, 65535.0) >= lo.v
+  LEFT JOIN e5m2 hi ON hi.code = lo.code + 1
+)
+SELECT user_id,
+       CAST(CASE WHEN ABS(bal16) >= 65536.0
+                 THEN CASE WHEN bal16 < 0 THEN CAST('-infinity' AS DOUBLE)
+                           ELSE CAST('infinity' AS DOUBLE) END
+                 ELSE bal16 END AS FLOAT) AS bal_fp16,
+       CAST(st0 * CASE WHEN t0e >= 65536.0 THEN CAST('infinity' AS DOUBLE)
+                       ELSE t0e END AS FLOAT) AS taste0_fp8
+FROM r3
+"""
+
+
+@query("feature_retrieve_quantized", oracle=_quantized_oracle())
 def feature_retrieve_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/F9 end-to-end: @DataTypeFP16 and @DataTypeFP8E5M2 cast-on-read
-    projections (pinned bit-exact against pkg/float8 vectors in
-    tests/test_quantize.py; DuckDB has no half/fp8 codec)."""
+    projections, pinned bit-exact against pkg/float8 vectors in
+    tests/test_quantize.py AND against a DuckDB codebook oracle."""
     from bharatmlstack_spark import fixtures
     from bharatmlstack_spark.operators.feature_store import FeatureStore
 
