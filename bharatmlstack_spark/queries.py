@@ -667,59 +667,8 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
 QUERY_PRIORITY: list[str] = [
-    # -- unique-operator originals (driver-green in r01) --
-    "q1_pricing_summary",
-    "feature_retrieve",
-    "feature_retrieve_decoded",
-    "feature_missing_keys",
-    "events_merge_trim",
-    "events_range_user",
-    "events_union_types",
-    "events_weekly_buckets",
-    "rpn_score",
-    "norm_min_max",
-    "percentile_rank",
-    "norm_percentile_5_95",
-    "knn_dot",
-    "knn_euclidean",
-    "dot_score_ids",
-    "filter_candidates",
-    "q3_shipping_priority",
-    "entity_resolution_join",
-    "pair_expansion",
-    "pipeline_inference",
-    "last_write_wins",
-    "percentile_by_group",
-    "segment_except",
-    "uint64_decimal_sum",
-    "feature_retrieve_quantized",
-    "events_retention_window",
-    "events_sessionize",
-    "grouping_sets_orders",
-    "key_string_join",
-    # -- families with no CORRECTNESS row in r01 (VERDICT item 1) --
-    "feature_retrieve_composite",
-    "feature_schema_evolution",
-    "materialize_user_features",
-    "asof_feature_join",
-    "range_join_sessions",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "dedup_survivors",
-    "text_stats",
-    "lang_id_heuristic",
-    "quality_score",
-    "doc_fingerprint",
-    "doc_chunks",
-    "sequence_packing",
-    "tfidf_top_terms",
-    "train_test_split",
-    "stratified_sample",
-    "corpus_mix_sample",
-    "contamination_check",
-    # ---- position 51+: variants of families already covered above ----
+    # ---- never driver-verified before round 3 (VERDICT r02 item 1):
+    # the 13 queries that sat past the 50-entry cap in r01+r02 ----
     "negative_sampling",
     "ngram_topk",
     "feature_stats",
@@ -733,12 +682,71 @@ QUERY_PRIORITY: list[str] = [
     "dedup_simhash",
     "sketch_distinct_users",
     "sketch_percentile_value",
+    # ---- newly-fixed oracles (r02 red rows) ----
+    "sequence_packing",
+    "feature_retrieve_quantized",
+    # ---- ANN + multimodal: implemented r01/r02, never a driver row ----
     "ann_lsh_dot",
     "ann_ivf_dot",
     "pq_ann_topk",
     "multimodal_features",
+    # ---- new round-3 queries (streaming e2e SS1/SS2, S9, S10) ----
+    "stream_persist_retrieve",
+    "inference_log_readback",
+    "metadata_dim_join",
+    # ---- backfill: most load-bearing greens (r01/r02-verified) ----
+    "q1_pricing_summary",
+    "feature_retrieve",
+    "feature_retrieve_decoded",
+    "feature_missing_keys",
+    "feature_retrieve_composite",
+    "materialize_user_features",
+    "events_merge_trim",
+    "events_range_user",
+    "events_weekly_buckets",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "dedup_survivors",
+    "asof_feature_join",
+    "range_join_sessions",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "contamination_check",
+    "train_test_split",
+    "text_stats",
+    "quality_score",
+    "knn_dot",
+    "filter_candidates",
+    "rpn_score",
+    "norm_percentile_5_95",
+    "entity_resolution_join",
+    # ---- position 51+: greens pushed out of the window this round;
+    # all have r01/r02 passes on unchanged code ----
+    "events_union_types",
     "rpn_bool_compare",
     "rpn_literal_div",
+    "norm_min_max",
+    "percentile_rank",
+    "knn_euclidean",
+    "dot_score_ids",
+    "q3_shipping_priority",
+    "pair_expansion",
+    "pipeline_inference",
+    "last_write_wins",
+    "percentile_by_group",
+    "segment_except",
+    "uint64_decimal_sum",
+    "events_retention_window",
+    "grouping_sets_orders",
+    "key_string_join",
+    "feature_schema_evolution",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "stratified_sample",
+    "corpus_mix_sample",
     "topk_orders",
     "q5_region_revenue",
     "slate_expansion",
