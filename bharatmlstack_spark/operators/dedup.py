@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bharatmlstack_spark.query_registry import defer_unpersist
+
 
 def tokenize(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -155,6 +157,7 @@ def ngram_jaccard_pairs_prefix(
             "shingles"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    defer_unpersist(sets)
     sh = sets.select(
         "id",
         F.size("shingles").alias("__n"),
@@ -435,7 +438,7 @@ def embedding_near_dup_pairs_lsh(
     )
     # both join branches read the banded index: persist so the signature
     # UDF runs once (n_bands rows/vector — tiny next to the raw vectors)
-    banded = idx.index(df).persist()  # (id, emb, band_idx, band_hash)
+    banded = defer_unpersist(idx.index(df).persist())  # (id, emb, band_idx, band_hash)
     a = banded.select(
         F.col(id_col).alias("id_a"),
         F.col(emb_col).alias("emb_a"),

@@ -48,6 +48,53 @@ def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+# sidecar inside the table dir; leading underscore keeps it invisible to
+# parquet file discovery (same convention as _SUCCESS)
+TABLE_META_FILE = "_bharatml_table_meta.json"
+
+
+def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Small-file write through the Hadoop FS API (works on HDFS/S3/GCS)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def hadoop_read_text(spark: SparkSession, path: str) -> str | None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return str(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def write_table_meta(spark: SparkSession, table_path: str, n_buckets: int) -> None:
+    import json
+
+    hadoop_write_text(
+        spark,
+        os.path.join(table_path, TABLE_META_FILE),
+        json.dumps({"n_buckets": n_buckets}),
+    )
+
+
+def read_table_meta(spark: SparkSession, table_path: str) -> dict | None:
+    import json
+
+    text = hadoop_read_text(spark, os.path.join(table_path, TABLE_META_FILE))
+    return None if text is None else json.loads(text)
+
+
 def _bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
     """Same hash-bucket as sources.writers.write_feature_table — the parquet
     analog of Scylla token-range routing (scylla.go:80-167)."""
@@ -106,9 +153,26 @@ class FeatureStore:
         self.spark = spark
         self.registry = registry
         self.base_path = base_path
-        # hash-bucket fan-out of the physical layout; must stay constant for
-        # the lifetime of a table (it defines the partition directories)
+        # hash-bucket fan-out of the physical layout; it defines the
+        # partition directories, so it must stay constant for the lifetime
+        # of a table. The constructor arg only applies to NEW tables: an
+        # existing table's stored value (TABLE_META_FILE sidecar, written at
+        # creation) always wins — a mismatched opener would otherwise hash
+        # keys into the wrong directories (stale duplicates on persist,
+        # default-filled misses on retrieve).
         self.n_buckets = n_buckets
+        self._nb_cache: dict[str, int] = {}
+
+    def _effective_n_buckets(self, path: str) -> int:
+        """Stored n_buckets for an existing table; ctor arg for a new one."""
+        if path not in self._nb_cache:
+            nb = self.n_buckets
+            if hadoop_path_exists(self.spark, path):
+                meta = read_table_meta(self.spark, path)
+                if meta and "n_buckets" in meta:
+                    nb = int(meta["n_buckets"])
+            self._nb_cache[path] = nb
+        return self._nb_cache[path]
 
     def _table_path(self, entity_label: str, store_id: int = 0) -> str:
         return os.path.join(self.base_path, entity_label, f"store_{store_id}")
@@ -174,12 +238,13 @@ class FeatureStore:
 
         # physical layout: hash-bucket partition column (writers.py layout);
         # an upsert then only touches the bucket directories its keys hash
-        # into — the other (n_buckets - touched) directories never rewrite
-        out = out.withColumn(
-            BUCKET_COL, _bucket_expr(entity.key_columns, self.n_buckets)
-        )
-
+        # into — the other (n_buckets - touched) directories never rewrite.
+        # For an existing table the STORED bucket count wins over the ctor
+        # arg (a different modulus would route keys to the wrong dirs).
         path = self._table_path(entity_label, store_id)
+        nb = self._effective_n_buckets(path)
+        out = out.withColumn(BUCKET_COL, _bucket_expr(entity.key_columns, nb))
+
         if not hadoop_path_exists(self.spark, path):
             (
                 out.repartition(BUCKET_COL)
@@ -187,6 +252,7 @@ class FeatureStore:
                 .partitionBy(BUCKET_COL)
                 .parquet(path)
             )
+            write_table_meta(self.spark, path, nb)
             return
 
         existing = self.spark.read.parquet(path)
@@ -195,7 +261,7 @@ class FeatureStore:
             # pre-bucketed table: migrate to the partitioned layout on this
             # write (one full rewrite, then scoped forever after)
             existing = existing.withColumn(
-                BUCKET_COL, _bucket_expr(entity.key_columns, self.n_buckets)
+                BUCKET_COL, _bucket_expr(entity.key_columns, nb)
             )
             touched = None
         else:
@@ -228,6 +294,10 @@ class FeatureStore:
         if not legacy:
             writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.parquet(path)
+        # stamp the sidecar on tables created before metadata existed (or
+        # just migrated from the pre-bucketed layout)
+        if read_table_meta(self.spark, path) is None:
+            write_table_meta(self.spark, path, nb)
 
     @staticmethod
     def _merge_columnwise(existing: DataFrame, incoming: DataFrame, entity: Entity) -> DataFrame:
@@ -349,12 +419,19 @@ class FeatureStore:
         if feature_table is not None:
             store_tables: dict[int, DataFrame] = {0: feature_table}
             by_store = {0: selectors}
+            nb_by_store: dict[int, int] = {0: self.n_buckets}
         else:
             by_store = {}
             for s in selectors:
                 sid = entity.fg(s.fg_label).store_id
                 by_store.setdefault(sid, []).append(s)
             store_tables = {sid: self.load(entity_label, sid) for sid in by_store}
+            # request-side bucket hashing must use each table's STORED
+            # modulus, not the ctor arg (see __init__)
+            nb_by_store = {
+                sid: self._effective_n_buckets(self._table_path(entity_label, sid))
+                for sid in by_store
+            }
 
         keys = keys_df.select(*entity.key_columns)
         # A6: dedup request keys before the join, fan out after
@@ -364,10 +441,20 @@ class FeatureStore:
         # request side and make it a join key — dynamic partition pruning
         # then skips every untouched bucket directory at the scan (the
         # token-range routing of scylla.go:80-167, without a driver collect)
-        bucketed = any(BUCKET_COL in t.columns for t in store_tables.values())
+        bucketed_nbs = {
+            nb_by_store[sid]
+            for sid, t in store_tables.items()
+            if BUCKET_COL in t.columns
+        }
+        if len(bucketed_nbs) > 1:
+            raise ValueError(
+                f"bucketed stores disagree on n_buckets ({sorted(bucketed_nbs)}); "
+                "retrieve them separately"
+            )
+        bucketed = bool(bucketed_nbs)
         if bucketed:
             uniq = uniq.withColumn(
-                BUCKET_COL, _bucket_expr(entity.key_columns, self.n_buckets)
+                BUCKET_COL, _bucket_expr(entity.key_columns, next(iter(bucketed_nbs)))
             )
 
         # J1: left join per store — request keys are small; broadcast them

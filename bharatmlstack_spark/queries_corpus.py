@@ -18,7 +18,7 @@ from bharatmlstack_spark.operators import profile as PR
 from bharatmlstack_spark.operators import sampling as SP
 from bharatmlstack_spark.operators.dedup import word_shingles
 from bharatmlstack_spark.operators.graph import connected_components
-from bharatmlstack_spark.query_registry import query
+from bharatmlstack_spark.query_registry import defer_unpersist, query
 from bharatmlstack_spark.queries_text import CORPUS_SQL, _SHINGLE_SQL, corpus
 
 # ---------------------------------------------------------------------------
@@ -459,12 +459,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_top_terms",
     oracle=r"""
 WITH tokens AS (
-  SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term
+  SELECT doc_id, lower(unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term),
 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
-n AS (SELECT COUNT(*) AS n_docs FROM documents),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tokens),
 scored AS (
   SELECT tf.doc_id, tf.term,
          ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
@@ -486,14 +486,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs folds in as a 1-row broadcast cross join — ONE documents scan
     in the plan, no driver-side count action."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # coalesce keeps NULL-text docs in the token stream (as the '' term, same
+    # as empty text) so both engines' n_docs = countDistinct over tokens
+    # stays symmetric with the oracle CTE — no second documents scan needed
     tokens = d.select(
-        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+        ).alias("term"),
     )
     # tf is consumed by three branches (df agg, corpus-size agg, scoring):
     # materialize it ONCE so the scan + explode + first shuffle never repeat.
     # tf is the per-(doc, term) table — dedup'd counts, far smaller than the
     # raw token stream it summarizes.
-    tf = (
+    tf = defer_unpersist(
         tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -170,9 +170,18 @@ FROM pairs WHERE ROUND(cosine, 6) >= 0.99
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via LSH-banded candidate pairs (the scale
     path — bucket equi-join, never all-pairs; the brute-force cross join
-    survives only as the DuckDB oracle). Injected exact copies have
-    identical signatures, so banding recall for them is exactly 1. Rounded
-    to 6dp (dot-fold order differs from DuckDB's list_dot_product)."""
+    survives only as the DuckDB oracle). Rounded to 6dp (dot-fold order
+    differs from DuckDB's list_dot_product).
+
+    Corpus assumption (why an exact oracle can gate an LSH query): the only
+    pairs at rounded cosine >= 0.99 in the fixture are the injected EXACT
+    copies (vec_id % 50 == 0 duplicated at +10000), whose signatures are
+    identical in every band — recall exactly 1, no probabilistic miss. The
+    random base embeddings sit far below the threshold (~8e-5 band-miss
+    probability would only matter for a non-copy pair at 0.99+, which the
+    uniform fixture doesn't produce). tests/test_dedup.py pins LSH ==
+    brute-force on the current corpus; re-pin if the corpus generator
+    changes."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     dup = e.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"

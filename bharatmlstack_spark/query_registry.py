@@ -13,6 +13,30 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# DataFrames persisted by a query whose cache must outlive the call (the
+# caller materializes the returned plan AFTER the function returns, so the
+# query itself can't try/finally-unpersist). Each registered query drains
+# this list on entry, so over a sequential run (the driver's gate, bench)
+# at most one query's caches are live at a time; the final query's cache is
+# freed at session stop.
+_PENDING_UNPERSIST: list[DataFrame] = []
+
+
+def defer_unpersist(df: DataFrame) -> DataFrame:
+    """Mark a persisted DataFrame to be unpersisted when the next registered
+    query starts (see _PENDING_UNPERSIST)."""
+    _PENDING_UNPERSIST.append(df)
+    return df
+
+
+def drain_pending_unpersist() -> None:
+    while _PENDING_UNPERSIST:
+        df = _PENDING_UNPERSIST.pop()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 - session already stopped
+            pass
+
 
 def ensure_workers_have_package(spark: SparkSession) -> None:
     """Ship this package to executor Python workers via addPyFile.
@@ -53,6 +77,7 @@ def query(name: str, oracle: str | None = None):
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_workers_have_package(spark)
+            drain_pending_unpersist()
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped

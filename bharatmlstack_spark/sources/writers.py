@@ -29,6 +29,8 @@ def write_feature_table(
     column. A point/batch retrieve computes the same bucket for its keys and
     prunes to matching directories (the parquet analog of Scylla's
     token-range routing, scylla.go:80-167)."""
+    from bharatmlstack_spark.operators.feature_store import write_table_meta
+
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
     (
         df.withColumn("key_bucket", bucket)
@@ -37,6 +39,9 @@ def write_feature_table(
         .partitionBy("key_bucket")
         .parquet(path)
     )
+    # stamp the bucket modulus so a FeatureStore opened with a different
+    # n_buckets adopts the table's layout instead of mis-hashing keys
+    write_table_meta(df.sparkSession, path, n_buckets)
 
 
 def read_feature_table_for_keys(spark, path: str, keys_df: DataFrame, key_cols: list[str], n_buckets: int = 64) -> DataFrame:

@@ -355,11 +355,12 @@ def stream_dedup_sink(
     dedup.exact_dedup on fingerprints).
 
     Idempotence under at-least-once replay: output and state both land in
-    hive-style ``batch_id=N`` subdirectories. The state subdirectory is the
-    commit marker and is written LAST; a replayed batch whose state dir
-    already exists is skipped outright, and a replay after a partial
-    failure (output written, state not) deterministically overwrites its
-    own output dir before committing state — the same document can never
+    hive-style ``batch_id=N`` subdirectories. The state subdirectory's
+    ``_SUCCESS`` file is the commit marker and is written LAST (committer
+    atomic-rename); a replayed batch whose state dir is committed is
+    skipped outright, and a replay after a partial failure (output written,
+    state dir present but uncommitted) deterministically overwrites its own
+    output and state dirs before committing — the same document can never
     append twice.
     """
 
@@ -367,7 +368,11 @@ def stream_dedup_sink(
         if batch_df.isEmpty():
             return
         state_dir = f"{state_path}/batch_id={batch_id}"
-        if hadoop_path_exists(spark, state_dir):
+        # the commit marker is the _SUCCESS file INSIDE the state dir, not
+        # the dir itself: FileOutputCommitter creates the directory (with
+        # _temporary) when the job starts, so a crash mid-state-write leaves
+        # the dir present but uncommitted — such a batch must re-run
+        if hadoop_path_exists(spark, f"{state_dir}/_SUCCESS"):
             return  # already committed — checkpoint replay
         b = batch_df.withColumn("__fp", F.xxhash64(F.col(content_col)))
         w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())

@@ -418,3 +418,35 @@ def test_retrieve_after_bucketed_persist_roundtrip(spark, tmp_path):
     rows = {r["user_id"]: (r["demo_int32__age"], r["demo_str__location"]) for r in out.collect()}
     assert rows[1] == (30, "blr") and rows[2] == (40, "del")
     assert rows[777] == (0, "NA")  # defaults for missing key
+
+
+def test_n_buckets_adopted_from_table_meta(spark, tmp_path):
+    """A FeatureStore opened with a DIFFERENT n_buckets than the table was
+    written with must adopt the stored modulus (sidecar metadata): upserts
+    keep routing keys to their original bucket dirs (no stale duplicates)
+    and retrieve's bucket join keeps matching stored rows."""
+    path = str(tmp_path / "featmeta")
+    w = FeatureStore(spark, fixtures.user_registry(), path, n_buckets=8)
+    w.persist(
+        "user",
+        spark.createDataFrame(
+            [(1, 30, "blr"), (2, 40, "del"), (3, 50, "bom")],
+            ["user_id", "demo_int32__age", "demo_str__location"],
+        ),
+    )
+    # reopen with a mismatched modulus
+    r = FeatureStore(spark, fixtures.user_registry(), path, n_buckets=64)
+    assert r._effective_n_buckets(r._table_path("user")) == 8
+    # upsert through the mismatched opener: must not duplicate key 1
+    r.persist(
+        "user",
+        spark.createDataFrame([(1, 31, "blr")], ["user_id", "demo_int32__age", "demo_str__location"]),
+    )
+    table = r.load("user")
+    assert table.filter(F.col("user_id") == 1).count() == 1
+    # retrieve through yet another mismatched opener: stored values, not defaults
+    q = FeatureStore(spark, fixtures.user_registry(), path, n_buckets=17)
+    keys = spark.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    out = q.retrieve("user", {"demo_int32": ["age"]}, keys, now=_now())
+    rows = {x["user_id"]: x["demo_int32__age"] for x in out.collect()}
+    assert rows == {1: 31, 2: 40, 3: 50}
