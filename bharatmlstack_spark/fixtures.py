@@ -63,6 +63,32 @@ def user_registry() -> SchemaRegistry:
     return reg
 
 
+def user_narrow_registry() -> SchemaRegistry:
+    """Registry variant declaring the float FGs at NARROW storage widths —
+    demo_fp as FP16 (SMALLINT bit patterns on disk) and demo_vec as
+    FP8E5M2Vector (TINYINT codes on disk). Values read back are exactly the
+    fp16 / E5M2 round-trips of what was persisted (F9; ref
+    perm_storage_datablock_v2.go:365-392)."""
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            label="user",
+            key_columns=["user_id"],
+            feature_groups={
+                "demo_fp": FeatureGroup(
+                    "demo_fp", 2, DataType.FP16,
+                    {1: [Feature("acct_bal", 0, default=0.0)]},
+                ),
+                "demo_vec": FeatureGroup(
+                    "demo_vec", 5, DataType.FP8E5M2_VECTOR,
+                    {1: [Feature("taste_vec", 0, default=0.0, vector_length=8)]},
+                ),
+            },
+        )
+    )
+    return reg
+
+
 def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of fixture 1: derived deterministically from customer."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")

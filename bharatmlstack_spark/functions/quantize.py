@@ -242,6 +242,37 @@ def fp8e5m2_decode_np(code: np.ndarray) -> np.ndarray:
     return u.view(np.float16).astype(np.float32)
 
 
+def fp8e4m3_encode_np(x: np.ndarray) -> np.ndarray:
+    """float -> E4M3FN code byte as int8 (storage form): sign bit | 7-bit
+    codebook index, nearest-even; overflow/NaN -> canonical 0x7F (matching
+    the reference's float8_e4m3.go overflow path)."""
+    xf = np.asarray(x, dtype=np.float64)
+    sign = np.signbit(xf)
+    ax = np.abs(xf)
+    nan = np.isnan(xf)
+    idx = np.searchsorted(_E4M3_POS, ax, side="left").clip(0, _E4M3_NAN_IDX)
+    lo_idx = np.maximum(idx - 1, 0)
+    lo = _E4M3_POS[lo_idx]
+    hi = _E4M3_POS[idx]
+    dlo = ax - lo
+    dhi = hi - ax
+    take_lo = (dlo < dhi) | ((dlo == dhi) & (lo_idx % 2 == 0))
+    near_idx = np.where(take_lo, lo_idx, idx)
+    to_nan = nan | (ax >= _E4M3_POS[-1]) | (near_idx == _E4M3_NAN_IDX)
+    code = (near_idx.astype(np.uint8) | (sign.astype(np.uint8) << 7)).astype(np.uint8)
+    code = np.where(to_nan, np.uint8(0x7F), code)
+    return code.view(np.int8)
+
+
+def fp8e4m3_decode_np(code: np.ndarray) -> np.ndarray:
+    u = np.asarray(code, dtype=np.int8).view(np.uint8)
+    idx = (u & 0x7F).astype(np.int64)
+    v = _E4M3_POS[idx]
+    out = np.where((u >> 7) == 1, -v, v)
+    out = np.where(idx == _E4M3_NAN_IDX, np.nan, out)
+    return out.astype(np.float32)
+
+
 
 
 def _make_scalar_udf(core, out_type):
@@ -260,10 +291,43 @@ def _make_decode_udf(core, in_dtype):
     return f
 
 
+def _make_vector_codec_udf(core, out_elem_type, in_np_dtype):
+    """Ragged list column codec: flatten -> one vectorized core pass ->
+    re-split (same shape as _vector_udf; Arrow-batched, never per-row)."""
+
+    @pandas_udf(T.ArrayType(out_elem_type))
+    def f(s: pd.Series) -> pd.Series:
+        lens = s.map(lambda v: 0 if v is None else len(v))
+        flat = (
+            np.concatenate([np.asarray(v, dtype=in_np_dtype) for v in s if v is not None])
+            if int(lens.sum())
+            else np.array([], dtype=in_np_dtype)
+        )
+        q = core(flat)
+        out, pos = [], 0
+        for n, v in zip(lens, s):
+            if v is None:
+                out.append(None)
+            else:
+                out.append(q[pos : pos + n])
+                pos += n
+        return pd.Series(out, index=s.index)
+
+    return f
+
+
 _FP16_ENCODE = _make_scalar_udf(fp16_encode_np, T.ShortType())
 _FP16_DECODE = _make_decode_udf(fp16_decode_np, np.int16)
 _FP8E5M2_ENCODE = _make_scalar_udf(fp8e5m2_encode_np, T.ByteType())
 _FP8E5M2_DECODE = _make_decode_udf(fp8e5m2_decode_np, np.int8)
+_FP8E4M3_ENCODE = _make_scalar_udf(fp8e4m3_encode_np, T.ByteType())
+_FP8E4M3_DECODE = _make_decode_udf(fp8e4m3_decode_np, np.int8)
+_FP16_ENCODE_V = _make_vector_codec_udf(fp16_encode_np, T.ShortType(), np.float64)
+_FP16_DECODE_V = _make_vector_codec_udf(fp16_decode_np, T.FloatType(), np.int16)
+_FP8E5M2_ENCODE_V = _make_vector_codec_udf(fp8e5m2_encode_np, T.ByteType(), np.float64)
+_FP8E5M2_DECODE_V = _make_vector_codec_udf(fp8e5m2_decode_np, T.FloatType(), np.int8)
+_FP8E4M3_ENCODE_V = _make_vector_codec_udf(fp8e4m3_encode_np, T.ByteType(), np.float64)
+_FP8E4M3_DECODE_V = _make_vector_codec_udf(fp8e4m3_decode_np, T.FloatType(), np.int8)
 
 
 def fp16_encode(col: Column) -> Column:
@@ -282,6 +346,24 @@ def fp8e5m2_encode(col: Column) -> Column:
 
 def fp8e5m2_decode(col: Column) -> Column:
     return _FP8E5M2_DECODE(col)
+
+
+# storage codec dispatch by narrow element type name -> (encode, decode)
+# in scalar and vector forms; consumed by FeatureStore's narrow-storage path
+STORAGE_CODECS: dict[str, dict[str, tuple]] = {
+    "FP16": {
+        "scalar": (_FP16_ENCODE, _FP16_DECODE),
+        "vector": (_FP16_ENCODE_V, _FP16_DECODE_V),
+    },
+    "FP8E5M2": {
+        "scalar": (_FP8E5M2_ENCODE, _FP8E5M2_DECODE),
+        "vector": (_FP8E5M2_ENCODE_V, _FP8E5M2_DECODE_V),
+    },
+    "FP8E4M3": {
+        "scalar": (_FP8E4M3_ENCODE, _FP8E4M3_DECODE),
+        "vector": (_FP8E4M3_ENCODE_V, _FP8E4M3_DECODE_V),
+    },
+}
 
 
 def register_sql_functions(spark: SparkSession) -> None:

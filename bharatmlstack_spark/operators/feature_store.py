@@ -236,16 +236,28 @@ class FeatureStore:
         else:
             out = out.dropDuplicates(entity.key_columns)
 
+        path = self._table_path(entity_label, store_id)
+        exists = hadoop_path_exists(self.spark, path)
+        existing = self.spark.read.parquet(path) if exists else None
+
+        # F9 narrow storage: fp16/fp8 FG columns write as bit-pattern
+        # integers (2x/4x denser than FLOAT; ref perm_storage_datablock_v2
+        # .go:365-392). Existing tables keep their stored width — mixing
+        # narrow and float files under one table would break parquet schema
+        # merge across partition dirs.
+        out = self._encode_narrow(
+            entity, out, dict(existing.dtypes) if existing is not None else None
+        )
+
         # physical layout: hash-bucket partition column (writers.py layout);
         # an upsert then only touches the bucket directories its keys hash
         # into — the other (n_buckets - touched) directories never rewrite.
         # For an existing table the STORED bucket count wins over the ctor
         # arg (a different modulus would route keys to the wrong dirs).
-        path = self._table_path(entity_label, store_id)
         nb = self._effective_n_buckets(path)
         out = out.withColumn(BUCKET_COL, _bucket_expr(entity.key_columns, nb))
 
-        if not hadoop_path_exists(self.spark, path):
+        if not exists:
             (
                 out.repartition(BUCKET_COL)
                 .write.mode("overwrite")
@@ -254,8 +266,6 @@ class FeatureStore:
             )
             write_table_meta(self.spark, path, nb)
             return
-
-        existing = self.spark.read.parquet(path)
         legacy = BUCKET_COL not in existing.columns
         if legacy:
             # pre-bucketed table: migrate to the partitioned layout on this
@@ -298,6 +308,33 @@ class FeatureStore:
         # just migrated from the pre-bucketed layout)
         if read_table_meta(self.spark, path) is None:
             write_table_meta(self.spark, path, nb)
+
+    @staticmethod
+    def _encode_narrow(
+        entity: Entity, df: DataFrame, existing_dtypes: dict[str, str] | None
+    ) -> DataFrame:
+        """Encode fp16/fp8 FG columns to their storage form (SMALLINT /
+        TINYINT bit patterns). A column already stored as float in an
+        existing table is left as float (legacy width is sticky)."""
+        from bharatmlstack_spark.functions.quantize import STORAGE_CODECS
+
+        cols: dict[str, Column] = {}
+        for fg in entity.feature_groups.values():
+            if not fg.data_type.is_narrow_float:
+                continue
+            kind = "vector" if fg.data_type.is_vector else "scalar"
+            enc, _dec = STORAGE_CODECS[fg.data_type.element.name][kind]
+            labels = {f.label for feats in fg.features.values() for f in feats}
+            for label in labels:
+                c = fg.column_name(label)
+                if c not in df.columns:
+                    continue
+                if existing_dtypes is not None and c in existing_dtypes:
+                    st = existing_dtypes[c]
+                    if "float" in st or "double" in st:
+                        continue  # legacy float-stored column stays float
+                cols[c] = enc(F.col(c))
+        return df.withColumns(cols) if cols else df
 
     @staticmethod
     def _merge_columnwise(existing: DataFrame, incoming: DataFrame, entity: Entity) -> DataFrame:
@@ -481,16 +518,28 @@ class FeatureStore:
         if bucketed:
             joined = joined.drop(BUCKET_COL)
 
-        # P3 defaults + P2 quantization
+        # P3 defaults + P2 quantization (+ F9 narrow-storage decode: applied
+        # AFTER the join so only result rows pay the pandas_udf, not every
+        # scanned row of the touched buckets)
+        joined_dtypes = dict(joined.dtypes)
+        narrow_stored = {"smallint", "tinyint", "array<smallint>", "array<tinyint>"}
+        from bharatmlstack_spark.functions.quantize import STORAGE_CODECS
+
         cols: list[Column] = [F.col(k) for k in entity.key_columns]
         for s in selectors:
             fg = entity.fg(s.fg_label)
             feat = fg.feature(s.feature_label)
-            base = (
-                F.col(s.output_column)
-                if s.output_column in joined.columns
-                else F.lit(None).cast(fg.data_type.spark_type)
-            )
+            if s.output_column in joined.columns:
+                base = F.col(s.output_column)
+                if (
+                    fg.data_type.is_narrow_float
+                    and joined_dtypes.get(s.output_column) in narrow_stored
+                ):
+                    kind = "vector" if fg.data_type.is_vector else "scalar"
+                    _enc, dec = STORAGE_CODECS[fg.data_type.element.name][kind]
+                    base = dec(base)
+            else:
+                base = F.lit(None).cast(fg.data_type.spark_type)
             col = self._with_default(base, fg, feat)
             if s.quantize_to is not None:
                 check_quantization_compat(fg.data_type, s.quantize_to)
@@ -590,7 +639,12 @@ class FeatureStore:
                     f"persist: column {name!r} is {field.dataType.simpleString()}, "
                     f"FG {fg.label!r} expects {expected.simpleString()}"
                 )
-            out = out.withColumn(name, F.col(name).cast(expected))
+            target = expected
+            if isinstance(expected, ArrayType) and not expected.containsNull:
+                # a nullable-element source can't cast to NOT NULL elements;
+                # coerce to the nullable variant (same values, same files)
+                target = ArrayType(expected.elementType, containsNull=True)
+            out = out.withColumn(name, F.col(name).cast(target))
         return out
 
     @staticmethod

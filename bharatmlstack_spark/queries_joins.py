@@ -579,19 +579,35 @@ FROM r3
 
 @query("feature_retrieve_quantized", oracle=_quantized_oracle())
 def feature_retrieve_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2/F9 end-to-end: @DataTypeFP16 and @DataTypeFP8E5M2 cast-on-read
-    projections, pinned bit-exact against pkg/float8 vectors in
-    tests/test_quantize.py AND against a DuckDB codebook oracle."""
+    """P2/F9 end-to-end THROUGH narrow storage: the fixture persists into a
+    real FP16/FP8E5M2 table (SMALLINT/TINYINT bit patterns on disk), then
+    retrieve decodes on read — the values that survive are exactly the
+    narrow round-trips, pinned bit-exact against pkg/float8 vectors in
+    tests/test_quantize.py AND against the DuckDB codebook oracle."""
+    import tempfile
+
     from bharatmlstack_spark import fixtures
     from bharatmlstack_spark.operators.feature_store import FeatureStore
 
-    fs = FeatureStore(spark, fixtures.user_registry(), base_path="/tmp/unused")
+    fs = FeatureStore(
+        spark,
+        fixtures.user_narrow_registry(),
+        base_path=tempfile.mkdtemp(prefix="bmls_narrow_"),
+        n_buckets=8,
+    )
+    feats = fixtures.user_features(spark, sf_dir).select(
+        "user_id",
+        "demo_fp__acct_bal",
+        "demo_vec__taste_vec",
+        "schema_version",
+        "expires_at",
+    )
+    fs.persist("user", feats)
     keys = fixtures.request_keys(spark, sf_dir)
     out = fs.retrieve(
         "user",
-        {"demo_fp": ["acct_bal@DataTypeFP16"], "demo_vec": ["taste_vec@DataTypeFP8E5M2Vector"]},
+        {"demo_fp": ["acct_bal"], "demo_vec": ["taste_vec"]},
         keys,
-        feature_table=fixtures.user_features(spark, sf_dir),
         now=F.lit(fixtures.FIXED_NOW).cast("timestamp"),
     )
     return out.select(

@@ -83,6 +83,25 @@ class DataType(str, Enum):
         return _SCALAR_SPARK[self]
 
     @property
+    def is_narrow_float(self) -> bool:
+        """True for formats parquet can't hold natively (fp16/fp8): stored
+        as integer bit patterns at 2x/4x density vs FLOAT (ref:
+        perm_storage_datablock_v2.go:365-392 packs these byte-exact)."""
+        return self.element.name in ("FP16", "FP8E5M2", "FP8E4M3")
+
+    @property
+    def storage_spark_type(self) -> T.DataType:
+        """On-disk type: SMALLINT bit pattern for fp16, TINYINT code for
+        fp8; identical to spark_type for everything else."""
+        if self.is_vector:
+            return T.ArrayType(self.element.storage_spark_type, containsNull=True)
+        if self.name == "FP16":
+            return T.ShortType()
+        if self.name in ("FP8E5M2", "FP8E4M3"):
+            return T.ByteType()
+        return self.spark_type
+
+    @property
     def precision_rank(self) -> int:
         """Rank for quantized-projection compatibility: a feature may only be
         projected at equal-or-lower precision (ref:

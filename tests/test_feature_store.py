@@ -450,3 +450,74 @@ def test_n_buckets_adopted_from_table_meta(spark, tmp_path):
     out = q.retrieve("user", {"demo_int32": ["age"]}, keys, now=_now())
     rows = {x["user_id"]: x["demo_int32__age"] for x in out.collect()}
     assert rows == {1: 31, 2: 40, 3: 50}
+
+
+def test_narrow_storage_persist_retrieve_roundtrip(spark, tmp_path):
+    """F9 through the STORE: an FP16 FG persists as SMALLINT and an
+    FP8E5M2Vector FG as array<tinyint> on disk; retrieve decodes back to
+    exactly the narrow round-trip values. Defaults still fill misses."""
+    import numpy as np
+
+    from bharatmlstack_spark.functions.quantize import (
+        fp8e5m2_roundtrip_np,
+        fp16_roundtrip_np,
+    )
+
+    fsn = FeatureStore(
+        spark, fixtures.user_narrow_registry(), str(tmp_path / "narrow"), n_buckets=4
+    )
+    vals = [(1, 1234.567, [0.1, 0.9]), (2, -0.0625, [0.5, 0.25])]
+    fsn.persist(
+        "user",
+        spark.createDataFrame(
+            vals, ["user_id", "demo_fp__acct_bal", "demo_vec__taste_vec"]
+        ),
+    )
+    stored = dict(fsn.load("user").dtypes)
+    assert stored["demo_fp__acct_bal"] == "smallint"
+    assert stored["demo_vec__taste_vec"] == "array<tinyint>"
+
+    keys = spark.createDataFrame([(1,), (2,), (99,)], ["user_id"])
+    out = fsn.retrieve(
+        "user", {"demo_fp": ["acct_bal"], "demo_vec": ["taste_vec"]}, keys, now=_now()
+    )
+    rows = {r["user_id"]: r for r in out.collect()}
+    for uid, bal, vec in vals:
+        exp_bal = float(fp16_roundtrip_np(np.array([bal]))[0])
+        exp_vec = [float(v) for v in fp8e5m2_roundtrip_np(np.array(vec))]
+        assert rows[uid]["demo_fp__acct_bal"] == exp_bal
+        assert rows[uid]["demo_vec__taste_vec"] == exp_vec
+    assert rows[99]["demo_fp__acct_bal"] == 0.0  # default fill for miss
+
+    # upsert keeps the narrow width and latest value wins
+    fsn.persist(
+        "user",
+        spark.createDataFrame([(1, 42.42, [1.0, 2.0])],
+                              ["user_id", "demo_fp__acct_bal", "demo_vec__taste_vec"]),
+    )
+    assert dict(fsn.load("user").dtypes)["demo_fp__acct_bal"] == "smallint"
+    out2 = fsn.retrieve("user", {"demo_fp": ["acct_bal"]},
+                        spark.createDataFrame([(1,)], ["user_id"]), now=_now())
+    assert out2.collect()[0]["demo_fp__acct_bal"] == float(
+        fp16_roundtrip_np(np.array([42.42]))[0]
+    )
+
+
+def test_e4m3_storage_codec_matches_roundtrip():
+    """decode(encode(x)) == roundtrip(x) for E4M3FN, incl sign/NaN/overflow."""
+    import numpy as np
+
+    from bharatmlstack_spark.functions.quantize import (
+        fp8e4m3_decode_np,
+        fp8e4m3_encode_np,
+        fp8e4m3_roundtrip_np,
+    )
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([
+        rng.uniform(-500, 500, 4000),
+        np.array([0.0, -0.0, 448.0, 449.0, -448.0, 1e9, -1e9, np.nan, 0.0009765625]),
+    ])
+    got = fp8e4m3_decode_np(fp8e4m3_encode_np(x))
+    exp = fp8e4m3_roundtrip_np(x)
+    np.testing.assert_array_equal(got.view(np.int32), exp.view(np.int32))
