@@ -277,3 +277,111 @@ def decode_query(buf: bytes) -> dict:
                     row["feature_values"].append(vals)
             q["data"].append(row)
     return q
+
+
+# ---------------------------------------------------------------------------
+# interaction-store time-series wire family
+# (interaction-store/pkg/proto/time_series.proto:16-34 — PersistClickData-
+# Request{user_id=1, data=2 repeated ClickData} and PersistOrderDataRequest
+# {user_id=1, data=2 repeated OrderData}; flat scalar messages, so a small
+# field-spec table drives both directions)
+# ---------------------------------------------------------------------------
+
+CLICK_DATA_FIELDS: dict[int, tuple[str, str]] = {
+    1: ("catalog_id", "int32"),
+    2: ("product_id", "int32"),
+    3: ("timestamp", "int64"),
+    4: ("metadata", "string"),
+}
+ORDER_DATA_FIELDS: dict[int, tuple[str, str]] = {
+    1: ("catalog_id", "int32"),
+    2: ("product_id", "int32"),
+    3: ("sub_order_num", "string"),
+    4: ("timestamp", "int64"),
+    5: ("metadata", "string"),
+}
+EVENT_FIELD_SPECS = {"click": CLICK_DATA_FIELDS, "order": ORDER_DATA_FIELDS}
+
+
+def _encode_flat(msg: dict, fields: dict[int, tuple[str, str]]) -> bytes:
+    """Encode a flat message of int32/int64/string fields (proto3 defaults
+    omitted: zero ints and empty strings write no bytes)."""
+    out = bytearray()
+    for field, (name, kind) in fields.items():
+        val = msg.get(name)
+        if kind == "string":
+            if val:
+                out += _enc_len(field, str(val).encode("utf-8"))
+        else:
+            if val:
+                out += _tag(field, _WT_VARINT) + _enc_varint(int(val))
+    return bytes(out)
+
+
+def _decode_flat(buf: bytes, fields: dict[int, tuple[str, str]]) -> dict:
+    # proto3 scalar defaults for absent fields
+    msg = {n: ("" if k == "string" else 0) for n, k in fields.values()}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _dec_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        spec = fields.get(field)
+        if spec is None:  # unknown field: skip per proto3 rules
+            if wt == _WT_VARINT:
+                _, pos = _dec_varint(buf, pos)
+            elif wt == _WT_LEN:
+                ln, pos = _dec_varint(buf, pos)
+                pos += ln
+            elif wt == _WT_FIXED64:
+                pos += 8
+            elif wt == _WT_FIXED32:
+                pos += 4
+            else:
+                raise ValueError(f"bad wiretype {wt}")
+            continue
+        name, kind = spec
+        if kind == "string":
+            if wt != _WT_LEN:
+                raise ValueError(f"bad wiretype {wt} for string field {field}")
+            ln, pos = _dec_varint(buf, pos)
+            msg[name] = buf[pos : pos + ln].decode("utf-8")
+            pos += ln
+        else:
+            if wt != _WT_VARINT:
+                raise ValueError(f"bad wiretype {wt} for int field {field}")
+            n, pos = _dec_varint(buf, pos)
+            msg[name] = _signed(n, 64)
+    return msg
+
+
+def encode_event_request(user_id: str, rows: list[dict], kind: str) -> bytes:
+    """PersistClickDataRequest / PersistOrderDataRequest."""
+    fields = EVENT_FIELD_SPECS[kind]
+    out = bytearray()
+    if user_id:
+        out += _enc_len(1, str(user_id).encode("utf-8"))
+    for row in rows:
+        out += _enc_len(2, _encode_flat(row, fields))
+    return bytes(out)
+
+
+def decode_event_request(buf: bytes, kind: str) -> dict:
+    """-> {"user_id": str, "data": [row dicts]}"""
+    fields = EVENT_FIELD_SPECS[kind]
+    req: dict = {"user_id": "", "data": []}
+    pos = 0
+    while pos < len(buf):
+        key, pos = _dec_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if wt != _WT_LEN:
+            raise ValueError(f"unexpected wiretype {wt} in request")
+        ln, pos = _dec_varint(buf, pos)
+        payload = buf[pos : pos + ln]
+        pos += ln
+        if field == 1:
+            req["user_id"] = payload.decode("utf-8")
+        elif field == 2:
+            req["data"].append(_decode_flat(payload, fields))
+        else:
+            raise ValueError(f"unknown request field {field}")
+    return req

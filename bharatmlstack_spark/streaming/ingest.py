@@ -165,6 +165,75 @@ def decode_persist_queries(
     return out
 
 
+def decode_event_requests(
+    df: DataFrame, kind: str, value_col: str = "value"
+) -> DataFrame:
+    """Decode protobuf ``PersistClickDataRequest`` / ``PersistOrderData-
+    Request`` payloads (interaction-store/pkg/proto/time_series.proto:
+    11-34) into flat event rows — one output row per ``data`` entry, with
+    an ``event_type`` discriminator ('click'/'order') so the stream can
+    feed the clicks-union-orders operators (O2) directly.
+
+    Same batch-and-streaming mapInPandas shape as
+    :func:`decode_persist_queries`; the codec is the pure-python
+    :mod:`bharatmlstack_spark.functions.protowire`.
+    """
+    from pyspark.sql import types as T
+
+    from bharatmlstack_spark.functions.protowire import EVENT_FIELD_SPECS
+    from bharatmlstack_spark.query_registry import ensure_workers_have_package
+
+    if kind not in EVENT_FIELD_SPECS:
+        raise ValueError(f"unknown event kind {kind!r}")
+    ensure_workers_have_package(df.sparkSession)
+
+    fields = [
+        T.StructField("user_id", T.StringType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("catalog_id", T.IntegerType(), True),
+        T.StructField("product_id", T.IntegerType(), True),
+        T.StructField("timestamp", T.LongType(), True),
+        T.StructField("metadata", T.StringType(), True),
+    ]
+    if kind == "order":
+        fields.insert(4, T.StructField("sub_order_num", T.StringType(), True))
+    schema = T.StructType(fields)
+    out_cols = [f.name for f in fields]
+
+    def gen(batches):
+        import pandas as pd
+
+        from bharatmlstack_spark.functions import protowire
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for raw in pdf[value_col]:
+                req = protowire.decode_event_request(bytes(raw), kind)
+                for data in req["data"]:
+                    row = {"user_id": req["user_id"], "event_type": kind, **data}
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.select(value_col).mapInPandas(gen, schema)
+
+
+def protobuf_event_source(
+    spark: SparkSession, brokers: str, topic: str, kind: str
+) -> DataFrame:
+    """S5 with the reference's real wire format: Kafka records whose value
+    is a serialized click/order persist request, decoded distributed via
+    :func:`decode_event_requests` (the interaction-store consumer path,
+    time_series.proto + consumer/kafka.go)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return decode_event_requests(raw, kind, value_col="value")
+
+
 def protobuf_feature_source(
     spark: SparkSession,
     brokers: str,

@@ -3,6 +3,7 @@ decode -> persist -> retrieve round trip (batch and streaming), mirroring
 the py-sdk push client's encoding (client.py:47-150) in reverse."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from bharatmlstack_spark import fixtures
 from bharatmlstack_spark.functions import protowire as pw
@@ -131,3 +132,58 @@ def test_streaming_protobuf_ingest(spark, tmp_path):
     rows = {r["user_id"]: r for r in fs.load("user").collect()}
     assert set(rows) == {1, 2}
     assert rows[1]["demo_fp__acct_bal"] == 12.5
+
+
+def test_event_request_codec_round_trip():
+    """time_series.proto ClickData/OrderData round trip, incl proto3
+    defaults (zero ints / empty strings write no bytes) and negatives."""
+    clicks = [
+        {"catalog_id": 5, "product_id": 77, "timestamp": 1700000000123, "metadata": '{"p":1}'},
+        {"catalog_id": 0, "product_id": -3, "timestamp": 0, "metadata": ""},
+    ]
+    got = pw.decode_event_request(pw.encode_event_request("u42", clicks, "click"), "click")
+    assert got == {"user_id": "u42", "data": clicks}
+
+    orders = [{"catalog_id": 9, "product_id": 8, "sub_order_num": "SO-1",
+               "timestamp": 1700000000999, "metadata": "m"}]
+    got = pw.decode_event_request(pw.encode_event_request("u1", orders, "order"), "order")
+    assert got == {"user_id": "u1", "data": orders}
+
+
+def test_streaming_event_protobuf_ingest(spark, tmp_path):
+    """S5 end-to-end: click+order persist requests on the wire -> streamed
+    decode -> retention merge -> the events land typed and trimmed (the
+    events_range_user shape: per-user time-ordered retrieval)."""
+    from bharatmlstack_spark.operators.event_store import EventStore
+    from bharatmlstack_spark.streaming.ingest import (
+        decode_event_requests,
+        stream_event_retention,
+    )
+
+    clicks = [
+        {"catalog_id": 1, "product_id": 10 + i, "timestamp": 1700000000000 + i * 3600_000,
+         "metadata": f"c{i}"}
+        for i in range(5)
+    ]
+    src = str(tmp_path / "click_src")
+    wire = pw.encode_event_request("7", clicks, "click")
+    spark.createDataFrame([(wire,)], "value binary").write.parquet(src)
+
+    stream = spark.readStream.schema("value binary").parquet(src)
+    decoded = decode_event_requests(stream, "click").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("product_id").cast("bigint").alias("event_id"),
+        F.timestamp_millis(F.col("timestamp")).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    store = EventStore(ts_col="ts", max_per_week=3)
+    state = str(tmp_path / "ev_state")
+    q = stream_event_retention(
+        decoded, store, state, str(tmp_path / "ev_ck"), spark, trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(state).collect()
+    assert len(rows) == 3  # per-week trim kept the newest 3
+    assert sorted(r["event_id"] for r in rows) == [12, 13, 14]
+    assert all(r["user_id"] == 7 for r in rows)
