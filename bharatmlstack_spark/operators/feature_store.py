@@ -562,8 +562,18 @@ class FeatureStore:
         Vectors join elements with ':' and boolean vector elements encode
         as '1'/'0', matching HelperVectorFeature*ToConcatenatedString
         (deserialized_psdb_v2.go:348-513 — strings.Join(values, ":"),
-        bools -> "1"/"0"); scalar stringification via features.go:61-119.
+        bools -> "1"/"0"). Float scalars/elements format with Go %v parity
+        — shortest round-trip digits at the value's own width with 'g'
+        exponent rules (features.go:112 fmt.Sprintf("%v"); NOT Java
+        Float.toString, which always appends ".0" and uses E7 notation).
         """
+        from bharatmlstack_spark.functions.formatting import (
+            go_format_float32,
+            go_format_float32_vec,
+            go_format_float64,
+            go_format_float64_vec,
+        )
+
         df = self.retrieve(*args, **kwargs)
         entity = self.registry.entity(args[0] if args else kwargs["entity_label"])
         out: list[Column] = []
@@ -580,12 +590,20 @@ class FeatureStore:
                         ),
                     ).alias(name)
                 )
+            elif dtype == "array<float>":
+                out.append(go_format_float32_vec(F.col(name)).alias(name))
+            elif dtype == "array<double>":
+                out.append(go_format_float64_vec(F.col(name)).alias(name))
             elif dtype.startswith("array"):
                 out.append(F.concat_ws(":", F.col(name).cast("array<string>")).alias(name))
             elif dtype == "boolean":
                 out.append(
                     F.when(F.col(name), F.lit("true")).otherwise(F.lit("false")).alias(name)
                 )
+            elif dtype == "float":
+                out.append(go_format_float32(F.col(name)).alias(name))
+            elif dtype == "double":
+                out.append(go_format_float64(F.col(name)).alias(name))
             else:
                 out.append(F.col(name).cast("string").alias(name))
         return df.select(*out)

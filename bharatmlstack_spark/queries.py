@@ -165,21 +165,44 @@ def feature_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   k.user_id,
   CAST(COALESCE(f.demo_int32__age, 0) AS VARCHAR) AS age_str,
+  rtrim(rtrim(CAST(CAST(ROUND(CAST(COALESCE(f.demo_fp__acct_bal, CAST(0.0 AS FLOAT)) AS DOUBLE), 2) AS DECIMAL(18,2)) AS VARCHAR), '0'), '.') AS bal_str,
   CASE WHEN COALESCE(f.demo_bool__is_active, FALSE) THEN 'true' ELSE 'false' END AS is_active_str,
-  COALESCE(f.demo_str__location, 'NA') AS location_str
+  COALESCE(f.demo_str__location, 'NA') AS location_str,
+  array_to_string(
+    [rtrim(rtrim(CAST(CAST(ROUND(CAST(x AS DOUBLE), 3) AS DECIMAL(18,3)) AS VARCHAR), '0'), '.')
+     FOR x IN COALESCE(f.demo_vec__taste_vec, [CAST(0.0 AS FLOAT) FOR i IN [1,2,3,4,5,6,7,8]])],
+    ':') AS taste_str
 FROM request_keys k LEFT JOIN live f USING (user_id)
 """,
 )
 def feature_retrieve_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13: RetrieveDecodedResult stringification (int/bool/string columns;
-    float formatting is engine-specific so the decoded oracle pins the
-    integer/boolean paths — features.go:61-119)."""
-    df = feature_retrieve(spark, sf_dir)
-    return df.select(
+    """F13: RetrieveDecodedResult stringification through the store API,
+    including FLOAT scalar and vector columns with Go %v parity (shortest
+    round-trip digits, features.go:112). The oracle reproduces the Go
+    strings via exact decimal round + trailing-zero trim — equivalent on
+    the fixture's 2/3-decimal domains, verified exhaustively over every
+    such value in tests/test_formatting.py."""
+    fs = FeatureStore(spark, fixtures.user_registry(), base_path="/tmp/unused")
+    out = fs.retrieve_decoded(
+        "user",
+        {
+            "demo_int32": ["age"],
+            "demo_fp": ["acct_bal"],
+            "demo_bool": ["is_active"],
+            "demo_str": ["location"],
+            "demo_vec": ["taste_vec"],
+        },
+        fixtures.request_keys(spark, sf_dir),
+        feature_table=fixtures.user_features(spark, sf_dir),
+        now=F.lit(FIXED_NOW).cast("timestamp"),
+    )
+    return out.select(
         "user_id",
-        F.col("demo_int32__age").cast("string").alias("age_str"),
-        F.when(F.col("demo_bool__is_active"), "true").otherwise("false").alias("is_active_str"),
+        F.col("demo_int32__age").alias("age_str"),
+        F.col("demo_fp__acct_bal").alias("bal_str"),
+        F.col("demo_bool__is_active").alias("is_active_str"),
         F.col("demo_str__location").alias("location_str"),
+        F.col("demo_vec__taste_vec").alias("taste_str"),
     )
 
 
