@@ -674,6 +674,74 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# S9 inference-logging sink + S10 metadata dimension
+# ===========================================================================
+
+
+@query(
+    "inference_log_readback",
+    oracle="""
+SELECT c_custkey AS entity_id, 'v1' AS model_version,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 2 + CAST(c_nationkey AS DECIMAL(18,2)) AS DOUBLE) AS score
+FROM customer WHERE c_custkey % 4 = 0
+""",
+)
+def inference_log_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: the inference-logging sink as write-then-audit — scored payloads
+    land in ZSTD parquet (the async Kafka log of inferflow_logging.proto,
+    collapsed to the columnar sink) and the query reads the log back, so
+    the driver verifies what was WRITTEN, not just what was computed."""
+    import tempfile
+
+    from bharatmlstack_spark.sources.writers import write_zstd
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    scored = c.select(
+        F.col("c_custkey").alias("entity_id"),
+        F.lit("v1").alias("model_version"),
+        (
+            F.col("c_acctbal").cast("decimal(18,2)") * 2
+            + F.col("c_nationkey").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("score"),
+    )
+    path = tempfile.mkdtemp(prefix="bmls_inflog_") + "/log"
+    write_zstd(scored, path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "metadata_dim_join",
+    oracle="""
+WITH filtered AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+  FROM events WHERE user_id % 100 = 7
+),
+meta AS (
+  SELECT user_id, COUNT(*) AS n_events, MAX(ts_ms) AS last_ts_ms
+  FROM filtered GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, m.n_events, m.last_ts_ms
+FROM filtered e JOIN meta m USING (user_id)
+""",
+)
+def metadata_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: per-user metadata dimension (the interaction-store metadata row
+    kept alongside event buckets, scylla.go:72-90) joined back onto the
+    events — the user filter applies BEFORE both the aggregate and the
+    join, so the dim stays request-sized and the fact table never
+    re-scans."""
+    ev = _events_ms(spark, sf_dir).filter(F.col("user_id") % 100 == 7)
+    meta = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts_ms").alias("last_ts_ms")
+    )
+    return ev.join(meta, on="user_id").select(
+        "event_id", "user_id", "n_events", "last_ts_ms"
+    )
+
+
 # pull in the other query families (registration side effects)
 import bharatmlstack_spark.queries_joins  # noqa: E402,F401
 import bharatmlstack_spark.queries_text  # noqa: E402,F401

@@ -617,6 +617,141 @@ def feature_retrieve_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_persist_oracle() -> str:
+    """No TTL in this pipeline: persist.Query carries no expiry and the
+    fixture registry TTL is 0, so every streamed row is live — the oracle
+    joins ALL user_features (contrast _FEATURE_SELECT_SQL's `live` CTE)."""
+    from bharatmlstack_spark.fixtures import REQUEST_KEYS_CTE, USER_FEATURES_CTE
+
+    return f"""
+WITH {USER_FEATURES_CTE},
+{REQUEST_KEYS_CTE}
+SELECT
+  k.user_id,
+  COALESCE(f.demo_int32__age, 0) AS demo_int32__age,
+  COALESCE(f.demo_fp__acct_bal, CAST(0.0 AS FLOAT)) AS demo_fp__acct_bal,
+  COALESCE(f.demo_str__location, 'NA') AS demo_str__location,
+  COALESCE(f.demo_str__subscription_type, 'none') AS demo_str__subscription_type,
+  COALESCE(f.demo_bool__is_active, FALSE) AS demo_bool__is_active,
+  COALESCE(f.demo_vec__taste_vec[1], CAST(0.0 AS FLOAT)) AS taste_0,
+  COALESCE(f.demo_vec__taste_vec[8], CAST(0.0 AS FLOAT)) AS taste_7
+FROM request_keys k LEFT JOIN user_features f USING (user_id)
+"""
+
+
+@query("stream_persist_retrieve", oracle=_stream_persist_oracle())
+def stream_persist_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS1+SS2 end-to-end as a batch-replayable pipeline: the fixture is
+    wire-encoded into protobuf persist.Query payloads (a simulated Kafka
+    topic on files), streamed through decode_persist_queries ->
+    feature_upsert_sink in multiple micro-batches (maxFilesPerTrigger=1),
+    then read back with the batch retrieve. Values must survive the wire +
+    upsert-merge byte-exact (fp32 doubles on the wire decode to the same
+    float32)."""
+    import tempfile
+
+    import pandas as pd
+
+    from bharatmlstack_spark import fixtures
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+    from bharatmlstack_spark.streaming.ingest import (
+        decode_persist_queries,
+        feature_upsert_sink,
+    )
+
+    fg_schemas = [
+        ("demo_int32", ["age"]),
+        ("demo_fp", ["acct_bal"]),
+        ("demo_str", ["location", "subscription_type"]),
+        ("demo_bool", ["is_active"]),
+        ("demo_vec", ["taste_vec"]),
+    ]
+
+    def _encode(batches):
+        from bharatmlstack_spark.functions import protowire
+
+        for pdf in batches:
+            data = []
+            for _, r in pdf.iterrows():
+                data.append(
+                    {
+                        "key_values": [str(int(r["user_id"]))],
+                        "feature_values": [
+                            {"int32_values": [int(r["demo_int32__age"])]},
+                            {"fp32_values": [float(r["demo_fp__acct_bal"])]},
+                            {
+                                "string_values": [
+                                    r["demo_str__location"],
+                                    r["demo_str__subscription_type"],
+                                ]
+                            },
+                            {"bool_values": [bool(r["demo_bool__is_active"])]},
+                            {
+                                "vector": [
+                                    {
+                                        "fp32_values": [
+                                            float(x) for x in r["demo_vec__taste_vec"]
+                                        ]
+                                    }
+                                ]
+                            },
+                        ],
+                    }
+                )
+            wire = protowire.encode_query("user", ["user_id"], fg_schemas, data)
+            yield pd.DataFrame({"value": [wire]})
+
+    work = tempfile.mkdtemp(prefix="bmls_stream_")
+    topic = f"{work}/topic"
+    # the simulated topic: 4 files -> 4 micro-batches under availableNow
+    (
+        fixtures.user_features(spark, sf_dir)
+        .repartition(4)
+        .mapInPandas(_encode, "value binary")
+        .write.parquet(topic)
+    )
+
+    fs = FeatureStore(
+        spark, fixtures.user_registry(), base_path=f"{work}/store", n_buckets=8
+    )
+    stream = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    decoded = decode_persist_queries(
+        stream, fixtures.user_registry(), "user", key_types={"user_id": "bigint"}
+    )
+    q = feature_upsert_sink(
+        decoded, fs, "user", f"{work}/ckpt", trigger_once=True
+    )
+    q.awaitTermination(300)
+
+    keys = fixtures.request_keys(spark, sf_dir)
+    out = fs.retrieve(
+        "user",
+        {
+            "demo_int32": ["age"],
+            "demo_fp": ["acct_bal"],
+            "demo_str": ["location", "subscription_type"],
+            "demo_bool": ["is_active"],
+            "demo_vec": ["taste_vec"],
+        },
+        keys,
+        now=F.lit(fixtures.FIXED_NOW).cast("timestamp"),
+    )
+    return out.select(
+        "user_id",
+        "demo_int32__age",
+        "demo_fp__acct_bal",
+        "demo_str__location",
+        "demo_str__subscription_type",
+        "demo_bool__is_active",
+        F.element_at("demo_vec__taste_vec", 1).alias("taste_0"),
+        F.element_at("demo_vec__taste_vec", 8).alias("taste_7"),
+    )
+
+
 @query(
     "events_retention_window",
     oracle="""
