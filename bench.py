@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     "pq_ann_topk",
     "tfidf_top_terms",
     "doc_chunks",
+    # round-3 additions (the r02 set above keeps its names/order so
+    # BENCH_r03 stays comparable to BENCH_r02 on the shared set)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "asof_feature_join",
+    "range_join_sessions",
 ]
 
 

@@ -35,6 +35,26 @@ def tokenize(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def hashed_word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as LONG hashes, never materializing the n-gram
+    strings: each word hashes once, a shingle hash is xxhash64 over the
+    n-long slice of word hashes. Collision-equivalent to
+    ``xxhash64(word_shingles(...))`` but allocation-free — use wherever the
+    consumer only needs shingle IDENTITY (MinHash, SimHash), not the string
+    (the PPJoin/oracle paths keep string shingles)."""
+    words = tokenize(col)
+    wh = F.transform(words, lambda w: F.xxhash64(w))
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.xxhash64(F.slice(wh, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.xxhash64(wh)))
+    )
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams. transform over a 0..len-n sequence keeps the
     whole thing JVM-side (no UDF)."""
@@ -229,20 +249,25 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, signature ARRAY<BIGINT>[num_hashes]): slot i = min over
-    shingles of xxhash64(i, shingle). The k hashes are computed per shingle
-    in one projection; the mins fold map-side in one aggregate."""
-    sh = df.select(
+    shingles of xxhash64(i, xxhash64(shingle)).
+
+    Entirely MAP-SIDE: shingles are hashed once to longs
+    (hashed_word_shingles — no n-gram strings allocated), then each slot is
+    an array_min over a transform of the in-row hash array. One output row
+    per document, no explode, no shuffle — at 100 TB the signature stage is
+    pure scan bandwidth; the only shuffle in the LSH pipeline is the band
+    bucket join."""
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        hashed_word_shingles(text_col, shingle_n).alias("sh"),
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+    slots = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+        )
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
-    )
+    return base.select("id", F.array(*slots).alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -297,11 +322,35 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full pipeline: shingle -> minhash -> band -> bucket-join -> verify
-    candidates with exact Jaccard (the classic LSH dedup shape)."""
+    candidates with exact Jaccard (the classic LSH dedup shape).
+
+    Verification is CANDIDATE-LOCAL: each surviving pair joins its two
+    hashed shingle sets and computes Jaccard with array ops — cost scales
+    with the candidate count, not the corpus (running the corpus-wide
+    similarity join here would defeat the point of LSH). Same
+    hashed-distinct-shingle semantics as ngram_jaccard_pairs (exact up to
+    xxhash64 collisions within a pair)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, bands)
-    verified = ngram_jaccard_pairs(df, id_col, text_col, shingle_n, threshold)
-    return cands.join(verified, on=["id_a", "id_b"], how="inner")
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        hashed_word_shingles(text_col, shingle_n).alias("sh"),
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
