@@ -257,6 +257,104 @@ def protobuf_feature_source(
     )
 
 
+def parse_embedding_payloads(
+    df: DataFrame, registry, entity_label: str, value_col: str = "value"
+) -> DataFrame:
+    """S6: decode skye aggregator payloads — JSON objects shaped
+    ``{entity, model, candidate_id, columns: {name: value-string}}``
+    (skye/internal/consumers/handler/aggregator/models.go:3-8) — into wide
+    typed rows. A payload's ``columns`` map is SPARSE: absent columns come
+    out NULL *and* a ``__present`` column records which were provided, so
+    :func:`skye_aggregator_sink` can merge only the provided ones (the
+    aggregator's changed-columns semantics, scylla_aggregator.go:60-84).
+
+    Values in the map are strings on the wire; vector columns are parsed
+    as JSON arrays, scalars cast to the registry type.
+    """
+    from pyspark.sql import types as T
+
+    entity = registry.entity(entity_label)
+    payload_schema = T.StructType(
+        [
+            T.StructField("entity", T.StringType()),
+            T.StructField("model", T.StringType()),
+            T.StructField("candidate_id", T.StringType()),
+            T.StructField("columns", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    p = df.select(
+        F.from_json(F.col(value_col).cast("string"), payload_schema).alias("p")
+    ).filter(F.col("p.entity") == entity_label)
+
+    key = entity.key_columns[0]
+    cols = [F.col("p.candidate_id").cast("long").alias(key), F.col("p.model").alias("model")]
+    present = []
+    for fg in entity.feature_groups.values():
+        for feat in fg.version_features():
+            c = fg.column_name(feat.label)
+            raw = F.element_at(F.col("p.columns"), c)
+            if fg.data_type.is_vector:
+                typed = F.from_json(raw, fg.data_type.spark_type.simpleString())
+            else:
+                typed = raw.cast(fg.data_type.spark_type)
+            cols.append(typed.alias(c))
+            present.append(F.when(raw.isNotNull(), F.lit(c)))
+    cols.append(
+        F.array_compact(F.array(*present)).alias("__present")
+        if present
+        else F.array().cast("array<string>").alias("__present")
+    )
+    return p.select(*cols)
+
+
+def skye_aggregator_sink(
+    stream_df: DataFrame,
+    feature_store: FeatureStore,
+    entity_label: str,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """S6/SS9 with per-row sparse updates: each micro-batch groups rows by
+    their provided-column signature and column-wise upserts each group, so
+    a payload that carries only ``emb__vector`` can never null out a stored
+    ``payload__brand`` written earlier (scylla_aggregator.go:60-84 queries,
+    merges changed columns, persists).
+
+    The signature list is collected driver-side: it is bounded by the
+    number of DISTINCT column subsets in the batch (metadata-scale — at
+    most 2^n_cols but in practice the handful of producer shapes), never by
+    row count.
+    """
+
+    def _agg(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        key_cols = feature_store.registry.entity(entity_label).key_columns
+        sigs = [
+            r[0]
+            for r in batch_df.select(
+                F.array_join(F.array_sort("__present"), ",").alias("sig")
+            )
+            .distinct()
+            .collect()
+        ]
+        for sig in sigs:
+            cols = [c for c in sig.split(",") if c]
+            group = batch_df.filter(
+                F.array_join(F.array_sort("__present"), ",") == sig
+            ).select(*key_cols, *cols)
+            feature_store.persist(
+                entity_label, group.repartition(*key_cols)
+            )
+
+    writer = stream_df.writeStream.foreachBatch(_agg).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---------------------------------------------------------------------------
 # sinks (foreachBatch -> batch operators)
 # ---------------------------------------------------------------------------

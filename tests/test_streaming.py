@@ -295,3 +295,73 @@ def test_stream_dedup_sink_replay_idempotent(spark, tmp_path):
     assert sorted(r.doc_id for r in rows) == [1, 2]  # no double append
     fps = spark.read.parquet(state).select("__fp").collect()
     assert len(fps) == 2
+
+
+def test_skye_aggregator_sink_sparse_columns(spark, tmp_path):
+    """S6: skye-shaped JSON payloads with SPARSE column maps — a payload
+    carrying only the embedding must not null out a previously stored
+    brand, and vice versa (changed-columns merge per row signature)."""
+    import json
+
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+    from bharatmlstack_spark.streaming.ingest import (
+        parse_embedding_payloads,
+        skye_aggregator_sink,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            "candidate",
+            ["candidate_id"],
+            {
+                "emb": FeatureGroup(
+                    "emb", 1, DataType.FP32_VECTOR,
+                    {1: [Feature("vector", 0, vector_length=4)]},
+                ),
+                "payload": FeatureGroup(
+                    "payload", 2, DataType.STRING,
+                    {1: [Feature("brand", 0, default="?")]},
+                ),
+            },
+        )
+    )
+    fs = FeatureStore(spark, reg, str(tmp_path / "skye"), n_buckets=4)
+    src = str(tmp_path / "skye_src")
+
+    def payload(cid, columns):
+        return json.dumps(
+            {"entity": "candidate", "model": "m1", "candidate_id": str(cid),
+             "columns": columns}
+        )
+
+    rows = [
+        payload(1, {"emb__vector": "[1.0, 0.0, 0.0, 0.0]", "payload__brand": "acme"}),
+        payload(2, {"payload__brand": "zeta"}),
+    ]
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/b0.json", "w") as f:
+        f.write("\n".join(json.dumps({"value": r}) for r in rows))
+
+    stream = spark.readStream.schema("value string").json(src)
+    parsed = parse_embedding_payloads(stream, reg, "candidate")
+    q = skye_aggregator_sink(parsed, fs, "candidate", str(tmp_path / "skye_ck"), trigger_once=True)
+    q.awaitTermination(120)
+
+    # second batch: embedding-only update for candidate 1 must keep brand
+    with open(f"{src}/b1.json", "w") as f:
+        f.write(json.dumps({"value": payload(1, {"emb__vector": "[0.0, 2.0, 0.0, 0.0]"})}))
+    q2 = skye_aggregator_sink(parsed, fs, "candidate", str(tmp_path / "skye_ck"), trigger_once=True)
+    q2.awaitTermination(120)
+
+    got = {r["candidate_id"]: r for r in fs.load("candidate").collect()}
+    assert got[1]["payload__brand"] == "acme"  # untouched by sparse update
+    assert got[1]["emb__vector"] == [0.0, 2.0, 0.0, 0.0]  # updated
+    assert got[2]["payload__brand"] == "zeta"
+    assert got[2]["emb__vector"] is None  # never provided
