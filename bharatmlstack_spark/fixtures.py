@@ -89,6 +89,29 @@ def user_narrow_registry() -> SchemaRegistry:
     return reg
 
 
+def user_multistore_registry() -> SchemaRegistry:
+    """Registry variant routing demo_int32 to store 0 and demo_fp to store 1
+    (S3 multi-store abstraction / J2 scatter-gather; models.go:52 StoreId)."""
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            label="user",
+            key_columns=["user_id"],
+            feature_groups={
+                "demo_int32": FeatureGroup(
+                    "demo_int32", 1, DataType.INT32,
+                    {1: [Feature("age", 0, default=0)]}, store_id=0,
+                ),
+                "demo_fp": FeatureGroup(
+                    "demo_fp", 2, DataType.FP32,
+                    {1: [Feature("acct_bal", 0, default=0.0)]}, store_id=1,
+                ),
+            },
+        )
+    )
+    return reg
+
+
 def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of fixture 1: derived deterministically from customer."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")

@@ -781,10 +781,12 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_dot",
     "pq_ann_topk",
     "multimodal_features",
-    # ---- new round-3 queries (streaming e2e SS1/SS2, S9, S10) ----
+    # ---- new round-3 queries (streaming e2e SS1/SS2, S9, S10, S3/J2, S5) ----
     "stream_persist_retrieve",
     "inference_log_readback",
     "metadata_dim_join",
+    "feature_multi_store",
+    "event_wire_roundtrip",
     # ---- backfill: most load-bearing greens (r01/r02-verified) ----
     "q1_pricing_summary",
     "feature_retrieve",
@@ -811,11 +813,11 @@ QUERY_PRIORITY: list[str] = [
     "quality_score",
     "knn_dot",
     "filter_candidates",
-    "rpn_score",
-    "norm_percentile_5_95",
     "entity_resolution_join",
     # ---- position 51+: greens pushed out of the window this round;
     # all have r01/r02 passes on unchanged code ----
+    "rpn_score",
+    "norm_percentile_5_95",
     "events_union_types",
     "rpn_bool_compare",
     "rpn_literal_div",

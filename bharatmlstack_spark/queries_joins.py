@@ -617,6 +617,124 @@ def feature_retrieve_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multi_store_oracle() -> str:
+    from bharatmlstack_spark.fixtures import (
+        LIVE_FEATURES_CTE,
+        REQUEST_KEYS_CTE,
+        USER_FEATURES_CTE,
+    )
+
+    return f"""
+WITH {USER_FEATURES_CTE},
+{LIVE_FEATURES_CTE},
+{REQUEST_KEYS_CTE}
+SELECT
+  k.user_id,
+  COALESCE(f.demo_int32__age, 0) AS demo_int32__age,
+  COALESCE(f.demo_fp__acct_bal, CAST(0.0 AS FLOAT)) AS demo_fp__acct_bal
+FROM request_keys k LEFT JOIN live f USING (user_id)
+"""
+
+
+@query("feature_multi_store", oracle=_multi_store_oracle())
+def feature_multi_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/J2: one retrieve scatter-gathers TWO physical stores — demo_int32
+    persists to store 0 and demo_fp to store 1 (separate bucketed tables),
+    and the request joins each store's table once (retrieve.go:436-444).
+    TTL rows expire per store identically."""
+    import tempfile
+
+    from bharatmlstack_spark import fixtures
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+
+    fs = FeatureStore(
+        spark,
+        fixtures.user_multistore_registry(),
+        base_path=tempfile.mkdtemp(prefix="bmls_multi_"),
+        n_buckets=8,
+    )
+    feats = fixtures.user_features(spark, sf_dir)
+    fs.persist(
+        "user",
+        feats.select("user_id", "demo_int32__age", "schema_version", "expires_at"),
+        store_id=0,
+    )
+    fs.persist(
+        "user",
+        feats.select("user_id", "demo_fp__acct_bal", "schema_version", "expires_at"),
+        store_id=1,
+    )
+    out = fs.retrieve(
+        "user",
+        {"demo_int32": ["age"], "demo_fp": ["acct_bal"]},
+        fixtures.request_keys(spark, sf_dir),
+        now=F.lit(fixtures.FIXED_NOW).cast("timestamp"),
+    )
+    return out.select("user_id", "demo_int32__age", "demo_fp__acct_bal")
+
+
+@query(
+    "event_wire_roundtrip",
+    oracle="""
+SELECT user_id,
+       CAST(event_id % 100000 AS INT) AS catalog_id,
+       CAST(event_id AS INT) AS product_id,
+       epoch_ms(ts) AS timestamp,
+       event_type AS metadata
+FROM events WHERE user_id % 50 = 3
+""",
+)
+def event_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 value-hash check: events wire-encode into per-user protobuf
+    PersistClickDataRequest payloads (mapInPandas, grouped by user) and
+    decode back through decode_event_requests — every field must survive
+    the proto3 round trip byte-exact against the source table."""
+    import pandas as pd
+
+    from bharatmlstack_spark.streaming.ingest import decode_event_requests
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") % 50 == 3)
+        .select(
+            "user_id",
+            (F.col("event_id") % 100000).cast("int").alias("catalog_id"),
+            F.col("event_id").cast("int").alias("product_id"),
+            F.expr("ts div 1000000").alias("ts_ms"),
+            F.col("event_type").alias("metadata"),
+        )
+    )
+
+    def _encode(pdf_iter):
+        from bharatmlstack_spark.functions import protowire
+
+        for pdf in pdf_iter:
+            payloads = []
+            for uid, g in pdf.groupby("user_id"):
+                rows = [
+                    {
+                        "catalog_id": int(r.catalog_id),
+                        "product_id": int(r.product_id),
+                        "timestamp": int(r.ts_ms),
+                        "metadata": r.metadata,
+                    }
+                    for r in g.itertuples()
+                ]
+                payloads.append(protowire.encode_event_request(str(uid), rows, "click"))
+            yield pd.DataFrame({"value": payloads})
+
+    wire = ev.repartition("user_id").mapInPandas(_encode, "value binary")
+    decoded = decode_event_requests(wire, "click")
+    return decoded.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "catalog_id",
+        "product_id",
+        F.col("timestamp"),
+        "metadata",
+    )
+
+
 def _stream_persist_oracle() -> str:
     """No TTL in this pipeline: persist.Query carries no expiry and the
     fixture registry TTL is 0, so every streamed row is live — the oracle
