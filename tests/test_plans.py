@@ -186,3 +186,39 @@ def test_dedup_embedding_cosine_no_cartesian(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_signature_is_map_side(spark, sf_dir, qs):
+    """MinHash signatures must have NO exchange: one row per doc, shingle
+    hashing and all k mins computed inside the scan's project (the only
+    shuffle in the LSH pipeline is the band bucket join)."""
+    from bharatmlstack_spark.operators.dedup import minhash_signatures
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=16)
+    assert shuffle_count(sigs) == 0
+
+
+def test_minhash_lsh_no_corpus_wide_verify(spark, sf_dir, qs):
+    """The LSH dedup plan joins candidates with shingle SETS (id-keyed
+    joins), never the corpus-wide shingle self-join: no join keyed on the
+    raw shingle column may appear."""
+    df = qs["dedup_minhash_lsh"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multi_store_retrieve_broadcasts_keys(spark, sf_dir, qs):
+    """S3 scatter-gather: both store joins must broadcast the request side
+    (feature tables never shuffle)."""
+    df = qs["feature_multi_store"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_metadata_dim_join_filters_before_join(spark, sf_dir, qs):
+    """S10: the user filter must reach the parquet scan (partition-style
+    pruning), not sit above the join."""
+    df = qs["metadata_dim_join"](spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "user_id" in pf
