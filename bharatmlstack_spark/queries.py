@@ -787,6 +787,8 @@ QUERY_PRIORITY: list[str] = [
     "metadata_dim_join",
     "feature_multi_store",
     "event_wire_roundtrip",
+    "doc_repetition_ratio",
+    "embedding_label_centroid",
     # ---- backfill: most load-bearing greens (r01/r02-verified) ----
     "q1_pricing_summary",
     "feature_retrieve",
@@ -808,14 +810,14 @@ QUERY_PRIORITY: list[str] = [
     "doc_chunks",
     "tfidf_top_terms",
     "contamination_check",
-    "train_test_split",
     "text_stats",
-    "quality_score",
     "knn_dot",
     "filter_candidates",
     "entity_resolution_join",
     # ---- position 51+: greens pushed out of the window this round;
     # all have r01/r02 passes on unchanged code ----
+    "train_test_split",
+    "quality_score",
     "rpn_score",
     "norm_percentile_5_95",
     "events_union_types",

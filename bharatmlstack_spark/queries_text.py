@@ -397,3 +397,80 @@ def feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean"),
         F.round(F.sqrt(s2 / n - mean * mean), 6).alias("std"),
     )
+
+
+@query(
+    "doc_repetition_ratio",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]
+              ELSE [] END AS bg
+  FROM ws
+)
+SELECT doc_id,
+       CAST(len(bg) AS INT) AS n_bigrams,
+       ROUND(CASE WHEN len(bg) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) END,
+             6) AS repetition
+FROM grams
+""",
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: 1 - distinct/total bigrams
+    per document (high ratio = boilerplate/spam; a standard pretraining
+    corpus filter). Pure per-row array expressions — map-side only, scan
+    bandwidth at 100 TB."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    bg = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", bg.alias("bg"))
+    return d.select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        F.round(
+            F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0)
+                - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+            ),
+            6,
+        ).alias("repetition"),
+    )
+
+
+@query(
+    "embedding_label_centroid",
+    oracle="""
+SELECT label, CAST(u.pos - 1 AS INT) AS pos,
+       ROUND(AVG(CAST(u.val AS DOUBLE)), 6) AS c,
+       COUNT(*) AS n
+FROM (
+  SELECT label,
+         unnest(list_transform(embedding, (x, i) -> {'pos': i, 'val': x})) AS u
+  FROM embeddings
+)
+GROUP BY label, u.pos
+""",
+)
+def embedding_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (class prototypes — the
+    mean-pooling pass behind cluster-balanced sampling / triplet mining /
+    IVF seeding). posexplode -> ONE partial-agg shuffle on (label, pos);
+    rounded 6dp (fold order differs between engines)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    x = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return x.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
