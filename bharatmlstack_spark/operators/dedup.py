@@ -261,13 +261,16 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         hashed_word_shingles(text_col, shingle_n).alias("sh"),
     )
-    slots = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-        )
-        for i in range(num_hashes)
-    ]
-    return base.select("id", F.array(*slots).alias("signature"))
+
+    def slot(i: int):
+        # NB: the lambda must take ONE arg — pyspark's transform() passes
+        # the array index to 2-arg lambdas, which would silently shadow a
+        # `lambda s, i=i` default and collapse every slot to the same hash
+        return F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(i), s)))
+
+    return base.select(
+        "id", F.array(*[slot(i) for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(
@@ -279,7 +282,11 @@ def lsh_candidate_pairs(
     """Band the signature; docs colliding in any band become candidates.
 
     One explode + one equi-join on (band_idx, band_hash) — the sub-linear
-    path that replaces the all-pairs product at scale.
+    path that replaces the all-pairs product at scale. The banded frame is
+    persisted because BOTH self-join sides consume it — without the cache
+    the whole signature scan (the pipeline's expensive map) runs twice; the
+    cached rows are (id, band_idx, band_hash) longs, docs x bands of them,
+    tiny next to the corpus.
     """
     sig_len_expr = F.size(F.col(sig_col))
     banded = signatures.select(
@@ -303,6 +310,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    banded = defer_unpersist(banded.persist())
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, on=["band_idx", "band_hash"])

@@ -130,3 +130,35 @@ def test_prefix_jaccard_equals_naive(docs):
         for r in DD.ngram_jaccard_pairs_prefix(docs, threshold=0.5).collect()
     }
     assert naive == fast and len(naive) >= 2
+
+
+def test_minhash_signature_slots_differ(docs):
+    """Regression: each signature slot uses a DIFFERENT hash function. A
+    pyspark transform() footgun (2-arg lambdas receive the array index)
+    once collapsed every slot to one hash, silently degrading LSH recall
+    while exact-copy tests still passed."""
+    sig = DD.minhash_signatures(docs, num_hashes=16).head(3)
+    for row in sig:
+        s = row["signature"]
+        assert len(set(s)) > 1, f"degenerate signature (all slots equal): {s[:4]}"
+
+
+def test_minhash_signature_matches_explode_form(docs):
+    """The map-side array_min signature must equal the explode+groupBy
+    min-agg reference form slot for slot."""
+    from pyspark.sql import functions as F
+
+    k = 16
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(DD.hashed_word_shingles("text", 3)).alias("shingle"),
+    )
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(k)]
+    ref = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("ref_sig"))
+    )
+    got = DD.minhash_signatures(docs, num_hashes=k).withColumnRenamed("signature", "got_sig")
+    j = ref.join(got, on="id")
+    assert j.filter(F.col("ref_sig") != F.col("got_sig")).count() == 0
