@@ -12,9 +12,10 @@ Float-determinism discipline (both engines are IEEE-754 but evaluation
 - element-wise float math uses identical left-associative expression trees
   (e.g. explicit 64-term dot products) so results are bit-identical;
 - interpolating percentiles round to 6 dp to absorb ulp-level divergence;
-- timestamps travel as epoch-millis BIGINT (events.parquet is ns-precision,
-  which Spark reads via spark.sql.legacy.parquet.nanosAsLong as BIGINT
-  nanos and DuckDB as TIMESTAMP — epoch-ms is the common ground);
+- timestamps travel as epoch-millis BIGINT (events.parquet's ts has shipped
+  as both ns-as-long and µs TIMESTAMP across testdata generations; DuckDB
+  reads it as TIMESTAMP — epoch-ms is the common ground; the type dispatch
+  lives in sources/events.py);
 - row_number windows always carry a unique tiebreak column.
 """
 
@@ -45,6 +46,7 @@ from bharatmlstack_spark.operators.normalize import (
 from bharatmlstack_spark.functions.expressions import rpn_to_column
 
 from bharatmlstack_spark.query_registry import ORACLES, QUERIES, query
+from bharatmlstack_spark.sources.events import load_events_ms, load_events_ts
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -53,12 +55,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as epoch-millis BIGINT (see module docstring)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_ms", F.expr("ts div 1000000"))
-        .drop("ts")
-    )
+    return load_events_ms(spark, sf_dir)
 
 
 # ===========================================================================
@@ -319,10 +316,7 @@ GROUP BY user_id, weekofyear(ts) % {TOTAL_WEEKS}
 def events_weekly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5/SS3: the 24-slot weekly ring (ISO week %% 24 — utils.go:148-151,
     persist/click.go:131) as a tumbling-window aggregation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_millis(F.expr("ts div 1000000"))
-    )
+    ev = load_events_ts(spark, sf_dir)
     from bharatmlstack_spark.operators.event_store import week_index
 
     return ev.groupBy(
