@@ -60,7 +60,6 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     spark = get_spark("bench")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     qs = all_queries()
 
     # warm the JVM + parquet footer cache with one tiny action

@@ -19,6 +19,7 @@ from bharatmlstack_spark.operators import sampling as SP
 from bharatmlstack_spark.operators.dedup import word_shingles
 from bharatmlstack_spark.operators.graph import connected_components
 from bharatmlstack_spark.query_registry import defer_unpersist, query
+from bharatmlstack_spark.sources.events import load_events_raw
 from bharatmlstack_spark.queries_text import CORPUS_SQL, _SHINGLE_SQL, corpus
 
 # ---------------------------------------------------------------------------
@@ -357,8 +358,7 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct's per-group dedup shuffle is the bottleneck. Estimates
     are engine-specific -> rows-only here; pytest pins relative error
     vs the exact count at < 5%."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_raw(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
@@ -370,8 +370,7 @@ def sketch_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type — the percentile path at 100 TB, where exact percentile's
     per-group sorted buffer stops fitting. pytest pins rank error <= 1e-3
     of exact; rows-only here (sketch internals are engine-specific)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_raw(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias("p")
     ).select(

@@ -20,6 +20,7 @@ from bharatmlstack_spark.pipeline import (
     expand_slates,
 )
 from bharatmlstack_spark.functions.expressions import ExpressionEngine
+from bharatmlstack_spark.sources.events import load_events_ms, load_events_raw
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -299,10 +300,7 @@ def last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: last-write-wins merge per (entity, column-group) — the skye
     aggregator's only-latest-survives semantics
     (consumers/handler/aggregator/scylla_aggregator.go:47)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_ms", F.expr("ts div 1000000")
-    )
+    ev = load_events_ms(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy(
         F.desc("ts_ms"), F.desc("event_id")
     )
@@ -333,8 +331,7 @@ GROUP BY event_type
 def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: min/max reductions + interpolating percentile — numerix
     compute_percentile (fp32_ops.rs:334-348) == percentile_cont."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_raw(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
@@ -693,15 +690,14 @@ def event_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bharatmlstack_spark.streaming.ingest import decode_event_requests
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        load_events_ms(spark, sf_dir)
         .filter(F.col("user_id") % 50 == 3)
         .select(
             "user_id",
             (F.col("event_id") % 100000).cast("int").alias("catalog_id"),
             F.col("event_id").cast("int").alias("product_id"),
-            F.expr("ts div 1000000").alias("ts_ms"),
+            "ts_ms",
             F.col("event_type").alias("metadata"),
         )
     )
@@ -885,12 +881,7 @@ def events_retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bharatmlstack_spark.operators.event_store import EventStore
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_ms", F.expr("ts div 1000000"))
-        .select("event_id", "user_id", "ts_ms")
-    )
+    ev = load_events_ms(spark, sf_dir).select("event_id", "user_id", "ts_ms")
     store = EventStore(ts_col="ts_ms")
     now_ms = int(dt.datetime(2024, 1, 20, tzinfo=dt.timezone.utc).timestamp() * 1000)
     cutoff = now_ms - 24 * 7 * 24 * 3600 * 1000
@@ -942,10 +933,7 @@ SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM (
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum —
     the canonical training-pipeline event transform."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_ms", F.expr("ts div 1000000")
-    )
+    ev = load_events_ms(spark, sf_dir)
     w_ord = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     gap = F.col("ts_ms") - F.lag("ts_ms").over(w_ord)
     is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
@@ -971,8 +959,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type (the monitoring/drift
     profile) — one map-side bucket expression + one aggregate; at 100 TB
     the output is |types| x |buckets| rows, partial aggs do the work."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_raw(spark, sf_dir)
     return ev.groupBy(
         "event_type", F.floor(F.col("value") / 5.0).cast("bigint").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -1034,10 +1021,7 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event time features (lag deltas per user): the classic
     engagement-cadence signal. One user-partitioned window + one
     aggregate, exact integer math."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_ms", F.expr("ts div 1000000")
-    )
+    ev = load_events_ms(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     gap = (F.col("ts_ms") - F.lag("ts_ms").over(w)).alias("gap_ms")
     return (
@@ -1093,10 +1077,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
 def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-frame window (rowsBetween/rangeBetween — the frame spec the
     reference lacks, SURVEY §2.5 note): per-user trailing-7-day sum/count."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_ms", F.expr("ts div 1000000")
-    )
+    ev = load_events_ms(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts_ms")
@@ -1121,8 +1102,7 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON metadata extraction (engine extension — the reference keeps
     metadata opaque, time_series.proto:20; Spark's get_json_object opens
     it)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_raw(spark, sf_dir)
     return ev.select(
         "event_id", F.get_json_object("props", "$.k").cast("int").alias("prop_k")
     )
@@ -1158,8 +1138,7 @@ GROUP BY event_type
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation (absent in the reference, free in Spark —
     SURVEY §2.4 note)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_raw(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
@@ -1311,10 +1290,7 @@ def asof_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     native ASOF LEFT JOIN."""
     from bharatmlstack_spark.operators.asof import as_of_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_ms", F.expr("ts div 1000000")
-    )
+    ev = load_events_ms(spark, sf_dir)
     labels = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_ms"
     )
@@ -1361,10 +1337,7 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive inequality join."""
     from bharatmlstack_spark.operators.rangejoin import range_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_ms", F.expr("ts div 1000000")
-    )
+    ev = load_events_ms(spark, sf_dir)
     windows = ev.filter(
         (F.col("event_type") == "purchase") & (F.col("user_id") % 20 == 0)
     ).select(

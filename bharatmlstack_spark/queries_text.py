@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bharatmlstack_spark.query_registry import query
+from bharatmlstack_spark.sources.events import load_events_raw
 from bharatmlstack_spark.functions import text as TX
 from bharatmlstack_spark.operators import dedup as DD
 
@@ -383,8 +384,7 @@ def feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature statistics (the feature-scaling prep pass): exact
     decimal moments -> double, so mean/std are order-independent and
     engine-identical (population std, rounded 6dp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load_events_raw(spark, sf_dir)
     dec = F.col("value").cast("decimal(28,10)")
     s1 = F.sum(dec).cast("double")
     s2 = F.sum(dec * dec).cast("double")

@@ -1,3 +1,8 @@
+from bharatmlstack_spark.sources.events import (
+    load_events_ms,
+    load_events_raw,
+    load_events_ts,
+)
 from bharatmlstack_spark.sources.catalog import Catalog, TABLES, load_table, register_views
 from bharatmlstack_spark.sources.writers import (
     read_feature_table_for_keys,
@@ -9,6 +14,9 @@ from bharatmlstack_spark.sources.writers import (
 __all__ = [
     "Catalog",
     "TABLES",
+    "load_events_ms",
+    "load_events_raw",
+    "load_events_ts",
     "load_table",
     "register_views",
     "read_feature_table_for_keys",

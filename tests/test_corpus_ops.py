@@ -138,8 +138,9 @@ def test_connected_components_endpoints_only(spark):
 
 
 def test_sketch_distinct_error_under_5pct(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from bharatmlstack_spark.sources.events import load_events_raw
+
+    ev = load_events_raw(spark, sf_dir)
     exact = {
         r.event_type: r.n
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
@@ -210,8 +211,9 @@ def test_pack_sequences_sharding_is_disjoint(spark):
 
 
 def test_sketch_percentile_close_to_exact(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from bharatmlstack_spark.sources.events import load_events_raw
+
+    ev = load_events_raw(spark, sf_dir)
     approx = {
         r.event_type: (r.p50, r.p95)
         for r in ev.groupBy("event_type")

@@ -123,10 +123,9 @@ def test_sessionize_matches_native_session_window(spark, sf_dir):
         .collect()
     }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_millis(F.expr("ts div 1000000"))
-    )
+    from bharatmlstack_spark.sources.events import load_events_ts
+
+    ev = load_events_ts(spark, sf_dir)
     native = (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .count()

@@ -1,0 +1,54 @@
+"""Guard against re-introducing inline events.parquet ts decoding.
+
+The driver's testdata has shipped ``events.parquet``'s ``ts`` as both
+int64-nanos and parquet timestamp[us]; the ONLY place allowed to know
+about that is ``sources/events.py``. Round 3 lost its bench + 4
+correctness rows to call sites that kept an inline ``ts div 1000000``
+after the encoding flipped — this test fails on any regression.
+"""
+
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+ALLOWED = REPO / "bharatmlstack_spark" / "sources" / "events.py"
+
+
+def _py_files():
+    for sub in ("bharatmlstack_spark", "tests", "tools", "examples"):
+        root = REPO / sub
+        if root.exists():
+            yield from root.rglob("*.py")
+    yield REPO / "bench.py"
+    yield REPO / "__spark_entry__.py"
+
+
+def test_no_inline_ts_decoding_outside_events_loader():
+    offenders = []
+    for path in _py_files():
+        if path == ALLOWED or path.name == "test_ts_migration_guard.py":
+            continue
+        text = path.read_text(encoding="utf-8", errors="replace")
+        if "ts div 1000000" in text:
+            offenders.append(str(path))
+    assert not offenders, (
+        f"inline 'ts div 1000000' found outside sources/events.py: {offenders} "
+        "— use load_events_ms/load_events_ts instead"
+    )
+
+
+def test_no_inline_events_parquet_reads():
+    offenders = []
+    for path in _py_files():
+        if path == ALLOWED or path.name == "test_ts_migration_guard.py":
+            continue
+        text = path.read_text(encoding="utf-8", errors="replace")
+        if "events.parquet\").count" in text:
+            continue
+        for i, line in enumerate(text.splitlines(), 1):
+            if "read.parquet" in line and "events.parquet" in line:
+                offenders.append(f"{path}:{i}")
+    assert not offenders, (
+        f"direct spark.read.parquet of events.parquet outside the loader: "
+        f"{offenders} — use sources.events loaders so encoding dispatch "
+        "stays centralized"
+    )
