@@ -205,20 +205,21 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "table_profile",
     oracle="""
-SELECT 'o_orderkey' AS column_name, SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+SELECT 'o_orderkey' AS column_name,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT o_orderkey) AS n_distinct,
        CAST(MIN(o_orderkey) AS DOUBLE) AS vmin, CAST(MAX(o_orderkey) AS DOUBLE) AS vmax
 FROM orders
 UNION ALL
-SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_custkey', CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
 FROM orders
 UNION ALL
-SELECT 'o_totalprice', SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_totalprice', CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_totalprice), CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
 FROM orders
 UNION ALL
-SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+SELECT 'o_orderstatus', CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT o_orderstatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM orders
 """,

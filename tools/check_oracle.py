@@ -81,12 +81,28 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
+            d_types = [d[1] for d in res.description]
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
         problems = []
+        # The driver fetches oracle results through arrow/pandas, where
+        # DuckDB HUGEINT/DECIMAL (e.g. any un-CAST SUM over integers)
+        # becomes decimal128 -> float64 and "3" hashes as "3.0". fetchall()
+        # hides that, so flag the types here — a HUGEINT/DECIMAL oracle
+        # column is a driver hash-fail even when values match locally.
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(d_cols, d_types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT") or "DECIMAL" in str(t).upper()
+        ]
+        if bad_types:
+            problems.append(
+                f"oracle emits driver-unsafe column types {bad_types} — "
+                "CAST to BIGINT/DOUBLE in the oracle SQL"
+            )
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns {sorted(s_cols)} != {sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
