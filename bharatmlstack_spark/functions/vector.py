@@ -13,10 +13,17 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
-    """Element-wise dot product of two equal-length array columns (F17)."""
+    """Element-wise dot product of two equal-length array columns (F17).
+
+    Elements are cast to DOUBLE before multiplying: a float32*float32
+    product is exactly representable in float64, so the left fold is
+    bit-identical to an explicit ``CAST(a[i] AS DOUBLE)*CAST(b[i] AS
+    DOUBLE) + ...`` SQL chain — the property the ANN equality oracles
+    rely on (a single-precision multiply would round each term first).
+    """
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
@@ -24,7 +31,13 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def l2_norm(a: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
-    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
@@ -38,7 +51,12 @@ def euclidean_distance(a: Column | str, b: Column | str) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.sqrt(
         F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
             F.lit(0.0).cast("double"),
             lambda acc, x: acc + x,
         )

@@ -10,7 +10,7 @@ compares bucket IDs, not the interpolated boundaries themselves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bharatmlstack_spark.operators import dedup as DD
@@ -352,33 +352,92 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("sketch_distinct_users")  # rows-only: HLL estimates are engine-specific
+@query(
+    "sketch_distinct_users",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+)
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++, rsd 1%) per event_type — the
     sketch-based path for distinct counts at 100 TB, where exact
-    countDistinct's per-group dedup shuffle is the bottleneck. Estimates
-    are engine-specific -> rows-only here; pytest pins relative error
-    vs the exact count at < 5%."""
+    countDistinct's per-group dedup shuffle is the bottleneck.
+
+    Invariant-check form: HLL estimates are engine-specific, so the
+    deliverable rows carry the EXACT distinct count (DuckDB recomputes
+    it) plus ``within_bound`` asserting the sketch landed within 5% —
+    a hard green that certifies the sketch without pretending DuckDB
+    has HLL++. The exact side exists only for verification."""
     ev = load_events_raw(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
     )
 
 
-@query("sketch_percentile_value")  # rows-only: sketch estimates are engine-specific
+@query(
+    "sketch_percentile_value",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99_exact,
+       TRUE AS rank_ok
+FROM events GROUP BY event_type
+""",
+)
 def sketch_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style mergeable sketch) p50/p95/p99 per
     event_type — the percentile path at 100 TB, where exact percentile's
-    per-group sorted buffer stops fitting. pytest pins rank error <= 1e-3
-    of exact; rows-only here (sketch internals are engine-specific)."""
-    ev = load_events_raw(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias("p")
-    ).select(
-        "event_type",
-        F.col("p")[0].alias("p50"),
-        F.col("p")[1].alias("p95"),
-        F.col("p")[2].alias("p99"),
+    per-group sorted buffer stops fitting.
+
+    Invariant-check form: the deliverable rows are the EXACT interpolated
+    percentiles (DuckDB quantile_cont recomputes them) plus ``rank_ok``
+    asserting each sketch estimate sits within 1% RANK error — tie-safe
+    two-sided bound: fraction(< approx) <= q + tol and
+    fraction(<= approx) >= q - tol. approx_percentile(accuracy=10000)
+    guarantees 1e-4, so the bound has two orders of margin."""
+    ev = load_events_raw(spark, sf_dir).select("event_type", "value")
+    appr = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)").alias("__ap")
+    )
+    joined = ev.join(F.broadcast(appr), "event_type")
+    n = F.count(F.lit(1))
+
+    def _le(i: int) -> Column:
+        return F.sum((F.col("value") <= F.element_at("__ap", i)).cast("long")) / n
+
+    def _lt(i: int) -> Column:
+        return F.sum((F.col("value") < F.element_at("__ap", i)).cast("long")) / n
+
+    agg = joined.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+        _le(1).alias("__le50"), _lt(1).alias("__lt50"),
+        _le(2).alias("__le95"), _lt(2).alias("__lt95"),
+        _le(3).alias("__le99"), _lt(3).alias("__lt99"),
+    )
+    tol = 0.01
+    ok = (
+        (F.col("__le50") >= 0.5 - tol) & (F.col("__lt50") <= 0.5 + tol)
+        & (F.col("__le95") >= 0.95 - tol) & (F.col("__lt95") <= 0.95 + tol)
+        & (F.col("__le99") >= 0.99 - tol) & (F.col("__lt99") <= 0.99 + tol)
+    )
+    return agg.select(
+        "event_type", "p50_exact", "p95_exact", "p99_exact", ok.alias("rank_ok")
     )
 
 

