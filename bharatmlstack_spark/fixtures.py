@@ -112,6 +112,35 @@ def user_multistore_registry() -> SchemaRegistry:
     return reg
 
 
+def candidate_registry() -> SchemaRegistry:
+    """skye-shaped `candidate` entity: a 64-dim embedding group plus a
+    payload group (brand string / price fp32) — the column layout the
+    embedding-store aggregator merges sparsely
+    (skye/internal/consumers/handler/aggregator/models.go:3-8)."""
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            label="candidate",
+            key_columns=["candidate_id"],
+            feature_groups={
+                "emb": FeatureGroup(
+                    "emb", 1, DataType.FP32_VECTOR,
+                    {1: [Feature("vector", 0, vector_length=64)]},
+                ),
+                "payload": FeatureGroup(
+                    "payload", 2, DataType.STRING,
+                    {1: [Feature("brand", 0, default="?", string_length=16)]},
+                ),
+                "payload_fp": FeatureGroup(
+                    "payload_fp", 3, DataType.FP32,
+                    {1: [Feature("price", 0, default=0.0)]},
+                ),
+            },
+        )
+    )
+    return reg
+
+
 def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of fixture 1: derived deterministically from customer."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")

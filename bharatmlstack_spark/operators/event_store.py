@@ -54,10 +54,16 @@ class EventStore:
         user_col: str = "user_id",
         ts_col: str = "ts",
         max_per_week: int = MAX_EVENTS_PER_WEEK,
+        tiebreak_cols: list[str] | None = None,
     ):
         self.user_col = user_col
         self.ts_col = ts_col
         self.max_per_week = max_per_week
+        # equal-ts events: the reference keeps whatever order the Scylla
+        # row held (persist/click.go:165-182 sorts by ts only); a
+        # distributed window needs an explicit total order for the trim
+        # to be deterministic across retries/partitionings
+        self.tiebreak_cols = tiebreak_cols or []
 
     # -- persist path -------------------------------------------------
 
@@ -72,7 +78,7 @@ class EventStore:
         df = existing if new is None else existing.unionByName(new, allowMissingColumns=True)
         w = Window.partitionBy(
             self.user_col, week_start(F.col(self.ts_col))
-        ).orderBy(F.desc(self.ts_col))
+        ).orderBy(F.desc(self.ts_col), *[F.desc(c) for c in self.tiebreak_cols])
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= self.max_per_week)

@@ -751,106 +751,106 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
+# Round-4 window (first 50): the 8 ts-migration re-greens, the 8
+# rows-only->oracle conversions, the 2 new streaming rows, the fixed
+# table_profile, every query whose code changed this round (events-loader
+# consumers, vector.dot precision, merge_trim tiebreak), then the 17
+# r01-greens never re-verified since, topped up with the oldest r02
+# greens. 51+: r02 then r03 greens, freshest verification last.
 QUERY_PRIORITY: list[str] = [
-    # ---- never driver-verified before round 3 (VERDICT r02 item 1):
-    # the 13 queries that sat past the 50-entry cap in r01+r02 ----
+    "last_write_wins",
+    "event_wire_roundtrip",
+    "events_retention_window",
+    "events_sessionize",
+    "events_interarrival",
+    "rolling_7d_user_value",
+    "asof_feature_join",
+    "range_join_sessions",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sketch_distinct_users",
+    "sketch_percentile_value",
+    "ann_lsh_dot",
+    "ann_ivf_dot",
+    "pq_ann_topk",
+    "multimodal_features",
+    "order_stream_merge_trim",
+    "skye_stream_aggregate",
+    "table_profile",
+    "feature_stats",
+    "percentile_by_group",
+    "events_union_types",
+    "dedup_embedding_cosine",
+    "filter_candidates",
+    "knn_dot",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "events_merge_trim",
+    "cube_orders_status",
+    "distinct_users_by_type",
+    "events_value_histogram",
+    "min_cost_supplier",
+    "pairwise_inference",
+    "parts_never_ordered",
+    "props_json_extract",
+    "q18_large_orders",
+    "q5_region_revenue",
+    "rollup_lineitem",
+    "rpn_bool_compare",
+    "rpn_literal_div",
+    "segment_intersect",
+    "slate_expansion",
+    "topk_orders",
+    "doc_fingerprint",
+    "corpus_mix_sample",
+    "key_string_join",
+    "lang_id_heuristic",
+    "quality_score",
+    "train_test_split",
+    "grouping_sets_orders",
+    "feature_schema_evolution",
+    "stratified_sample",
+    "uint64_decimal_sum",
+    "segment_except",
+    "pipeline_inference",
+    "pair_expansion",
+    "q3_shipping_priority",
+    "dot_score_ids",
+    "knn_euclidean",
+    "norm_min_max",
+    "norm_percentile_5_95",
+    "percentile_rank",
+    "rpn_score",
     "negative_sampling",
     "ngram_topk",
-    "feature_stats",
-    "table_profile",
     "quantile_binning",
     "events_batch_topn",
     "get_embeddings_bulk",
     "l2_normalized_embeddings",
     "orders_priority_pivot",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sketch_distinct_users",
-    "sketch_percentile_value",
-    # ---- newly-fixed oracles (r02 red rows) ----
     "sequence_packing",
     "feature_retrieve_quantized",
-    # ---- ANN + multimodal: implemented r01/r02, never a driver row ----
-    "ann_lsh_dot",
-    "ann_ivf_dot",
-    "pq_ann_topk",
-    "multimodal_features",
-    # ---- new round-3 queries (streaming e2e SS1/SS2, S9, S10, S3/J2, S5) ----
     "stream_persist_retrieve",
     "inference_log_readback",
     "metadata_dim_join",
     "feature_multi_store",
-    "event_wire_roundtrip",
     "doc_repetition_ratio",
     "embedding_label_centroid",
-    # ---- backfill: most load-bearing greens (r01/r02-verified) ----
     "q1_pricing_summary",
     "feature_retrieve",
     "feature_retrieve_decoded",
     "feature_missing_keys",
     "feature_retrieve_composite",
     "materialize_user_features",
-    "events_merge_trim",
     "events_range_user",
     "events_weekly_buckets",
-    "events_sessionize",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "dedup_components",
     "dedup_survivors",
-    "asof_feature_join",
-    "range_join_sessions",
     "doc_chunks",
     "tfidf_top_terms",
     "contamination_check",
     "text_stats",
-    "knn_dot",
-    "filter_candidates",
     "entity_resolution_join",
-    # ---- position 51+: greens pushed out of the window this round;
-    # all have r01/r02 passes on unchanged code ----
-    "train_test_split",
-    "quality_score",
-    "rpn_score",
-    "norm_percentile_5_95",
-    "events_union_types",
-    "rpn_bool_compare",
-    "rpn_literal_div",
-    "norm_min_max",
-    "percentile_rank",
-    "knn_euclidean",
-    "dot_score_ids",
-    "q3_shipping_priority",
-    "pair_expansion",
-    "pipeline_inference",
-    "last_write_wins",
-    "percentile_by_group",
-    "segment_except",
-    "uint64_decimal_sum",
-    "events_retention_window",
-    "grouping_sets_orders",
-    "key_string_join",
-    "feature_schema_evolution",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "stratified_sample",
-    "corpus_mix_sample",
-    "topk_orders",
-    "q5_region_revenue",
-    "slate_expansion",
-    "rollup_lineitem",
-    "cube_orders_status",
-    "segment_intersect",
-    "events_value_histogram",
-    "min_cost_supplier",
-    "events_interarrival",
-    "rolling_7d_user_value",
-    "props_json_extract",
-    "distinct_users_by_type",
-    "parts_never_ordered",
-    "pairwise_inference",
-    "q18_large_orders",
 ]
 
 

@@ -979,6 +979,202 @@ def stream_persist_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_stream_merge_trim",
+    oracle="""
+SELECT user_id, catalog_id, product_id, sub_order_num, ts_ms
+FROM (
+  SELECT user_id,
+         CAST(event_id % 100000 AS INT) AS catalog_id,
+         CAST(event_id AS INT) AS product_id,
+         'SO-' || CAST(event_id AS VARCHAR) AS sub_order_num,
+         epoch_ms(ts) AS ts_ms,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, date_trunc('week', ts)
+           ORDER BY epoch_ms(ts) DESC, CAST(event_id AS INT) DESC
+         ) AS rn
+  FROM events WHERE event_type = 'purchase'
+) WHERE rn <= 5
+""",
+)
+def order_stream_merge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS4+SS5+S5(OrderEvent) end-to-end: purchase events wire-encode into
+    per-user protobuf PersistOrderDataRequest payloads — covering
+    ``sub_order_num`` (time_series.proto:28-34), the one OrderEvent field
+    the click row never exercises — land on a simulated topic in
+    ts-SHUFFLED file order, stream through decode_event_requests ->
+    stream_event_retention in per-file micro-batches, and the final state
+    must equal the reference's merge-sort-trim per (user, week)
+    (persist/click.go:165-182; N=5 so the fixture actually trims). Late
+    arrivals (week w rows in a later micro-batch) re-sort into their week,
+    which is exactly SS4's in-watermark contract."""
+    import tempfile
+
+    import pandas as pd
+
+    from bharatmlstack_spark.operators.event_store import EventStore
+    from bharatmlstack_spark.streaming.ingest import (
+        decode_event_requests,
+        stream_event_retention,
+    )
+
+    ev = (
+        load_events_ms(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (F.col("event_id") % 100000).cast("int").alias("catalog_id"),
+            F.col("event_id").cast("int").alias("product_id"),
+            F.concat(F.lit("SO-"), F.col("event_id").cast("string")).alias(
+                "sub_order_num"
+            ),
+            "ts_ms",
+        )
+    )
+
+    def _encode(pdf_iter):
+        from bharatmlstack_spark.functions import protowire
+
+        for pdf in pdf_iter:
+            payloads = []
+            for uid, g in pdf.groupby("user_id"):
+                rows = [
+                    {
+                        "catalog_id": int(r.catalog_id),
+                        "product_id": int(r.product_id),
+                        "sub_order_num": r.sub_order_num,
+                        "timestamp": int(r.ts_ms),
+                    }
+                    for r in g.itertuples()
+                ]
+                payloads.append(
+                    protowire.encode_event_request(str(uid), rows, "order")
+                )
+            yield pd.DataFrame({"value": payloads})
+
+    work = tempfile.mkdtemp(prefix="bmls_orderstream_")
+    topic = f"{work}/topic"
+    # scramble by event_id so each micro-batch mixes users AND weeks:
+    # every batch delivers "late" rows for weeks earlier batches touched
+    (
+        ev.repartition(4, "product_id")
+        .mapInPandas(_encode, "value binary")
+        .write.parquet(topic)
+    )
+
+    stream = (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    decoded = decode_event_requests(stream, "order").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "catalog_id",
+        "product_id",
+        "sub_order_num",
+        F.timestamp_millis(F.col("timestamp")).alias("ts"),
+    )
+    store = EventStore(
+        user_col="user_id", ts_col="ts", max_per_week=5,
+        tiebreak_cols=["product_id"],
+    )
+    q = stream_event_retention(
+        decoded, store, f"{work}/state", f"{work}/ckpt", spark,
+        trigger_once=True,
+    )
+    q.awaitTermination(300)
+
+    return spark.read.parquet(f"{work}/state").select(
+        "user_id",
+        "catalog_id",
+        "product_id",
+        "sub_order_num",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+
+
+@query(
+    "skye_stream_aggregate",
+    oracle="""
+SELECT vec_id AS candidate_id,
+       'b' || CAST(vec_id % 7 AS VARCHAR) AS brand,
+       CAST(label * 1.5 AS FLOAT) AS price,
+       CAST(embedding[1] AS FLOAT) AS emb0,
+       CAST(embedding[64] AS FLOAT) AS emb63
+FROM embeddings WHERE vec_id % 25 = 0
+""",
+)
+def skye_stream_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+SS9 end-to-end: skye-shaped JSON payloads with SPARSE column
+    maps stream through parse_embedding_payloads -> skye_aggregator_sink
+    in separate micro-batches — one batch carries only the payload columns
+    (brand/price), the other only the embedding — and the stored row must
+    hold ALL of them: the sink's per-signature column-wise merge
+    (scylla_aggregator.go:60-84) must never null out columns a different
+    payload shape wrote. Values survive JSON stringification -> parse ->
+    upsert bit-exact (float32 shortest-repr round trip)."""
+    import tempfile
+
+    from bharatmlstack_spark import fixtures
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+    from bharatmlstack_spark.streaming.ingest import (
+        parse_embedding_payloads,
+        skye_aggregator_sink,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
+
+    def _payload(columns_col):
+        return F.to_json(
+            F.struct(
+                F.lit("candidate").alias("entity"),
+                F.lit("m1").alias("model"),
+                F.col("vec_id").cast("string").alias("candidate_id"),
+                columns_col.alias("columns"),
+            )
+        ).alias("value")
+
+    payload_batch = emb.select(
+        _payload(
+            F.create_map(
+                F.lit("payload__brand"),
+                F.concat(F.lit("b"), (F.col("vec_id") % 7).cast("string")),
+                F.lit("payload_fp__price"),
+                (F.col("label") * 1.5).cast("float").cast("string"),
+            )
+        )
+    )
+    emb_batch = emb.select(
+        _payload(
+            F.create_map(F.lit("emb__vector"), F.to_json(F.col("embedding")))
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="bmls_skyestream_")
+    topic = f"{work}/topic"
+    payload_batch.coalesce(1).write.mode("append").parquet(topic)
+    emb_batch.coalesce(1).write.mode("append").parquet(topic)
+
+    reg = fixtures.candidate_registry()
+    fs = FeatureStore(spark, reg, base_path=f"{work}/store", n_buckets=4)
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    parsed = parse_embedding_payloads(stream, reg, "candidate")
+    q = skye_aggregator_sink(parsed, fs, "candidate", f"{work}/ckpt", trigger_once=True)
+    q.awaitTermination(300)
+
+    return fs.load("candidate").select(
+        F.col("candidate_id").cast("bigint").alias("candidate_id"),
+        F.col("payload__brand").alias("brand"),
+        F.col("payload_fp__price").alias("price"),
+        F.element_at("emb__vector", 1).alias("emb0"),
+        F.element_at("emb__vector", 64).alias("emb63"),
+    )
+
+
+@query(
     "events_retention_window",
     oracle="""
 SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
