@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bharatmlstack_spark.query_registry import query
+from bharatmlstack_spark.query_registry import defer_unpersist, query
 from bharatmlstack_spark.pipeline import (
     ExpressionComponent,
     FeatureComponent,
@@ -505,10 +505,13 @@ def ann_ivf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score", dot("embedding", "qe")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    exact10 = (
+    # referenced three times (deliverable, denominator, hit join): persist
+    # so the brute-force side runs once
+    exact10 = defer_unpersist(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "score", "rank")
+        .persist()
     )
     hits = exact10.join(ann, ["query_id", "vec_id"], "left_semi")
     flag = (

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bharatmlstack_spark.query_registry import query
+from bharatmlstack_spark.query_registry import defer_unpersist, query
 from bharatmlstack_spark.sources.events import load_events_raw
 from bharatmlstack_spark.functions import text as TX
 from bharatmlstack_spark.operators import dedup as DD
@@ -185,9 +185,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus(spark, sf_dir)
     fp = DD.simhash(docs, id_col="doc_id", text_col="text")
     sh_pairs = DD.simhash_near_pairs(fp, max_hamming=3).select("id_a", "id_b")
-    exact = DD.ngram_jaccard_pairs_prefix(
-        docs, id_col="doc_id", text_col="text", n=3, threshold=0.9
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # exact is referenced three times (deliverable rows, denominator,
+    # hit join) — persist it or the whole prefix join runs three times
+    exact = defer_unpersist(
+        DD.ngram_jaccard_pairs_prefix(
+            docs, id_col="doc_id", text_col="text", n=3, threshold=0.9
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .persist()
+    )
     hits = exact.join(sh_pairs, ["id_a", "id_b"], "left_semi")
     flag = (
         hits.agg(F.count(F.lit(1)).alias("__n_hit"))
