@@ -134,3 +134,23 @@ def test_sessionize_matches_native_session_window(spark, sf_dir):
     )
     native_counts = {r["user_id"]: r["n"] for r in native.collect()}
     assert ours_counts == native_counts
+
+
+def test_merge_trim_tiebreak_deterministic(spark):
+    """Equal-ts events within a (user, week): the trim must be a total
+    order (ts desc, then tiebreak desc), not whatever partition order
+    row_number saw."""
+    from bharatmlstack_spark.operators.event_store import EventStore
+
+    rows = [(1, "2024-01-02 10:00:00", eid) for eid in [5, 3, 9, 1, 7]]
+    df = (
+        spark.createDataFrame(rows, "user_id long, ts string, event_id long")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    store = EventStore(max_per_week=2, tiebreak_cols=["event_id"])
+    for _ in range(3):  # repartition shuffles input order across runs
+        kept = sorted(
+            r.event_id
+            for r in store.merge_trim(df.repartition(4)).collect()
+        )
+        assert kept == [7, 9]

@@ -52,3 +52,22 @@ def test_no_inline_events_parquet_reads():
         f"{offenders} — use sources.events loaders so encoding dispatch "
         "stays centralized"
     )
+
+
+def test_bigint_ts_outside_ns_range_fails_loudly(spark, tmp_path):
+    """A third ts encoding (e.g. µs-as-long) must raise, not silently be
+    divided as if it were nanoseconds."""
+    import pytest
+
+    from bharatmlstack_spark.sources import events as EV
+
+    sf = str(tmp_path / "sfbad")
+    # µs-magnitude int64: 2024-01-01 in MICROseconds (1000x below ns range)
+    spark.range(1).selectExpr(
+        "id AS event_id", "CAST(1704067200000000 AS LONG) AS ts",
+        "id AS user_id", "'click' AS event_type", "1.0 AS value", "'{}' AS props",
+    ).write.parquet(f"{sf}/events.parquet")
+    if dict(EV.load_events_raw(spark, sf).dtypes)["ts"] != "bigint":
+        pytest.skip("parquet long did not read back as bigint under this conf")
+    with pytest.raises(ValueError, match="nanosecond epoch"):
+        EV.load_events_ms(spark, sf)
