@@ -222,3 +222,28 @@ def test_metadata_dim_join_filters_before_join(spark, sf_dir, qs):
     df = qs["metadata_dim_join"](spark, sf_dir)
     pf = " ".join(pushed_filters(df))
     assert "user_id" in pf
+
+
+def test_events_loader_preserves_filter_pushdown(spark, sf_dir):
+    """The dual-encoding loader adds a projection over the scan; filters
+    written ABOVE load_events_ms must still reach the parquet scan as
+    DataFilters (the round-3 regression made people tempted to read the
+    file directly — this pins why they don't need to)."""
+    from bharatmlstack_spark.sources.events import load_events_ms
+
+    df = (
+        load_events_ms(spark, sf_dir)
+        .filter(F.col("user_id") == 7)
+        .select("event_id", "ts_ms")
+    )
+    pf = " ".join(pushed_filters(df))
+    assert "user_id" in pf
+
+
+def test_ann_ivf_exact_side_cached_once(spark, sf_dir, qs):
+    """The invariant-form ann_ivf_dot references the brute-force exact
+    top-10 three times; the plan must read it from cache (InMemoryTableScan)
+    rather than recomputing the cross join per reference."""
+    df = qs["ann_ivf_dot"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
