@@ -776,6 +776,7 @@ QUERY_PRIORITY: list[str] = [
     "multimodal_features",
     "order_stream_merge_trim",
     "skye_stream_aggregate",
+    "stateful_topk_stream",
     "table_profile",
     "feature_stats",
     "percentile_by_group",

@@ -1096,6 +1096,72 @@ def order_stream_merge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stateful_topk_stream",
+    oracle="""
+SELECT user_id, ts_ms, event_id, rank FROM (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rank
+  FROM events WHERE event_type = 'view' AND user_id % 5 = 0
+) WHERE rank <= 5
+""",
+)
+def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS5 in its TRUE streaming-state form: per-user newest-K via
+    applyInPandasWithState (state = current top-K list; each micro-batch
+    merges, re-sorts desc, truncates — persist/click.go:178-181), driven
+    over a ts-shuffled multi-batch topic. Every batch emits its current
+    top-K, so the dedup of all emissions re-ranked per user equals the
+    exact top-K independent of batch order — which is what DuckDB
+    recomputes. k=5 over the view stream so the state actually truncates."""
+    import tempfile
+
+    from bharatmlstack_spark.streaming.ingest import stateful_top_events
+
+    ev = (
+        load_events_ms(spark, sf_dir)
+        .filter((F.col("event_type") == "view") & (F.col("user_id") % 5 == 0))
+        .select("user_id", "ts_ms", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="bmls_topkstream_")
+    topic = f"{work}/topic"
+    # 3 micro-batches, each mixing users and times (late arrivals included)
+    ev.repartition(3, "event_id").write.parquet(topic)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    topk = stateful_top_events(stream, k=5)
+    out_path = f"{work}/emitted"
+
+    def _sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        topk.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.read.parquet(out_path).dropDuplicates(
+        ["user_id", "ts_ms", "event_id"]
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_ms"), F.desc("event_id")
+    )
+    return (
+        emitted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("user_id", "ts_ms", "event_id", "rank")
+    )
+
+
+@query(
     "skye_stream_aggregate",
     oracle="""
 SELECT vec_id AS candidate_id,
