@@ -338,11 +338,18 @@ def minhash_lsh_dedup_pairs(
     similarity join here would defeat the point of LSH). Same
     hashed-distinct-shingle semantics as ngram_jaccard_pairs (exact up to
     xxhash64 collisions within a pair)."""
+    from pyspark import StorageLevel
+
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, bands)
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        hashed_word_shingles(text_col, shingle_n).alias("sh"),
+    # shingling is the expensive map and BOTH verification sides need it
+    # (and the source may itself be a multi-branch union): hash-shingle
+    # once, persist the compact (id, long-array) frame, derive both sides
+    sets = defer_unpersist(
+        df.select(
+            F.col(id_col).alias("id"),
+            hashed_word_shingles(text_col, shingle_n).alias("sh"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -406,17 +413,22 @@ def simhash_near_pairs(
     exact popcount filter."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    pieces = fingerprints.select(
-        F.col("id"),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask))
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("piece_idx", "piece"),
+    # the banded frame self-joins: persist it (4 small rows per doc) so the
+    # fingerprint computation (tokenize + 64 bit-votes over the corpus)
+    # runs once, not once per join side
+    pieces = defer_unpersist(
+        fingerprints.select(
+            F.col("id"),
+            F.col("simhash"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", i * band_bits).bitwiseAND(F.lit(mask))
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("piece_idx", "piece"),
+        ).persist()
     )
     a, b = pieces.alias("a"), pieces.alias("b")
     return (
