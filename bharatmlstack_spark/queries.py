@@ -774,6 +774,8 @@ QUERY_PRIORITY: list[str] = [
     "ann_ivf_dot",
     "pq_ann_topk",
     "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
     "order_stream_merge_trim",
     "skye_stream_aggregate",
     "stateful_topk_stream",

@@ -601,6 +601,92 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _byte_at(col: str, pos) -> "F.Column":
+    """First/last-byte probe of a BINARY column as INT (hex round-trip —
+    Spark has no direct byte indexing expression)."""
+    return F.conv(F.hex(F.expr(f"substring({col}, {pos}, 1)")), 16, 10).cast("int")
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+WITH m AS (
+  SELECT i AS media_id, 64 + (i % 5) * 32 AS n_bytes
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS i)
+  WHERE i % 3 = 2
+),
+f AS (
+  SELECT media_id, n_bytes,
+         UNNEST(generate_series(0, least(4, greatest(1, n_bytes // 64)) - 1)) AS frame_idx
+  FROM m
+)
+SELECT media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(64, n_bytes - 64 * frame_idx) AS INT) AS frame_len,
+       CAST((media_id * 7 + 64 * frame_idx) % 256 AS INT) AS first_byte,
+       CAST((media_id * 7 + least(64 * frame_idx + 63, n_bytes - 1)) % 256 AS INT) AS last_byte
+FROM f
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video rows only, fixed 64-byte strides,
+    max 4 frames) with a HARD oracle: the synthetic payload is closed-form
+    in media_id, so DuckDB recomputes each frame's length and boundary
+    bytes arithmetically while Spark slices real BINARY through the
+    mapInPandas batch path. A real keyframe decoder drops into the same
+    slot (operators/multimodal.py sample_frames)."""
+    from bharatmlstack_spark.operators.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+        _byte_at("frame_bytes", 1).alias("first_byte"),
+        _byte_at("frame_bytes", -1).alias("last_byte"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+WITH m AS (
+  SELECT i AS media_id, 64 + (i % 5) * 32 AS src_bytes
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS i)
+  WHERE i % 3 = 0
+)
+SELECT media_id,
+       1024 AS n_bytes,
+       32 AS width, 32 AS height,
+       CAST((media_id * 7) % 256 AS INT) AS first_byte,
+       CAST((media_id * 7 + (1023 % src_bytes)) % 256 AS INT) AS last_byte
+FROM m
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (image rows tiled/truncated to the 32x32 byte
+    budget, meta rewritten to the target dims) with a HARD oracle: the
+    deterministic fake resample is byte p -> src[p mod len], so DuckDB
+    recomputes the boundary bytes arithmetically. A real decode+resample
+    drops into the same mapInPandas slot (operators/multimodal.py
+    resize_images)."""
+    from bharatmlstack_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    out = resize_images(media, width=32, height=32).join(
+        media.select("media_id", "modality"), on="media_id"
+    ).filter(F.col("modality") == "image")
+    return out.select(
+        "media_id",
+        F.length("content").cast("int").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        _byte_at("content", 1).alias("first_byte"),
+        _byte_at("content", -1).alias("last_byte"),
+    )
+
+
 def _quantized_oracle() -> str:
     """DuckDB twin of the fp16 / fp8-E5M2 round-trips.
 
