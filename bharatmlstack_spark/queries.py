@@ -779,6 +779,7 @@ QUERY_PRIORITY: list[str] = [
     "order_stream_merge_trim",
     "skye_stream_aggregate",
     "stateful_topk_stream",
+    "stream_weekly_watermark",
     "table_profile",
     "feature_stats",
     "percentile_by_group",

@@ -1248,6 +1248,79 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_weekly_watermark",
+    oracle="""
+WITH a AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events WHERE event_id % 17 <> 0
+),
+mx AS (SELECT max(ts_ms) AS mt_ms FROM a)
+SELECT CAST(ts_ms // 604800000 * 604800000 AS BIGINT) AS week_start_ms,
+       user_id,
+       COUNT(*) AS n_events
+FROM a, mx
+WHERE ts_ms // 604800000 * 604800000 + 604800000 <= mt_ms - 3600000
+GROUP BY 1, 2
+""",
+)
+def stream_weekly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS3+SS4 in the declarative watermark form: a tumbling weekly count
+    with a 1-hour watermark, driven as two checkpointed availableNow
+    executions (watermark + state persist across restarts, so they ARE
+    consecutive micro-batches) — batch 1 is the bulk stream, batch 2 is
+    entirely LATE data aimed at already-closed windows. Append mode emits exactly the windows closed
+    at the final watermark, and every batch-2 row is older than the
+    watermark batch 1 established, so the counts must equal batch 1 alone
+    — the late rows' absence is the proof the watermark dropped them
+    (any row late enough to belong to an emitted window is dropped; any
+    surviving row belongs to a window that never emits). Epoch-aligned
+    7-day windows in both engines; all boundary math in integer millis."""
+    import tempfile
+
+    from bharatmlstack_spark.streaming.ingest import windowed_event_counts
+
+    ev = load_events_ms(spark, sf_dir).select("user_id", "ts_ms", "event_id")
+    work = tempfile.mkdtemp(prefix="bmls_wmstream_")
+    topic = f"{work}/topic"
+    out_path = f"{work}/out"
+    bulk = ev.filter(F.col("event_id") % 17 != 0).drop("event_id")
+    late = ev.filter(F.col("event_id") % 17 == 0).drop("event_id")
+
+    def _run_available():
+        # one availableNow execution over whatever the topic holds now;
+        # watermark + window state persist in the checkpoint across runs,
+        # so consecutive executions ARE consecutive micro-batches
+        stream = (
+            spark.readStream.schema("user_id long, ts_ms long")
+            .parquet(topic)
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        )
+        counts = windowed_event_counts(
+            stream, ts_col="ts", user_col="user_id",
+            window="7 days", watermark="1 hour",
+        )
+        q = (
+            counts.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    bulk.coalesce(1).write.parquet(topic)
+    _run_available()  # batch 1: bulk; sets watermark = max(ts) - 1h
+    late.coalesce(1).write.mode("append").parquet(topic)
+    _run_available()  # batch 2: only late rows -> all watermark-dropped
+
+    return spark.read.parquet(out_path).select(
+        F.unix_millis(F.col("week_start")).alias("week_start_ms"),
+        "user_id",
+        "n_events",
+    )
+
+
+@query(
     "skye_stream_aggregate",
     oracle="""
 SELECT vec_id AS candidate_id,
