@@ -225,3 +225,68 @@ def test_pack_sequences_invariants(spark, tokens):
             assert r.tokens_before == offset  # contiguous offsets per shard
             assert r.bin == offset // 256  # bin = start offset / budget
             offset += tokens[r.doc_id]
+
+
+# ---------------------------------------------------------------------------
+# protowire round-trip laws (pure python, no Spark)
+# ---------------------------------------------------------------------------
+
+_meta_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=40,
+)
+
+
+@given(
+    st.text(min_size=1, max_size=20, alphabet=st.characters(codec="ascii", min_codepoint=48, max_codepoint=122)),
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "catalog_id": st.integers(0, 2**31 - 1),
+                "product_id": st.integers(0, 2**31 - 1),
+                "sub_order_num": _meta_text,
+                "timestamp": st.integers(0, 2**62),
+                "metadata": _meta_text,
+            }
+        ),
+        max_size=8,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_order_event_wire_round_trip(user_id, rows):
+    """PersistOrderDataRequest encode∘decode == identity, including unicode
+    strings, zero ints (proto3 default omission), and max-range varints."""
+    from bharatmlstack_spark.functions import protowire
+
+    wire = protowire.encode_event_request(user_id, rows, "order")
+    back = protowire.decode_event_request(wire, "order")
+    assert back["user_id"] == user_id
+    assert len(back["data"]) == len(rows)
+    for sent, got in zip(rows, back["data"]):
+        for k, v in sent.items():
+            assert got[k] == v, (k, v, got[k])
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "catalog_id": st.integers(0, 2**31 - 1),
+                "product_id": st.integers(0, 2**31 - 1),
+                "timestamp": st.integers(0, 2**62),
+                "metadata": _meta_text,
+            }
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_click_event_wire_round_trip(rows):
+    from bharatmlstack_spark.functions import protowire
+
+    wire = protowire.encode_event_request("u1", rows, "click")
+    back = protowire.decode_event_request(wire, "click")
+    assert len(back["data"]) == len(rows)
+    for sent, got in zip(rows, back["data"]):
+        for k, v in sent.items():
+            assert got[k] == v
