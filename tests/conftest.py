@@ -13,7 +13,6 @@ def spark():
     from bharatmlstack_spark import get_spark
 
     s = get_spark("tests", shuffle_partitions=8)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     yield s
 
 
