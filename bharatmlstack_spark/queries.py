@@ -780,6 +780,7 @@ QUERY_PRIORITY: list[str] = [
     "skye_stream_aggregate",
     "stateful_topk_stream",
     "stream_weekly_watermark",
+    "incremental_dedup_stream",
     "table_profile",
     "feature_stats",
     "percentile_by_group",

@@ -1248,6 +1248,74 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup_stream",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang FROM documents WHERE doc_id < 250
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text, lang FROM documents WHERE doc_id >= 250
+)
+SELECT s.doc_id, s.lang FROM src s
+SEMI JOIN (SELECT MIN(doc_id) AS doc_id FROM src GROUP BY text) k
+  ON s.doc_id = k.doc_id
+""",
+)
+def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup across ingestion days (the 100 TB shape:
+    only FINGERPRINTS persist as state; content never re-scans): day 1
+    ingests half the corpus, day 2 ingests the rest PLUS exact copies of
+    both halves under new ids — copies of day-1 docs must be dropped by
+    the fingerprint-state anti-join, copies arriving alongside their
+    original in day 2 by the intra-batch min-id window. The surviving set
+    is min-doc_id-per-text regardless of how the stream was batched,
+    which is exactly what DuckDB recomputes. Two checkpointed availableNow
+    executions = two days (streaming/ingest.py stream_dedup_sink)."""
+    import tempfile
+
+    from bharatmlstack_spark.streaming.ingest import stream_dedup_sink
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    day1 = d.filter(F.col("doc_id") < 250)
+    day2 = (
+        d.filter(F.col("doc_id") >= 250)
+        .unionAll(
+            day1.select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang"
+            )
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") >= 250).select(
+                (F.col("doc_id") + 20000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+
+    work = tempfile.mkdtemp(prefix="bmls_incdedup_")
+    topic = f"{work}/topic"
+    state = f"{work}/state"
+    out = f"{work}/out"
+
+    def _run_available():
+        stream = spark.readStream.schema("doc_id long, text string, lang string").parquet(topic)
+        q = stream_dedup_sink(
+            stream, state, out, f"{work}/ckpt", spark,
+            content_col="text", id_col="doc_id", trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    day1.coalesce(1).write.parquet(topic)
+    _run_available()
+    day2.coalesce(1).write.mode("append").parquet(topic)
+    _run_available()
+
+    return spark.read.parquet(out).select("doc_id", "lang")
+
+
+@query(
     "stream_weekly_watermark",
     oracle="""
 WITH a AS (
