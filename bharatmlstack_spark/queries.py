@@ -781,6 +781,7 @@ QUERY_PRIORITY: list[str] = [
     "stateful_topk_stream",
     "stream_weekly_watermark",
     "incremental_dedup_stream",
+    "stream_attribution_join",
     "table_profile",
     "feature_stats",
     "percentile_by_group",

@@ -1248,6 +1248,80 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_attribution_join",
+    oracle="""
+SELECT c.user_id,
+       epoch_ms(c.ts) AS click_ms,
+       epoch_ms(v.ts) AS conv_ms,
+       c.event_id AS click_id,
+       v.event_id AS conv_id
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+WHERE c.event_type = 'click' AND v.event_type = 'purchase'
+  AND c.user_id % 2 = 0
+  AND epoch_ms(v.ts) >= epoch_ms(c.ts)
+  AND epoch_ms(v.ts) <= epoch_ms(c.ts) + 7200000
+""",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join as a driver row: each
+    purchase labels the same user's clicks in the preceding 2-hour
+    attribution window (the click->conversion labeling step of an online
+    training pipeline, streaming/ingest.py attribution_join). Both streams
+    ingest fully before termination, so the emitted match set equals the
+    batch interval join DuckDB computes — the watermark's role here is
+    state bounding, not semantics."""
+    import tempfile
+
+    from bharatmlstack_spark.streaming.ingest import attribution_join
+
+    ev = (
+        load_events_ms(spark, sf_dir)
+        .filter(F.col("user_id") % 2 == 0)
+        .select(
+            "user_id",
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            "event_id",
+            "event_type",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="bmls_attrstream_")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    ).coalesce(1).write.parquet(f"{work}/clicks")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("conv_ts"), F.col("event_id").alias("conv_id")
+    ).coalesce(1).write.parquet(f"{work}/convs")
+
+    clicks = spark.readStream.schema(
+        "user_id long, click_ts timestamp, click_id long"
+    ).parquet(f"{work}/clicks")
+    convs = spark.readStream.schema(
+        "user_id long, conv_ts timestamp, conv_id long"
+    ).parquet(f"{work}/convs")
+    out = attribution_join(
+        clicks, convs, attribution_window="2 hours", watermark="30 days"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    return spark.read.parquet(f"{work}/out").select(
+        "user_id",
+        F.unix_millis(F.col("click_ts")).alias("click_ms"),
+        F.unix_millis(F.col("conv_ts")).alias("conv_ms"),
+        "click_id",
+        "conv_id",
+    )
+
+
+@query(
     "incremental_dedup_stream",
     oracle="""
 WITH src AS (
