@@ -3,6 +3,8 @@ on Spark and its oracle on DuckDB over the same parquet, compare row count,
 column names, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --window   # first 50 only,
+       exactly the slice the round driver verifies
 """
 
 from __future__ import annotations
@@ -45,7 +47,9 @@ def frame_signature(cols, rows):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    window_only = "--window" in args
+    only = {a for a in args if a != "--window"}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -54,6 +58,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     queries, oracles = all_queries(), all_oracles()
+    if window_only:
+        queries = dict(list(queries.items())[:50])
     failed = []
     attempted = 0
     rows_only = 0
