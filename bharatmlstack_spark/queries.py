@@ -782,6 +782,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_weekly_watermark",
     "incremental_dedup_stream",
     "stream_attribution_join",
+    "incremental_materialize_orders",
     "table_profile",
     "feature_stats",
     "percentile_by_group",

@@ -1286,6 +1286,86 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_materialize_orders",
+    oracle="""
+SELECT o_custkey AS user_id,
+       COUNT(*) AS orders__n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS orders__spend_cents,
+       MAX(epoch_ms(o_orderdate)) AS orders__last_order_ms
+FROM orders GROUP BY o_custkey
+""",
+)
+def incremental_materialize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental feature materialization end-to-end (operators/
+    incremental.py): day 1 materializes user order-features from 3/4 of
+    the fact table; day 2's delta (the remaining orders) triggers
+    recomputation of ONLY the touched users — from their FULL fact
+    history, so there is no read-modify-write drift — and upserts. The
+    final store must equal a from-scratch build over all orders, which is
+    what DuckDB computes. All-integer features (spend in cents via exact
+    decimal sums) keep the comparison bit-exact."""
+    import tempfile
+
+    from bharatmlstack_spark.operators.incremental import incremental_materialize
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            label="user",
+            key_columns=["user_id"],
+            feature_groups={
+                "orders": FeatureGroup(
+                    "orders", 1, DataType.INT64,
+                    {1: [
+                        Feature("n_orders", 0, default=0),
+                        Feature("spend_cents", 1, default=0),
+                        Feature("last_order_ms", 2, default=0),
+                    ]},
+                ),
+            },
+        )
+    )
+
+    o = _t(spark, sf_dir, "orders")
+
+    def compute(fact: DataFrame) -> DataFrame:
+        return fact.groupBy(F.col("o_custkey").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("orders__n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("orders__spend_cents"),
+            F.max(F.unix_millis(F.col("o_orderdate").cast("timestamp"))).alias(
+                "orders__last_order_ms"
+            ),
+        )
+
+    fs = FeatureStore(
+        spark, reg, base_path=tempfile.mkdtemp(prefix="bmls_incmat_"), n_buckets=8
+    )
+    day1 = o.filter(F.col("o_orderkey") % 4 != 0)
+    delta = o.filter(F.col("o_orderkey") % 4 == 0)
+    fs.persist("user", compute(day1))
+    incremental_materialize(
+        fs, "user", fact_df=o, delta_df=delta.select("o_custkey"),
+        key_cols=["o_custkey"], compute_fn=compute,
+    )
+    return fs.load("user").select(
+        "user_id",
+        "orders__n_orders",
+        "orders__spend_cents",
+        "orders__last_order_ms",
+    )
+
+
+@query(
     "stream_attribution_join",
     oracle="""
 SELECT c.user_id,
