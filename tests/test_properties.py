@@ -290,3 +290,79 @@ def test_click_event_wire_round_trip(rows):
     for sent, got in zip(rows, back["data"]):
         for k, v in sent.items():
             assert got[k] == v
+
+
+# ---------------------------------------------------------------------------
+# registry JSON round-trip law (pure python)
+# ---------------------------------------------------------------------------
+
+_label = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=97, max_codepoint=122),
+    min_size=1,
+    max_size=8,
+)
+
+
+@st.composite
+def _registries(draw):
+    from bharatmlstack_spark.registry import (
+        DataType,
+        Entity,
+        Feature,
+        FeatureGroup,
+        SchemaRegistry,
+    )
+
+    reg = SchemaRegistry()
+    n_entities = draw(st.integers(1, 3))
+    used_entities = set()
+    for _ in range(n_entities):
+        elabel = draw(_label.filter(lambda s: s not in used_entities))
+        used_entities.add(elabel)
+        fgs = {}
+        n_fgs = draw(st.integers(1, 4))
+        for fg_id in range(1, n_fgs + 1):
+            flabel = draw(_label.filter(lambda s: s not in fgs))
+            dt = draw(st.sampled_from([
+                DataType.INT32, DataType.INT64, DataType.FP32, DataType.FP64,
+                DataType.STRING, DataType.BOOL, DataType.FP32_VECTOR,
+            ]))
+            feats = []
+            n_feats = draw(st.integers(1, 4))
+            used_feats = set()
+            for idx in range(n_feats):
+                fname = draw(_label.filter(lambda s: s not in used_feats))
+                used_feats.add(fname)
+                kw = {}
+                if dt.is_vector:
+                    kw["vector_length"] = draw(st.integers(1, 16))
+                if dt == DataType.STRING:
+                    kw["string_length"] = draw(st.integers(1, 64))
+                    kw["default"] = draw(st.text(max_size=8))
+                feats.append(Feature(fname, idx, **kw))
+            fgs[flabel] = FeatureGroup(
+                flabel, fg_id, dt, {1: feats},
+                ttl_seconds=draw(st.integers(0, 10**7)),
+                store_id=draw(st.integers(0, 3)),
+            )
+        reg.register(Entity(label=elabel, key_columns=["k"], feature_groups=fgs))
+    return reg
+
+
+@given(_registries())
+@settings(max_examples=60, deadline=None)
+def test_registry_json_round_trip(reg):
+    """to_json ∘ from_json is the identity on the JSON form for arbitrary
+    registries (types, vectors, string defaults, TTLs, store routing)."""
+    from bharatmlstack_spark.registry import SchemaRegistry
+
+    blob = reg.to_json()
+    back = SchemaRegistry.from_json(blob)
+    assert back.to_json() == blob
+    for e in reg.entities():
+        orig, rt = reg.entity(e), back.entity(e)
+        assert sorted(orig.feature_groups) == sorted(rt.feature_groups)
+        for fg_label, fg in orig.feature_groups.items():
+            assert rt.fg(fg_label).data_type == fg.data_type
+            assert rt.fg(fg_label).ttl_seconds == fg.ttl_seconds
+            assert rt.fg(fg_label).store_id == fg.store_id
