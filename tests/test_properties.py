@@ -366,3 +366,31 @@ def test_registry_json_round_trip(reg):
             assert rt.fg(fg_label).data_type == fg.data_type
             assert rt.fg(fg_label).ttl_seconds == fg.ttl_seconds
             assert rt.fg(fg_label).store_id == fg.store_id
+
+
+# ---------------------------------------------------------------------------
+# narrow-storage codec laws: decode∘encode == roundtrip (pure numpy)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(finite_floats, min_size=1, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_narrow_storage_encode_decode_law(xs):
+    """The SMALLINT/TINYINT storage path must be value-identical to the
+    in-memory roundtrip: decode(encode(x)) == roundtrip(x) bit-for-bit,
+    for every format (fp16, E5M2, E4M3FN) on arbitrary finite floats."""
+    import numpy as np
+
+    from bharatmlstack_spark.functions import quantize as Q
+
+    x = np.array(xs, dtype=np.float32)
+    for enc, dec, rt in [
+        (Q.fp16_encode_np, Q.fp16_decode_np, Q.fp16_roundtrip_np),
+        (Q.fp8e5m2_encode_np, Q.fp8e5m2_decode_np, Q.fp8e5m2_roundtrip_np),
+        (Q.fp8e4m3_encode_np, Q.fp8e4m3_decode_np, Q.fp8e4m3_roundtrip_np),
+    ]:
+        stored = dec(enc(x))
+        direct = rt(x)
+        assert np.array_equal(
+            stored.astype(np.float32).view(np.uint32),
+            np.asarray(direct, dtype=np.float32).view(np.uint32),
+        ), (enc.__name__, x)
