@@ -1945,14 +1945,22 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parts_never_ordered",
     oracle="""
 SELECT p_partkey, p_brand FROM part
-ANTI JOIN lineitem ON p_partkey = l_partkey
+ANTI JOIN (
+  SELECT l_partkey FROM lineitem WHERE l_shipdate >= DATE '2001-01-01'
+) l ON p_partkey = l_partkey
 """,
 )
 def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 row-level anti-join at fact scale: keys absent from the fact
-    table (the reference's missing-key extraction generalized)."""
+    table (the reference's missing-key extraction generalized). The fact
+    side is date-restricted ("parts with no shipment in the final year") so the
+    result is non-empty at every SF — an always-empty anti-join would be
+    a vacuous green — and the filter pushes to the lineitem scan before
+    the join."""
     p = _t(spark, sf_dir, "part")
-    l = _t(spark, sf_dir, "lineitem")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("date")
+    )
     return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select("p_partkey", "p_brand")
 
 
