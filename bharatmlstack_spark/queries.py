@@ -770,6 +770,7 @@ QUERY_PRIORITY: list[str] = [
     "dedup_simhash",
     "sketch_distinct_users",
     "sketch_percentile_value",
+    "sketch_union_distinct",
     "ann_lsh_dot",
     "ann_ivf_dot",
     "pq_ann_topk",

@@ -388,6 +388,38 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_union_distinct",
+    oracle="""
+SELECT COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+""",
+)
+def sketch_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL sketches — the actual 100 TB distinct-count pattern:
+    per-group (or per-partition, per-day, ...) hll_sketch_agg partials
+    union via hll_union_agg into one global estimate WITHOUT re-touching
+    rows. Invariant-check form: the deliverable is the exact global
+    distinct count (DuckDB recomputes it) plus a 5% bound on the merged
+    sketch's estimate — certifying the merge path, not just one sketch."""
+    ev = load_events_raw(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("__sk")
+    )
+    merged = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(__sk))").alias("__est")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users")) / F.col("exact_users")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
+@query(
     "sketch_percentile_value",
     oracle="""
 SELECT event_type,
