@@ -784,6 +784,7 @@ QUERY_PRIORITY: list[str] = [
     "incremental_dedup_stream",
     "stream_attribution_join",
     "incremental_materialize_orders",
+    "events_funnel",
     "table_profile",
     "feature_stats",
     "percentile_by_group",

@@ -1942,6 +1942,67 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts_ms END) AS t1
+  FROM e GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, ANY_VALUE(u.t1) AS t1,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts_ms >= u.t1 THEN e.ts_ms END) AS t2
+  FROM e JOIN u USING (user_id) GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id, ANY_VALUE(u2.t1) AS t1, ANY_VALUE(u2.t2) AS t2,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts_ms >= u2.t2 THEN e.ts_ms END) AS t3
+  FROM e JOIN u2 USING (user_id) GROUP BY e.user_id
+)
+SELECT CAST(COUNT(t1) AS BIGINT) AS n_view,
+       CAST(COUNT(t2) AS BIGINT) AS n_view_click,
+       CAST(COUNT(t3) AS BIGINT) AS n_funnel
+FROM u3
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage funnel (view -> later click -> later purchase): the
+    event-sequence conversion signal a training pipeline labels with.
+    One user-partitioned window chain — three chained min-over-user
+    expressions share a single shuffle (contrast the oracle's 3-level
+    agg-join, same result) — then a global count."""
+    ev = load_events_ms(spark, sf_dir).select("user_id", "event_type", "ts_ms")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts_ms"))).over(w)
+    staged = ev.withColumn("__t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_ms") >= F.col("__t1")),
+            F.col("ts_ms"),
+        )
+    ).over(w)
+    staged = staged.withColumn("__t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_ms") >= F.col("__t2")),
+            F.col("ts_ms"),
+        )
+    ).over(w)
+    staged = staged.withColumn("__t3", t3)
+    per_user = staged.groupBy("user_id").agg(
+        F.first("__t1").alias("t1"),
+        F.first("__t2").alias("t2"),
+        F.first("__t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_funnel"),
+    )
+
+
+@query(
     "parts_never_ordered",
     oracle="""
 SELECT p_partkey, p_brand FROM part
