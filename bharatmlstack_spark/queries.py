@@ -785,6 +785,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_attribution_join",
     "incremental_materialize_orders",
     "events_funnel",
+    "feature_drift_psi",
     "table_profile",
     "feature_stats",
     "percentile_by_group",

@@ -1942,6 +1942,70 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "feature_drift_psi",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+         CASE WHEN epoch_ms(ts) < 1705363200000 THEN 1 ELSE 0 END AS early
+  FROM events
+),
+g AS (
+  SELECT event_type, bucket,
+         CAST(SUM(early) AS BIGINT) AS a,
+         CAST(SUM(1 - early) AS BIGINT) AS c
+  FROM b GROUP BY event_type, bucket
+),
+t AS (
+  SELECT event_type,
+         CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(c) AS BIGINT) AS tc,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM g GROUP BY event_type
+)
+SELECT g.event_type,
+       ROUND(SUM(
+         ((g.a + 0.5) / (t.ta + 0.5 * t.nb) - (g.c + 0.5) / (t.tc + 0.5 * t.nb))
+         * ln(((g.a + 0.5) / (t.ta + 0.5 * t.nb)) / ((g.c + 0.5) / (t.tc + 0.5 * t.nb)))
+       ), 6) AS psi
+FROM g JOIN t USING (event_type)
+GROUP BY g.event_type
+""",
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between the first and second half
+    of the stream, per event type over fixed-width value buckets — the
+    standard production signal for 'did this feature's distribution
+    move'. Laplace-smoothed over the joint bucket set so one-sided
+    buckets stay finite; two partial-agg shuffles (bucket counts, then
+    per-type totals broadcast back). Rounded 6dp: the only cross-engine
+    divergence is float summation order, ~1e-15 relative."""
+    cut = 1705363200000  # 2024-01-16 UTC in epoch-ms
+    ev = load_events_ms(spark, sf_dir)
+    b = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 5.0).cast("bigint").alias("bucket"),
+        (F.col("ts_ms") < cut).cast("long").alias("early"),
+    )
+    g = b.groupBy("event_type", "bucket").agg(
+        F.sum("early").alias("a"),
+        F.sum(F.lit(1) - F.col("early")).alias("c"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("a").alias("ta"),
+        F.sum("c").alias("tc"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    j = g.join(F.broadcast(t), "event_type")
+    p = (F.col("a") + 0.5) / (F.col("ta") + 0.5 * F.col("nb"))
+    q = (F.col("c") + 0.5) / (F.col("tc") + 0.5 * F.col("nb"))
+    term = (p - q) * F.log(p / q)
+    return (
+        j.groupBy("event_type")
+        .agg(F.round(F.sum(term), 6).alias("psi"))
+    )
+
+
+@query(
     "events_funnel",
     oracle="""
 WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
