@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bharatmlstack_spark.query_registry import defer_unpersist, query
-from bharatmlstack_spark.sources.events import load_events_raw
+from bharatmlstack_spark.sources.events import load_events_ms, load_events_raw
 from bharatmlstack_spark.functions import text as TX
 from bharatmlstack_spark.operators import dedup as DD
 
@@ -371,6 +371,42 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # training-set construction: deterministic splits + stratified sampling
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "temporal_split",
+    oracle="""
+WITH cut AS (
+  SELECT CAST(
+    epoch_ms(MIN(ts)) + CAST(floor((epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) * 0.8) AS BIGINT)
+    AS BIGINT) AS cut_ms
+  FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN epoch_ms(ts) < cut.cut_ms THEN 'train' ELSE 'holdout' END AS split
+FROM events, cut
+""",
+)
+def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/holdout split at the 80% point of the observed
+    time range — the leakage-safe alternative to hash splits for
+    time-series labels (the model must never see the future). The cut is
+    one tiny aggregate broadcast back; assignment is a scan-level
+    predicate. Integer-millis math keeps both engines bit-identical."""
+    ev = load_events_ms(spark, sf_dir)
+    bounds = ev.agg(
+        (
+            F.min("ts_ms")
+            + F.floor((F.max("ts_ms") - F.min("ts_ms")) * 0.8).cast("bigint")
+        ).alias("cut_ms")
+    )
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        F.when(F.col("ts_ms") < F.col("cut_ms"), F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
 
 
 @query(
