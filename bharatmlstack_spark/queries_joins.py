@@ -914,7 +914,7 @@ def feature_multi_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        CAST(event_id % 100000 AS INT) AS catalog_id,
-       CAST(event_id AS INT) AS product_id,
+       CAST(event_id % 2147483648 AS INT) AS product_id,
        epoch_ms(ts) AS timestamp,
        event_type AS metadata
 FROM events WHERE user_id % 50 = 3
@@ -935,7 +935,9 @@ def event_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             (F.col("event_id") % 100000).cast("int").alias("catalog_id"),
-            F.col("event_id").cast("int").alias("product_id"),
+            # explicit % 2^31 narrowing: identical on both engines, whereas a
+            # bare INT cast wraps in Spark but raises in DuckDB past 2^31
+            (F.col("event_id") % 2147483648).cast("int").alias("product_id"),
             "ts_ms",
             F.col("event_type").alias("metadata"),
         )
@@ -1112,12 +1114,12 @@ SELECT user_id, catalog_id, product_id, sub_order_num, ts_ms
 FROM (
   SELECT user_id,
          CAST(event_id % 100000 AS INT) AS catalog_id,
-         CAST(event_id AS INT) AS product_id,
+         CAST(event_id % 2147483648 AS INT) AS product_id,
          'SO-' || CAST(event_id AS VARCHAR) AS sub_order_num,
          epoch_ms(ts) AS ts_ms,
          ROW_NUMBER() OVER (
            PARTITION BY user_id, date_trunc('week', ts)
-           ORDER BY epoch_ms(ts) DESC, CAST(event_id AS INT) DESC
+           ORDER BY epoch_ms(ts) DESC, CAST(event_id % 2147483648 AS INT) DESC
          ) AS rn
   FROM events WHERE event_type = 'purchase'
 ) WHERE rn <= 5
@@ -1150,7 +1152,8 @@ def order_stream_merge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             (F.col("event_id") % 100000).cast("int").alias("catalog_id"),
-            F.col("event_id").cast("int").alias("product_id"),
+            # explicit % 2^31 narrowing — see event_wire_roundtrip
+            (F.col("event_id") % 2147483648).cast("int").alias("product_id"),
             F.concat(F.lit("SO-"), F.col("event_id").cast("string")).alias(
                 "sub_order_num"
             ),
@@ -1518,7 +1521,7 @@ SELECT CAST(ts_ms // 604800000 * 604800000 AS BIGINT) AS week_start_ms,
        user_id,
        COUNT(*) AS n_events
 FROM a, mx
-WHERE ts_ms // 604800000 * 604800000 + 604800000 <= mt_ms - 3600000
+WHERE ts_ms // 604800000 * 604800000 + 604800000 < mt_ms - 3600000
 GROUP BY 1, 2
 """,
 )
@@ -1533,7 +1536,11 @@ def stream_weekly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the late rows' absence is the proof the watermark dropped them
     (any row late enough to belong to an emitted window is dropped; any
     surviving row belongs to a window that never emits). Epoch-aligned
-    7-day windows in both engines; all boundary math in integer millis."""
+    7-day windows in both engines; all boundary math in integer millis.
+    Both sides use a strict `window_end < watermark` cut — the read-back
+    re-applies it via a 1-row broadcast max join — so the row does not
+    depend on whether Spark's append mode finalizes a window whose end
+    lands EXACTLY on the watermark (an engine-internal boundary choice)."""
     import tempfile
 
     from bharatmlstack_spark.streaming.ingest import windowed_event_counts
@@ -1573,10 +1580,17 @@ def stream_weekly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     late.coalesce(1).write.mode("append").parquet(topic)
     _run_available()  # batch 2: only late rows -> all watermark-dropped
 
-    return spark.read.parquet(out_path).select(
-        F.unix_millis(F.col("week_start")).alias("week_start_ms"),
-        "user_id",
-        "n_events",
+    wm = bulk.agg((F.max("ts_ms") - F.lit(3600000)).alias("__wm_ms"))
+    return (
+        spark.read.parquet(out_path)
+        .select(
+            F.unix_millis(F.col("week_start")).alias("week_start_ms"),
+            "user_id",
+            "n_events",
+        )
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("week_start_ms") + F.lit(604800000) < F.col("__wm_ms"))
+        .drop("__wm_ms")
     )
 
 
