@@ -2,12 +2,20 @@
 
 The Spark-side plumbing is real and tested — schema, partition-friendly
 batch iteration (mapInPandas), Arrow batch shapes, deterministic fallback
-features — while the actual codec work (image decode, resampling, frame
-extraction) is STUBBED: the runtime here has no PIL/ffmpeg/torchaudio, so
-each decode hook either raises NotImplementedError (strict) or produces a
-deterministic fake derived from the bytes (fake mode, used by tests and
-fixtures). Swap `_decode_image_real` etc. with real implementations on a
-cluster that ships the codec libs; nothing else changes.
+features. Codecs come in two tiers:
+
+- REAL (pure numpy, no external libs): PPM/PGM images (netpbm P6/P5
+  binary) and WAV/PCM16 audio decode, nearest-neighbor image resample,
+  re-encode. `strict_decode=True` routes through these and raises only
+  for formats that genuinely need an absent lib (JPEG/PNG/ffmpeg video).
+- FAKE (deterministic stand-in derived from raw bytes): the default
+  non-strict path, used where payloads are opaque/opaque-mime fixtures.
+
+Swap `_decode_image_real` / `_decode_audio_real` internals for PIL/ffmpeg
+on a codec-equipped cluster; schema, partitioning and batch shapes do not
+change. Reference anchor: skye ingests real embedding payloads per record
+(skye/internal/consumers/handler/indexer/); here the decode happens inside
+the same Arrow-batched mapInPandas slot.
 
 Schema convention:
     media_id   BIGINT
@@ -54,23 +62,162 @@ FEATURE_SCHEMA = (
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
 
 
-def _decode_image_real(content: bytes, meta) -> np.ndarray:  # pragma: no cover
-    """Real decoder hook — requires an imaging lib absent from this
-    runtime. Replace on a codec-equipped cluster."""
-    raise NotImplementedError(
-        "image decode requires PIL/cv2; not available in this environment"
+# --------------------------------------------------------------------------
+# Real pure-numpy codecs: netpbm P5 (PGM, grayscale) / P6 (PPM, RGB) binary
+# images and RIFF/WAVE PCM16 mono audio. These are the simplest widely-used
+# container formats whose decode needs nothing beyond numpy.
+# --------------------------------------------------------------------------
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """Encode uint8 pixels as binary netpbm: (h, w) -> P5, (h, w, 3) -> P6."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic = b"P5"
+        h, w = a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+        h, w = a.shape[:2]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    return magic + b"\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Decode binary netpbm P5/P6 -> uint8 array (h, w) or (h, w, 3).
+
+    Handles arbitrary whitespace and '#' comments in the header, per the
+    netpbm spec; maxval must be <=255 (8-bit)."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError(
+            "image decode beyond PPM/PGM requires PIL/cv2; not available "
+            "in this environment"
+        )
+    channels = 3 if data[:2] == b"P6" else 1
+    # header = magic + 3 ASCII ints (w, h, maxval) separated by whitespace,
+    # with optional '#' comments; pixel bytes start right after the single
+    # whitespace byte that follows maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        c = data[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            pos = data.index(b"\n", pos) + 1
+        elif c.isdigit():
+            end = pos
+            while data[end : end + 1].isdigit():
+                end += 1
+            fields.append(int(data[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad netpbm header byte {c!r} at {pos}")
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    pos += 1  # exactly one whitespace byte after maxval
+    n = w * h * channels
+    pix = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    return pix.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample: out[y, x] = in[y*h_in//h_out, x*w_in//w_out].
+
+    Floor-index mapping (not center-aligned) so an integer oracle can
+    recompute any output pixel arithmetically."""
+    h_in, w_in = arr.shape[:2]
+    ys = (np.arange(height) * h_in) // height
+    xs = (np.arange(width) * w_in) // width
+    return arr[np.ix_(ys, xs)]
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 mono samples as a canonical 44-byte-header RIFF/WAVE."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
     )
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode RIFF/WAVE PCM16 mono -> (int16 samples, sample_rate).
+
+    Walks the chunk list (fmt may be followed by LIST/fact before data)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio decode beyond WAV/PCM requires ffmpeg/torchaudio; not "
+            "available in this environment"
+        )
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, n_ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (fmt_tag, n_ch, bits) != (1, 1, 16):
+                raise NotImplementedError(
+                    f"only PCM16 mono supported, got tag={fmt_tag} ch={n_ch} bits={bits}"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return samples, rate
+
+
+def _decode_image_real(content: bytes, meta) -> np.ndarray:
+    """Real image decoder: pure-numpy netpbm (P5/P6). Other formats raise
+    NotImplementedError — JPEG/PNG need PIL/cv2, absent from this runtime."""
+    return decode_pnm(bytes(content))
+
+
+def _decode_audio_real(content: bytes, meta) -> tuple[np.ndarray, int]:
+    """Real audio decoder: pure-numpy RIFF/WAVE PCM16. Other formats raise
+    NotImplementedError."""
+    return decode_wav_pcm16(bytes(content))
+
+
+def _hist_feature(values: np.ndarray, dim: int) -> np.ndarray:
+    """L2-normalized ``values % dim`` histogram (float64 accumulate, float32
+    out) — the shared feature form for raw bytes and decoded pixel/sample
+    arrays. Python floor-mod keeps negative samples in [0, dim)."""
+    if values.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    hist = np.bincount(
+        values.astype(np.int64) % dim, minlength=dim
+    ).astype(np.float64)
+    n = np.linalg.norm(hist)
+    return (hist / n if n else hist).astype(np.float32)
 
 
 def _fake_feature(content: bytes, dim: int = 8) -> np.ndarray:
     """Deterministic stand-in feature: byte-histogram folded to `dim`
     buckets, L2-normalized. Fully reproducible across runs/engines."""
-    if len(content) == 0:
-        return np.zeros(dim, dtype=np.float32)
-    arr = np.frombuffer(content, dtype=np.uint8)
-    hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
-    n = np.linalg.norm(hist)
-    return (hist / n if n else hist).astype(np.float32)
+    return _hist_feature(np.frombuffer(content, dtype=np.uint8), dim)
+
+
+def _decode_values(modality: str, content: bytes, meta) -> np.ndarray:
+    """Real-codec decode to a flat int array: pixels for images, samples
+    for audio. Raises NotImplementedError for undecodable formats/video."""
+    if modality == "image":
+        return _decode_image_real(content, meta).ravel()
+    if modality == "audio":
+        return _decode_audio_real(content, meta)[0]
+    raise NotImplementedError(f"no real codec for modality {modality!r}")
 
 
 def extract_features(
@@ -79,25 +226,31 @@ def extract_features(
     """mapInPandas feature extraction over binary content.
 
     Arrow-batched: each partition streams pandas batches; per batch one
-    vectorized pass. ``strict_decode=True`` exercises the real-codec path
-    (raises NotImplementedError here, by design).
+    vectorized pass. ``strict_decode=True`` routes through the REAL codecs
+    (netpbm pixels / WAV samples feed the histogram; unsupported formats
+    raise); the default computes the deterministic raw-byte stand-in.
     """
 
     # capture helpers as locals: cloudpickle then ships them BY VALUE, so
     # executors do not need this package on their import path (module-level
     # references pickle by name and break on workers without the package)
     fake_feature = _fake_feature
-    decode_real = _decode_image_real
+    hist_feature = _hist_feature
+    decode_values = _decode_values
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict_decode:
-                for content, meta in zip(pdf["content"], pdf["meta"]):
-                    decode_real(content, meta)
-            feats = [
-                fake_feature(bytes(c) if c is not None else b"", dim)
-                for c in pdf["content"]
-            ]
+            feats = []
+            for modality, content, meta in zip(
+                pdf["modality"], pdf["content"], pdf["meta"]
+            ):
+                data = bytes(content) if content is not None else b""
+                if strict_decode:
+                    feats.append(
+                        hist_feature(decode_values(modality, data, meta), dim)
+                    )
+                else:
+                    feats.append(fake_feature(data, dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -143,12 +296,16 @@ RESIZED_SCHEMA = (
 def resize_images(
     media: DataFrame, width: int = 32, height: int = 32, strict_decode: bool = False
 ) -> DataFrame:
-    """Image resize STUB with real batch plumbing: output meta carries the
-    target dimensions and the payload is deterministically re-derived at
-    the target byte budget (w*h). A real impl decodes + resamples in the
-    same mapInPandas slot; schema/partitioning/batch shape are identical.
+    """Image resize over the binary column, in one mapInPandas slot.
+
+    ``strict_decode=True`` is the REAL path: netpbm decode -> nearest-
+    neighbor resample on actual pixels -> netpbm re-encode (raises for
+    formats needing absent libs). The default keeps the deterministic fake
+    (payload tiled/truncated to the w*h byte budget) for opaque fixtures.
     Non-image rows pass through untouched."""
     decode_real = _decode_image_real
+    resample = resize_nearest
+    reencode = encode_pnm
     budget = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -161,10 +318,12 @@ def resize_images(
                 meta = dict(meta) if meta is not None else {}
                 if modality == "image":
                     if strict_decode:
-                        decode_real(data, meta)
-                    # deterministic fake "resample": tile/truncate to budget
-                    reps = -(-budget // max(len(data), 1)) if data else 1
-                    data = (data * reps)[:budget] if data else b"\x00" * budget
+                        pixels = decode_real(data, meta)
+                        data = reencode(resample(pixels, width, height))
+                    else:
+                        # deterministic fake "resample": tile/truncate to budget
+                        reps = -(-budget // max(len(data), 1)) if data else 1
+                        data = (data * reps)[:budget] if data else b"\x00" * budget
                     meta["width"], meta["height"] = width, height
                 contents.append(data)
                 metas.append(meta)
