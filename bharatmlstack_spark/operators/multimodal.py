@@ -334,6 +334,82 @@ def resize_images(
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+DECODE_STATS_SCHEMA = (
+    "media_id long, modality string, n_values long, "
+    "v_sum long, v_min long, v_max long"
+)
+
+
+def decode_stats(media: DataFrame, strict_decode: bool = False) -> DataFrame:
+    """Per-media statistics over DECODED values (pixels / samples), one
+    mapInPandas slot.
+
+    ``strict_decode=True`` runs the REAL codecs: netpbm pixels for images,
+    PCM16 samples for audio (unsupported formats raise). The default
+    computes the same stats over the raw payload bytes — the deterministic
+    stand-in used for opaque fixtures. Mirrors the reference's per-payload
+    handling at ingest (skye/internal/consumers/handler/indexer/) where
+    each record's binary body is decoded inside the consumer worker."""
+    decode_values = _decode_values
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_values, v_sum, v_min, v_max = [], [], [], []
+            for modality, content, meta in zip(
+                pdf["modality"], pdf["content"], pdf["meta"]
+            ):
+                data = bytes(content) if content is not None else b""
+                if strict_decode:
+                    vals = decode_values(modality, data, meta).astype(np.int64)
+                else:
+                    vals = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                n_values.append(vals.size)
+                v_sum.append(int(vals.sum()) if vals.size else 0)
+                v_min.append(int(vals.min()) if vals.size else 0)
+                v_max.append(int(vals.max()) if vals.size else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_values": n_values,
+                    "v_sum": v_sum,
+                    "v_min": v_min,
+                    "v_max": v_max,
+                }
+            )
+
+    return media.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+
+
+def synthetic_real_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic fixture of REAL decodable media: even ids are binary
+    P5 (PGM) images, odd ids are RIFF/WAVE PCM16 audio. Pixels and samples
+    are closed-form in (media_id, flat index), so a SQL oracle can
+    recompute any decoded value arithmetically:
+
+        image i:  w = 8 + (i%5)*4,  h = 6 + (i%3)*6,
+                  pixel[k] = (i*31 + k) % 256          (k = y*w + x)
+        audio i:  n = 120 + (i%7)*40, rate = 8000 + (i%3)*4000,
+                  sample[k] = (i*7919 + k*104729) % 65536 - 32768
+    """
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 6
+            pixels = (i * 31 + np.arange(w * h)) % 256
+            content = encode_pnm(pixels.astype(np.uint8).reshape(h, w))
+            meta = ("image/x-portable-graymap", w, h, None, None)
+            rows.append((i, "image", content, meta))
+        else:
+            n_samples = 120 + (i % 7) * 40
+            rate = 8000 + (i % 3) * 4000
+            samples = (i * 7919 + np.arange(n_samples) * 104729) % 65536 - 32768
+            content = encode_wav_pcm16(samples.astype(np.int16), rate)
+            meta = ("audio/wav", None, None, rate, n_samples * 1000 // rate)
+            rows.append((i, "audio", content, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 16) -> DataFrame:
     """Deterministic fixture: binary payloads derived from the row id."""
     rows = []

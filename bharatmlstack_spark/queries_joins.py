@@ -725,6 +725,132 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+WITH img AS (
+  SELECT i AS media_id,
+         (8 + (i % 5) * 4) * (6 + (i % 3) * 6) AS n_values
+  FROM (SELECT UNNEST(generate_series(0, 47)) AS i) WHERE i % 2 = 0
+),
+imgv AS (
+  SELECT media_id, n_values,
+         UNNEST(generate_series(0, n_values - 1)) AS k
+  FROM img
+),
+imgs AS (
+  SELECT media_id, 'image' AS modality,
+         CAST(n_values AS BIGINT) AS n_values,
+         CAST(SUM((media_id * 31 + k) % 256) AS BIGINT) AS v_sum,
+         CAST(MIN((media_id * 31 + k) % 256) AS BIGINT) AS v_min,
+         CAST(MAX((media_id * 31 + k) % 256) AS BIGINT) AS v_max
+  FROM imgv GROUP BY media_id, n_values
+),
+aud AS (
+  SELECT i AS media_id, 120 + (i % 7) * 40 AS n_values
+  FROM (SELECT UNNEST(generate_series(0, 47)) AS i) WHERE i % 2 = 1
+),
+audv AS (
+  SELECT media_id, n_values,
+         UNNEST(generate_series(0, n_values - 1)) AS k
+  FROM aud
+),
+auds AS (
+  SELECT media_id, 'audio' AS modality,
+         CAST(n_values AS BIGINT) AS n_values,
+         CAST(SUM((media_id * 7919 + k * 104729) % 65536 - 32768) AS BIGINT) AS v_sum,
+         CAST(MIN((media_id * 7919 + k * 104729) % 65536 - 32768) AS BIGINT) AS v_min,
+         CAST(MAX((media_id * 7919 + k * 104729) % 65536 - 32768) AS BIGINT) AS v_max
+  FROM audv GROUP BY media_id, n_values
+)
+SELECT * FROM imgs UNION ALL SELECT * FROM auds
+""",
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path, no stand-ins: binary P5 images and RIFF/WAVE PCM16
+    audio are decoded by the pure-numpy codecs (strict_decode=True) inside
+    one mapInPandas slot, and per-media stats are computed over the DECODED
+    pixels/samples. The fixture payloads are closed-form in media_id
+    (operators/multimodal.py synthetic_real_media), so DuckDB recomputes
+    every decoded value arithmetically — a hash mismatch means the decoder
+    read wrong bytes. Reference anchor: per-record payload decode at ingest
+    (skye/internal/consumers/handler/indexer/)."""
+    from bharatmlstack_spark.operators.multimodal import (
+        decode_stats,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, n=48)
+    return decode_stats(media, strict_decode=True)
+
+
+def _decoded_hist_cols(*bins: int) -> list:
+    """ROUND(CAST(float32_value AS DOUBLE), 6) projections of histogram
+    feature slots — the float32-parity form shared with the oracle."""
+    return [
+        F.round(F.element_at("feature", b + 1).cast("double"), 6).alias(f"f{b}")
+        for b in bins
+    ]
+
+
+@query(
+    "multimodal_decode_image",
+    oracle="""
+WITH m AS (
+  SELECT i AS media_id, 8 + (i % 5) * 4 AS w, 6 + (i % 3) * 6 AS h
+  FROM (SELECT UNNEST(generate_series(0, 47)) AS i) WHERE i % 2 = 0
+),
+px AS (
+  SELECT media_id,
+         flatten(list_transform(generate_series(0, 15), y ->
+           list_transform(generate_series(0, 15), x ->
+             (media_id * 31 + ((y * h) // 16) * w + ((x * w) // 16)) % 256
+           ))) AS pixels
+  FROM m
+),
+h AS (
+  SELECT media_id,
+         [len(list_filter(pixels, p -> p % 8 = b))
+          FOR b IN generate_series(0, 7)] AS hist
+  FROM px
+)
+SELECT media_id, 'image' AS modality, 269 AS n_bytes,
+       ROUND(CAST(CAST(
+         CAST(hist[1] AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(hist, x -> x * x)) AS DOUBLE))
+         AS REAL) AS DOUBLE), 6) AS f0,
+       ROUND(CAST(CAST(
+         CAST(hist[2] AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(hist, x -> x * x)) AS DOUBLE))
+         AS REAL) AS DOUBLE), 6) AS f1
+FROM h
+""",
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode -> resize -> re-encode -> decode -> feature chain on real
+    pixels: P5 images are decoded (netpbm codec), nearest-neighbor resampled
+    to 16x16 (floor-index law: out[y,x] = in[y*h//16, x*w//16]), re-encoded
+    as P5 (269 bytes = 13-byte header + 256 pixels), then decoded AGAIN by
+    strict feature extraction into an L2-normalized mod-8 pixel histogram.
+    Every stage runs on actual image bytes; the oracle rebuilds the resized
+    pixel grid arithmetically and replicates the float32 cast, so the row is
+    bit-parity end to end through two decode passes."""
+    from bharatmlstack_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, n=48)
+    imgs = media.filter(F.col("modality") == "image")
+    resized = resize_images(imgs, width=16, height=16, strict_decode=True)
+    resized_media = resized.join(
+        F.broadcast(imgs.select("media_id", "modality")), "media_id"
+    )
+    out = extract_features(resized_media, dim=8, strict_decode=True)
+    return out.select("media_id", "modality", "n_bytes", *_decoded_hist_cols(0, 1))
+
+
 def _quantized_oracle() -> str:
     """DuckDB twin of the fp16 / fp8-E5M2 round-trips.
 
@@ -2297,3 +2423,80 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         on=["user_id"], bucket_width=3600_000,
     )
     return out.select("click_id", "purchase_id", "user_id", "ts_ms")
+
+
+# ===========================================================================
+# Skew hardening (the 100x story: hot keys must not serialize on one reducer)
+# ===========================================================================
+
+
+@query(
+    "salted_hot_key_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a 5-value grouping key: stage 1
+    partial-aggregates by (event_type, salt-of-event_id) so the hot keys
+    spread over 16 reducers, stage 2 merges the bounded partials. At 100 TB
+    a direct groupBy on a 5-value key serializes on 5 reducers no matter
+    how many executors exist; salting is the declarative fix (the reference
+    shards hot entities across consumer workers the same way:
+    online-feature-store/internal/consumer/listeners/kafka.go:80-95).
+    Row-identical to the direct aggregation — the oracle IS the direct
+    aggregation. Decimal sums keep the merge order-insensitive."""
+    from bharatmlstack_spark.plans.skew import salted_agg
+
+    ev = load_events_raw(spark, sf_dir).select("event_type", "value", "event_id")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": (F.lit(1), "count"),
+            "sum_value": (F.col("value").cast("decimal(18,6)"), "sum"),
+            "min_value": (F.col("value"), "min"),
+            "max_value": (F.col("value"), "max"),
+        },
+        salt=16,
+        salt_source="event_id",
+    )
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+@query(
+    "salted_dim_join",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: the event stream's user_id is skewed relative to
+    the customer dim (150 hot users out of 1500 keys), so the big side is
+    scattered across 8 salt buckets and the dim is replicated 8x before the
+    join — one hot key spreads over 8 reducers instead of pinning one.
+    Result is row-identical to the plain join (the oracle), aggregated by
+    market segment with an order-insensitive decimal sum. This is the
+    declarative fallback for engines/paths where AQE skew splitting cannot
+    apply (plans/skew.py salted_join)."""
+    from bharatmlstack_spark.plans.skew import salted_join
+
+    ev = load_events_raw(spark, sf_dir).select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, dim, on="user_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

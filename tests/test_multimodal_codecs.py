@@ -1,0 +1,179 @@
+"""Real pure-numpy media codecs: netpbm P5/P6 images and RIFF/WAVE PCM16.
+
+The reference ingests real binary payloads per record
+(skye/internal/consumers/handler/indexer/); here the decode runs inside
+the Arrow-batched mapInPandas slot. These tests pin the codec laws the
+driver-row oracles rely on: exact round-trips, spec-compliant header
+parsing, floor-index resampling, and loud failure for formats that need
+absent libraries.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from bharatmlstack_spark.operators.multimodal import (
+    decode_pnm,
+    decode_stats,
+    decode_wav_pcm16,
+    encode_pnm,
+    encode_wav_pcm16,
+    extract_features,
+    resize_nearest,
+    synthetic_real_media,
+)
+
+
+# -- netpbm -----------------------------------------------------------------
+
+
+def test_pnm_p5_roundtrip():
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    assert np.array_equal(decode_pnm(encode_pnm(g)), g)
+
+
+def test_pnm_p6_roundtrip():
+    c = (np.arange(6 * 8 * 3) % 256).astype(np.uint8).reshape(6, 8, 3)
+    out = decode_pnm(encode_pnm(c))
+    assert out.shape == (6, 8, 3)
+    assert np.array_equal(out, c)
+
+
+def test_pnm_header_comments_and_whitespace():
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    data = b"P5 # trailing comment\n# full line\n 8\t6 \n255\n" + g.tobytes()
+    assert np.array_equal(decode_pnm(data), g)
+
+
+def test_pnm_16bit_rejected():
+    data = b"P5\n2 2\n65535\n" + b"\x00" * 8
+    with pytest.raises(NotImplementedError):
+        decode_pnm(data)
+
+
+def test_pnm_foreign_magic_raises_not_implemented():
+    # JPEG SOI marker: decodable only with PIL/cv2, absent here
+    with pytest.raises(NotImplementedError):
+        decode_pnm(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_pnm_garbage_header_raises_value_error():
+    with pytest.raises(ValueError):
+        decode_pnm(b"P5\nx y\n255\n")
+
+
+def test_encode_pnm_rejects_bad_shape():
+    with pytest.raises(ValueError):
+        encode_pnm(np.zeros((2, 2, 4), dtype=np.uint8))
+
+
+# -- resize -----------------------------------------------------------------
+
+
+def test_resize_nearest_floor_index_law():
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    out = resize_nearest(g, width=4, height=3)
+    assert out.shape == (3, 4)
+    for y in range(3):
+        for x in range(4):
+            assert out[y, x] == g[(y * 6) // 3, (x * 8) // 4]
+
+
+def test_resize_nearest_upscale_and_identity():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    assert np.array_equal(resize_nearest(g, 4, 3), g)
+    up = resize_nearest(g, 8, 6)
+    assert up.shape == (6, 8)
+    # each source pixel appears as a 2x2 block
+    assert np.array_equal(up[::2, ::2], g)
+    assert np.array_equal(up[1::2, 1::2], g)
+
+
+def test_resize_nearest_rgb():
+    c = (np.arange(6 * 8 * 3) % 256).astype(np.uint8).reshape(6, 8, 3)
+    out = resize_nearest(c, 4, 2)
+    assert out.shape == (2, 4, 3)
+    assert np.array_equal(out[0, 0], c[0, 0])
+
+
+# -- WAV --------------------------------------------------------------------
+
+
+def test_wav_roundtrip():
+    s = ((np.arange(333) * 104729) % 65536 - 32768).astype(np.int16)
+    out, rate = decode_wav_pcm16(encode_wav_pcm16(s, 16000))
+    assert rate == 16000
+    assert np.array_equal(out, s)
+
+
+def test_wav_extra_chunk_before_data():
+    # fmt may be followed by LIST/fact chunks; decoder must walk past them,
+    # including odd-size word-alignment padding
+    s = np.arange(100, dtype=np.int16)
+    raw = encode_wav_pcm16(s, 8000)
+    fmt_chunk, data_chunk = raw[12:36], raw[36:]
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size, padded
+    body = fmt_chunk + lst + data_chunk
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, rate = decode_wav_pcm16(wav)
+    assert rate == 8000
+    assert np.array_equal(out, s)
+
+
+def test_wav_stereo_rejected():
+    s = np.zeros(10, dtype=np.int16)
+    raw = bytearray(encode_wav_pcm16(s, 8000))
+    raw[22:24] = struct.pack("<H", 2)  # n_channels = 2
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(bytes(raw))
+
+
+def test_wav_foreign_magic_raises_not_implemented():
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(b"OggS" + b"\x00" * 40)
+
+
+def test_wav_missing_data_chunk():
+    raw = encode_wav_pcm16(np.zeros(4, dtype=np.int16), 8000)
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(raw[:36])  # RIFF + fmt only
+
+
+# -- strict-decode end to end through Spark ---------------------------------
+
+
+def test_strict_extract_features_on_real_media(spark):
+    media = synthetic_real_media(spark, n=8)
+    rows = extract_features(media, dim=8, strict_decode=True).collect()
+    assert len(rows) == 8
+    for r in rows:
+        norm = float(np.linalg.norm(r["feature"]))
+        assert norm == pytest.approx(1.0, abs=1e-5)
+
+
+def test_strict_decode_stats_matches_closed_form(spark):
+    media = synthetic_real_media(spark, n=6)
+    got = {r["media_id"]: r for r in decode_stats(media, strict_decode=True).collect()}
+    for i in range(6):
+        if i % 2 == 0:
+            w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 6
+            vals = (i * 31 + np.arange(w * h)) % 256
+        else:
+            n = 120 + (i % 7) * 40
+            vals = (i * 7919 + np.arange(n) * 104729) % 65536 - 32768
+        r = got[i]
+        assert r["n_values"] == vals.size
+        assert r["v_sum"] == int(vals.sum())
+        assert r["v_min"] == int(vals.min())
+        assert r["v_max"] == int(vals.max())
+
+
+def test_decode_stats_nonstrict_uses_raw_bytes(spark):
+    media = synthetic_real_media(spark, n=4)
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    got = {r["media_id"]: r for r in decode_stats(media).collect()}
+    for mid, data in raw.items():
+        b = np.frombuffer(data, dtype=np.uint8)
+        assert got[mid]["n_values"] == len(data)
+        assert got[mid]["v_sum"] == int(b.sum())
