@@ -6,7 +6,7 @@ from bharatmlstack_spark.plans.explain_tools import (
     read_schemas,
     shuffle_count,
 )
-from bharatmlstack_spark.plans.skew import salted_join
+from bharatmlstack_spark.plans.skew import salted_agg, salted_join
 
 __all__ = [
     "explain_formatted",
@@ -15,5 +15,6 @@ __all__ = [
     "pushed_filters",
     "read_schemas",
     "shuffle_count",
+    "salted_agg",
     "salted_join",
 ]

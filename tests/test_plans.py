@@ -135,6 +135,80 @@ def test_salted_join_left(spark):
     assert d == {"a": 10, "b": None}
 
 
+def test_salted_agg_matches_plain_and_spreads_partials(spark):
+    from bharatmlstack_spark.plans import explain_formatted, salted_agg
+
+    big = spark.createDataFrame(
+        [("hot" if i % 10 else "cold", i, float(i)) for i in range(500)],
+        ["k", "rid", "v"],
+    )
+    plain = {
+        (r["k"], r["n"], r["s"], r["lo"], r["hi"])
+        for r in big.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    salted = salted_agg(
+        big,
+        keys=["k"],
+        aggs={
+            "n": (F.lit(1), "count"),
+            "s": (F.col("v").cast("decimal(18,6)"), "sum"),
+            "lo": (F.col("v"), "min"),
+            "hi": (F.col("v"), "max"),
+        },
+        salt=8,
+        salt_source="rid",
+    )
+    got = {
+        (r["k"], r["n"], r["s"], r["lo"], r["hi"]) for r in salted.collect()
+    }
+    assert got == plain
+    # plan shape: first exchange partitions by (k, __salt) — the hot key is
+    # NOT pinned to a single reducer in the wide stage
+    plan = explain_formatted(salted)
+    # formatted mode lists each Exchange's keys on an "Arguments:
+    # hashpartitioning(...)" detail line; the first (innermost) one is the
+    # wide partial-agg stage and must carry the salt
+    first_exchange = plan[plan.index("Arguments: hashpartitioning") :]
+    first_exchange = first_exchange[: first_exchange.index("\n")]
+    assert "__salt" in first_exchange
+
+
+def test_salted_agg_rejects_unknown_kind(spark):
+    from bharatmlstack_spark.plans import salted_agg
+
+    df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"bad": (F.col("v"), "avg")})
+
+
+def test_salted_join_keys_include_salt(spark):
+    """With broadcast off (the regime salting exists for), the join keys of
+    the physical plan must include __salt so a hot key spans reducers."""
+    from bharatmlstack_spark.plans import explain_formatted
+
+    big = spark.createDataFrame([("hot", i) for i in range(100)], ["k", "v"])
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], ["k", "w"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(big, small, on="k", salt=4)
+        plan = explain_formatted(out)
+        # formatted mode details join keys on "Left keys"/"Right keys" lines
+        key_lines = [
+            ln for ln in plan.splitlines() if ln.startswith(("Left keys", "Right keys"))
+        ]
+        assert key_lines and all("__salt" in ln for ln in key_lines)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_feature_layout_prunes(spark, tmp_path):
     """Key-hash bucketing: a batch retrieve reads only the buckets its keys
     hash into (partition pruning on key_bucket)."""
