@@ -74,6 +74,18 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
+    # product-path variants of the exact-recall rows: time what ships
+    # (index + probe + re-score), not the verification harness the
+    # registered forms carry for the correctness gate
+    from bharatmlstack_spark.bench_product import PRODUCT_QUERIES
+
+    product: dict[str, float] = {}
+    for name, fn in PRODUCT_QUERIES.items():
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        product[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {product[name]:.3f}s rows={n}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -82,6 +94,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # separate key: product totals must not shift the headline
+                # metric's comparability across rounds
+                "product_queries": product,
+                "product_total": round(sum(product.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

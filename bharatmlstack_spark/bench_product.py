@@ -1,0 +1,79 @@
+"""Bench-only PRODUCT paths for the exact-recall driver rows.
+
+The registered forms of ann_lsh_dot / ann_ivf_dot / pq_ann_topk /
+dedup_simhash deliver the EXACT side (so DuckDB can hash-verify them) and
+carry the approximate path only as a recall flag — correct for the gate,
+but their bench times measure verification harness + product together.
+These variants time what actually ships at 100 TB: index + probe +
+re-score alone, no exact brute-force side. Same operators, same
+parameters as the registered rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _emb_split(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    return queries_df, cands
+
+
+def ann_lsh_dot_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band index + bucket probe + exact re-score top-10 (the product
+    half of ann_lsh_dot)."""
+    from bharatmlstack_spark.operators.lsh import LshIndex
+
+    queries_df, cands = _emb_split(spark, sf_dir)
+    idx = LshIndex(dim=64, n_planes=16, n_bands=8)
+    return idx.search(idx.index(cands), queries_df, k=10, metric="DOT")
+
+
+def ann_ivf_dot_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF fit + nprobe-cell probe + exact re-score top-10 (the product
+    half of ann_ivf_dot)."""
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+
+    queries_df, cands = _emb_split(spark, sf_dir)
+    idx = IvfIndex(n_cells=16).fit(cands, sample_size=512, iters=3)
+    return idx.search(idx.index(cands), queries_df, k=10, nprobe=8, metric="DOT")
+
+
+def pq_ann_topk_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ fit + encode + ADC shortlist-50 + exact re-rank top-10 (the
+    product half of pq_ann_topk)."""
+    import numpy as np
+
+    from bharatmlstack_spark.operators.pq import PqIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    cands = emb.filter(F.col("vec_id") >= 5)
+    idx = PqIndex(m=16, k=64).fit(cands, sample_size=1024)
+    return idx.search(
+        idx.encode(cands), np.array(qrow[0]), k=10, rerank=cands, shortlist=50
+    )
+
+
+def dedup_simhash_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint + pigeonhole-banded hamming<=3 pairs (the
+    product half of dedup_simhash — no exact PPJoin verification side)."""
+    from bharatmlstack_spark.operators import dedup as DD
+    from bharatmlstack_spark.queries_text import corpus
+
+    docs = corpus(spark, sf_dir)
+    fp = DD.simhash(docs, id_col="doc_id", text_col="text")
+    return DD.simhash_near_pairs(fp, max_hamming=3).select("id_a", "id_b")
+
+
+PRODUCT_QUERIES = {
+    "ann_lsh_dot_product": ann_lsh_dot_product,
+    "ann_ivf_dot_product": ann_ivf_dot_product,
+    "pq_ann_topk_product": pq_ann_topk_product,
+    "dedup_simhash_product": dedup_simhash_product,
+}
