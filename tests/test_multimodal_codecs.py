@@ -12,6 +12,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from bharatmlstack_spark.operators.multimodal import (
     decode_pnm,
@@ -138,6 +140,51 @@ def test_wav_missing_data_chunk():
     raw = encode_wav_pcm16(np.zeros(4, dtype=np.int16), 8000)
     with pytest.raises(ValueError):
         decode_wav_pcm16(raw[:36])  # RIFF + fmt only
+
+
+# -- property fuzz: codec laws over arbitrary payloads ----------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    rgb=st.booleans(),
+    data=st.data(),
+)
+def test_pnm_roundtrip_law(w, h, rgb, data):
+    n = w * h * (3 if rgb else 1)
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    arr = np.array(flat, dtype=np.uint8).reshape((h, w, 3) if rgb else (h, w))
+    assert np.array_equal(decode_pnm(encode_pnm(arr)), arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rate=st.integers(1, 192000),
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+)
+def test_wav_roundtrip_law(rate, samples):
+    s = np.array(samples, dtype=np.int16)
+    out, got_rate = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+    assert got_rate == rate
+    assert np.array_equal(out, s)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w_in=st.integers(1, 16),
+    h_in=st.integers(1, 16),
+    w_out=st.integers(1, 16),
+    h_out=st.integers(1, 16),
+)
+def test_resize_floor_index_law_fuzz(w_in, h_in, w_out, h_out):
+    arr = (np.arange(w_in * h_in) % 256).astype(np.uint8).reshape(h_in, w_in)
+    out = resize_nearest(arr, w_out, h_out)
+    assert out.shape == (h_out, w_out)
+    for y in range(h_out):
+        for x in range(w_out):
+            assert out[y, x] == arr[(y * h_in) // h_out, (x * w_in) // w_out]
 
 
 # -- strict-decode end to end through Spark ---------------------------------
