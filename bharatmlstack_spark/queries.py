@@ -751,13 +751,79 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Round-4 window (first 50): the 8 ts-migration re-greens, the 8
-# rows-only->oracle conversions, the 2 new streaming rows, the fixed
-# table_profile, every query whose code changed this round (events-loader
-# consumers, vector.dot precision, merge_trim tiebreak), then the 17
-# r01-greens never re-verified since, topped up with the oldest r02
-# greens. 51+: r02 then r03 greens, freshest verification last.
+# Round-6 window (first 50): the 4 new rows (strict-decode multimodal,
+# skew hardening), temporal_split (the one query never driver-verified
+# across five windows), the 3 queries whose last green is r01 and the 20
+# whose last green is r02, backfilled with the 22 oldest r03 greens.
+# 51+: remaining r03 greens, then the 50 r04 greens (freshest last).
+# After this window every registered query has a green from r03 or later.
 QUERY_PRIORITY: list[str] = [
+    # new this round
+    "multimodal_decode_stats",
+    "multimodal_decode_image",
+    "salted_hot_key_agg",
+    "salted_dim_join",
+    # never driver-verified (judge-confirmed passes the local replica)
+    "temporal_split",
+    # last green r01
+    "segment_intersect",
+    "slate_expansion",
+    "topk_orders",
+    # last green r02
+    "corpus_mix_sample",
+    "doc_fingerprint",
+    "dot_score_ids",
+    "feature_schema_evolution",
+    "grouping_sets_orders",
+    "key_string_join",
+    "knn_euclidean",
+    "lang_id_heuristic",
+    "norm_min_max",
+    "norm_percentile_5_95",
+    "pair_expansion",
+    "percentile_rank",
+    "pipeline_inference",
+    "q3_shipping_priority",
+    "quality_score",
+    "rpn_score",
+    "segment_except",
+    "stratified_sample",
+    "train_test_split",
+    "uint64_decimal_sum",
+    # last green r03 (oldest re-attestations first)
+    "contamination_check",
+    "dedup_components",
+    "dedup_survivors",
+    "doc_chunks",
+    "doc_repetition_ratio",
+    "embedding_label_centroid",
+    "entity_resolution_join",
+    "events_batch_topn",
+    "events_range_user",
+    "events_weekly_buckets",
+    "feature_missing_keys",
+    "feature_multi_store",
+    "feature_retrieve",
+    "feature_retrieve_composite",
+    "feature_retrieve_decoded",
+    "feature_retrieve_quantized",
+    "get_embeddings_bulk",
+    "inference_log_readback",
+    "l2_normalized_embeddings",
+    "materialize_user_features",
+    "metadata_dim_join",
+    "negative_sampling",
+    # ---- window boundary (driver verifies the first 50) ----
+    # remaining r03 greens
+    "ngram_topk",
+    "orders_priority_pivot",
+    "q1_pricing_summary",
+    "quantile_binning",
+    "sequence_packing",
+    "stream_persist_retrieve",
+    "text_stats",
+    "tfidf_top_terms",
+    # r04 greens, all re-attested last round
     "last_write_wins",
     "event_wire_roundtrip",
     "events_retention_window",
@@ -808,59 +874,6 @@ QUERY_PRIORITY: list[str] = [
     "rollup_lineitem",
     "rpn_bool_compare",
     "rpn_literal_div",
-    "segment_intersect",
-    "slate_expansion",
-    "topk_orders",
-    "doc_fingerprint",
-    "corpus_mix_sample",
-    "key_string_join",
-    "lang_id_heuristic",
-    "quality_score",
-    "train_test_split",
-    "grouping_sets_orders",
-    "feature_schema_evolution",
-    "stratified_sample",
-    "uint64_decimal_sum",
-    "segment_except",
-    "pipeline_inference",
-    "pair_expansion",
-    "q3_shipping_priority",
-    "dot_score_ids",
-    "knn_euclidean",
-    "norm_min_max",
-    "norm_percentile_5_95",
-    "percentile_rank",
-    "rpn_score",
-    "negative_sampling",
-    "ngram_topk",
-    "quantile_binning",
-    "events_batch_topn",
-    "get_embeddings_bulk",
-    "l2_normalized_embeddings",
-    "orders_priority_pivot",
-    "sequence_packing",
-    "feature_retrieve_quantized",
-    "stream_persist_retrieve",
-    "inference_log_readback",
-    "metadata_dim_join",
-    "feature_multi_store",
-    "doc_repetition_ratio",
-    "embedding_label_centroid",
-    "q1_pricing_summary",
-    "feature_retrieve",
-    "feature_retrieve_decoded",
-    "feature_missing_keys",
-    "feature_retrieve_composite",
-    "materialize_user_features",
-    "events_range_user",
-    "events_weekly_buckets",
-    "dedup_components",
-    "dedup_survivors",
-    "doc_chunks",
-    "tfidf_top_terms",
-    "contamination_check",
-    "text_stats",
-    "entity_resolution_join",
 ]
 
 
