@@ -763,6 +763,7 @@ QUERY_PRIORITY: list[str] = [
     "multimodal_decode_image",
     "salted_hot_key_agg",
     "salted_dim_join",
+    "events_limit_clamp",
     # never driver-verified (judge-confirmed passes the local replica)
     "temporal_split",
     # last green r01
@@ -812,9 +813,9 @@ QUERY_PRIORITY: list[str] = [
     "l2_normalized_embeddings",
     "materialize_user_features",
     "metadata_dim_join",
-    "negative_sampling",
     # ---- window boundary (driver verifies the first 50) ----
     # remaining r03 greens
+    "negative_sampling",
     "ngram_topk",
     "orders_priority_pivot",
     "q1_pricing_summary",

@@ -2500,3 +2500,57 @@ def salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "events_limit_clamp",
+    oracle="""
+WITH reps AS (
+  SELECT user_id, event_id * 40 + r AS seq
+  FROM events, UNNEST(generate_series(0, 39)) AS t(r)
+  WHERE user_id < 3
+),
+ranked AS (
+  SELECT user_id, seq,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM reps
+)
+SELECT user_id,
+       COUNT(*) AS n_rows,
+       MIN(seq) AS min_seq,
+       MAX(seq) AS max_seq
+FROM ranked WHERE rn <= 2000
+GROUP BY user_id
+""",
+)
+def events_limit_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 driven as a row: a batch retrieve requesting limit=10^9 comes
+    back capped at MAX_RETRIEVE_LIMIT=2000 per user (constants.go:17-18,
+    retrieve.go:38-43). The fixture replicates each of 3 users' events 40x
+    under a unique synthetic ordering key so the cap actually BINDS
+    (~27k candidate rows per user); the deliverable is per-user row count
+    (exactly 2000 — the clamp) plus the boundary keys of the retained
+    window, which the oracle recomputes with its own top-2000."""
+    from bharatmlstack_spark.operators.event_store import EventStore
+
+    ev = (
+        load_events_raw(spark, sf_dir)
+        .filter(F.col("user_id") < 3)
+        .select("user_id", "event_id")
+    )
+    reps = ev.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(39)))).select(
+        "user_id", (F.col("event_id") * 40 + F.col("r")).alias("seq")
+    )
+    store = EventStore(user_col="user_id", ts_col="seq")
+    out = store.retrieve_batch(
+        reps,
+        reps.select("user_id").distinct(),
+        start=0,
+        end=2**62,
+        limit=10**9,  # absurd request; the store must clamp to 2000
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+    )
