@@ -410,6 +410,23 @@ def synthetic_real_media(spark, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_rgb_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic fixture of REAL color images: binary P6 (PPM) RGB,
+    pixels closed-form in (media_id, flat byte index):
+
+        image i:  w = 6 + (i%4)*2,  h = 4 + (i%5)*2,
+                  byte[k] = (i*17 + k) % 256     (k = (y*w + x)*3 + c)
+    """
+    rows = []
+    for i in range(n):
+        w, h = 6 + (i % 4) * 2, 4 + (i % 5) * 2
+        flat = (i * 17 + np.arange(w * h * 3)) % 256
+        content = encode_pnm(flat.astype(np.uint8).reshape(h, w, 3))
+        meta = ("image/x-portable-pixmap", w, h, None, None)
+        rows.append((i, "image", content, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 16) -> DataFrame:
     """Deterministic fixture: binary payloads derived from the row id."""
     rows = []

@@ -764,6 +764,8 @@ QUERY_PRIORITY: list[str] = [
     "salted_hot_key_agg",
     "salted_dim_join",
     "events_limit_clamp",
+    "multimodal_decode_rgb",
+    "multimodal_decode_audio_feature",
     # never driver-verified (judge-confirmed passes the local replica)
     "temporal_split",
     # last green r01
@@ -811,10 +813,10 @@ QUERY_PRIORITY: list[str] = [
     "get_embeddings_bulk",
     "inference_log_readback",
     "l2_normalized_embeddings",
-    "materialize_user_features",
-    "metadata_dim_join",
     # ---- window boundary (driver verifies the first 50) ----
     # remaining r03 greens
+    "materialize_user_features",
+    "metadata_dim_join",
     "negative_sampling",
     "ngram_topk",
     "orders_priority_pivot",

@@ -2554,3 +2554,118 @@ def events_limit_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seq").alias("min_seq"),
         F.max("seq").alias("max_seq"),
     )
+
+
+@query(
+    "multimodal_decode_rgb",
+    oracle="""
+WITH m AS (
+  SELECT i AS media_id, 6 + (i % 4) * 2 AS w, 4 + (i % 5) * 2 AS h
+  FROM (SELECT UNNEST(generate_series(0, 23)) AS i)
+),
+px AS (
+  SELECT media_id,
+         flatten(list_transform(generate_series(0, 7), y ->
+           flatten(list_transform(generate_series(0, 7), x ->
+             list_transform([0, 1, 2], c ->
+               (media_id * 17 + (((y * h) // 8) * w + ((x * w) // 8)) * 3 + c) % 256
+             ))))) AS bytes
+  FROM m
+),
+hst AS (
+  SELECT media_id,
+         [len(list_filter(bytes, p -> p % 8 = b))
+          FOR b IN generate_series(0, 7)] AS hist
+  FROM px
+)
+SELECT media_id, 'image' AS modality, 203 AS n_bytes,
+       ROUND(CAST(CAST(
+         CAST(hist[1] AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(hist, x -> x * x)) AS DOUBLE))
+         AS REAL) AS DOUBLE), 6) AS f0,
+       ROUND(CAST(CAST(
+         CAST(hist[3] AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(hist, x -> x * x)) AS DOUBLE))
+         AS REAL) AS DOUBLE), 6) AS f2
+FROM hst
+""",
+)
+def multimodal_decode_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-channel path of the real image codec: binary P6 (PPM) color
+    images decoded to (h, w, 3) pixel grids, nearest-neighbor resampled to
+    8x8 preserving channels, re-encoded as P6 (203 bytes = 11-byte header
+    + 192 pixel bytes), then strict-decoded again into the mod-8 byte
+    histogram. The oracle rebuilds every resized (y, x, channel) byte
+    arithmetically — channel interleaving survives two encode/decode
+    passes bit-exact."""
+    from bharatmlstack_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        synthetic_rgb_media,
+    )
+
+    media = synthetic_rgb_media(spark, n=24)
+    resized = resize_images(media, width=8, height=8, strict_decode=True)
+    resized_media = resized.join(
+        F.broadcast(media.select("media_id", "modality")), "media_id"
+    )
+    out = extract_features(resized_media, dim=8, strict_decode=True)
+    return out.select(
+        "media_id", "modality", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 3).cast("double"), 6).alias("f2"),
+    )
+
+
+@query(
+    "multimodal_decode_audio_feature",
+    oracle="""
+WITH m AS (
+  SELECT i AS media_id, 120 + (i % 7) * 40 AS n_samples
+  FROM (SELECT UNNEST(generate_series(0, 47)) AS i) WHERE i % 2 = 1
+),
+sv AS (
+  SELECT media_id, n_samples,
+         list_transform(generate_series(0, n_samples - 1), k ->
+           (media_id * 7919 + k * 104729) % 65536 - 32768) AS samples
+  FROM m
+),
+hst AS (
+  SELECT media_id, n_samples,
+         [len(list_filter(samples, s -> ((s % 8) + 8) % 8 = b))
+          FOR b IN generate_series(0, 7)] AS hist
+  FROM sv
+)
+SELECT media_id, 'audio' AS modality,
+       CAST(44 + 2 * n_samples AS BIGINT) AS n_bytes,
+       ROUND(CAST(CAST(
+         CAST(hist[1] AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(hist, x -> x * x)) AS DOUBLE))
+         AS REAL) AS DOUBLE), 6) AS f0,
+       ROUND(CAST(CAST(
+         CAST(hist[2] AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(hist, x -> x * x)) AS DOUBLE))
+         AS REAL) AS DOUBLE), 6) AS f1
+FROM hst
+""",
+)
+def multimodal_decode_audio_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio through the strict feature chain: RIFF/WAVE PCM16 decoded to
+    int16 samples (chunk-walking codec), folded into the L2-normalized
+    mod-8 histogram. Negative samples take numpy's FLOOR-mod into buckets
+    [0, 8), which the oracle replicates as ((s % 8) + 8) % 8 over DuckDB's
+    sign-of-dividend remainder — the exact cross-engine parity trap this
+    row exists to pin. n_bytes = 44-byte canonical WAV header + 2 bytes
+    per sample."""
+    from bharatmlstack_spark.operators.multimodal import (
+        extract_features,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, n=48).filter(F.col("modality") == "audio")
+    out = extract_features(media, dim=8, strict_decode=True)
+    return out.select(
+        "media_id", "modality", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"),
+    )
