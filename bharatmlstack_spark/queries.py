@@ -766,6 +766,7 @@ QUERY_PRIORITY: list[str] = [
     "events_limit_clamp",
     "multimodal_decode_rgb",
     "multimodal_decode_audio_feature",
+    "request_validation_matrix",
     # never driver-verified (judge-confirmed passes the local replica)
     "temporal_split",
     # last green r01
@@ -812,9 +813,9 @@ QUERY_PRIORITY: list[str] = [
     "feature_retrieve_quantized",
     "get_embeddings_bulk",
     "inference_log_readback",
-    "l2_normalized_embeddings",
     # ---- window boundary (driver verifies the first 50) ----
     # remaining r03 greens
+    "l2_normalized_embeddings",
     "materialize_user_features",
     "metadata_dim_join",
     "negative_sampling",

@@ -2669,3 +2669,108 @@ def multimodal_decode_audio_feature(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
         F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"),
     )
+
+
+@query(
+    "request_validation_matrix",
+    oracle="""
+SELECT * FROM (VALUES
+  ('range_end_future',          'ValueError'),
+  ('range_start_after_end',     'ValueError'),
+  ('range_exceeds_24_weeks',    'ValueError'),
+  ('rpn_unknown_token',         'RPNCompileError'),
+  ('rpn_stack_underflow',       'RPNCompileError'),
+  ('rpn_leftover_stack',        'RPNCompileError'),
+  ('rpn_empty_expression',      'RPNCompileError'),
+  ('filter_unknown_op',         'ValueError'),
+  ('knn_unknown_metric',        'ValueError'),
+  ('selector_unknown_suffix',   'ValueError'),
+  ('persist_unknown_column',    'ValueError'),
+  ('persist_wrong_type',        'TypeError'),
+  ('persist_missing_key',       'ValueError'),
+  ('registry_unknown_entity',   'KeyError'),
+  ('registry_unknown_fg',       'KeyError'),
+  ('registry_duplicate_feature','ValueError'),
+  ('lsh_indivisible_bands',     'ValueError'),
+  ('salted_agg_unknown_kind',   'ValueError'),
+  ('pnm_16bit_maxval',          'NotImplementedError'),
+  ('pnm_foreign_magic',         'NotImplementedError'),
+  ('wav_missing_data_chunk',    'ValueError')
+) AS t(check_id, error)
+""",
+)
+def request_validation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/U4 driven as a row: the request-validation surface — the checks
+    the reference runs before touching storage (event range rules
+    retrieve/retrieve.go:22-36, persist parse/validate persist.go:209,
+    compute compile errors matrix.rs:130-201, filter/metric validation
+    filters.go:54-191) — probed with 21 invalid requests. The deliverable
+    is the (check, raised-error-class) conformance matrix; the oracle is
+    the reference contract as a VALUES table. A probe that stops raising
+    (or raises the wrong class) flips the row red."""
+    import datetime as _dt
+
+    from bharatmlstack_spark import fixtures
+    from bharatmlstack_spark.functions.expressions import rpn_to_column
+    from bharatmlstack_spark.operators.event_store import EventStore
+    from bharatmlstack_spark.operators.feature_store import (
+        FeatureStore,
+        parse_feature_selector,
+    )
+    from bharatmlstack_spark.operators.knn import FilterSpec, score_column
+    from bharatmlstack_spark.operators.lsh import LshIndex
+    from bharatmlstack_spark.operators.multimodal import decode_pnm, decode_wav_pcm16
+    from bharatmlstack_spark.plans.skew import salted_agg
+
+    now = _dt.datetime(2024, 1, 1)
+    day = _dt.timedelta(days=1)
+    es = EventStore()
+    reg = fixtures.user_registry()
+    fs = FeatureStore(spark, reg, "/tmp/bmls_validation_probe")
+    tiny = spark.createDataFrame([(1, 5)], ["user_id", "demo_int32__age"])
+
+    probes = {
+        "range_end_future": lambda: es.validate_range(now, now + day, now),
+        "range_start_after_end": lambda: es.validate_range(now, now - day, now),
+        "range_exceeds_24_weeks": lambda: es.validate_range(
+            now - _dt.timedelta(weeks=30), now, now
+        ),
+        "rpn_unknown_token": lambda: rpn_to_column("x bogus +", columns={"x"}),
+        "rpn_stack_underflow": lambda: rpn_to_column("x +", columns={"x"}),
+        "rpn_leftover_stack": lambda: rpn_to_column("x x", columns={"x"}),
+        "rpn_empty_expression": lambda: rpn_to_column("", columns=set()),
+        "filter_unknown_op": lambda: FilterSpec("f", "LIKE", [1]).to_column(),
+        "knn_unknown_metric": lambda: score_column("MANHATTAN", "a", "b"),
+        "selector_unknown_suffix": lambda: parse_feature_selector(
+            "fg", "x@DataTypeBogus"
+        ),
+        "persist_unknown_column": lambda: fs.persist(
+            "user", tiny.withColumnRenamed("demo_int32__age", "nonexistent__col")
+        ),
+        "persist_wrong_type": lambda: fs.persist(
+            "user", tiny.withColumn("demo_int32__age", F.lit("not-an-int"))
+        ),
+        "persist_missing_key": lambda: fs.persist("user", tiny.drop("user_id")),
+        "registry_unknown_entity": lambda: reg.entity("no_such_entity"),
+        "registry_unknown_fg": lambda: reg.entity("user").fg("no_such_fg"),
+        "registry_duplicate_feature": lambda: reg.evolve(
+            "user", "demo_int32", [fixtures.Feature(label="age", sequence=0)]
+        ),
+        "lsh_indivisible_bands": lambda: LshIndex(dim=8, n_planes=10, n_bands=4),
+        "salted_agg_unknown_kind": lambda: salted_agg(
+            tiny, ["user_id"], {"bad": (F.col("demo_int32__age"), "avg")}
+        ),
+        "pnm_16bit_maxval": lambda: decode_pnm(b"P5\n2 2\n65535\n" + b"\x00" * 8),
+        "pnm_foreign_magic": lambda: decode_pnm(b"\xff\xd8\xff\xe0JFIF"),
+        "wav_missing_data_chunk": lambda: decode_wav_pcm16(
+            b"RIFF\x04\x00\x00\x00WAVE"
+        ),
+    }
+    results = []
+    for check_id, fn in probes.items():
+        try:
+            fn()
+            results.append((check_id, "NO_ERROR"))
+        except Exception as e:  # noqa: BLE001 - the class name IS the result
+            results.append((check_id, type(e).__name__))
+    return spark.createDataFrame(results, "check_id string, error string")
