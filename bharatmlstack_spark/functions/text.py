@@ -90,6 +90,41 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+# Patterns are written in the common subset of Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b — no backreferences,
+# no lookaround — so the same pattern string drives both the query and its
+# oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{2}-[0-9]{10}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# redaction order matters only in that replacements must not themselves
+# match a later pattern; the bracket tokens contain no digits/@, so any
+# order is safe.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (EMAIL_RE, "[EMAIL]"),
+    (PHONE_RE, "[PHONE]"),
+    (IPV4_RE, "[IP]"),
+]
+
+
+def pii_count(col: Column | str, pattern: str) -> Column:
+    """Number of non-overlapping matches of one PII pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its bracket token, all patterns."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
 def fingerprint(col: Column | str, mod: int = 2**31 - 1) -> Column:
     """Order-sensitive rolling hash over words: fold
     h = (h*31 + (len(w)*131 + ascii(first_char(w)))) mod p.

@@ -751,14 +751,21 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Round-6 window (first 50): the 4 new rows (strict-decode multimodal,
-# skew hardening), temporal_split (the one query never driver-verified
-# across five windows), the 3 queries whose last green is r01 and the 20
-# whose last green is r02, backfilled with the 22 oldest r03 greens.
-# 51+: remaining r03 greens, then the 50 r04 greens (freshest last).
-# After this window every registered query has a green from r03 or later.
+# Round-6 window (first 50): the 13 new rows (strict-decode multimodal,
+# skew hardening, PII redaction, span dedup, unigram-LM quality, shard
+# manifest, bucketed join), temporal_split (the one query never
+# driver-verified across five windows), the 3 queries whose last green is
+# r01 and the 20 whose last green is r02, backfilled with the oldest r03
+# greens. 51+: remaining r03 greens, then the 50 r04 greens (freshest
+# last). After this window every registered query has a green from r03 or
+# later.
 QUERY_PRIORITY: list[str] = [
     # new this round
+    "pii_redact",
+    "span_dedup_exact",
+    "unigram_lm_quality",
+    "shard_manifest",
+    "bucketed_colocated_join",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -808,13 +815,14 @@ QUERY_PRIORITY: list[str] = [
     "feature_missing_keys",
     "feature_multi_store",
     "feature_retrieve",
+    # ---- window boundary (driver verifies the first 50) ----
+    # remaining r03 greens (displaced by the round-5 additions above; all
+    # keep valid r03 attestations)
     "feature_retrieve_composite",
     "feature_retrieve_decoded",
     "feature_retrieve_quantized",
     "get_embeddings_bulk",
     "inference_log_readback",
-    # ---- window boundary (driver verifies the first 50) ----
-    # remaining r03 greens
     "l2_normalized_embeddings",
     "materialize_user_features",
     "metadata_dim_join",

@@ -2774,3 +2774,61 @@ def request_validation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception as e:  # noqa: BLE001 - the class name IS the result
             results.append((check_id, type(e).__name__))
     return spark.createDataFrame(results, "check_id string, error string")
+
+
+# ===========================================================================
+# bucketed co-located join — the shuffle-elimination contract at 100 TB
+# ===========================================================================
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+SELECT c.c_custkey AS cust,
+       c.c_nationkey AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_nationkey
+""",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides are WRITTEN bucketed on the
+    join key (8 buckets, sorted within bucket), then joined as catalog
+    tables — Catalyst sees the matching bucket specs and plans a
+    sort-merge join with NO Exchange on either side (plan-asserted in
+    tests/test_plans.py). This is the fact-to-fact join contract at
+    100 TB: pay the shuffle ONCE at write time, then every subsequent
+    join/agg on the bucket key is shuffle-free. The groupBy on the join
+    key also reuses the bucket distribution. Decimal-cast SUM keeps the
+    revenue fold order-independent for the oracle hash."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="bmls_bucketed_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    (
+        o.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", wh + "/orders")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("bmls_bucketed_orders")
+    )
+    (
+        c.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", wh + "/customer")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("bmls_bucketed_customer")
+    )
+    ob = spark.table("bmls_bucketed_orders")
+    cb = spark.table("bmls_bucketed_customer")
+    joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+    return joined.groupBy(
+        F.col("c_custkey").alias("cust"), F.col("c_nationkey").alias("nation")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )

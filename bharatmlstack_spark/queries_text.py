@@ -569,3 +569,250 @@ def embedding_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (the pre-training privacy pass)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no natural PII, so the row injects
+# deterministic emails/phones/IPs derived from doc_id (identically on both
+# engines) and then detects + redacts them — every doc_id % 3 == 2 doc is a
+# true negative, so the patterns are exercised against both classes.
+_PII_INJECT_SQL = """
+pii_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 2 THEN text
+              ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or +91-'
+                   || lpad(CAST(doc_id % 100000 AS VARCHAR), 10, '0')
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                           ELSE '' END
+         END AS pii_text
+  FROM documents
+)
+"""
+
+_PII_ORACLE = (
+    """
+WITH """
+    + _PII_INJECT_SQL.strip()
+    + """,
+redacted AS (
+  SELECT doc_id, pii_text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(pii_text, '<<EMAIL>>', '[EMAIL]', 'g'),
+             '<<PHONE>>', '[PHONE]', 'g'),
+           '<<IP>>', '[IP]', 'g') AS clean
+  FROM pii_docs
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '<<EMAIL>>')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '<<PHONE>>')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(pii_text, '<<IP>>')) AS INT) AS n_ips,
+       CAST(length(pii_text) - length(clean) AS INT) AS n_chars_removed,
+       md5(clean) AS redacted_sig
+FROM redacted
+"""
+).replace("<<EMAIL>>", TX.EMAIL_RE).replace("<<PHONE>>", TX.PHONE_RE).replace(
+    "<<IP>>", TX.IPV4_RE
+)
+
+
+@query("pii_redact", oracle=_PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: regex detection counts (email / phone /
+    IPv4) plus full redaction, verified to the exact redacted bytes via
+    md5. Pure per-row JVM regex expressions — map-side only, scan
+    bandwidth at 100 TB, no shuffle at all. Patterns live in
+    functions/text.py and are constrained to the Java-regex ∩ RE2 subset
+    so the oracle runs the literal same pattern strings."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inject = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +91-"),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 10, "0"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 2, F.col("text"))
+        .otherwise(inject)
+        .alias("pii_text"),
+    )
+    clean = TX.redact_pii("pii_text")
+    return d.select(
+        "doc_id",
+        TX.pii_count("pii_text", TX.EMAIL_RE).alias("n_emails"),
+        TX.pii_count("pii_text", TX.PHONE_RE).alias("n_phones"),
+        TX.pii_count("pii_text", TX.IPV4_RE).alias("n_ips"),
+        (F.length("pii_text") - F.length(clean)).cast("int").alias("n_chars_removed"),
+        F.md5(clean).alias("redacted_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (span) dedup — the inverted-index shape of
+# "Deduplicating Training Data Makes Language Models Better"
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "span_dedup_exact",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+wordlists AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus
+),
+spans AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+7], ' ') FOR i IN generate_series(1, len(ws) - 7)]
+  )) AS span
+  FROM wordlists WHERE len(ws) >= 8
+),
+dup_spans AS (
+  SELECT span FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_spans,
+       COUNT(d.span) AS n_dup_spans,
+       ROUND(CAST(COUNT(d.span) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+FROM spans s LEFT JOIN dup_spans d USING (span)
+GROUP BY s.doc_id
+""",
+)
+def span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: every 8-token span goes into an inverted
+    index (one shuffle on the span key); spans seen in ≥2 distinct docs
+    are duplicated content, reported as a per-doc duplicated-span ratio.
+    Only docs SHARING a span ever meet — never all-pairs — so the join
+    fan-out is bounded by true duplication, the property that makes this
+    the standard substring-dedup shape at 100 TB."""
+    docs = corpus(spark, sf_dir).filter(F.size(DD.tokenize("text")) >= 8)
+    spans = defer_unpersist(
+        docs.select(
+            "doc_id", F.explode(DD.word_shingles("text", n=8)).alias("span")
+        ).persist()
+    )
+    dup_spans = (
+        spans.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("span")
+    )
+    hit = spans.join(dup_spans.withColumn("__dup", F.lit(1)), "span", "left")
+    return hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count("__dup").alias("n_dup_spans"),
+        F.round(F.count("__dup").cast("double") / F.count(F.lit(1)), 6).alias(
+            "dup_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality score (the CCNet/KenLM-style fluency filter, reduced
+# to the corpus-trainable unigram case)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unigram_lm_quality",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT COUNT(*) AS n FROM toks)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(SUM(ln(CAST(v.cnt AS DOUBLE))) / COUNT(*)
+             - ln(CAST(total.n AS DOUBLE)), 6) AS avg_logp
+FROM toks t JOIN vocab v USING (token), total
+GROUP BY t.doc_id, total.n
+""",
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: token log-probability under
+    the corpus's own unigram distribution, averaged per document — the
+    degenerate-but-shuffle-identical form of the CCNet perplexity filter
+    (low avg_logp = rare-token gibberish). Two shuffles: the vocab
+    build (token partial-agg) and the score join on token; the corpus
+    total is a 1-row broadcast. avg(ln p) = mean(ln cnt) - ln N keeps the
+    float work to one fold, rounded 6dp."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = defer_unpersist(
+        d.select("doc_id", F.explode(DD.tokenize("text")).alias("token")).persist()
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id", "n").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.log(F.col("cnt").cast("double"))) / F.count(F.lit(1))
+            - F.log(F.col("n").cast("double")),
+            6,
+        ).alias("avg_logp"),
+    ).select("doc_id", "n_tokens", "avg_logp")
+
+
+# ---------------------------------------------------------------------------
+# deterministic content-hash sharding (the training-shard writer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shard_manifest",
+    oracle="""
+SELECT 's' || substr(md5(text), 1, 1) AS shard_id,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+""",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard writer, write-then-audit: every doc is
+    assigned shard = md5(content) prefix (content-addressed, so re-runs
+    and engines agree byte-for-byte), the corpus is WRITTEN partitioned
+    by shard, and the manifest the driver verifies is computed from the
+    READ-BACK files — the same audit contract as inference_log_readback.
+    At 100 TB this is one partitioned write (hash-partitioning keeps
+    shards balanced because md5 is uniform) and the manifest agg prunes
+    to footer-level stats per shard directory."""
+    import tempfile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = d.select(
+        "doc_id",
+        F.concat(F.lit("s"), F.substring(F.md5("text"), 1, 1)).alias("shard_id"),
+        F.size(DD.tokenize("text")).alias("n_tokens"),
+    )
+    path = tempfile.mkdtemp(prefix="bmls_shards_") + "/corpus"
+    staged.write.partitionBy("shard_id").mode("overwrite").parquet(
+        path, compression="zstd"
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

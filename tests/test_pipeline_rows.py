@@ -1,0 +1,147 @@
+"""Tests for the round-5 training-pipeline rows: PII redaction, exact-span
+dedup, unigram-LM quality, content-hash sharding, and the bucketed
+co-located join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.functions import text as TX
+from bharatmlstack_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_patterns_detect_and_redact(spark):
+    rows = [
+        ("mail me at a.b+c@x-corp.io today", 1, 0, 0),
+        ("call +91-9876543210 or +44-1234567890", 0, 2, 0),
+        ("server 192.168.0.1 and 10.0.255.3", 0, 0, 2),
+        ("no pii here at all", 0, 0, 0),
+        ("x@y.io +12-0000000000 1.2.3.4", 1, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], "text string"
+    ).select(
+        "text",
+        TX.pii_count("text", TX.EMAIL_RE).alias("e"),
+        TX.pii_count("text", TX.PHONE_RE).alias("p"),
+        TX.pii_count("text", TX.IPV4_RE).alias("i"),
+        TX.redact_pii("text").alias("clean"),
+    )
+    got = df.collect()
+    for (text, e, p, i), r in zip(rows, got):
+        assert (r.e, r.p, r.i) == (e, p, i), text
+        # redacted output never matches any PII pattern again
+        assert "@" not in r.clean or "[EMAIL]" in r.clean
+        for pat in (TX.EMAIL_RE, TX.PHONE_RE, TX.IPV4_RE):
+            import re
+
+            assert not re.search(pat, r.clean.replace("[EMAIL]", "").replace(
+                "[PHONE]", "").replace("[IP]", "")), (text, r.clean)
+
+
+def test_pii_redact_row_negatives_have_zero_counts(spark, sf_dir, qs):
+    out = qs["pii_redact"](spark, sf_dir)
+    neg = out.filter(F.col("doc_id") % 3 == 2)
+    assert neg.filter(
+        (F.col("n_emails") != 0) | (F.col("n_phones") != 0) | (F.col("n_ips") != 0)
+    ).count() == 0
+    pos = out.filter(F.col("doc_id") % 3 != 2)
+    assert pos.filter((F.col("n_emails") != 1) | (F.col("n_phones") != 1)).count() == 0
+    assert pos.filter(F.col("n_chars_removed") <= 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# exact-span dedup
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_exact_copies_fully_duplicated(spark, sf_dir, qs):
+    out = qs["span_dedup_exact"](spark, sf_dir)
+    # corpus() injects exact copies at doc_id+10000 for doc_id % 25 == 0:
+    # every span of a copied doc also exists in its source -> ratio 1.0
+    copies = out.filter((F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000))
+    assert copies.count() > 0
+    assert copies.filter(F.col("dup_ratio") < 1.0).count() == 0
+    # and nobody reports more duplicated spans than spans
+    assert out.filter(F.col("n_dup_spans") > F.col("n_spans")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# unigram LM quality
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_scores_are_log_probs(spark, sf_dir, qs):
+    out = qs["unigram_lm_quality"](spark, sf_dir)
+    # avg log-prob is strictly negative (no token has probability 1)
+    assert out.filter(F.col("avg_logp") >= 0).count() == 0
+    assert out.filter(F.col("n_tokens") <= 0).count() == 0
+    # a doc made entirely of the corpus's most common tokens must score
+    # higher than one of the rarest: check max spread is non-degenerate
+    stats = out.agg(F.min("avg_logp"), F.max("avg_logp")).head()
+    assert stats[0] < stats[1]
+
+
+# ---------------------------------------------------------------------------
+# shard manifest
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_accounts_for_every_doc(spark, sf_dir, qs):
+    out = qs["shard_manifest"](spark, sf_dir)
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = out.collect()
+    assert sum(r.n_docs for r in rows) == total_docs
+    # shard ids are the 16 hex prefixes, content-addressed
+    assert all(r.shard_id.startswith("s") and len(r.shard_id) == 2 for r in rows)
+    assert len({r.shard_id for r in rows}) == len(rows)
+
+
+def test_shard_assignment_is_content_addressed(spark):
+    # identical text -> identical shard, regardless of doc_id
+    df = spark.createDataFrame(
+        [(1, "same words"), (99, "same words"), (2, "other words")],
+        "doc_id long, text string",
+    ).select(F.substring(F.md5("text"), 1, 1).alias("shard"), "doc_id")
+    got = {r.doc_id: r.shard for r in df.collect()}
+    assert got[1] == got[99]
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_has_zero_exchanges(spark, sf_dir, qs):
+    from bharatmlstack_spark.plans import explain_formatted, shuffle_count
+
+    df = qs["bucketed_colocated_join"](spark, sf_dir)
+    # the whole plan — join AND the groupBy on the bucket key — rides the
+    # write-time bucket distribution: not a single shuffle
+    assert shuffle_count(df) == 0
+    assert "SortMergeJoin" in explain_formatted(df) or "BroadcastHashJoin" in (
+        explain_formatted(df)
+    )
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir, qs):
+    df = qs["bucketed_colocated_join"](spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.cust: r.n_orders for r in df.collect()}
+    want = {r.c_custkey: r.n for r in plain.collect()}
+    assert got == want
