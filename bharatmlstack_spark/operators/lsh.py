@@ -18,6 +18,7 @@ the plan as literal arrays — broadcast scalars, no Python in the row path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -173,14 +174,13 @@ class IvfIndex:
     def fit(self, candidates: DataFrame, sample_size: int = 4096, iters: int = 5) -> "IvfIndex":
         total = candidates.count()
         frac = min(1.0, sample_size / max(total, 1))
-        sample = np.array(
+        rows = (
             candidates.sample(fraction=frac, seed=self.seed)
             .select(self.emb_col)
             .limit(sample_size)
-            .rdd.map(lambda r: r[0])
-            .collect(),
-            dtype=np.float64,
+            .collect()
         )
+        sample = np.array([r[0] for r in rows], dtype=np.float64)
         rng = np.random.default_rng(self.seed)
         cents = sample[rng.choice(len(sample), size=min(self.n_cells, len(sample)), replace=False)]
         for _ in range(iters):
@@ -194,23 +194,30 @@ class IvfIndex:
         return self
 
     def _cell_col(self, emb: Column) -> Column:
-        """argmin over centroid distances, as a pure expression chain."""
+        """argmin over centroid distances, as ONE Arrow-batched matmul.
+
+        An expression-chain argmin (n_cells aggregates of zip_with per
+        row) is interpreted, not codegen'd — higher-order functions fall
+        out of whole-stage codegen — and costs n_cells*dim lambda evals
+        per row. The vectorized form computes the whole batch's distance
+        matrix with |x|^2 - 2 x·C + |c|^2 (one GEMM), the same shape
+        FAISS uses for coarse assignment; ties break to the lowest cell
+        id on both forms (np.argmin returns the first minimum)."""
         assert self.centroids is not None, "call fit() first"
-        best_d: Column | None = None
-        best_i: Column = F.lit(0)
-        for i, c in enumerate(self.centroids):
-            cl = _lit_vec(c)
-            d = F.aggregate(
-                F.zip_with(emb, cl, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0).cast("double"),
-                lambda a, x: a + x,
-            )
-            if best_d is None:
-                best_d, best_i = d, F.lit(0)
-            else:
-                best_i = F.when(d < best_d, F.lit(i)).otherwise(best_i)
-                best_d = F.least(best_d, d)
-        return best_i
+        from pyspark.sql.functions import pandas_udf
+
+        cents = np.asarray(self.centroids, dtype=np.float64)
+        c_sq = (cents**2).sum(1)
+
+        @pandas_udf("int")
+        def assign(batch: pd.Series) -> pd.Series:
+            if batch.empty:
+                return pd.Series([], dtype="int32")
+            x = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+            d = (x**2).sum(1)[:, None] - 2.0 * (x @ cents.T) + c_sq[None, :]
+            return pd.Series(d.argmin(1).astype(np.int32))
+
+        return assign(emb)
 
     def index(self, candidates: DataFrame) -> DataFrame:
         return candidates.withColumn("cell", self._cell_col(F.col(self.emb_col)))
@@ -226,35 +233,29 @@ class IvfIndex:
         query_emb_col: str = "query_embedding",
     ) -> DataFrame:
         assert self.centroids is not None, "call fit() first"
-        # nprobe nearest cells per query, computed driver-free as a small
-        # cross join (queries x centroids is tiny)
-        cent_df_rows = [(i,) for i in range(len(self.centroids))]
-        spark = queries.sparkSession
-        cents = spark.createDataFrame(cent_df_rows, ["cell"]).withColumn(
-            "centroid",
-            F.element_at(
-                F.array(*[_lit_vec(c) for c in self.centroids]),
-                (F.col("cell") + 1).cast("int"),
-            ),
-        )
-        qc = (
-            queries.crossJoin(F.broadcast(cents))
-            .withColumn(
-                "cdist",
-                F.aggregate(
-                    F.zip_with(
-                        F.col(query_emb_col), F.col("centroid"), lambda x, y: (x - y) * (x - y)
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda a, x: a + x,
-                ),
-            )
-        )
-        w = Window.partitionBy(query_id_col).orderBy(F.asc("cdist"), F.asc("cell"))
-        probes = (
-            qc.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= nprobe)
-            .select(query_id_col, query_emb_col, "cell")
+        # nprobe nearest cells per query, one Arrow batch: the former
+        # crossJoin(centroid-literal table) + window formulation paid a
+        # 1000+-literal plan and two extra jobs for what is a (batch x
+        # n_cells) argsort; ties still break to the lowest cell id
+        # (stable argsort == the old ORDER BY cdist, cell).
+        from pyspark.sql.functions import pandas_udf
+
+        cents = np.asarray(self.centroids, dtype=np.float64)
+        c_sq = (cents**2).sum(1)
+
+        @pandas_udf("array<int>")
+        def probe_cells(batch: pd.Series) -> pd.Series:
+            if batch.empty:
+                return pd.Series([], dtype=object)
+            x = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+            d = (x**2).sum(1)[:, None] - 2.0 * (x @ cents.T) + c_sq[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            return pd.Series(list(order.astype(np.int32)))
+
+        probes = queries.select(
+            query_id_col,
+            query_emb_col,
+            F.explode(probe_cells(F.col(query_emb_col))).alias("cell"),
         )
         cands = indexed.join(F.broadcast(probes), on="cell")
         scored = cands.withColumn(
