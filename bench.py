@@ -53,6 +53,14 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "asof_feature_join",
     "range_join_sessions",
+    # round-5 additions (prior names/order unchanged for comparability)
+    "pii_redact",
+    "span_dedup_exact",
+    "unigram_lm_quality",
+    "shard_manifest",
+    "bucketed_colocated_join",
+    "corpus_filter_chain",
+    "bpe_merge_step",
 ]
 
 

@@ -766,6 +766,8 @@ QUERY_PRIORITY: list[str] = [
     "unigram_lm_quality",
     "shard_manifest",
     "bucketed_colocated_join",
+    "corpus_filter_chain",
+    "bpe_merge_step",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -813,11 +815,11 @@ QUERY_PRIORITY: list[str] = [
     "events_range_user",
     "events_weekly_buckets",
     "feature_missing_keys",
-    "feature_multi_store",
-    "feature_retrieve",
     # ---- window boundary (driver verifies the first 50) ----
     # remaining r03 greens (displaced by the round-5 additions above; all
     # keep valid r03 attestations)
+    "feature_multi_store",
+    "feature_retrieve",
     "feature_retrieve_composite",
     "feature_retrieve_decoded",
     "feature_retrieve_quantized",

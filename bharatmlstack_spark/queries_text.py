@@ -816,3 +816,119 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus filter chain: ordered cleaning rules, first-failure verdict
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_filter_chain",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CASE WHEN len(w) >= 2 THEN
+           1.0 - CAST(len(list_distinct(
+             [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]
+           )) AS DOUBLE) / (len(w) - 1)
+         ELSE 0.0 END AS repetition
+  FROM ws
+)
+SELECT doc_id, n_words, ROUND(repetition, 6) AS repetition,
+       CASE WHEN n_words < 15 THEN 'too_short'
+            WHEN n_words > 95 THEN 'too_long'
+            WHEN repetition > 0.06 THEN 'repetitive'
+            ELSE 'keep' END AS verdict
+FROM m
+""",
+)
+def corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered corpus-cleaning rule chain (the C4/Gopher-style filter
+    cascade): length bounds then bigram-repetition, each doc labelled
+    with its FIRST failing rule. All per-row array expressions — a pure
+    scan with zero shuffles, so the cascade costs scan bandwidth at
+    100 TB and composes with any downstream sample/pack step. Verdict
+    thresholds compare the raw double (same operands, same IEEE result
+    on both engines); repetition is rounded only for display."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    bg = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+        ),
+    )
+    rep = F.when(
+        F.size(w) >= 2,
+        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / (F.size(w) - 1),
+    ).otherwise(F.lit(0.0))
+    m = d.select(
+        "doc_id", F.size(w).alias("n_words"), rep.alias("repetition_raw")
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("repetition_raw", 6).alias("repetition"),
+        F.when(F.col("n_words") < 15, F.lit("too_short"))
+        .when(F.col("n_words") > 95, F.lit("too_long"))
+        .when(F.col("repetition_raw") > 0.06, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step: corpus-wide adjacent character-pair statistics (the
+# first iteration of byte-pair-encoding tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_merge_step",
+    oracle=r"""
+WITH words AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(
+    [substr(w, i, 2) FOR i IN generate_series(1, length(w) - 1)]
+  ) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 20
+""",
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training iteration: count every adjacent
+    character pair inside words across the corpus and rank merge
+    candidates — the inner loop of byte-pair-encoding vocabulary
+    learning, whose corpus-scale cost is exactly this partial-agg
+    shuffle (the winning pair would be merged and the count pass
+    repeated). Pair construction stays JVM-side (substring over an index
+    sequence); the global top-20 is TakeOrderedAndProject, never a full
+    sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )

@@ -145,3 +145,27 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, qs):
     got = {r.cust: r.n_orders for r in df.collect()}
     want = {r.c_custkey: r.n for r in plain.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus filter chain + BPE merge step
+# ---------------------------------------------------------------------------
+
+
+def test_filter_chain_rules_all_fire_and_order_wins(spark, sf_dir, qs):
+    out = qs["corpus_filter_chain"](spark, sf_dir)
+    verdicts = {r.verdict for r in out.select("verdict").distinct().collect()}
+    assert "keep" in verdicts and "too_short" in verdicts
+    # first-failure semantics: a too-short doc is never labelled by a
+    # later rule even if also repetitive
+    bad = out.filter((F.col("n_words") < 15) & (F.col("verdict") != "too_short"))
+    assert bad.count() == 0
+
+
+def test_bpe_merge_step_counts(spark, sf_dir, qs):
+    out = qs["bpe_merge_step"](spark, sf_dir).collect()
+    assert len(out) == 20
+    # descending counts, all pairs are 2 chars
+    cnts = [r.cnt for r in out]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(len(r.pair) == 2 for r in out)
