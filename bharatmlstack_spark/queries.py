@@ -768,6 +768,8 @@ QUERY_PRIORITY: list[str] = [
     "bucketed_colocated_join",
     "corpus_filter_chain",
     "bpe_merge_step",
+    "cohort_retention",
+    "scd2_dimension",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -813,9 +815,9 @@ QUERY_PRIORITY: list[str] = [
     "entity_resolution_join",
     "events_batch_topn",
     "events_range_user",
+    # ---- window boundary (driver verifies the first 50) ----
     "events_weekly_buckets",
     "feature_missing_keys",
-    # ---- window boundary (driver verifies the first 50) ----
     # remaining r03 greens (displaced by the round-5 additions above; all
     # keep valid r03 attestations)
     "feature_multi_store",

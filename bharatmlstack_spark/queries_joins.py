@@ -2832,3 +2832,97 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
+
+
+# ===========================================================================
+# cohort retention + SCD2 dimension history (warehouse analytics shapes)
+# ===========================================================================
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH user_weeks AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM user_weeks GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(u.week - c.cohort_week AS BIGINT) AS week_offset,
+       COUNT(DISTINCT u.user_id) AS n_users
+FROM user_weeks u JOIN cohorts c USING (user_id)
+GROUP BY c.cohort_week, week_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their first active epoch
+    week, counted per week-offset — the engagement-analytics staple. Two
+    partial-agg shuffles on user_id (distinct weeks, then cohort min) and
+    one on (cohort_week, offset); integer epoch-week math keeps both
+    engines bit-identical. At 100 TB the distinct-(user, week) projection
+    collapses the event volume by orders of magnitude before any join."""
+    ev = load_events_ms(spark, sf_dir)
+    user_weeks = ev.select(
+        "user_id", (F.col("ts_ms") / F.lit(604800000)).cast("bigint").alias("week")
+    ).distinct()
+    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "scd2_dimension",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+           AS prev_type
+  FROM events WHERE user_id % 50 = 3
+),
+changes AS (
+  SELECT user_id, event_type, ts_ms AS valid_from
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) - 1
+         AS valid_to
+FROM changes
+""",
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: each run of equal
+    event_type per user collapses to one validity interval
+    [valid_from, valid_to], the open current row ending NULL — the
+    standard way a mutable attribute stream becomes a point-in-time
+    joinable dimension. One shuffle on user_id feeds BOTH windows (lag to
+    find change points, lead to close intervals) — Spark reuses the
+    partitioning, so history build costs a single exchange at any
+    scale."""
+    ev = load_events_ms(spark, sf_dir).filter(F.col("user_id") % 50 == 3)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ms"), F.asc("event_id"))
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts_ms",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("ts_ms").alias("valid_from"))
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("valid_from"))
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        (F.lead("valid_from").over(w2) - 1).alias("valid_to"),
+    )

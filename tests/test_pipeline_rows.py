@@ -169,3 +169,36 @@ def test_bpe_merge_step_counts(spark, sf_dir, qs):
     cnts = [r.cnt for r in out]
     assert cnts == sorted(cnts, reverse=True)
     assert all(len(r.pair) == 2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# cohort retention + SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_offset_zero_counts_whole_cohort(spark, sf_dir, qs):
+    out = qs["cohort_retention"](spark, sf_dir).collect()
+    by_cohort = {}
+    for r in out:
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_users
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets  # every user is active in their own first week
+        # retention never exceeds the cohort's size
+        assert all(n <= offsets[0] for n in offsets.values())
+
+
+def test_scd2_intervals_partition_the_timeline(spark, sf_dir, qs):
+    out = qs["scd2_dimension"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in out:
+        per_user[r.user_id].append(r)
+    for uid, rows in per_user.items():
+        rows.sort(key=lambda r: r.valid_from)
+        # exactly one open (current) interval, and it is the last one
+        opens = [r for r in rows if r.valid_to is None]
+        assert len(opens) == 1 and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from - 1  # gap-free, non-overlapping
+            assert a.event_type != b.event_type  # runs were collapsed
