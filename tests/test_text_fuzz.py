@@ -1,0 +1,73 @@
+"""Property-fuzz the text helpers: PII detection/redaction against Python's
+re module (the independent reference implementation), and word_shingles
+against a plain-Python shingler.
+
+One Spark job per property run: hypothesis generates a batch of texts,
+the property evaluates the whole batch in one DataFrame pass, and each
+row is compared to the Python reference."""
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.functions import text as TX
+
+# word soup in the corpus alphabet plus digit/punct noise — the generator
+# must be able to produce strings that LOOK like near-PII (digits, dots,
+# @) without being it, or the negatives prove nothing
+_token = st.one_of(
+    st.text(alphabet="abcz", min_size=1, max_size=4),
+    st.text(alphabet="0123456789.@+-_%", min_size=1, max_size=6),
+    st.sampled_from(["user@example.com", "+91-9876543210", "10.0.0.1", "a@b.io"]),
+)
+_texts = st.lists(
+    st.lists(_token, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _py_redact(s: str) -> str:
+    for pat, token in TX.PII_PATTERNS:
+        s = re.sub(pat, token, s)
+    return s
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts)
+def test_pii_matches_python_re(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        "text",
+        TX.pii_count("text", TX.EMAIL_RE).alias("e"),
+        TX.pii_count("text", TX.PHONE_RE).alias("p"),
+        TX.pii_count("text", TX.IPV4_RE).alias("i"),
+        TX.redact_pii("text").alias("clean"),
+    )
+    for r in df.collect():
+        assert r.e == len(re.findall(TX.EMAIL_RE, r.text)), r.text
+        assert r.p == len(re.findall(TX.PHONE_RE, r.text)), r.text
+        assert r.i == len(re.findall(TX.IPV4_RE, r.text)), r.text
+        assert r.clean == _py_redact(r.text), r.text
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts, st.integers(min_value=2, max_value=5))
+def test_word_shingles_match_python(spark, texts, n):
+    from bharatmlstack_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        "text", word_shingles("text", n=n).alias("sh")
+    )
+
+    def ref(t: str):
+        ws = [w for w in re.split(r"\s+", t.strip())] if t.strip() else [""]
+        if len(ws) < n:
+            return list(dict.fromkeys([" ".join(ws)]))
+        grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        return list(dict.fromkeys(grams))
+
+    for r in df.collect():
+        assert r.sh == ref(r.text), (r.text, n, r.sh)
