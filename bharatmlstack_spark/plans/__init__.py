@@ -7,6 +7,7 @@ from bharatmlstack_spark.plans.explain_tools import (
     shuffle_count,
 )
 from bharatmlstack_spark.plans.skew import salted_agg, salted_join
+from bharatmlstack_spark.plans.zorder import z_value, z_value_sql, zorder_layout
 
 __all__ = [
     "explain_formatted",
@@ -17,4 +18,7 @@ __all__ = [
     "shuffle_count",
     "salted_agg",
     "salted_join",
+    "z_value",
+    "z_value_sql",
+    "zorder_layout",
 ]

@@ -770,6 +770,7 @@ QUERY_PRIORITY: list[str] = [
     "bpe_merge_step",
     "cohort_retention",
     "scd2_dimension",
+    "zorder_cells",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -814,8 +815,8 @@ QUERY_PRIORITY: list[str] = [
     "embedding_label_centroid",
     "entity_resolution_join",
     "events_batch_topn",
-    "events_range_user",
     # ---- window boundary (driver verifies the first 50) ----
+    "events_range_user",
     "events_weekly_buckets",
     "feature_missing_keys",
     # remaining r03 greens (displaced by the round-5 additions above; all

@@ -2926,3 +2926,69 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         (F.lead("valid_from").over(w2) - 1).alias("valid_to"),
     )
+
+
+# ===========================================================================
+# Z-order layout cells — multi-dimensional clustering for file pruning
+# ===========================================================================
+
+from bharatmlstack_spark.plans.zorder import z_value, z_value_sql  # noqa: E402
+
+_Z_SQL = z_value_sql("ua", "wb", bits=8)
+
+
+@query(
+    "zorder_cells",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+),
+bounds AS (SELECT MIN(week) AS wk0 FROM base),
+keyed AS (
+  SELECT user_id,
+         user_id & 255 AS ua,
+         (week - bounds.wk0) & 255 AS wb
+  FROM base, bounds
+),
+zed AS (
+  SELECT user_id, ua, wb, ({_Z_SQL}) AS z FROM keyed
+)
+SELECT z >> 6 AS cell,
+       COUNT(*) AS n,
+       MIN(ua) AS min_user, MAX(ua) AS max_user,
+       MIN(wb) AS min_week, MAX(wb) AS max_week
+FROM zed
+GROUP BY cell
+""",
+)
+def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering cells over (user_id, week) — the
+    Delta/Iceberg ZORDER BY analog. The bit-interleaved key keeps rows
+    close in EITHER dimension close on disk, so row-group min/max stats
+    prune scans filtered on either column; the per-cell bounding boxes
+    this row reports ARE those pruning stats (each coarse cell spans a
+    small user range AND a small week range simultaneously — a
+    single-column sort only bounds one). Weeks are offset by the corpus
+    minimum (a 1-row broadcast) so the interleave operates on the
+    occupied coordinate range; pure integer bit arithmetic, identical on
+    both engines; the agg is one partial-agg shuffle."""
+    ev = load_events_ms(spark, sf_dir).select(
+        "user_id", (F.col("ts_ms") / F.lit(604800000)).cast("bigint").alias("week")
+    )
+    bounds = ev.agg(F.min("week").alias("wk0"))
+    keyed = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("ua"),
+        (F.col("week") - F.col("wk0")).bitwiseAND(F.lit(255)).alias("wb"),
+    )
+    zed = keyed.withColumn("z", z_value("ua", "wb", bits=8))
+    return (
+        zed.groupBy(F.shiftright("z", 6).alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ua").alias("min_user"),
+            F.max("ua").alias("max_user"),
+            F.min("wb").alias("min_week"),
+            F.max("wb").alias("max_week"),
+        )
+    )

@@ -202,3 +202,71 @@ def test_scd2_intervals_partition_the_timeline(spark, sf_dir, qs):
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from - 1  # gap-free, non-overlapping
             assert a.event_type != b.event_type  # runs were collapsed
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def _file_stats(df):
+    part = df.withColumn("p", F.spark_partition_id())
+    return part.groupBy("p").agg(
+        F.min("user_id").alias("u0"), F.max("user_id").alias("u1"),
+        F.min("week").alias("w0"), F.max("week").alias("w1"),
+    ).collect()
+
+
+def _match_fraction(stats, vals, lo, hi):
+    hits = sum(
+        sum(1 for s in stats if getattr(s, lo) <= v <= getattr(s, hi))
+        for v in vals
+    )
+    return hits / (len(vals) * len(stats))
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
+    from bharatmlstack_spark.plans.zorder import zorder_layout
+    from bharatmlstack_spark.sources.events import load_events_ms
+
+    ev = load_events_ms(spark, sf_dir).select(
+        "user_id", (F.col("ts_ms") / F.lit(604800000)).cast("bigint").alias("week")
+    )
+    wk0 = ev.agg(F.min("week")).head()[0]
+    ev = ev.withColumn("week", F.col("week") - F.lit(wk0))
+    users = [r.user_id for r in ev.select("user_id").distinct().collect()]
+    weeks = [r.week for r in ev.select("week").distinct().collect()]
+
+    z = _file_stats(zorder_layout(ev, "user_id", "week", 8, bits=8))
+    by_week = _file_stats(ev.repartitionByRange(8, "week").sortWithinPartitions("week"))
+    by_user = _file_stats(
+        ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
+    )
+
+    # single-column sorts: the OTHER dimension cannot prune (hits ~every file)
+    assert _match_fraction(by_week, users, "u0", "u1") > 0.9
+    assert _match_fraction(by_user, weeks, "w0", "w1") > 0.9
+    # z-order: BOTH dimensions prune below full scan — the property that
+    # makes the layout worth one extra sort at write time
+    zu = _match_fraction(z, users, "u0", "u1")
+    zw = _match_fraction(z, weeks, "w0", "w1")
+    assert zu < 0.9 and zw < 0.9, (zu, zw)
+
+
+def test_z_value_bit_interleave_exact(spark):
+    from bharatmlstack_spark.plans.zorder import z_value
+
+    rows = [(a, b) for a in (0, 1, 2, 3, 170, 255) for b in (0, 1, 85, 255)]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", z_value("a", "b", bits=8).alias("z")
+    )
+
+    def ref(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in df.collect():
+        assert r.z == ref(r.a, r.b), (r.a, r.b)
