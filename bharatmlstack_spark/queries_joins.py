@@ -2858,23 +2858,30 @@ GROUP BY c.cohort_week, week_offset
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by their first active epoch
-    week, counted per week-offset — the engagement-analytics staple. Two
-    partial-agg shuffles on user_id (distinct weeks, then cohort min) and
-    one on (cohort_week, offset); integer epoch-week math keeps both
-    engines bit-identical. At 100 TB the distinct-(user, week) projection
-    collapses the event volume by orders of magnitude before any join."""
+    week, counted per week-offset — the engagement-analytics staple.
+    TWO shuffles total: collect_set(week) per user (bounded by the number
+    of weeks, so state stays metadata-sized even at 100 TB of events),
+    then the cohort week is array_min of that set with no extra pass, the
+    explode emits each (user, offset) exactly once (the set deduped), and
+    the final count is a plain partial-agg — no count_distinct expand, no
+    self-join. Integer epoch-week math keeps both engines bit-identical."""
     ev = load_events_ms(spark, sf_dir)
-    user_weeks = ev.select(
-        "user_id", (F.col("ts_ms") / F.lit(604800000)).cast("bigint").alias("week")
-    ).distinct()
-    cohorts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set(
+            (F.col("ts_ms") / F.lit(604800000)).cast("bigint")
+        ).alias("weeks")
+    )
+    with_cohort = per_user.select(
+        "user_id",
+        F.array_min("weeks").alias("cohort_week"),
+        F.explode("weeks").alias("week"),
+    )
     return (
-        user_weeks.join(cohorts, "user_id")
-        .groupBy(
+        with_cohort.groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
         )
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

@@ -321,3 +321,34 @@ def test_ann_ivf_exact_side_cached_once(spark, sf_dir, qs):
     df = qs["ann_ivf_dot"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_round5_rows_hold_their_shuffle_budgets(spark, sf_dir, qs):
+    # the declared shuffle budget of each round-5 row: a refactor that
+    # adds an exchange (or a cartesian product) fails here even if the
+    # result stays correct
+    from bharatmlstack_spark.plans import explain_formatted
+
+    budgets = {
+        "pii_redact": 0,            # pure scan
+        "corpus_filter_chain": 0,   # pure scan
+        "shard_manifest": 1,        # read-back manifest agg
+        "scd2_dimension": 1,        # both windows share one user_id exchange
+        "bpe_merge_step": 1,        # pair partial-agg (top-k is a heap)
+        "cohort_retention": 2,      # collect_set per user + final agg
+        "zorder_cells": 2,          # bounds agg + cell agg
+        "span_dedup_exact": 3,      # span index + dup join + doc agg
+        "unigram_lm_quality": 3,    # vocab + score join + doc agg
+    }
+    for name, budget in budgets.items():
+        df = qs[name](spark, sf_dir)
+        plan = explain_formatted(df)
+        assert shuffle_count(df) <= budget, (name, shuffle_count(df))
+        assert "Cartesian" not in plan, name
+
+
+def test_bpe_merge_step_topk_is_heap(spark, sf_dir, qs):
+    from bharatmlstack_spark.plans import explain_formatted
+
+    plan = explain_formatted(qs["bpe_merge_step"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
