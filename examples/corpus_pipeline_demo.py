@@ -49,6 +49,18 @@ def main() -> None:
     kept = gated.filter((F.col("quality") >= 2 / 3) & (F.col("lang_guess") != "und"))
     print(f"== 2. quality/lang gate: {docs.count()} -> {kept.count()} docs ==")
 
+    # 2b. PII scrub — redact emails/phones/IPs in place (pure scan)
+    kept = kept.withColumn("text", TX.redact_pii("text"))
+    n_pii = kept.filter(
+        F.col("text").contains("[EMAIL]")
+        | F.col("text").contains("[PHONE]")
+        | F.col("text").contains("[IP]")
+    ).count()
+    # (the synthetic corpus carries no real PII — the scan still runs;
+    # the pii_redact driver row injects deterministic PII to prove the
+    # patterns fire)
+    print(f"== 2b. PII scrub: {n_pii} docs carried redactions ==")
+
     # 3. re-weight the language mix
     mixed = mix_sample(
         kept, "lang", "doc_id", {"en": 1.0, "es": 0.5, "de": 0.5, "fr": 0.25, "zh": 0.25}
@@ -96,6 +108,26 @@ def main() -> None:
 
     # 7. the split is already deterministic — same doc, same side, every run
     clean.groupBy("split").count().show()
+
+    # 8. write the train side as content-addressed shards + audit manifest
+    import tempfile
+
+    staged = train.select(
+        "doc_id",
+        F.concat(F.lit("s"), F.substring(F.md5("text"), 1, 1)).alias("shard_id"),
+        "text",
+    )
+    out = tempfile.mkdtemp(prefix="corpus_demo_") + "/shards"
+    staged.write.partitionBy("shard_id").mode("overwrite").parquet(
+        out, compression="zstd"
+    )
+    manifest = (
+        spark.read.parquet(out)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("shard_id")
+    )
+    print(f"== 8. wrote {manifest.count()} content-addressed shards to {out} ==")
     print("done.")
 
 
