@@ -71,3 +71,33 @@ def test_word_shingles_match_python(spark, texts, n):
 
     for r in df.collect():
         assert r.sh == ref(r.text), (r.text, n, r.sh)
+
+
+# ---------------------------------------------------------------------------
+# z-order interleave law over the full 16-bit domain
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                min_size=1, max_size=32))
+def test_z_value_matches_python_interleave(spark, pairs):
+    from bharatmlstack_spark.plans.zorder import z_value
+
+    df = spark.createDataFrame(pairs, "a long, b long").select(
+        "a", "b", z_value("a", "b", bits=16).alias("z")
+    )
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in df.collect():
+        assert r.z == ref(r.a, r.b), (r.a, r.b)
+        # deinterleave law: even bits reconstruct a, odd bits b
+        a_back = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b_back = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a_back, b_back) == (r.a, r.b)
