@@ -2999,3 +2999,55 @@ def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("wb").alias("max_week"),
         )
     )
+
+
+# ===========================================================================
+# streaming dedup: the native dropDuplicatesWithinWatermark operator
+# ===========================================================================
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+FROM events WHERE user_id % 40 = 1
+""",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via Spark's native
+    ``dropDuplicatesWithinWatermark``: the topic holds every base row PLUS
+    a full duplicate of every third event (the redelivery case — at-least-
+    once sources replay), the stream deduplicates on event_id with a
+    1-hour watermark bounding the state, and the sink's read-back must
+    hash-match the base rows exactly — the duplicates' absence IS the
+    verified behavior. State is bounded by the watermark horizon (keys
+    older than max(ts)-1h evict), which is what makes the operator viable
+    on an unbounded 100 TB stream where a plain dropDuplicates would
+    accumulate forever."""
+    import tempfile
+
+    ev = load_events_ms(spark, sf_dir).filter(F.col("user_id") % 40 == 1).select(
+        "event_id", "user_id", "ts_ms"
+    )
+    dups = ev.filter(F.col("event_id") % 3 == 0)
+    work = tempfile.mkdtemp(prefix="bmls_dedupstream_")
+    topic, out_path = f"{work}/topic", f"{work}/out"
+    ev.unionAll(dups).coalesce(1).write.parquet(topic)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts_ms long")
+        .parquet(topic)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_path).select("event_id", "user_id", "ts_ms")
