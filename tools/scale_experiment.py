@@ -1,0 +1,114 @@
+"""10x scale experiment: replicate sf0.1 into a key-shifted ~sf1 dataset
+under /tmp and time a representative query subset at both scales.
+
+Copies are KEY-SHIFTED (every key column offset per replica; document
+texts get a per-replica suffix token) so join fan-out, dedup group sizes,
+and per-key state stay constant — the workload grows linearly in rows,
+which is exactly the 100 TB question: does each plan's wall-clock grow
+~linearly with input, or does something quadratic/skewed hide at small
+scale?
+
+    python tools/scale_experiment.py [out_dir] [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark import get_spark
+from bharatmlstack_spark.queries import all_queries
+
+COPIES = 10
+# key shift per replica, far above any real key range in sf0.1
+SHIFT = 10_000_000
+
+# per-table key columns to shift (dims nation/region are copied once)
+KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+UNKEYED = ["nation", "region"]
+
+# representative subset: scan-, join-, window-, dedup-, and text-heavy
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "feature_retrieve",
+    "events_merge_trim",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "unigram_lm_quality",
+    "span_dedup_exact",
+    "cohort_retention",
+    "corpus_filter_chain",
+    "topk_orders",
+]
+
+
+def build(spark, src: str, out: str) -> None:
+    for t in UNKEYED:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    for t, keys in KEYED.items():
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        parts = []
+        for i in range(COPIES):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if t == "documents":
+                # texts must differ per replica or dedup groups grow 10x
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" c{i}"))
+                )
+            parts.append(c)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionAll(p)
+        big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = all_queries()
+    out = {}
+    for name in QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bmls_sf1"
+    keep = "--keep" in sys.argv
+    src = "/root/testdata/sf0.1"
+    spark = get_spark("scale-experiment")
+    print("building 10x dataset...", file=sys.stderr)
+    t0 = time.time()
+    build(spark, src, out_dir)
+    print(f"built in {time.time()-t0:.1f}s", file=sys.stderr)
+    small = time_queries(spark, src)
+    big = time_queries(spark, out_dir)
+    ratios = {k: round(big[k] / small[k], 2) for k in small}
+    print(json.dumps({"sf0.1": small, "sf1": big, "ratio": ratios}, indent=2))
+    if not keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
