@@ -319,7 +319,9 @@ FROM scored
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by per-language stopword hits, priority tie-break."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id", F.col("lang").alias("label"), TX.lang_id("text").alias("lang_guess"))
+    return TX.lang_id_frame(
+        d.select("doc_id", F.col("lang").alias("label"), "text")
+    ).drop("text")
 
 
 @query(

@@ -43,8 +43,8 @@ def main() -> None:
     profile_table(docs, ["doc_id", "lang", "n_chars"]).show(truncate=False)
 
     # 2. quality + language gates (all JVM expressions)
-    gated = docs.withColumn("quality", TX.quality_score("text")).withColumn(
-        "lang_guess", TX.lang_id("text")
+    gated = TX.lang_id_frame(
+        docs.withColumn("quality", TX.quality_score("text"))
     )
     kept = gated.filter((F.col("quality") >= 2 / 3) & (F.col("lang_guess") != "und"))
     print(f"== 2. quality/lang gate: {docs.count()} -> {kept.count()} docs ==")
