@@ -15,8 +15,6 @@ embarrassingly parallel; swap ``F.percentile`` for
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
@@ -42,17 +40,21 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             aggs.append(F.min(F.col(c).cast("double")).alias(f"__mn_{c}"))
             aggs.append(F.max(F.col(c).cast("double")).alias(f"__mx_{c}"))
     row = df.agg(*aggs)
-    per_col = [
-        row.select(
-            F.lit(c).alias("column_name"),
-            F.col(f"__nn_{c}").cast("bigint").alias("n_nulls"),
-            F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
-            (F.col(f"__mn_{c}") if c in numeric else F.lit(None).cast("double")).alias("vmin"),
-            (F.col(f"__mx_{c}") if c in numeric else F.lit(None).cast("double")).alias("vmax"),
+    # unpivot the 1-row aggregate with ONE stack generator: a unionAll of
+    # per-column selects would re-execute the whole scan+aggregate once
+    # per column (plan branches don't share the un-materialized subtree)
+    parts = []
+    for c in cols:
+        mn = f"__mn_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"__mx_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"'{c}', CAST(__nn_{c} AS BIGINT), CAST(__nd_{c} AS BIGINT), {mn}, {mx}"
         )
-        for c in cols
-    ]
-    return reduce(lambda a, b: a.unionAll(b), per_col)
+    stack = (
+        f"stack({len(cols)}, {', '.join(parts)}) AS "
+        "(column_name, n_nulls, n_distinct, vmin, vmax)"
+    )
+    return row.selectExpr(stack)
 
 
 def quantile_bin(
