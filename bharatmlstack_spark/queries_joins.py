@@ -3051,3 +3051,77 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(out_path).select("event_id", "user_id", "ts_ms")
+
+
+# ===========================================================================
+# fuzzy entity matching: edit-distance join with wildcard blocking
+# ===========================================================================
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_name, substr(c_name, length(c_name) - 5, 6) AS sfx
+  FROM customer WHERE c_custkey < 600
+),
+variants AS (
+  SELECT c_custkey, c_name,
+         substr(sfx, 1, i - 1) || '?' || substr(sfx, i + 1) AS vkey
+  FROM base, generate_series(1, 6) AS t(i)
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM variants a JOIN variants b USING (vkey)
+WHERE a.c_custkey < b.c_custkey
+  AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join: customer-name pairs within edit
+    distance 1, found WITHOUT an all-pairs comparison. Blocking =
+    wildcard (deletion-neighborhood) keys: each 6-char name suffix emits
+    6 variants with one position wildcarded; two equal-length names at
+    substitution distance 1 share EXACTLY one variant, so the equi-join
+    on the variant key produces precisely the true pair set (no dup
+    candidates, no misses) and levenshtein() is evaluated only on
+    candidates. This is the scale shape for fuzzy joins at 100 TB:
+    6x map-side key fan-out, one equi-join shuffle, candidate-local
+    verification — never n^2. Both engines ship the same classic DP
+    levenshtein, so the distances hash-match exactly."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 600)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.substring(F.col("c_name"), -6, 6).alias("sfx"),
+        )
+    )
+    variants = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.substring("sfx", 1, i - 1),
+                        F.lit("?"),
+                        F.substring("sfx", i + 1, 6 - i),
+                    )
+                    for i in range(1, 7)
+                ]
+            )
+        ).alias("vkey"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(b, on="vkey")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )

@@ -270,3 +270,33 @@ def test_z_value_bit_interleave_exact(spark):
 
     for r in df.collect():
         assert r.z == ref(r.a, r.b), (r.a, r.b)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy name match
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_match_blocking_is_exact_for_lev1(spark, sf_dir, qs):
+    out = qs["fuzzy_name_match"](spark, sf_dir)
+    rows = out.collect()
+    assert all(r.dist == 1 for r in rows)  # distinct names at distance 1
+    # ground truth on the bounded slice: brute-force pair check
+    names = {
+        r.c_custkey: r.c_name
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") < 600)
+        .collect()
+    }
+    import itertools
+
+    def lev1(a, b):
+        return len(a) == len(b) and sum(x != y for x, y in zip(a, b)) == 1
+
+    want = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(names), 2)
+        if lev1(names[i], names[j])
+    }
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == want
