@@ -773,6 +773,7 @@ QUERY_PRIORITY: list[str] = [
     "zorder_cells",
     "stream_dedup_watermark",
     "fuzzy_name_match",
+    "copurchase_pairs",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -814,8 +815,8 @@ QUERY_PRIORITY: list[str] = [
     "dedup_survivors",
     "doc_chunks",
     "doc_repetition_ratio",
-    "embedding_label_centroid",
     # ---- window boundary (driver verifies the first 50) ----
+    "embedding_label_centroid",
     "entity_resolution_join",
     "events_batch_topn",
     "events_range_user",

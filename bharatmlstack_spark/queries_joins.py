@@ -3125,3 +3125,53 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 1)
     )
+
+
+# ===========================================================================
+# market-basket co-occurrence: within-order part pairs
+# ===========================================================================
+
+
+@query(
+    "copurchase_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+""",
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in >= 2
+    orders — the candidate-generation pass of frequent-itemset mining /
+    the co-view signal behind item-to-item recommenders. The self-join is
+    keyed on l_orderkey, so the fan-out per order is C(items_in_order, 2)
+    — bounded by basket size (~7 in TPC-H), NEVER corpus-quadratic; the
+    pair count is one partial-agg shuffle on the pair key. At 100 TB this
+    is the standard two-shuffle co-occurrence shape."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
