@@ -774,6 +774,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_dedup_watermark",
     "fuzzy_name_match",
     "copurchase_pairs",
+    "event_transition_matrix",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -814,8 +815,8 @@ QUERY_PRIORITY: list[str] = [
     "dedup_components",
     "dedup_survivors",
     "doc_chunks",
-    "doc_repetition_ratio",
     # ---- window boundary (driver verifies the first 50) ----
+    "doc_repetition_ratio",
     "embedding_label_centroid",
     "entity_resolution_join",
     "events_batch_topn",

@@ -3175,3 +3175,56 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# ===========================================================================
+# event-sequence transition matrix (behavioral Markov statistics)
+# ===========================================================================
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+           AS prev_type
+  FROM events
+),
+transitions AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM transitions
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences: the
+    conditional next-event distribution P(next | prev) — the statistics
+    pass behind behavioral Markov features and session-sequence training
+    data. One user_id exchange feeds the ordering window; the transition
+    count is a partial-agg shuffle on the (tiny) type-pair key; the
+    row-normalization window runs on the aggregated matrix, which is
+    |event_types|^2 rows regardless of corpus size — at 100 TB the only
+    data-scale shuffle is the first one. The probability divides two
+    exact counts (same operands both engines), rounded for display."""
+    ev = load_events_ms(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ms"), F.asc("event_id"))
+    ordered = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
