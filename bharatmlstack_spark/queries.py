@@ -775,6 +775,7 @@ QUERY_PRIORITY: list[str] = [
     "fuzzy_name_match",
     "copurchase_pairs",
     "event_transition_matrix",
+    "value_zscore_outliers",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -814,8 +815,8 @@ QUERY_PRIORITY: list[str] = [
     "contamination_check",
     "dedup_components",
     "dedup_survivors",
-    "doc_chunks",
     # ---- window boundary (driver verifies the first 50) ----
+    "doc_chunks",
     "doc_repetition_ratio",
     "embedding_label_centroid",
     "entity_resolution_join",

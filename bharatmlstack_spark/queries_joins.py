@@ -3228,3 +3228,57 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+# ===========================================================================
+# feature standardization + outlier flagging (z-score against group moments)
+# ===========================================================================
+
+
+@query(
+    "value_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean,
+         sqrt(
+           CAST(SUM(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
+         ) AS std
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mean) / s.std, 6) AS z,
+       (abs((e.value - s.mean) / s.std) > 3.0) AS is_outlier
+FROM events e JOIN stats s USING (event_type)
+""",
+)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score standardization + 3-sigma outlier flag — the
+    feature-scaling/anomaly pass between raw telemetry and model input.
+    Group moments come from EXACT decimal sums (order-independent, so
+    mean/std are bit-identical on both engines) and broadcast back onto
+    the scan (|event_types| rows); each row's z divides the same three
+    doubles on both engines, so even the boolean 3-sigma cut needs no
+    tolerance. One partial-agg shuffle + a broadcast join — scan-bound
+    at 100 TB."""
+    ev = load_events_raw(spark, sf_dir)
+    dec = F.col("value").cast("decimal(28,10)")
+    n = F.count(F.lit(1))
+    s1 = F.sum(dec).cast("double")
+    s2 = F.sum(dec * dec).cast("double")
+    mean = s1 / n
+    stats = ev.groupBy("event_type").agg(
+        mean.alias("mean"), F.sqrt(s2 / n - mean * mean).alias("std")
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), on="event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 3.0).alias("is_outlier"),
+        )
+    )
