@@ -776,6 +776,7 @@ QUERY_PRIORITY: list[str] = [
     "copurchase_pairs",
     "event_transition_matrix",
     "value_zscore_outliers",
+    "user_week_density",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -814,8 +815,8 @@ QUERY_PRIORITY: list[str] = [
     # last green r03 (oldest re-attestations first)
     "contamination_check",
     "dedup_components",
-    "dedup_survivors",
     # ---- window boundary (driver verifies the first 50) ----
+    "dedup_survivors",
     "doc_chunks",
     "doc_repetition_ratio",
     "embedding_label_centroid",

@@ -3282,3 +3282,62 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_outlier"),
         )
     )
+
+
+# ===========================================================================
+# time-series densification: gap-filled weekly activity spine
+# ===========================================================================
+
+
+@query(
+    "user_week_density",
+    oracle="""
+WITH weekly AS (
+  SELECT user_id, epoch_ms(ts) // 604800000 AS week, COUNT(*) AS n
+  FROM events WHERE user_id % 25 = 4 AND event_id % 37 = 0
+  GROUP BY user_id, week
+),
+bounds AS (
+  SELECT user_id, MIN(week) AS w0, MAX(week) AS w1 FROM weekly GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(w0, w1)) AS week FROM bounds
+)
+SELECT s.user_id, s.week, COALESCE(w.n, 0) AS n_events,
+       (w.n IS NULL) AS is_gap
+FROM spine s LEFT JOIN weekly w USING (user_id, week)
+""",
+)
+def user_week_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled weekly activity spine per user: every week between a
+    user's first and last activity appears, zero-filled — the
+    densification step that turns sparse event logs into fixed-cadence
+    training sequences (a model can't learn 'inactive week' from an
+    absent row). sequence() + explode generates each user's spine from
+    the 2-value bounds row, so the generated data is output-sized, never
+    a calendar cross join; the left join back is key-local. Integer week
+    math keeps both engines identical."""
+    # the % 37 thinning makes the log sparse enough that real gaps exist
+    # at every scale factor — otherwise the zero-fill would be vacuous
+    ev = load_events_ms(spark, sf_dir).filter(
+        (F.col("user_id") % 25 == 4) & (F.col("event_id") % 37 == 0)
+    )
+    weekly = (
+        ev.select(
+            "user_id", (F.col("ts_ms") / F.lit(604800000)).cast("bigint").alias("week")
+        )
+        .groupBy("user_id", "week")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = weekly.groupBy("user_id").agg(
+        F.min("week").alias("w0"), F.max("week").alias("w1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("w0", "w1")).alias("week")
+    )
+    return spine.join(weekly, on=["user_id", "week"], how="left").select(
+        "user_id",
+        "week",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
