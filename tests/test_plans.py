@@ -339,6 +339,11 @@ def test_round5_rows_hold_their_shuffle_budgets(spark, sf_dir, qs):
         "zorder_cells": 2,          # bounds agg + cell agg
         "span_dedup_exact": 3,      # span index + dup join + doc agg
         "unigram_lm_quality": 3,    # vocab + score join + doc agg
+        "value_zscore_outliers": 1, # moments agg broadcast back onto scan
+        "user_week_density": 2,     # weekly agg + bounds (spine is map-side)
+        "event_transition_matrix": 3,  # user window + pair agg + row-norm
+        "copurchase_pairs": 3,      # basket distinct + order join + pair agg
+        "fuzzy_name_match": 1,      # variant equi-join (broadcast at this SF)
     }
     for name, budget in budgets.items():
         df = qs[name](spark, sf_dir)
