@@ -89,8 +89,15 @@ def main() -> None:
 
     product: dict[str, float] = {}
     for name, fn in PRODUCT_QUERIES.items():
+        # per-query isolation: one broken product path must not discard
+        # the headline timings that already ran
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            product[name] = -1.0
+            print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
+            continue
         product[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {product[name]:.3f}s rows={n}", file=sys.stderr)
 

@@ -231,9 +231,10 @@ def extract_features(
     raise); the default computes the deterministic raw-byte stand-in.
     """
 
-    # capture helpers as locals: cloudpickle then ships them BY VALUE, so
-    # executors do not need this package on their import path (module-level
-    # references pickle by name and break on workers without the package)
+    # local aliases for the batch loop; NOTE these still pickle by
+    # REFERENCE (cloudpickle serializes importable module-level functions
+    # by name), so executors need this package importable — which
+    # query_registry.ensure_workers_have_package guarantees via addPyFile
     fake_feature = _fake_feature
     hist_feature = _hist_feature
     decode_values = _decode_values

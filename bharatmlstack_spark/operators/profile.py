@@ -43,12 +43,19 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     # unpivot the 1-row aggregate with ONE stack generator: a unionAll of
     # per-column selects would re-execute the whole scan+aggregate once
     # per column (plan branches don't share the un-materialized subtree)
+    # column names reach raw SQL: backtick-quote references and escape the
+    # string literal, so names with spaces/quotes profile like any other
+    def _ref(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     parts = []
     for c in cols:
-        mn = f"__mn_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
-        mx = f"__mx_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        lit = "'" + c.replace("'", "''") + "'"
+        mn = _ref(f"__mn_{c}") if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = _ref(f"__mx_{c}") if c in numeric else "CAST(NULL AS DOUBLE)"
         parts.append(
-            f"'{c}', CAST(__nn_{c} AS BIGINT), CAST(__nd_{c} AS BIGINT), {mn}, {mx}"
+            f"{lit}, CAST({_ref(f'__nn_{c}')} AS BIGINT), "
+            f"CAST({_ref(f'__nd_{c}')} AS BIGINT), {mn}, {mx}"
         )
     stack = (
         f"stack({len(cols)}, {', '.join(parts)}) AS "

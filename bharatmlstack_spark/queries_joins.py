@@ -2611,9 +2611,7 @@ def multimodal_decode_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = extract_features(resized_media, dim=8, strict_decode=True)
     return out.select(
-        "media_id", "modality", "n_bytes",
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
-        F.round(F.element_at("feature", 3).cast("double"), 6).alias("f2"),
+        "media_id", "modality", "n_bytes", *_decoded_hist_cols(0, 2)
     )
 
 
@@ -2665,9 +2663,7 @@ def multimodal_decode_audio_feature(spark: SparkSession, sf_dir: str) -> DataFra
     media = synthetic_real_media(spark, n=48).filter(F.col("modality") == "audio")
     out = extract_features(media, dim=8, strict_decode=True)
     return out.select(
-        "media_id", "modality", "n_bytes",
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
-        F.round(F.element_at("feature", 2).cast("double"), 6).alias("f1"),
+        "media_id", "modality", "n_bytes", *_decoded_hist_cols(0, 1)
     )
 
 
@@ -3252,6 +3248,7 @@ SELECT e.event_id, e.event_type,
        ROUND((e.value - s.mean) / s.std, 6) AS z,
        (abs((e.value - s.mean) / s.std) > 3.0) AS is_outlier
 FROM events e JOIN stats s USING (event_type)
+WHERE s.std > 0
 """,
 )
 def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3271,7 +3268,10 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = s1 / n
     stats = ev.groupBy("event_type").agg(
         mean.alias("mean"), F.sqrt(s2 / n - mean * mean).alias("std")
-    )
+    ).filter(F.col("std") > 0)
+    # the std>0 guard (identical on both engines: std is bit-identical
+    # decimal-moment math) removes zero-variance groups, where Spark's
+    # x/0.0 -> NULL but DuckDB's IEEE division -> inf would diverge
     z = (F.col("value") - F.col("mean")) / F.col("std")
     return (
         ev.join(F.broadcast(stats), on="event_type")

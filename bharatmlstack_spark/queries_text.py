@@ -743,7 +743,7 @@ total AS (SELECT COUNT(*) AS n FROM toks)
 SELECT t.doc_id,
        COUNT(*) AS n_tokens,
        ROUND(SUM(ln(CAST(v.cnt AS DOUBLE))) / COUNT(*)
-             - ln(CAST(total.n AS DOUBLE)), 6) AS avg_logp
+             - ln(CAST(total.n AS DOUBLE)), 4) AS avg_logp
 FROM toks t JOIN vocab v USING (token), total
 GROUP BY t.doc_id, total.n
 """,
@@ -755,7 +755,11 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (low avg_logp = rare-token gibberish). Two shuffles: the vocab
     build (token partial-agg) and the score join on token; the corpus
     total is a 1-row broadcast. avg(ln p) = mean(ln cnt) - ln N keeps the
-    float work to one fold, rounded 6dp."""
+    float work to one fold. The per-doc sum of ln() terms is the one fold
+    here that CANNOT go through exact decimals, so its accumulation order
+    differs between engines (~1e-13 relative error); rounding to 4dp puts
+    the nearest rounding boundary ~1e-7 away at this corpus size — five
+    orders of magnitude of margin, vs ~1e-10 at 6dp."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = defer_unpersist(
         d.select("doc_id", F.explode(DD.tokenize("text")).alias("token")).persist()
@@ -768,7 +772,7 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.log(F.col("cnt").cast("double"))) / F.count(F.lit(1))
             - F.log(F.col("n").cast("double")),
-            6,
+            4,
         ).alias("avg_logp"),
     ).select("doc_id", "n_tokens", "avg_logp")
 

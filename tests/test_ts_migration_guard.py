@@ -39,11 +39,16 @@ def test_no_inline_ts_decoding_outside_events_loader():
 def test_no_inline_events_parquet_reads():
     import re
 
-    # matches even when the call is wrapped across lines; the optional
-    # trailing .count() group marks the one allowed warm-up idiom, exempted
-    # per match (not per file) so it cannot mask a real offending read
+    # matches even when the call is wrapped across lines and when the
+    # argument itself contains nested calls (os.path.join(...), f-string
+    # format specs): [^()]* would stop at the inner parens, so allow one
+    # level of nesting explicitly. The optional trailing .count() group
+    # marks the one allowed warm-up idiom, exempted per match (not per
+    # file) so it cannot mask a real offending read.
+    inner = r"(?:[^()]|\([^()]*\))*"
     pat = re.compile(
-        r"read\.parquet\([^()]*events\.parquet[^()]*\)(\.count\(\))?", re.S
+        r"read\.parquet\(" + inner + r"events\.parquet" + inner + r"\)(\.count\(\))?",
+        re.S,
     )
     offenders = []
     for path in _py_files():
