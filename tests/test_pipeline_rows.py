@@ -300,3 +300,21 @@ def test_fuzzy_match_blocking_is_exact_for_lev1(spark, sf_dir, qs):
     }
     got = {(r.id_a, r.id_b) for r in rows}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# profile_table SQL-identifier safety
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_handles_awkward_column_names(spark):
+    from bharatmlstack_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, "y")],
+        ["order id", "O'Brien", "plain"],
+    )
+    rows = {r.column_name: r for r in profile_table(df).collect()}
+    assert set(rows) == {"order id", "O'Brien", "plain"}
+    assert rows["O'Brien"].n_nulls == 1
+    assert rows["order id"].vmin == 1.0 and rows["order id"].vmax == 2.0
