@@ -777,6 +777,7 @@ QUERY_PRIORITY: list[str] = [
     "event_transition_matrix",
     "value_zscore_outliers",
     "user_week_density",
+    "key_skew_report",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -814,8 +815,8 @@ QUERY_PRIORITY: list[str] = [
     "uint64_decimal_sum",
     # last green r03 (oldest re-attestations first)
     "contamination_check",
-    "dedup_components",
     # ---- window boundary (driver verifies the first 50) ----
+    "dedup_components",
     "dedup_survivors",
     "doc_chunks",
     "doc_repetition_ratio",

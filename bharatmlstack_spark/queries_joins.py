@@ -3341,3 +3341,67 @@ def user_week_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+# ===========================================================================
+# join-key skew diagnostics (the detector that motivates salting/AQE)
+# ===========================================================================
+
+
+@query(
+    "key_skew_report",
+    oracle="""
+WITH freq AS (
+  SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+),
+agg AS (
+  SELECT COUNT(*) AS n_keys,
+         SUM(n) AS n_rows,
+         MAX(n) AS max_n,
+         CAST(SUM(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))) AS BIGINT)
+           AS sum_sq
+  FROM freq
+)
+SELECT n_keys, n_rows, max_n,
+       ROUND(CAST(max_n AS DOUBLE) * n_keys / n_rows, 6) AS skew_factor,
+       ROUND(CAST(sum_sq AS DOUBLE) * n_keys / (CAST(n_rows AS DOUBLE) * n_rows), 6)
+         AS partition_cost_ratio
+FROM agg
+""",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for orders.o_custkey — the detector run
+    BEFORE choosing salting / AQE skew-join (the mitigations
+    `salted_hot_key_agg` / `salted_dim_join` drive). skew_factor =
+    max-key frequency over the uniform expectation (1.0 = perfectly
+    even; the hottest reducer finishes skew_factor x later than
+    average); partition_cost_ratio = sum(n_i^2)·k/N^2, the expected
+    join-work blowup vs uniform keys. Two partial-agg shuffles, the
+    second over key-cardinality rows; the squared sum goes through exact
+    decimals so both engines emit identical integers."""
+    freq = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dec = F.col("n").cast("decimal(18,0)")
+    agg = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.sum(dec * dec).cast("bigint").alias("sum_sq"),
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_n",
+        F.round(
+            F.col("max_n").cast("double") * F.col("n_keys") / F.col("n_rows"), 6
+        ).alias("skew_factor"),
+        F.round(
+            F.col("sum_sq").cast("double")
+            * F.col("n_keys")
+            / (F.col("n_rows").cast("double") * F.col("n_rows")),
+            6,
+        ).alias("partition_cost_ratio"),
+    )
