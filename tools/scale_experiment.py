@@ -56,6 +56,10 @@ QUERIES = [
     "cohort_retention",
     "corpus_filter_chain",
     "topk_orders",
+    "copurchase_pairs",
+    "event_transition_matrix",
+    "value_zscore_outliers",
+    "zorder_cells",
 ]
 
 
