@@ -318,3 +318,18 @@ def test_profile_table_handles_awkward_column_names(spark):
     assert set(rows) == {"order id", "O'Brien", "plain"}
     assert rows["O'Brien"].n_nulls == 1
     assert rows["order id"].vmin == 1.0 and rows["order id"].vmax == 2.0
+
+
+def test_bucketed_table_prunes_buckets_on_point_lookup(spark, sf_dir, qs):
+    # run the row once so the bucketed catalog tables exist
+    qs["bucketed_colocated_join"](spark, sf_dir).count()
+    df = (
+        spark.table("bmls_bucketed_orders")
+        .filter(F.col("o_custkey") == 7)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a point lookup on the bucket key reads 1 bucket, not the table —
+    # the second payoff of the write-time layout (first: shuffle-free joins)
+    assert "SelectedBucketsCount: 1 out of 8" in plan
