@@ -333,3 +333,69 @@ def test_bucketed_table_prunes_buckets_on_point_lookup(spark, sf_dir, qs):
     # a point lookup on the bucket key reads 1 bucket, not the table —
     # the second payoff of the write-time layout (first: shuffle-free joins)
     assert "SelectedBucketsCount: 1 out of 8" in plan
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark semantics envelope
+# ---------------------------------------------------------------------------
+
+
+def _run_dedup_stream(spark, work, topic, out):
+    s = (
+        spark.readStream.schema("event_id long, ts_ms long")
+        .parquet(topic)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        s.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{work}/c")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_watermark_dedup_guarantee_envelope(spark):
+    """The operator's guarantee is dedup WITHIN the watermark delay:
+    (a) a redelivery carrying its ORIGINAL (now-late) timestamp is
+        watermark-dropped, so the sink stays exactly-once;
+    (b) a redelivery with a FRESH timestamp after the key's state
+        evicted (watermark passed first-seen + delay) IS re-emitted —
+        the documented bound that keeps state finite on infinite
+        streams. Both sides pinned so a Spark upgrade that moves either
+        boundary fails loudly."""
+    import tempfile
+
+    t2 = 7200 * 1000 + 1000  # 2h after the first event -> watermark = t2-1h
+
+    # (a) original-ts redelivery: dropped as late
+    work = tempfile.mkdtemp(prefix="bmls_evict_a_")
+    topic, out = f"{work}/t", f"{work}/o"
+    spark.createDataFrame(
+        [(1, 1000), (2, t2)], "event_id long, ts_ms long"
+    ).coalesce(1).write.parquet(topic)
+    _run_dedup_stream(spark, work, topic, out)
+    spark.createDataFrame([(1, 1000)], "event_id long, ts_ms long").coalesce(
+        1
+    ).write.mode("append").parquet(topic)
+    _run_dedup_stream(spark, work, topic, out)
+    got = sorted((r.event_id, r.ts_ms) for r in spark.read.parquet(out).collect())
+    assert got == [(1, 1000), (2, t2)]
+
+    # (b) fresh-ts redelivery after eviction: re-emitted
+    work = tempfile.mkdtemp(prefix="bmls_evict_b_")
+    topic, out = f"{work}/t", f"{work}/o"
+    spark.createDataFrame(
+        [(1, 1000), (2, t2)], "event_id long, ts_ms long"
+    ).coalesce(1).write.parquet(topic)
+    _run_dedup_stream(spark, work, topic, out)
+    spark.createDataFrame(
+        [(1, t2 + 1000)], "event_id long, ts_ms long"
+    ).coalesce(1).write.mode("append").parquet(topic)
+    _run_dedup_stream(spark, work, topic, out)
+    got = sorted((r.event_id, r.ts_ms) for r in spark.read.parquet(out).collect())
+    assert got == [(1, 1000), (1, t2 + 1000), (2, t2)]
