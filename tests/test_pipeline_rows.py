@@ -399,3 +399,27 @@ def test_watermark_dedup_guarantee_envelope(spark):
     _run_dedup_stream(spark, work, topic, out)
     got = sorted((r.event_id, r.ts_ms) for r in spark.read.parquet(out).collect())
     assert got == [(1, 1000), (1, t2 + 1000), (2, t2)]
+
+
+def test_scd2_point_in_time_join_is_exact(spark, sf_dir, qs):
+    """Every source event must land in EXACTLY ONE validity interval of
+    its user's SCD2 history, and that interval's event_type must equal
+    the event's own — the point-in-time-join correctness property that
+    makes the dimension usable for leakage-free feature backfills."""
+    from bharatmlstack_spark.sources.events import load_events_ms
+
+    dim = qs["scd2_dimension"](spark, sf_dir)
+    ev = load_events_ms(spark, sf_dir).filter(F.col("user_id") % 50 == 3).select(
+        "event_id", "user_id", "ts_ms", F.col("event_type").alias("ev_type")
+    )
+    joined = ev.join(dim, on="user_id").filter(
+        (F.col("ts_ms") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts_ms") <= F.col("valid_to")))
+    )
+    per_event = joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.max((F.col("ev_type") == F.col("event_type")).cast("int")).alias("type_ok"),
+    )
+    assert per_event.filter(F.col("n_intervals") != 1).count() == 0
+    assert per_event.filter(F.col("type_ok") != 1).count() == 0
+    assert per_event.count() == ev.count()
