@@ -136,3 +136,20 @@ def test_resize_images_strict_raises(spark):
     with _pytest.raises(Exception) as ei:
         resize_images(media, strict_decode=True).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+
+
+def test_lsh_jvm_and_arrow_signatures_agree(spark, sf_dir):
+    """The JVM expression fallback and the Arrow matmul path must band
+    identically on real data (their fold orders differ only at
+    sign(projection) == 0 boundaries, measure-zero for continuous
+    embeddings) — search results are therefore path-independent."""
+    from pyspark.sql import functions as F
+
+    from bharatmlstack_spark.operators.lsh import LshIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    a = LshIndex(dim=64, n_planes=16, n_bands=8, use_arrow=True)
+    b = LshIndex(dim=64, n_planes=16, n_bands=8, use_arrow=False)
+    sig_a = emb.select("vec_id", a._signature("embedding").alias("s")).collect()
+    sig_b = emb.select("vec_id", b._signature("embedding").alias("s")).collect()
+    assert {r.vec_id: r.s for r in sig_a} == {r.vec_id: r.s for r in sig_b}
