@@ -172,15 +172,22 @@ class IvfIndex:
         self.centroids: np.ndarray | None = None
 
     def fit(self, candidates: DataFrame, sample_size: int = 4096, iters: int = 5) -> "IvfIndex":
-        total = candidates.count()
-        frac = min(1.0, sample_size / max(total, 1))
-        rows = (
-            candidates.sample(fraction=frac, seed=self.seed)
+        # deterministic hash-threshold sample: no count() pre-pass (a full
+        # scan job at 100 TB just to size a fraction), no rand() (seeded
+        # but partition-order-sensitive). xxhash64(id) % 256 < 26 keeps
+        # ~10%; if the input is tiny and the thinned sample can't seed
+        # n_cells centroids, fall back to taking the head directly.
+        thinned = (
+            candidates.filter(
+                F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(256)) < 26
+            )
             .select(self.emb_col)
             .limit(sample_size)
             .collect()
         )
-        sample = np.array([r[0] for r in rows], dtype=np.float64)
+        if len(thinned) < max(self.n_cells, sample_size // 8):
+            thinned = candidates.select(self.emb_col).limit(sample_size).collect()
+        sample = np.array([r[0] for r in thinned], dtype=np.float64)
         rng = np.random.default_rng(self.seed)
         cents = sample[rng.choice(len(sample), size=min(self.n_cells, len(sample)), replace=False)]
         for _ in range(iters):
