@@ -3356,7 +3356,7 @@ WITH freq AS (
 ),
 agg AS (
   SELECT COUNT(*) AS n_keys,
-         SUM(n) AS n_rows,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
          MAX(n) AS max_n,
          CAST(SUM(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))) AS BIGINT)
            AS sum_sq

@@ -787,7 +787,7 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT 's' || substr(md5(text), 1, 1) AS shard_id,
        COUNT(*) AS n_docs,
-       SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS min_doc,
        MAX(doc_id) AS max_doc
 FROM documents

@@ -99,11 +99,18 @@ def main() -> int:
         # becomes decimal128 -> float64 and "3" hashes as "3.0". fetchall()
         # hides that, so flag the types here — a HUGEINT/DECIMAL oracle
         # column is a driver hash-fail even when values match locally.
-        bad_types = [
-            f"{c}:{t}"
-            for c, t in zip(d_cols, d_types)
-            if str(t).upper() in ("HUGEINT", "UHUGEINT") or "DECIMAL" in str(t).upper()
-        ]
+        # NB: the DBAPI cursor's description reports coarse type codes
+        # ('NUMBER'), which let HUGEINT through — DESCRIBE reports the
+        # real logical types
+        try:
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            bad_types = [
+                f"{r[0]}:{r[1]}"
+                for r in desc
+                if "HUGEINT" in str(r[1]).upper() or "DECIMAL" in str(r[1]).upper()
+            ]
+        except Exception:  # noqa: BLE001 — DESCRIBE quirks never fail the row
+            bad_types = []
         if bad_types:
             problems.append(
                 f"oracle emits driver-unsafe column types {bad_types} — "
