@@ -1,0 +1,47 @@
+"""Registry-wide oracle type lint: no oracle may emit HUGEINT/DECIMAL.
+
+The driver fetches oracle results through arrow/pandas, where DuckDB
+HUGEINT/DECIMAL (any un-CAST SUM over integers) becomes decimal128 ->
+float64 and "3" hashes as "3.0" — a hash-fail even when values match.
+DESCRIBE (not the DBAPI cursor, whose type codes are coarse) reports the
+real logical types. Pure-DuckDB test: no SparkSession needed.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from bharatmlstack_spark.queries import all_oracles
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+def test_no_oracle_emits_driver_unsafe_types(con):
+    offenders = {}
+    for name, sql in all_oracles().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [
+            (r[0], r[1])
+            for r in desc
+            if "HUGEINT" in str(r[1]).upper() or "DECIMAL" in str(r[1]).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles emitting HUGEINT/DECIMAL columns (driver hash-fail): "
+        f"{offenders} — CAST to BIGINT/DOUBLE in the oracle SQL"
+    )
