@@ -45,3 +45,16 @@ def test_no_oracle_emits_driver_unsafe_types(con):
         f"oracles emitting HUGEINT/DECIMAL columns (driver hash-fail): "
         f"{offenders} — CAST to BIGINT/DOUBLE in the oracle SQL"
     )
+
+
+def test_query_priority_names_are_registered_and_unique():
+    from bharatmlstack_spark.queries import QUERY_PRIORITY, all_queries
+
+    names = set(all_queries())
+    unknown = [n for n in QUERY_PRIORITY if n not in names]
+    assert not unknown, f"QUERY_PRIORITY entries not in the registry: {unknown}"
+    assert len(QUERY_PRIORITY) == len(set(QUERY_PRIORITY)), "duplicate priority entries"
+    # every registered query should hold an explicit priority slot — an
+    # unlisted query silently sorts last and can fall out of rotation
+    unlisted = sorted(names - set(QUERY_PRIORITY))
+    assert not unlisted, f"registered queries missing from QUERY_PRIORITY: {unlisted}"
