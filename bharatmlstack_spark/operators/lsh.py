@@ -86,7 +86,6 @@ class LshIndex:
     def _signature(self, emb_col: str) -> Column:
         if not self.use_arrow:
             return signature_bits(emb_col, self.planes)
-        import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
         planes = self.planes

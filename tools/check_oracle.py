@@ -87,7 +87,6 @@ def main() -> int:
         try:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
-            d_types = [d[1] for d in res.description]
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
