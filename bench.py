@@ -76,9 +76,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
+        # per-query isolation: one broken query marks itself -1 instead of
+        # discarding every timing already measured (round 3's bench crash
+        # lost the whole artifact)
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            timings[name] = -1.0
+            print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
@@ -101,7 +108,7 @@ def main() -> None:
         product[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {product[name]:.3f}s rows={n}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
             {
@@ -112,7 +119,7 @@ def main() -> None:
                 # separate key: product totals must not shift the headline
                 # metric's comparability across rounds
                 "product_queries": product,
-                "product_total": round(sum(product.values()), 3),
+                "product_total": round(sum(v for v in product.values() if v >= 0), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
