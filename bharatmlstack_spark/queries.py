@@ -778,6 +778,7 @@ QUERY_PRIORITY: list[str] = [
     "value_zscore_outliers",
     "user_week_density",
     "key_skew_report",
+    "pagerank_copurchase",
     "multimodal_decode_stats",
     "multimodal_decode_image",
     "salted_hot_key_agg",
@@ -813,9 +814,9 @@ QUERY_PRIORITY: list[str] = [
     "stratified_sample",
     "train_test_split",
     "uint64_decimal_sum",
+    # ---- window boundary (driver verifies the first 50) ----
     # last green r03 (oldest re-attestations first)
     "contamination_check",
-    # ---- window boundary (driver verifies the first 50) ----
     "dedup_components",
     "dedup_survivors",
     "doc_chunks",

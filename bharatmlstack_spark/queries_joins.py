@@ -3405,3 +3405,105 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("partition_cost_ratio"),
     )
+
+
+# ===========================================================================
+# iterative graph ranking: fixed-point PageRank over the co-purchase graph
+# ===========================================================================
+
+_PAGERANK_EDGE_SQL = """
+items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+strong AS (
+  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM strong
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM strong
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+"""
+
+_PAGERANK_ITER_SQL = """
+r{i} AS (
+  SELECT e.dst AS node,
+         CAST(150000 + SUM((r{p}.r * 85) // (100 * deg.d)) AS BIGINT) AS r
+  FROM edges e
+  JOIN r{p} ON r{p}.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+
+
+@query(
+    "pagerank_copurchase",
+    oracle=(
+        "WITH "
+        + _PAGERANK_EDGE_SQL.strip()
+        + ",\nr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),"
+        + ",".join(_PAGERANK_ITER_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+SELECT node, r AS rank_micro FROM r3
+ORDER BY r DESC, node ASC LIMIT 20
+"""
+    ),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank (damping 0.85) over the co-purchase item
+    graph — iterative graph ranking, the item-importance signal behind
+    graph-based recommenders. Exactness story: ranks live in integer
+    MICRO-units and each contribution is integer-divided
+    (r*85 div (100*deg)), so every iteration is exact BIGINT arithmetic
+    — bit-identical across engines and partitionings with no float fold
+    anywhere; the unrolled 3-CTE oracle replays it in DuckDB. Scale
+    shape: each iteration is one join-on-src + partial-agg-on-dst
+    shuffle over the edge list (edges and degrees persist once); the
+    driver loop only STACKS plan iterations — no data returns to the
+    driver."""
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    strong = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = defer_unpersist(
+        strong.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(strong.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()
+    )
+    deg = defer_unpersist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    )
+    rank = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(rank, edges.src == rank.node)
+            .join(deg, on="src")
+            .select(
+                F.col("dst"),
+                F.expr("(r * 85) div (100 * d)").alias("c"),
+            )
+        )
+        rank = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150000) + F.sum("c")).cast("bigint").alias("r")
+        )
+    return (
+        rank.orderBy(F.desc("r"), F.asc("node"))
+        .limit(20)
+        .select("node", F.col("r").alias("rank_micro"))
+    )

@@ -423,3 +423,17 @@ def test_scd2_point_in_time_join_is_exact(spark, sf_dir, qs):
     assert per_event.filter(F.col("n_intervals") != 1).count() == 0
     assert per_event.filter(F.col("type_ok") != 1).count() == 0
     assert per_event.count() == ev.count()
+
+
+def test_pagerank_is_deterministic_across_partitionings(spark, sf_dir, qs):
+    # integer fixed-point arithmetic: identical ranks regardless of
+    # shuffle partitioning (a float PageRank would drift in the fold)
+    a = {(r.node, r.rank_micro) for r in qs["pagerank_copurchase"](spark, sf_dir).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = {(r.node, r.rank_micro) for r in qs["pagerank_copurchase"](spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+    assert all(r > 150000 for _, r in a)  # every top node has inbound mass
