@@ -101,3 +101,35 @@ def test_z_value_matches_python_interleave(spark, pairs):
         a_back = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         b_back = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a_back, b_back) == (r.a, r.b)
+
+
+# ---------------------------------------------------------------------------
+# wildcard (deletion-neighborhood) blocking exactness for lev<=1
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="ab1", min_size=6, max_size=6),
+                min_size=2, max_size=24, unique=True))
+def test_wildcard_blocking_exact_for_substitution_distance(names):
+    """Equal-length strings at substitution distance exactly 1 share
+    EXACTLY one single-position wildcard variant; strings at distance 0
+    share all six; distance >=2 share none — so the variant equi-join's
+    candidate set IS the true lev<=1 pair set (the property
+    fuzzy_name_match relies on)."""
+    def variants(s):
+        return {s[:i] + "?" + s[i + 1:] for i in range(len(s))}
+
+    def subdist(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            shared = len(variants(a) & variants(b))
+            d = subdist(a, b)
+            if d == 0:
+                assert shared == 6
+            elif d == 1:
+                assert shared == 1, (a, b)
+            else:
+                assert shared == 0, (a, b)
