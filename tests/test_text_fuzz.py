@@ -133,3 +133,27 @@ def test_wildcard_blocking_exact_for_substitution_distance(names):
                 assert shared == 1, (a, b)
             else:
                 assert shared == 0, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprint vs Python reference
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(_texts)
+def test_fingerprint_matches_python_rolling_hash(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        "text", TX.fingerprint("text").alias("fp")
+    )
+
+    def ref(t, mod=2**31 - 1):
+        ws = re.split(r"\s+", t.strip()) if t.strip() else [""]
+        h = 0
+        for w in ws:
+            first = ord(w[0]) if w else 0
+            h = (h * 31 + (len(w) * 131 + first)) % mod
+        return h
+
+    for r in df.collect():
+        assert r.fp == ref(r.text), r.text
