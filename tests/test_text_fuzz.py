@@ -157,3 +157,37 @@ def test_fingerprint_matches_python_rolling_hash(spark, texts):
 
     for r in df.collect():
         assert r.fp == ref(r.text), r.text
+
+
+# ---------------------------------------------------------------------------
+# quantile_bin assignment laws
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=12,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_quantile_bin_laws(spark, values, n_buckets):
+    from bharatmlstack_spark.operators.profile import quantile_bin
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id long, v double"
+    )
+    out = quantile_bin(df, "v", n_buckets=n_buckets, keep=["id"]).collect()
+    by_val = sorted(((r.v, r.bucket) for r in out))
+    # bucket range and monotonicity in value
+    assert all(1 <= b <= n_buckets for _, b in by_val)
+    assert all(b1 <= b2 for (_, b1), (_, b2) in zip(by_val, by_val[1:]))
+    # equal values always share a bucket
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for v, b in by_val:
+        seen[v].add(b)
+    assert all(len(bs) == 1 for bs in seen.values())
