@@ -191,3 +191,49 @@ def test_quantile_bin_laws(spark, values, n_buckets):
     for v, b in by_val:
         seen[v].add(b)
     assert all(len(bs) == 1 for bs in seen.values())
+
+
+# ---------------------------------------------------------------------------
+# salted aggregation equals plain aggregation on arbitrary skew
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_salted_agg_matches_plain_on_random_skew(spark, rows, salt):
+    from bharatmlstack_spark.plans import salted_agg
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: (r.n, r.s, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.col("v"), "count"),
+                "s": (F.col("v"), "sum"),
+                "lo": (F.col("v"), "min"),
+                "hi": (F.col("v"), "max"),
+            },
+            salt=salt,
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.s, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
