@@ -116,6 +116,7 @@ def main() -> None:
     knn = VectorSearch(id_col="vec_id").knn(emb, queries, k=3, metric="COSINE")
     print("top-3 similar candidates per query:")
     knn.show()
+    print("done.")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,28 @@
+"""Smoke the example scripts end-to-end: a broken demo is a broken
+front door even when every operator test passes. Each main() reuses the
+session fixture's SparkSession via getOrCreate."""
+
+import sys
+
+
+def _run(module_name, spark, monkeypatch, capsys):
+    monkeypatch.setattr(sys, "argv", [module_name, "/root/testdata/sf0.001"])
+    mod = __import__(f"examples.{module_name}", fromlist=["main"])
+    mod.main()
+    out = capsys.readouterr().out
+    assert "done." in out
+    return out
+
+
+def test_corpus_pipeline_demo(spark, monkeypatch, capsys):
+    out = _run("corpus_pipeline_demo", spark, monkeypatch, capsys)
+    assert "content-addressed shards" in out
+
+
+def test_event_analytics_demo(spark, monkeypatch, capsys):
+    out = _run("event_analytics_demo", spark, monkeypatch, capsys)
+    assert "transition matrix" in out
+
+
+def test_feature_pipeline_demo(spark, monkeypatch, capsys):
+    _run("feature_pipeline_demo", spark, monkeypatch, capsys)
