@@ -58,6 +58,11 @@ def _java_pow(a: float, b: float) -> float:
         neg = a < 0 and b == int(b) and int(b) % 2 == 1
         return float("-inf") if neg else float("inf")
     except ValueError:
+        # CPython raises ValueError (not ZeroDivisionError) for
+        # math.pow(±0, negative); Java returns ±inf by zero sign/parity
+        if a == 0.0 and b < 0:
+            neg = math.copysign(1.0, a) < 0 and b == int(b) and int(b) % 2 == 1
+            return float("-inf") if neg else float("inf")
         return NAN  # negative base, fractional exponent
     except ZeroDivisionError:
         neg = math.copysign(1.0, a) < 0 and b == int(b) and int(b) % 2 == 1
