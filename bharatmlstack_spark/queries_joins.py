@@ -3481,23 +3481,24 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__n") >= 2)
         .select("pa", "pb")
     )
+    sym = strong.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        strong.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    from pyspark.sql import Window as W
+
+    # fold the out-degree INTO the persisted edge list once (a window on
+    # src, same partitioning the per-iteration join needs) — the
+    # alternative deg-table join re-shuffles every iteration
     edges = defer_unpersist(
-        strong.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(strong.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .persist()
+        sym.withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src"))).persist()
     )
-    deg = defer_unpersist(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    rank = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("r")
     )
-    rank = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(3):
-        contrib = (
-            edges.join(rank, edges.src == rank.node)
-            .join(deg, on="src")
-            .select(
-                F.col("dst"),
-                F.expr("(r * 85) div (100 * d)").alias("c"),
-            )
+        contrib = edges.join(rank, edges.src == rank.node).select(
+            F.col("dst"),
+            F.expr("(r * 85) div (100 * d)").alias("c"),
         )
         rank = contrib.groupBy(F.col("dst").alias("node")).agg(
             (F.lit(150000) + F.sum("c")).cast("bigint").alias("r")
