@@ -237,3 +237,54 @@ def test_salted_agg_matches_plain_on_random_skew(spark, rows, salt):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank loop vs a pure-Python reference on random graphs
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=14,
+        unique=True,
+    )
+)
+def test_fixed_point_pagerank_matches_python(spark, raw_edges):
+    # undirected simple graph (dedup both orientations)
+    undirected = {tuple(sorted(e)) for e in raw_edges}
+    sym = [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected]
+
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in sym:
+        deg[s] += 1
+    rank = {n: 1_000_000 for n in deg}
+    for _ in range(3):
+        new = defaultdict(lambda: 150_000)
+        for s, d in sym:
+            new[d] += (rank[s] * 85) // (100 * deg[s])
+        rank = dict(new)
+
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    from pyspark.sql import Window as W
+
+    e = edges.withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
+    r = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("r")
+    )
+    for _ in range(3):
+        contrib = e.join(r, e.src == r.node).select(
+            F.col("dst"), F.expr("(r * 85) div (100 * d)").alias("c")
+        )
+        r = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150_000) + F.sum("c")).cast("bigint").alias("r")
+        )
+    got = {row.node: row.r for row in r.collect()}
+    assert got == rank
