@@ -759,6 +759,11 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # greens. 51+: remaining r03 greens, then the 50 r04 greens (freshest
 # last). After this window every registered query has a green from r03 or
 # later.
+# Round-7 rotation guidance: this window re-attests 27 new + 23 stale rows
+# (zero wasted slots); next round front-load (a) any NEW rows first, then
+# (b) the ~50 oldest remaining attestations (the displaced r03 backfills
+# contamination_check..inference_log_readback, then the r04-era greens) so
+# every query stays within ~2 rounds of its last green.
 QUERY_PRIORITY: list[str] = [
     # new this round
     "pii_redact",
