@@ -12,13 +12,16 @@ per executor; at 100 TB the cross product dies. Two sub-linear variants:
   The probe join is an equi-join on cell id.
 
 Projection vectors / centroids are deterministic (seeded numpy) and enter
-the plan as literal arrays — broadcast scalars, no Python in the row path.
+the plan as broadcast scalars. Both index classes default to Arrow-batched
+pandas UDFs for the per-row hot loops (signature / cell assignment — one
+numpy GEMM per batch) and keep a pure-JVM expression fallback behind
+``use_arrow=False`` for Arrow-less clusters; pandas is only imported
+inside the Arrow paths, so the module imports cleanly without it.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -86,6 +89,7 @@ class LshIndex:
     def _signature(self, emb_col: str) -> Column:
         if not self.use_arrow:
             return signature_bits(emb_col, self.planes)
+        import pandas as pd  # lazy: only the Arrow path needs it
         from pyspark.sql.functions import pandas_udf
 
         planes = self.planes
@@ -163,29 +167,45 @@ class IvfIndex:
         seed: int = 42,
         id_col: str = "vec_id",
         emb_col: str = "embedding",
+        use_arrow: bool = True,
     ):
         self.n_cells = n_cells
         self.seed = seed
         self.id_col = id_col
         self.emb_col = emb_col
+        self.use_arrow = use_arrow
         self.centroids: np.ndarray | None = None
 
     def fit(self, candidates: DataFrame, sample_size: int = 4096, iters: int = 5) -> "IvfIndex":
         # deterministic hash-threshold sample: no count() pre-pass (a full
         # scan job at 100 TB just to size a fraction), no rand() (seeded
         # but partition-order-sensitive). xxhash64(id) % 256 < 26 keeps
-        # ~10%; if the input is tiny and the thinned sample can't seed
-        # n_cells centroids, fall back to taking the head directly.
+        # ~10%; when the thinned set still exceeds sample_size, ORDER the
+        # rows by the same hash before limiting — a bare limit() takes
+        # whichever partitions answer first, so the sample (and hence the
+        # centroids and every probe result) would shift across
+        # repartitionings. orderBy+limit compiles to TakeOrderedAndProject
+        # (global top-k, no full sort). If the input is tiny and the
+        # thinned sample can't seed n_cells centroids, take the hash-least
+        # rows of the full input instead.
         thinned = (
             candidates.filter(
                 F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(256)) < 26
             )
+            .orderBy(F.xxhash64(F.col(self.id_col)), F.col(self.id_col))
             .select(self.emb_col)
             .limit(sample_size)
             .collect()
         )
         if len(thinned) < max(self.n_cells, sample_size // 8):
-            thinned = candidates.select(self.emb_col).limit(sample_size).collect()
+            thinned = (
+                candidates.orderBy(
+                    F.xxhash64(F.col(self.id_col)), F.col(self.id_col)
+                )
+                .select(self.emb_col)
+                .limit(sample_size)
+                .collect()
+            )
         sample = np.array([r[0] for r in thinned], dtype=np.float64)
         rng = np.random.default_rng(self.seed)
         cents = sample[rng.choice(len(sample), size=min(self.n_cells, len(sample)), replace=False)]
@@ -208,22 +228,46 @@ class IvfIndex:
         per row. The vectorized form computes the whole batch's distance
         matrix with |x|^2 - 2 x·C + |c|^2 (one GEMM), the same shape
         FAISS uses for coarse assignment; ties break to the lowest cell
-        id on both forms (np.argmin returns the first minimum)."""
+        id on both forms (np.argmin returns the first minimum; the JVM
+        fallback's struct sort orders by (dist, cell))."""
         assert self.centroids is not None, "call fit() first"
+        if not self.use_arrow:
+            return self._cell_col_jvm(emb)
+        import pandas as pd  # lazy: only the Arrow path needs it
         from pyspark.sql.functions import pandas_udf
 
         cents = np.asarray(self.centroids, dtype=np.float64)
         c_sq = (cents**2).sum(1)
 
-        @pandas_udf("int")
-        def assign(batch: pd.Series) -> pd.Series:
+        def assign(batch):
             if batch.empty:
                 return pd.Series([], dtype="int32")
             x = np.array([np.asarray(v, dtype=np.float64) for v in batch])
             d = (x**2).sum(1)[:, None] - 2.0 * (x @ cents.T) + c_sq[None, :]
             return pd.Series(d.argmin(1).astype(np.int32))
 
-        return assign(emb)
+        return pandas_udf(assign, "int")(emb)
+
+    def _dist_structs(self, emb: Column) -> Column:
+        """array<struct<d,cell>> of squared distances to every centroid,
+        pure JVM (zip_with + aggregate per centroid) — the Arrow-less
+        fallback. Interpreted higher-order functions, so ~n_cells*dim
+        lambda evals per row; fine for small n_cells, slow at 1024."""
+        assert self.centroids is not None
+        structs = []
+        for c, cent in enumerate(np.asarray(self.centroids, dtype=np.float64)):
+            d = F.aggregate(
+                F.zip_with(emb, _lit_vec(cent), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d.alias("d"), F.lit(c).alias("cell")))
+        return F.array(*structs)
+
+    def _cell_col_jvm(self, emb: Column) -> Column:
+        # struct sort is lexicographic (d, then cell): ties break to the
+        # lowest cell id, matching np.argmin's first-minimum rule
+        return F.array_sort(self._dist_structs(emb))[0]["cell"]
 
     def index(self, candidates: DataFrame) -> DataFrame:
         return candidates.withColumn("cell", self._cell_col(F.col(self.emb_col)))
@@ -243,25 +287,40 @@ class IvfIndex:
         # crossJoin(centroid-literal table) + window formulation paid a
         # 1000+-literal plan and two extra jobs for what is a (batch x
         # n_cells) argsort; ties still break to the lowest cell id
-        # (stable argsort == the old ORDER BY cdist, cell).
-        from pyspark.sql.functions import pandas_udf
+        # (stable argsort == the old ORDER BY cdist, cell). The JVM
+        # fallback sorts the same (d, cell) struct array and slices.
+        if self.use_arrow:
+            import pandas as pd  # lazy: only the Arrow path needs it
+            from pyspark.sql.functions import pandas_udf
 
-        cents = np.asarray(self.centroids, dtype=np.float64)
-        c_sq = (cents**2).sum(1)
+            cents = np.asarray(self.centroids, dtype=np.float64)
+            c_sq = (cents**2).sum(1)
 
-        @pandas_udf("array<int>")
-        def probe_cells(batch: pd.Series) -> pd.Series:
-            if batch.empty:
-                return pd.Series([], dtype=object)
-            x = np.array([np.asarray(v, dtype=np.float64) for v in batch])
-            d = (x**2).sum(1)[:, None] - 2.0 * (x @ cents.T) + c_sq[None, :]
-            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-            return pd.Series(list(order.astype(np.int32)))
+            def probe_cells(batch):
+                if batch.empty:
+                    return pd.Series([], dtype=object)
+                x = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+                d = (x**2).sum(1)[:, None] - 2.0 * (x @ cents.T) + c_sq[None, :]
+                order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+                return pd.Series(list(order.astype(np.int32)))
+
+            probe_col = pandas_udf(probe_cells, "array<int>")(
+                F.col(query_emb_col)
+            )
+        else:
+            probe_col = F.transform(
+                F.slice(
+                    F.array_sort(self._dist_structs(F.col(query_emb_col))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cell"],
+            )
 
         probes = queries.select(
             query_id_col,
             query_emb_col,
-            F.explode(probe_cells(F.col(query_emb_col))).alias("cell"),
+            F.explode(probe_col).alias("cell"),
         )
         cands = indexed.join(F.broadcast(probes), on="cell")
         scored = cands.withColumn(

@@ -153,3 +153,41 @@ def test_lsh_jvm_and_arrow_signatures_agree(spark, sf_dir):
     sig_a = emb.select("vec_id", a._signature("embedding").alias("s")).collect()
     sig_b = emb.select("vec_id", b._signature("embedding").alias("s")).collect()
     assert {r.vec_id: r.s for r in sig_a} == {r.vec_id: r.s for r in sig_b}
+
+
+def test_ivf_jvm_and_arrow_cells_agree(spark, emb):
+    """The pure-JVM struct-sort fallback must assign every row to the same
+    cell as the Arrow GEMM argmin (ties break to the lowest cell id on
+    both), and the nprobe probe lists must match — Arrow-less clusters get
+    identical search results, just slower."""
+    cands = emb.limit(200)
+    a = IvfIndex(n_cells=8, use_arrow=True).fit(cands, sample_size=256, iters=3)
+    b = IvfIndex(n_cells=8, use_arrow=False)
+    b.centroids = a.centroids
+    cells_a = {r.vec_id: r.cell for r in a.index(cands).collect()}
+    cells_b = {r.vec_id: r.cell for r in b.index(cands).collect()}
+    assert cells_a == cells_b
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    res_a = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in a.search(a.index(cands), queries, k=5, nprobe=3).collect()
+    }
+    res_b = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in b.search(b.index(cands), queries, k=5, nprobe=3).collect()
+    }
+    assert res_a == res_b
+
+
+def test_ivf_fit_deterministic_across_partitionings(spark, emb):
+    """fit()'s sample is ordered by xxhash64(id) before the limit, so the
+    centroids (and hence every downstream probe) are identical no matter
+    how the input happens to be partitioned."""
+    cands = emb.limit(500)
+    c1 = IvfIndex(n_cells=8).fit(cands.repartition(1), sample_size=64, iters=2).centroids
+    c2 = IvfIndex(n_cells=8).fit(cands.repartition(13, "vec_id"), sample_size=64, iters=2).centroids
+    np.testing.assert_array_equal(c1, c2)
