@@ -2797,10 +2797,21 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: pay the shuffle ONCE at write time, then every subsequent
     join/agg on the bucket key is shuffle-free. The groupBy on the join
     key also reuses the bucket distribution. Decimal-cast SUM keeps the
-    revenue fold order-independent for the oracle hash."""
+    revenue fold order-independent for the oracle hash. Table names carry
+    the per-invocation tempdir token (concurrent runs in one metastore
+    don't collide) and both tables + the tempdir are dropped via
+    defer_cleanup when the next registered query starts — after the
+    caller has materialized this plan."""
+    import os
+    import shutil
     import tempfile
 
+    from bharatmlstack_spark.query_registry import defer_cleanup
+
     wh = tempfile.mkdtemp(prefix="bmls_bucketed_")
+    token = os.path.basename(wh)[len("bmls_bucketed_"):]
+    t_orders = f"bmls_bucketed_orders_{token}"
+    t_customer = f"bmls_bucketed_customer_{token}"
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     (
@@ -2809,7 +2820,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", wh + "/orders")
         .mode("overwrite")
         .format("parquet")
-        .saveAsTable("bmls_bucketed_orders")
+        .saveAsTable(t_orders)
     )
     (
         c.write.bucketBy(8, "c_custkey")
@@ -2817,10 +2828,17 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", wh + "/customer")
         .mode("overwrite")
         .format("parquet")
-        .saveAsTable("bmls_bucketed_customer")
+        .saveAsTable(t_customer)
     )
-    ob = spark.table("bmls_bucketed_orders")
-    cb = spark.table("bmls_bucketed_customer")
+
+    def _drop(spark=spark, wh=wh, tables=(t_orders, t_customer)):
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(wh, ignore_errors=True)
+
+    defer_cleanup(_drop)
+    ob = spark.table(t_orders)
+    cb = spark.table(t_customer)
     joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
     return joined.groupBy(
         F.col("c_custkey").alias("cust"), F.col("c_nationkey").alias("nation")
@@ -2891,12 +2909,12 @@ WITH ordered AS (
   FROM events WHERE user_id % 50 = 3
 ),
 changes AS (
-  SELECT user_id, event_type, ts_ms AS valid_from
+  SELECT user_id, event_type, ts_ms AS valid_from, event_id
   FROM ordered
   WHERE prev_type IS NULL OR prev_type <> event_type
 )
 SELECT user_id, event_type, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) - 1
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) - 1
          AS valid_to
 FROM changes
 """,
@@ -2921,8 +2939,16 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = ordered.filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
-    ).select("user_id", "event_type", F.col("ts_ms").alias("valid_from"))
-    w2 = Window.partitionBy("user_id").orderBy(F.asc("valid_from"))
+    ).select(
+        "user_id", "event_type", F.col("ts_ms").alias("valid_from"), "event_id"
+    )
+    # event_id rides along as the closing window's tiebreaker: two change
+    # points for the same user at the same millisecond would otherwise
+    # make the lead() assignment tie-order-dependent, and Spark/DuckDB
+    # could break the tie differently (a latent oracle hash flake)
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.asc("valid_from"), F.asc("event_id")
+    )
     return changes.select(
         "user_id",
         "event_type",
@@ -3236,11 +3262,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH stats AS (
   SELECT event_type,
-         CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean,
          sqrt(
-           CAST(SUM(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
-           - (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
-             * (CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
+           CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*))
          ) AS std
   FROM events GROUP BY event_type
 )
@@ -3258,10 +3284,18 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/std are bit-identical on both engines) and broadcast back onto
     the scan (|event_types| rows); each row's z divides the same three
     doubles on both engines, so even the boolean 3-sigma cut needs no
-    tolerance. One partial-agg shuffle + a broadcast join — scan-bound
-    at 100 TB."""
+    tolerance. The input is cast to decimal(18,4) — NOT wider — so the
+    squared term's product type, decimal(37,8), keeps full scale within
+    Spark's precision-38 cap; a wider input (the old 28,10) would make
+    Spark truncate the product to scale 6 under allowPrecisionLoss while
+    DuckDB keeps scale 20, and the second moment would only be exact by
+    accident of coarse-grained data. The one remaining divergence class
+    is cast-time rounding ties (a double whose exact decimal expansion
+    terminates in ...5 at the 5th place — dyadic rationals only), absent
+    from the fixture and measure-zero in real telemetry. One partial-agg
+    shuffle + a broadcast join — scan-bound at 100 TB."""
     ev = load_events_raw(spark, sf_dir)
-    dec = F.col("value").cast("decimal(28,10)")
+    dec = F.col("value").cast("decimal(18,4)")
     n = F.count(F.lit(1))
     s1 = F.sum(dec).cast("double")
     s2 = F.sum(dec * dec).cast("double")

@@ -29,12 +29,32 @@ def defer_unpersist(df: DataFrame) -> DataFrame:
     return df
 
 
+# Arbitrary cleanups (DROP TABLE, rmtree a tempdir) with the same lifecycle
+# as the deferred unpersists: the caller materializes the returned plan
+# AFTER the query function returns, so resources the plan reads (catalog
+# tables, written files) must outlive the call and are released when the
+# NEXT registered query starts.
+_PENDING_CLEANUP: list[Callable[[], None]] = []
+
+
+def defer_cleanup(fn: Callable[[], None]) -> None:
+    """Run ``fn`` when the next registered query starts (see
+    _PENDING_CLEANUP); exceptions are swallowed, mirroring unpersist."""
+    _PENDING_CLEANUP.append(fn)
+
+
 def drain_pending_unpersist() -> None:
     while _PENDING_UNPERSIST:
         df = _PENDING_UNPERSIST.pop()
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 - session already stopped
+            pass
+    while _PENDING_CLEANUP:
+        fn = _PENDING_CLEANUP.pop()
+        try:
+            fn()
+        except Exception:  # noqa: BLE001 - best-effort resource release
             pass
 
 

@@ -321,10 +321,18 @@ def test_profile_table_handles_awkward_column_names(spark):
 
 
 def test_bucketed_table_prunes_buckets_on_point_lookup(spark, sf_dir, qs):
-    # run the row once so the bucketed catalog tables exist
+    # run the row once so the bucketed catalog tables exist; names carry a
+    # per-invocation token now (collision fix), so locate by prefix —
+    # older invocations' tables were dropped when this one started
     qs["bucketed_colocated_join"](spark, sf_dir).count()
+    names = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("bmls_bucketed_orders_")
+    ]
+    assert len(names) == 1, names
     df = (
-        spark.table("bmls_bucketed_orders")
+        spark.table(names[0])
         .filter(F.col("o_custkey") == 7)
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
