@@ -171,6 +171,40 @@ def test_bpe_merge_step_counts(spark, sf_dir, qs):
     assert all(len(r.pair) == 2 for r in out)
 
 
+def test_bpe_vocab_learn_merges_are_real(spark, sf_dir, qs):
+    out = qs["bpe_vocab_learn"](spark, sf_dir).collect()
+    merges = {r.step: r for r in out if r.step > 0}
+    vocab = {r.token: r.cnt for r in out if r.step == 0}
+    assert set(merges) == {1, 2, 3} and len(vocab) == 20
+    # each learned merge is a real multi-char token that survives into the
+    # final vocabulary (merged symbols are never re-split)
+    for r in merges.values():
+        assert len(r.token) >= 2
+        assert r.token in vocab
+    # merge counts are non-increasing: a later round can never find a
+    # better pair than an earlier round chose
+    assert merges[1].cnt >= merges[2].cnt >= merges[3].cnt
+
+
+def test_bpe_greedy_merge_encoding_laws(spark):
+    """The ' sym|' encoding makes plain replace() the greedy BPE merge:
+    back-to-back runs chain, and a pair never matches inside a longer
+    symbol (prefix/suffix anchoring)."""
+    from bharatmlstack_spark.queries_text import _BPE_MERGE
+
+    df = spark.createDataFrame(
+        [
+            (" a| a| a| a| a|", "a a"),   # run of 5 -> aa aa a
+            (" a| ab|", "a a"),           # 'ab' prefix must NOT match
+            (" xa| a|", "a a"),           # 'xa' suffix must NOT match
+            (" e| r| e| r|", "e r"),      # non-adjacent pair merges both
+        ],
+        "s string, pair string",
+    )
+    got = [r.m for r in df.select(F.expr(_BPE_MERGE).alias("m")).collect()]
+    assert got == [" aa| aa| a|", " a| ab|", " xa| a|", " er| er|"]
+
+
 # ---------------------------------------------------------------------------
 # cohort retention + SCD2
 # ---------------------------------------------------------------------------
