@@ -4,10 +4,11 @@ The Spark-side plumbing is real and tested — schema, partition-friendly
 batch iteration (mapInPandas), Arrow batch shapes, deterministic fallback
 features. Codecs come in two tiers:
 
-- REAL (pure numpy, no external libs): PPM/PGM images (netpbm P6/P5
-  binary) and WAV/PCM16 audio decode, nearest-neighbor image resample,
+- REAL (pure numpy/stdlib, no external libs): PPM/PGM images (netpbm
+  P6/P5 binary), PNG (8-bit gray/RGB, all five scanline filters, zlib
+  inflate) and WAV/PCM16 audio decode, nearest-neighbor image resample,
   re-encode. `strict_decode=True` routes through these and raises only
-  for formats that genuinely need an absent lib (JPEG/PNG/ffmpeg video).
+  for formats that genuinely need an absent lib (JPEG/ffmpeg video).
 - FAKE (deterministic stand-in derived from raw bytes): the default
   non-strict path, used where payloads are opaque/opaque-mime fixtures.
 
@@ -179,10 +180,180 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec 9.4): pick whichever of
+    left(a)/up(b)/upleft(c) is closest to a+b-c, ties a > b > c."""
+    p = a.astype(np.int32) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def encode_png(arr: np.ndarray, filters: int | str = "cycle") -> bytes:
+    """Encode uint8 pixels as PNG: (h, w) -> grayscale, (h, w, 3) -> RGB.
+
+    ``filters`` is a fixed scanline filter 0-4 or "cycle" (filter y % 5 on
+    scanline y — every unfilter path gets exercised in one image). Filtering
+    is fully vectorized: the predictors read RECONSTRUCTED neighbors, all
+    known at encode time."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, ch = 0, 1
+        h, w = a.shape
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, ch = 2, 3
+        h, w = a.shape[:2]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    raw = a.reshape(h, w * ch).astype(np.int16)
+    zeros_row = np.zeros(w * ch, dtype=np.int16)
+    body = bytearray()
+    for y in range(h):
+        f = (y % 5) if filters == "cycle" else int(filters)
+        line = raw[y]
+        prev = raw[y - 1] if y else zeros_row
+        left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            filt = line - (left + prev) // 2
+        elif f == 4:
+            filt = line - _paeth_predict(left, prev, upleft)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        body.append(f)
+        body.extend((filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode 8-bit grayscale/RGB non-interlaced PNG -> uint8 array.
+
+    Pure stdlib (zlib inflate, struct) + numpy filter reconstruction for
+    all five scanline filters (None/Sub/Up/Average/Paeth). Sub uses a
+    per-channel cumsum (mod-256 addition is associative); Average and
+    Paeth carry a true sequential left-dependency, so those scanlines
+    reconstruct in a per-byte loop — fine for a correctness path. CRCs
+    are verified. Palette / 16-bit / interlaced PNGs raise."""
+    import struct
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, dims = 8, bytearray(), None
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", data[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+                raise NotImplementedError(
+                    f"only 8-bit gray/RGB non-interlaced PNG supported "
+                    f"(depth={depth} color={color} interlace={interlace})"
+                )
+            dims = (w, h, 1 if color == 0 else 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if dims is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = dims
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            recon = line
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-ch]
+            recon = line.copy()
+            for c in range(ch):
+                recon[c::ch] = np.cumsum(line[c::ch]) % 256
+        elif f == 2:  # Up
+            recon = line + prev
+        elif f == 3:  # Average: floor((left, up) mean) — left is sequential
+            recon = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = recon[x - ch] if x >= ch else 0
+                recon[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth — left is sequential
+            recon = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = recon[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                p = a + prev[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (prev[x] if pb <= pc else c)
+                recon[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {f} on scanline {y}")
+        out[y] = recon % 256
+    return out.reshape((h, w, 3) if ch == 3 else (h, w))
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: netpbm P5/P6 or PNG (both pure numpy).
+    Everything else (JPEG, video frames) genuinely needs PIL/ffmpeg,
+    absent from this runtime, and raises NotImplementedError."""
+    data = bytes(data)
+    if data[:2] in (b"P5", b"P6"):
+        return decode_pnm(data)
+    if data[:8] == PNG_SIG:
+        return decode_png(data)
+    raise NotImplementedError(
+        "image decode beyond PGM/PPM/PNG requires PIL/cv2; not available "
+        "in this environment"
+    )
+
+
 def _decode_image_real(content: bytes, meta) -> np.ndarray:
-    """Real image decoder: pure-numpy netpbm (P5/P6). Other formats raise
-    NotImplementedError — JPEG/PNG need PIL/cv2, absent from this runtime."""
-    return decode_pnm(bytes(content))
+    """Real image decoder: pure-numpy netpbm (P5/P6) or PNG (8-bit
+    gray/RGB). Other formats raise NotImplementedError — JPEG needs
+    PIL/cv2, absent from this runtime."""
+    return decode_image(content)
 
 
 def _decode_audio_real(content: bytes, meta) -> tuple[np.ndarray, int]:
@@ -425,6 +596,28 @@ def synthetic_rgb_media(spark, n: int = 24) -> DataFrame:
         content = encode_pnm(flat.astype(np.uint8).reshape(h, w, 3))
         meta = ("image/x-portable-pixmap", w, h, None, None)
         rows.append((i, "image", content, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_png_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic fixture of REAL PNG images (encoded with the filter
+    CYCLE, so every scanline filter 0-4 appears): even ids grayscale, odd
+    ids RGB, pixels closed-form in (media_id, flat index):
+
+        gray i: w = 5 + (i%6), h = 4 + (i%5), pixel[k] = (i*37 + k) % 256
+        rgb  i: w = 4 + (i%5), h = 3 + (i%4), byte[k]  = (i*53 + k) % 256
+    """
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 5 + (i % 6), 4 + (i % 5)
+            flat = (i * 37 + np.arange(w * h)) % 256
+            content = encode_png(flat.astype(np.uint8).reshape(h, w))
+        else:
+            w, h = 4 + (i % 5), 3 + (i % 4)
+            flat = (i * 53 + np.arange(w * h * 3)) % 256
+            content = encode_png(flat.astype(np.uint8).reshape(h, w, 3))
+        rows.append((i, "image", content, ("image/png", w, h, None, None)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

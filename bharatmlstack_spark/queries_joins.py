@@ -851,6 +851,51 @@ def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "modality", "n_bytes", *_decoded_hist_cols(0, 1))
 
 
+@query(
+    "multimodal_decode_png",
+    oracle="""
+WITH g AS (
+  SELECT i AS media_id, (5 + (i % 6)) * (4 + (i % 5)) AS n_values,
+         CAST(37 AS BIGINT) AS m
+  FROM (SELECT UNNEST(generate_series(0, 23)) AS i) WHERE i % 2 = 0
+),
+r AS (
+  SELECT i AS media_id, (4 + (i % 5)) * (3 + (i % 4)) * 3 AS n_values,
+         CAST(53 AS BIGINT) AS m
+  FROM (SELECT UNNEST(generate_series(0, 23)) AS i) WHERE i % 2 = 1
+),
+allm AS (SELECT * FROM g UNION ALL SELECT * FROM r),
+v AS (
+  SELECT media_id, n_values, m,
+         UNNEST(generate_series(0, n_values - 1)) AS k
+  FROM allm
+)
+SELECT media_id, 'image' AS modality, CAST(n_values AS BIGINT) AS n_values,
+       CAST(SUM((media_id * m + k) % 256) AS BIGINT) AS v_sum,
+       CAST(MIN((media_id * m + k) % 256) AS BIGINT) AS v_min,
+       CAST(MAX((media_id * m + k) % 256) AS BIGINT) AS v_max
+FROM v GROUP BY media_id, n_values
+""",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode path: 8-bit gray/RGB PNGs (stdlib zlib inflate +
+    numpy reconstruction of all five scanline filters — the fixture is
+    encoded with the filter CYCLE so None/Sub/Up/Average/Paeth each
+    appear) decoded inside the strict mapInPandas slot, stats over the
+    DECODED pixels. Pixels are closed-form in (media_id, flat index)
+    (operators/multimodal.py synthetic_png_media), so DuckDB recomputes
+    every decoded value arithmetically — a hash mismatch means a filter
+    reconstructed wrong bytes. JPEG/video remain the documented
+    NotImplementedError boundary (need PIL/ffmpeg)."""
+    from bharatmlstack_spark.operators.multimodal import (
+        decode_stats,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(spark, n=24)
+    return decode_stats(media, strict_decode=True)
+
+
 def _quantized_oracle() -> str:
     """DuckDB twin of the fp16 / fp8-E5M2 round-trips.
 

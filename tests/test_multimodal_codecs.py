@@ -224,3 +224,111 @@ def test_decode_stats_nonstrict_uses_raw_bytes(spark):
         b = np.frombuffer(data, dtype=np.uint8)
         assert got[mid]["n_values"] == len(data)
         assert got[mid]["v_sum"] == int(b.sum())
+
+
+# -- PNG --------------------------------------------------------------------
+
+from bharatmlstack_spark.operators.multimodal import (  # noqa: E402
+    PNG_SIG,
+    decode_image,
+    decode_png,
+    encode_png,
+    synthetic_png_media,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    rgb=st.booleans(),
+    filt=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_fuzz(w, h, rgb, filt, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(a, filt))
+    assert out.shape == a.shape
+    assert np.array_equal(out, a)
+
+
+def test_png_filters_are_distinct_but_equivalent():
+    """Every filter produces DIFFERENT on-disk bytes (so the fuzz above
+    actually exercises five codepaths) yet identical pixels."""
+    a = (np.arange(9 * 7) % 256).astype(np.uint8).reshape(9, 7)
+    encoded = [encode_png(a, f) for f in range(5)]
+    assert len({e for e in encoded}) == 5
+    for e in encoded:
+        assert np.array_equal(decode_png(e), a)
+
+
+def test_png_multi_idat_chunks():
+    """The spec allows IDAT split across chunks; decoders must concatenate."""
+    from bharatmlstack_spark.operators.multimodal import _png_chunk
+
+    a = (np.arange(5 * 4) % 256).astype(np.uint8).reshape(4, 5)
+    whole = encode_png(a, 0)
+    # re-split the single IDAT into two chunks
+    pos = 8
+    parts = {}
+    while pos + 8 <= len(whole):
+        (size,) = struct.unpack(">I", whole[pos : pos + 4])
+        ctype = whole[pos + 4 : pos + 8]
+        parts[ctype] = whole[pos + 8 : pos + 8 + size]
+        pos += 12 + size
+    idat = parts[b"IDAT"]
+    split = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", parts[b"IHDR"])
+        + _png_chunk(b"IDAT", idat[: len(idat) // 2])
+        + _png_chunk(b"IDAT", idat[len(idat) // 2 :])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(split), a)
+
+
+def test_png_crc_corruption_raises():
+    a = np.zeros((3, 3), dtype=np.uint8)
+    data = bytearray(encode_png(a, 0))
+    data[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_png_unsupported_features_raise():
+    import zlib
+
+    from bharatmlstack_spark.operators.multimodal import _png_chunk
+
+    # palette color type (3)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad = PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_decode_image_dispatches_all_real_formats():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    from bharatmlstack_spark.operators.multimodal import encode_pnm
+
+    assert np.array_equal(decode_image(encode_pnm(g)), g)
+    assert np.array_equal(decode_image(encode_png(g)), g)
+
+
+def test_synthetic_png_media_closed_form(spark):
+    """The fixture's decoded pixels match the closed form the oracle uses."""
+    rows = synthetic_png_media(spark, n=6).collect()
+    for r in rows:
+        arr = decode_png(bytes(r.content))
+        i = r.media_id
+        if i % 2 == 0:
+            w, h = 5 + (i % 6), 4 + (i % 5)
+            want = ((i * 37 + np.arange(w * h)) % 256).reshape(h, w)
+        else:
+            w, h = 4 + (i % 5), 3 + (i % 4)
+            want = ((i * 53 + np.arange(w * h * 3)) % 256).reshape(h, w, 3)
+        assert np.array_equal(arr, want)
