@@ -89,3 +89,81 @@ def connected_components(
         )
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int | None = 3,
+    until_delta: int | None = None,
+    check_every: int = 5,
+    max_iter: int = 60,
+) -> DataFrame:
+    """Integer micro-unit PageRank (damping 0.85): (node, r) with ranks in
+    millionths, every contribution integer-divided (r*85 div (100*deg)) so
+    each round is exact BIGINT arithmetic — bit-identical across engines
+    and partitionings with no float fold anywhere.
+
+    Two modes:
+    - ``iters=k``: exactly k rounds, plan-stacked (the driver only stacks
+      lineage; no data returns). Right for small fixed k.
+    - ``until_delta=d`` (micro-units): iterate until max |r - r_prev| <= d,
+      checking (one small agg action) and TRUNCATING LINEAGE via
+      localCheckpoint every ``check_every`` rounds — the convergence-mode
+      loop. Without the checkpoint a 20+-round plan grows one join+agg per
+      round and both planning time and failure-recovery replay blow up;
+      with it the live plan never exceeds check_every rounds
+      (plan-asserted in tests/test_plans.py). Convergence is therefore
+      decided at checkpoint boundaries, so the round count is always a
+      multiple of check_every — deterministic for a given dataset.
+
+    Per round: one join-on-src + one partial-agg-on-dst shuffle over the
+    persisted degree-folded edge list — the same shape at any scale.
+    """
+    from pyspark.sql import Window as W
+
+    from bharatmlstack_spark.query_registry import defer_unpersist
+
+    e = defer_unpersist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
+        .persist()
+    )
+    rank = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("r")
+    )
+
+    def step(r: DataFrame) -> DataFrame:
+        contrib = e.join(r, e.src == r.node).select(
+            F.col("dst"), F.expr("(r * 85) div (100 * d)").alias("c")
+        )
+        return contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150_000) + F.sum("c")).cast("bigint").alias("r")
+        )
+
+    if until_delta is None:
+        for _ in range(int(iters)):
+            rank = step(rank)
+        return rank
+
+    rank = rank.localCheckpoint()
+    done = 0
+    while done < max_iter:
+        prev = rank
+        for _ in range(check_every):
+            rank = step(rank)
+        rank = rank.localCheckpoint()  # truncate BEFORE the check action
+        done += check_every
+        delta = (
+            rank.join(prev, on="node")
+            .agg(F.max(F.abs(rank.r - prev.r)).alias("m"))
+            .collect()[0]["m"]
+        )
+        if delta is not None and delta <= until_delta:
+            rank._pagerank_rounds = done  # test/observability hook
+            return rank
+    raise RuntimeError(
+        f"pagerank did not reach delta<={until_delta} in {max_iter} rounds "
+        f"(last delta {delta}); raise max_iter or loosen the threshold"
+    )

@@ -3563,25 +3563,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = strong.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         strong.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    from pyspark.sql import Window as W
+    # the shared operator folds the out-degree INTO the persisted edge
+    # list once (a window on src, same partitioning the per-iteration
+    # join needs) — the alternative deg-table join re-shuffles every
+    # iteration; until_delta mode adds lineage-truncating checkpoints
+    # (see operators/graph.py pagerank)
+    from bharatmlstack_spark.operators.graph import pagerank
 
-    # fold the out-degree INTO the persisted edge list once (a window on
-    # src, same partitioning the per-iteration join needs) — the
-    # alternative deg-table join re-shuffles every iteration
-    edges = defer_unpersist(
-        sym.withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src"))).persist()
-    )
-    rank = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1000000).cast("bigint").alias("r")
-    )
-    for _ in range(3):
-        contrib = edges.join(rank, edges.src == rank.node).select(
-            F.col("dst"),
-            F.expr("(r * 85) div (100 * d)").alias("c"),
-        )
-        rank = contrib.groupBy(F.col("dst").alias("node")).agg(
-            (F.lit(150000) + F.sum("c")).cast("bigint").alias("r")
-        )
+    rank = pagerank(sym, iters=3)
     return (
         rank.orderBy(F.desc("r"), F.asc("node"))
         .limit(20)

@@ -357,3 +357,39 @@ def test_bpe_merge_step_topk_is_heap(spark, sf_dir, qs):
 
     plan = explain_formatted(qs["bpe_merge_step"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_convergence_lineage_bounded(spark):
+    """Convergence-mode PageRank truncates lineage every check_every
+    rounds: after 20 real rounds the returned plan is a checkpoint scan
+    with ZERO joins (a fixed-k unrolled plan would carry one join+agg per
+    round), and the checkpointing changes no values — the result equals
+    the pure-Python integer reference run for the same round count."""
+    from collections import defaultdict
+
+    from bharatmlstack_spark.operators.graph import pagerank
+    from bharatmlstack_spark.plans import explain_formatted
+
+    path = [(i, i + 1) for i in range(7)]
+    sym = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    rank = pagerank(edges, until_delta=10_000, check_every=5, max_iter=60)
+    rounds = rank._pagerank_rounds
+    assert rounds == 20  # 4 blocks on this fixture; a multiple of check_every
+
+    plan = explain_formatted(rank)
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+    # python reference replay for exactly `rounds` rounds
+    deg = defaultdict(int)
+    for s, _ in sym:
+        deg[s] += 1
+    want = {n: 1_000_000 for n in deg}
+    for _ in range(rounds):
+        new = defaultdict(lambda: 150_000)
+        for s, d in sym:
+            new[d] += (want[s] * 85) // (100 * deg[s])
+        want = dict(new)
+    got = {r.node: r.r for r in rank.collect()}
+    assert got == want
