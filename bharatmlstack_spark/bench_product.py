@@ -71,9 +71,30 @@ def dedup_simhash_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_near_pairs(fp, max_hamming=3).select("id_a", "id_b")
 
 
+def dedup_minhash_lsh_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle -> minhash -> band bucket-join -> CANDIDATE-LOCAL Jaccard
+    verify. Unlike simhash/ANN rows, the registered dedup_minhash_lsh row
+    is already product-shaped on the Spark side (its exact-recall proof
+    lives in the DuckDB oracle, not in the Spark plan), so this entry
+    times the identical pipeline — it exists so the product_queries
+    section benches every approximate-dedup/ANN path standalone."""
+    from bharatmlstack_spark.operators import dedup as DD
+    from bharatmlstack_spark.queries_text import corpus
+
+    return DD.minhash_lsh_dedup_pairs(
+        corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=64,
+        bands=16,
+        threshold=0.8,
+    ).select("id_a", "id_b")
+
+
 PRODUCT_QUERIES = {
     "ann_lsh_dot_product": ann_lsh_dot_product,
     "ann_ivf_dot_product": ann_ivf_dot_product,
     "pq_ann_topk_product": pq_ann_topk_product,
     "dedup_simhash_product": dedup_simhash_product,
+    "dedup_minhash_lsh_product": dedup_minhash_lsh_product,
 }

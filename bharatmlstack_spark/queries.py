@@ -751,76 +751,31 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Round-6 window (first 50): the 13 new rows (strict-decode multimodal,
-# skew hardening, PII redaction, span dedup, unigram-LM quality, shard
-# manifest, bucketed join), temporal_split (the one query never
-# driver-verified across five windows), the 3 queries whose last green is
-# r01 and the 20 whose last green is r02, backfilled with the oldest r03
-# greens. 51+: remaining r03 greens, then the 50 r04 greens (freshest
-# last). After this window every registered query has a green from r03 or
-# later.
-# Round-7 rotation guidance: this window re-attests 27 new + 23 stale rows
-# (zero wasted slots); next round front-load (a) any NEW rows first, then
-# (b) the ~50 oldest remaining attestations (the displaced r03 backfills
-# contamination_check..inference_log_readback, then the r04-era greens) so
-# every query stays within ~2 rounds of its last green.
+# Round-7 window (first 50): the round-6 additions (BPE vocabulary
+# learning, PNG decode), the 4 rows whose implementation/oracle changed
+# this round (decimal-scale fix, SCD2 tiebreaker, bucketed-table
+# cleanup, pagerank operator refactor), the 30 queries whose last green
+# is r03, and the 14 oldest r04 attestations — led by the three ANN rows
+# (lsh.py fit/fallback changed) and the two former oracle-boundary rows
+# (watermark cut, event_id narrowing) so the structural closures get a
+# fresh green. 51+: the remaining 36 r04 greens (front-load these in
+# round 8), then the 46 untouched r05 greens. With 132 queries and a
+# 50-row window the steady-state contract is: every query holds a green
+# from within the last 3 rounds, rows with changed semantics re-attest
+# immediately.
+# Round-8 rotation guidance: front-load (a) any NEW rows, then (b) the
+# 36 r04-era greens below the window boundary (range_join_sessions ..
+# rpn_literal_div), then the oldest r05 greens.
 QUERY_PRIORITY: list[str] = [
-    # new this round
-    "pii_redact",
-    "span_dedup_exact",
-    "unigram_lm_quality",
-    "shard_manifest",
-    "bucketed_colocated_join",
-    "corpus_filter_chain",
-    "bpe_merge_step",
-    "cohort_retention",
-    "scd2_dimension",
-    "zorder_cells",
-    "stream_dedup_watermark",
-    "fuzzy_name_match",
-    "copurchase_pairs",
-    "event_transition_matrix",
+    # new this round (r06)
+    "bpe_vocab_learn",
+    "multimodal_decode_png",
+    # changed implementation/oracle this round — re-attest now
     "value_zscore_outliers",
-    "user_week_density",
-    "key_skew_report",
+    "scd2_dimension",
+    "bucketed_colocated_join",
     "pagerank_copurchase",
-    "multimodal_decode_stats",
-    "multimodal_decode_image",
-    "salted_hot_key_agg",
-    "salted_dim_join",
-    "events_limit_clamp",
-    "multimodal_decode_rgb",
-    "multimodal_decode_audio_feature",
-    "request_validation_matrix",
-    # never driver-verified (judge-confirmed passes the local replica)
-    "temporal_split",
-    # last green r01
-    "segment_intersect",
-    "slate_expansion",
-    "topk_orders",
-    # last green r02
-    "corpus_mix_sample",
-    "doc_fingerprint",
-    "dot_score_ids",
-    "feature_schema_evolution",
-    "grouping_sets_orders",
-    "key_string_join",
-    "knn_euclidean",
-    "lang_id_heuristic",
-    "norm_min_max",
-    "norm_percentile_5_95",
-    "pair_expansion",
-    "percentile_rank",
-    "pipeline_inference",
-    "q3_shipping_priority",
-    "quality_score",
-    "rpn_score",
-    "segment_except",
-    "stratified_sample",
-    "train_test_split",
-    "uint64_decimal_sum",
-    # ---- window boundary (driver verifies the first 50) ----
-    # last green r03 (oldest re-attestations first)
+    # last green r03 (oldest attestations)
     "contamination_check",
     "dedup_components",
     "dedup_survivors",
@@ -832,8 +787,6 @@ QUERY_PRIORITY: list[str] = [
     "events_range_user",
     "events_weekly_buckets",
     "feature_missing_keys",
-    # remaining r03 greens (displaced by the round-5 additions above; all
-    # keep valid r03 attestations)
     "feature_multi_store",
     "feature_retrieve",
     "feature_retrieve_composite",
@@ -853,7 +806,14 @@ QUERY_PRIORITY: list[str] = [
     "stream_persist_retrieve",
     "text_stats",
     "tfidf_top_terms",
-    # r04 greens, all re-attested last round
+    # oldest r04 greens: lsh.py-affected ANN + closed-boundary rows first
+    "ann_lsh_dot",
+    "ann_ivf_dot",
+    "pq_ann_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "order_stream_merge_trim",
+    "stream_weekly_watermark",
     "last_write_wins",
     "event_wire_roundtrip",
     "events_retention_window",
@@ -861,22 +821,17 @@ QUERY_PRIORITY: list[str] = [
     "events_interarrival",
     "rolling_7d_user_value",
     "asof_feature_join",
+    # ---- window boundary (driver verifies the first 50) ----
+    # remaining r04 greens (round-8 front-runners)
     "range_join_sessions",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "sketch_distinct_users",
     "sketch_percentile_value",
     "sketch_union_distinct",
-    "ann_lsh_dot",
-    "ann_ivf_dot",
-    "pq_ann_topk",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
-    "order_stream_merge_trim",
     "skye_stream_aggregate",
     "stateful_topk_stream",
-    "stream_weekly_watermark",
     "incremental_dedup_stream",
     "stream_attribution_join",
     "incremental_materialize_orders",
@@ -904,6 +859,53 @@ QUERY_PRIORITY: list[str] = [
     "rollup_lineitem",
     "rpn_bool_compare",
     "rpn_literal_div",
+    # r05 greens, untouched this round
+    "pii_redact",
+    "span_dedup_exact",
+    "unigram_lm_quality",
+    "shard_manifest",
+    "corpus_filter_chain",
+    "bpe_merge_step",
+    "cohort_retention",
+    "zorder_cells",
+    "stream_dedup_watermark",
+    "fuzzy_name_match",
+    "copurchase_pairs",
+    "event_transition_matrix",
+    "user_week_density",
+    "key_skew_report",
+    "multimodal_decode_stats",
+    "multimodal_decode_image",
+    "salted_hot_key_agg",
+    "salted_dim_join",
+    "events_limit_clamp",
+    "multimodal_decode_rgb",
+    "multimodal_decode_audio_feature",
+    "request_validation_matrix",
+    "temporal_split",
+    "segment_intersect",
+    "slate_expansion",
+    "topk_orders",
+    "corpus_mix_sample",
+    "doc_fingerprint",
+    "dot_score_ids",
+    "feature_schema_evolution",
+    "grouping_sets_orders",
+    "key_string_join",
+    "knn_euclidean",
+    "lang_id_heuristic",
+    "norm_min_max",
+    "norm_percentile_5_95",
+    "pair_expansion",
+    "percentile_rank",
+    "pipeline_inference",
+    "q3_shipping_priority",
+    "quality_score",
+    "rpn_score",
+    "segment_except",
+    "stratified_sample",
+    "train_test_split",
+    "uint64_decimal_sum",
 ]
 
 
