@@ -963,11 +963,17 @@ _BPE_MERGE = (
 )
 
 
-def _bpe_oracle() -> str:
-    bare = (
-        "[substr(x, 1, length(x)-1) FOR x IN"
-        " list_filter(string_split(s, ' '), x -> x <> '')]"
-    )
+_BPE_ORACLE_BARE = (
+    "[substr(x, 1, length(x)-1) FOR x IN"
+    " list_filter(string_split(s, ' '), x -> x <> '')]"
+)
+
+
+def _bpe_oracle_ctes() -> str:
+    """Common unrolled-CTE prefix for the BPE rows: w0..w3 carry
+    (w, s, n) — the raw word, its current symbol-sequence encoding, and
+    its corpus frequency — through three learn-and-apply merge rounds."""
+    bare = _BPE_ORACLE_BARE
     merge = (
         "replace(s, ' ' || split_part(pair, ' ', 1) || '| ' || split_part(pair, ' ', 2) || '|',"
         " ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || '|')"
@@ -982,18 +988,22 @@ p{i} AS (
 ),
 c{i} AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM p{i} GROUP BY pair),
 b{i} AS (SELECT pair, cnt FROM c{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
-w{i} AS (SELECT {merge} AS s, n FROM {prev}, b{i})""")
+w{i} AS (SELECT w, {merge} AS s, n FROM {prev}, b{i})""")
     return f"""
 WITH w0 AS (
-  SELECT regexp_replace(w, '(.)', ' \\1|', 'g') AS s, COUNT(*) AS n
+  SELECT w, regexp_replace(w, '(.)', ' \\1|', 'g') AS s, COUNT(*) AS n
   FROM (
     SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
   ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
   GROUP BY 1
-),{",".join(its)},
+),{",".join(its)}"""
+
+
+def _bpe_oracle() -> str:
+    return f"""{_bpe_oracle_ctes()},
 vocab AS (
   SELECT 0 AS step, tok AS token, CAST(SUM(n) AS BIGINT) AS cnt
-  FROM (SELECT unnest({bare}) AS tok, n FROM w3)
+  FROM (SELECT unnest({_BPE_ORACLE_BARE}) AS tok, n FROM w3)
   GROUP BY tok ORDER BY cnt DESC, token ASC LIMIT 20
 )
 SELECT step, token, cnt FROM vocab
@@ -1003,32 +1013,21 @@ UNION ALL SELECT 3 AS step, replace(pair, ' ', '') AS token, cnt FROM b3
 """
 
 
-@query("bpe_vocab_learn", oracle=_bpe_oracle())
-def bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real BPE tokenizer training, k=3 merge rounds: each round counts
-    corpus-wide adjacent symbol pairs (frequency-weighted over DISTINCT
-    words — the tokenizer-training trick that makes the loop word-count-,
-    not corpus-count-, sized), picks the argmax pair (ties to the
-    lexicographically smallest), APPLIES the merge to every word, and
-    recounts on the merged sequences — so rounds 2 and 3 see tokens
-    round 1 created. Output: the 3 winning merges (step 1-3) plus the
-    final top-20 vocabulary (step 0). The winning pair is a 1-row
-    broadcast into the next round's plan, exactly the unrolled-iteration
-    shape pagerank_copurchase proved; each round's word table persists so
-    round k never recomputes rounds 1..k-1. At 100 TB the distinct-word
-    table is the only shuffled state and it's vocabulary-sized (Heaps'
-    law: ~millions of rows, not the corpus).
-
-    Reference anchor: this is the training loop producers run upstream of
-    numerix-style tokenized features; bpe_merge_step is one candidate
-    count of it."""
+def _bpe_learn_words(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared 3-round BPE learn loop: returns the merged distinct-word
+    table (w, s, n) — raw word, symbol-sequence encoding after all
+    merges, corpus frequency — plus the per-round winner frames
+    (step, token, cnt). Each round's winner is a 1-row broadcast; each
+    round's word table persists so round k never recomputes 1..k-1."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
     w0 = (
         d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.regexp_replace("w", "(.)", " $1|").alias("s"), "n")
+        .select("w", F.regexp_replace("w", "(.)", " $1|").alias("s"), "n")
     )
 
     def pair_counts(wdf: DataFrame) -> DataFrame:
@@ -1062,10 +1061,32 @@ def bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         words = defer_unpersist(
             words.crossJoin(F.broadcast(best.select("pair")))
-            .select(F.expr(_BPE_MERGE).alias("s"), "n")
+            .select("w", F.expr(_BPE_MERGE).alias("s"), "n")
             .persist()
         )
+    return words, merges
 
+
+@query("bpe_vocab_learn", oracle=_bpe_oracle())
+def bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenizer training, k=3 merge rounds: each round counts
+    corpus-wide adjacent symbol pairs (frequency-weighted over DISTINCT
+    words — the tokenizer-training trick that makes the loop word-count-,
+    not corpus-count-, sized), picks the argmax pair (ties to the
+    lexicographically smallest), APPLIES the merge to every word, and
+    recounts on the merged sequences — so rounds 2 and 3 see tokens
+    round 1 created. Output: the 3 winning merges (step 1-3) plus the
+    final top-20 vocabulary (step 0). The winning pair is a 1-row
+    broadcast into the next round's plan, exactly the unrolled-iteration
+    shape pagerank_copurchase proved; each round's word table persists so
+    round k never recomputes rounds 1..k-1. At 100 TB the distinct-word
+    table is the only shuffled state and it's vocabulary-sized (Heaps'
+    law: ~millions of rows, not the corpus).
+
+    Reference anchor: this is the training loop producers run upstream of
+    numerix-style tokenized features; bpe_merge_step is one candidate
+    count of it."""
+    words, merges = _bpe_learn_words(spark, sf_dir)
     vocab = (
         words.select(F.explode(F.expr(_BPE_BARE)).alias("token"), "n")
         .groupBy("token")
@@ -1078,3 +1099,52 @@ def bpe_vocab_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges:
         out = out.unionAll(m)
     return out
+
+
+def _bpe_apply_oracle() -> str:
+    return f"""{_bpe_oracle_ctes()},
+lookup AS (
+  SELECT w, len({_BPE_ORACLE_BARE}) AS n_tokens FROM w3
+),
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(l.n_tokens) AS BIGINT) AS n_tokens
+FROM docw d JOIN lookup l USING (w)
+GROUP BY d.doc_id
+"""
+
+
+@query("bpe_tokenize_apply", oracle=_bpe_apply_oracle())
+def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE: encode every document with the merges
+    bpe_vocab_learn just trained — per doc, the in-vocabulary word count
+    and the total token count after all three merges apply. The encode
+    itself touches only the DISTINCT-word table (word -> token-count
+    lookup, vocabulary-sized); documents then explode to words and join
+    the lookup — the canonical tokenizer-serving shape at 100 TB, where
+    the vocabulary broadcasts and the corpus pays one scan + one
+    word-key join, never per-document merge recomputation. Learn + apply
+    in one plan mirrors train-then-encode pipelines; out-of-vocabulary
+    words (non [a-z]+ after lowering) are excluded on both engines."""
+    words, _merges = _bpe_learn_words(spark, sf_dir)
+    lookup = words.select("w", F.expr(f"size({_BPE_BARE})").alias("n_tokens"))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doc_words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    return (
+        doc_words.join(F.broadcast(lookup), on="w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

@@ -186,6 +186,35 @@ def test_bpe_vocab_learn_merges_are_real(spark, sf_dir, qs):
     assert merges[1].cnt >= merges[2].cnt >= merges[3].cnt
 
 
+def test_bpe_tokenize_apply_bounds(spark, sf_dir, qs):
+    """Token counts respect the compression laws: a word never encodes to
+    more tokens than characters (merges only shrink), never fewer than 1,
+    and the corpus-wide token total is strictly below the character total
+    (the three learned merges actually fire somewhere)."""
+    out = qs["bpe_tokenize_apply"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("n_tokens") < F.col("n_words")) | (F.col("n_tokens") <= 0)
+    )
+    assert bad.count() == 0
+    tot = out.agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_words").alias("w")
+    ).head()
+    # the un-merged encoding has exactly one token per CHARACTER; strictly
+    # fewer proves the learned merges actually fired on real documents
+    chars = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .agg(F.sum(F.length("w")).alias("c"))
+        .head()
+        .c
+    )
+    assert tot.t >= tot.w  # every word is at least one token
+    assert tot.t < chars  # merges compressed the corpus
+
+
 def test_bpe_greedy_merge_encoding_laws(spark):
     """The ' sym|' encoding makes plain replace() the greedy BPE merge:
     back-to-back runs chain, and a pair never matches inside a longer
