@@ -36,3 +36,30 @@ def test_drain_survives_already_unpersisted_frames(spark):
     defer_unpersist(df)
     df.unpersist()  # someone released it early
     drain_pending_unpersist()  # must not raise
+
+
+def test_defer_cleanup_runs_on_drain_and_swallows_errors():
+    from bharatmlstack_spark.query_registry import defer_cleanup
+
+    ran = []
+    defer_cleanup(lambda: ran.append("a"))
+    defer_cleanup(lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    defer_cleanup(lambda: ran.append("b"))
+    drain_pending_unpersist()  # runs all three; the raiser is swallowed
+    assert sorted(ran) == ["a", "b"]
+    # queue is drained; a second drain is a no-op
+    drain_pending_unpersist()
+    assert sorted(ran) == ["a", "b"]
+
+
+def test_registered_query_entry_drains_prior_cleanups(spark, sf_dir):
+    """Invoking any registered query releases the previous query's
+    deferred resources — the lifecycle bucketed_colocated_join relies on
+    to drop its catalog tables and tempdir."""
+    from bharatmlstack_spark.queries import QUERIES
+    from bharatmlstack_spark.query_registry import defer_cleanup
+
+    ran = []
+    defer_cleanup(lambda: ran.append("x"))
+    QUERIES["topk_orders"](spark, sf_dir)  # any registered query
+    assert ran == ["x"]
