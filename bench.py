@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "bucketed_colocated_join",
     "corpus_filter_chain",
     "bpe_merge_step",
+    # round-6 additions (prior names/order unchanged for comparability)
+    "bpe_vocab_learn",
+    "bpe_tokenize_apply",
+    "multimodal_decode_png",
+    "pagerank_copurchase",
 ]
 
 

@@ -60,6 +60,11 @@ QUERIES = [
     "event_transition_matrix",
     "value_zscore_outliers",
     "zorder_cells",
+    # round-6 additions: the iterative/tokenizer rows (multimodal_decode_png
+    # is fixture-sized by construction, nothing to scale)
+    "bpe_vocab_learn",
+    "bpe_tokenize_apply",
+    "pagerank_copurchase",
 ]
 
 
