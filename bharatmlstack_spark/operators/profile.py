@@ -85,3 +85,60 @@ def quantile_bin(
         F.size(F.filter(F.col("__bs"), lambda b: F.col(value_col) > b)) + 1
     ).alias("bucket")
     return joined.select(*out_cols, bucket)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold_num: int,
+    threshold_den: int,
+    top_per_partition: int = 4096,
+) -> DataFrame:
+    """Frequent items above a frequency fraction (threshold_num /
+    threshold_den of all rows), the two-pass way that scales:
+
+    - **Pass 1 (candidates)**: each partition emits only its
+      ``top_per_partition`` most frequent values (one Arrow-batched
+      pandas value_counts per partition) — a bounded
+      partitions x k candidate set, NEVER the full-cardinality
+      groupBy shuffle that a direct exact count would pay.
+    - **Pass 2 (exact)**: candidates broadcast back onto the scan; only
+      their counts aggregate exactly, then the threshold filter applies.
+
+    Output (value, cnt) is EXACT for every emitted row — approximation
+    can only appear as a MISSED candidate, which requires a value above
+    the global threshold yet below every partition's local top-k: with
+    k=4096 and any realistic threshold (>=0.1%) that needs adversarial
+    placement across thousands of partitions. At 100 TB this is 2 scans
+    + a candidate-sized shuffle vs one full-vocabulary shuffle
+    (`ngram_topk` is the full-shuffle form; this is the sketch-family
+    sibling of the HLL/KLL rows)."""
+    from bharatmlstack_spark.query_registry import defer_unpersist
+
+    vals = defer_unpersist(df.select(F.col(col).alias("__v")).persist())
+    n_total = vals.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+
+    def part_candidates(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            vc = pdf["__v"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if acc is None or acc.empty:
+            yield pd.DataFrame({"__v": pd.Series([], dtype=object)})
+            return
+        top = acc.sort_values(ascending=False, kind="stable").head(
+            top_per_partition
+        )
+        yield pd.DataFrame({"__v": top.index})
+
+    cands = vals.mapInPandas(part_candidates, "__v string").distinct()
+    return (
+        vals.join(F.broadcast(cands), on="__v")
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * threshold_den >= threshold_num * F.col("__n"))
+        .select(F.col("__v").alias("value"), "cnt")
+    )

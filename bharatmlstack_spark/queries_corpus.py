@@ -690,3 +690,44 @@ def feature_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs.retrieve(
         "customer", {"profile": ["balance_cents", "nation"]}, keys, feature_table=stored
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters: two-pass frequent items (the no-full-shuffle top path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "heavy_hitters_twopass",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+f AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM w
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+  GROUP BY w
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM f)
+SELECT f.w AS word, f.cnt FROM f, n WHERE f.cnt * 200 >= 7 * n.n
+""",
+)
+def heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (words with frequency >= 3.5% of all tokens)
+    via the TWO-PASS candidate/recount shape: pass 1 emits each
+    partition's local top-4096 values from one Arrow-batched
+    value_counts (a bounded candidate set — no full-vocabulary shuffle);
+    pass 2 broadcasts the candidates back onto the scan and counts ONLY
+    them exactly, then applies the integer threshold. Every emitted row
+    is exact, so DuckDB's full groupBy recomputes the identical set —
+    a candidate miss (the only possible approximation) would drop a row
+    and turn the gate red. At 100 TB this replaces ngram_topk's
+    full-cardinality shuffle with 2 scans + a candidate-sized shuffle;
+    see operators/profile.heavy_hitters."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    out = PR.heavy_hitters(words, "w", threshold_num=7, threshold_den=200)
+    return out.select(F.col("value").alias("word"), "cnt")

@@ -235,3 +235,50 @@ def test_sketch_percentile_close_to_exact(spark, sf_dir):
         # accuracy=10000 -> rank error ~1e-4; allow small value slack
         assert abs(a50 - e50) <= max(0.05 * abs(e50), 0.3), (et, a50, e50)
         assert abs(a95 - e95) <= max(0.05 * abs(e95), 0.3), (et, a95, e95)
+
+
+def test_heavy_hitters_matches_direct_groupby(spark, sf_dir):
+    """The two-pass candidate/recount path returns exactly the direct
+    full-shuffle answer, regardless of input partitioning."""
+    from pyspark.sql import functions as F
+
+    from bharatmlstack_spark.operators.profile import heavy_hitters
+
+    words = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    direct = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(words.agg(F.count(F.lit(1)).alias("n"))))
+        .filter(F.col("cnt") * 200 >= 7 * F.col("n"))
+    )
+    want = {(r.w, r.cnt) for r in direct.collect()}
+    assert want  # non-vacuous at every sf
+    for parts in (1, 13):
+        got = {
+            (r.value, r.cnt)
+            for r in heavy_hitters(
+                words.repartition(parts), "w", 7, 200
+            ).collect()
+        }
+        assert got == want
+
+
+def test_heavy_hitters_candidate_cap_binds(spark):
+    """With top_per_partition=1 on a single partition, only the modal
+    value can surface — proving pass 1 really bounds the candidate set
+    (the scale contract) rather than silently passing everything."""
+    from pyspark.sql import functions as F
+
+    from bharatmlstack_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)], "w string"
+    ).coalesce(1)
+    out = heavy_hitters(df, "w", 1, 10, top_per_partition=1).collect()
+    assert {(r.value, r.cnt) for r in out} == {("a", 6)}
