@@ -26,3 +26,8 @@ def test_event_analytics_demo(spark, monkeypatch, capsys):
 
 def test_feature_pipeline_demo(spark, monkeypatch, capsys):
     _run("feature_pipeline_demo", spark, monkeypatch, capsys)
+
+
+def test_tokenizer_demo(spark, monkeypatch, capsys):
+    out = _run("tokenizer_demo", spark, monkeypatch, capsys)
+    assert "chars/token" in out
