@@ -344,6 +344,7 @@ def test_round5_rows_hold_their_shuffle_budgets(spark, sf_dir, qs):
         "event_transition_matrix": 3,  # user window + pair agg + row-norm
         "copurchase_pairs": 3,      # basket distinct + order join + pair agg
         "fuzzy_name_match": 1,      # variant equi-join (broadcast at this SF)
+        "heavy_hitters_twopass": 3, # candidate distinct + exact recount + total agg
     }
     for name, budget in budgets.items():
         df = qs[name](spark, sf_dir)
