@@ -78,6 +78,18 @@ def hadoop_read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def hadoop_delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the Hadoop FS API (HDFS/S3/GCS-safe) —
+    used to drop bucket directories a key-delete fully emptied (dynamic
+    partition overwrite only REPLACES partitions present in the new
+    output; an emptied bucket produces no output rows, so its stale
+    directory must be removed explicitly)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.delete(jpath, True))
+
+
 def write_table_meta(spark: SparkSession, table_path: str, n_buckets: int) -> None:
     import json
 
@@ -414,6 +426,79 @@ class FeatureStore:
             else:
                 live.write.mode("overwrite").parquet(tmp)
                 self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        return removed
+
+    def delete(
+        self, entity_label: str, keys: DataFrame, store_id: int = 0
+    ) -> int:
+        """Hard-delete rows by PK (the right-to-be-forgotten path) with
+        the same bucket-scoped cost model as persist: the key set's
+        touched buckets are collected driver-side (<= n_buckets values),
+        only those directories are read and anti-joined, and the staged
+        rewrite uses dynamic partition overwrite — untouched buckets are
+        never read or rewritten. Buckets the delete fully empties are
+        removed explicitly (dynamic overwrite cannot replace a partition
+        with nothing). Returns rows removed. At 100 TB a delete costs
+        O(touched buckets), like persist."""
+        entity = self.registry.entity(entity_label)
+        for k in entity.key_columns:
+            if k not in keys.columns:
+                raise ValueError(f"delete missing key column {k!r}")
+        path = self._table_path(entity_label, store_id)
+        if not hadoop_path_exists(self.spark, path):
+            return 0
+        existing = self.spark.read.parquet(path)
+        kdf = keys.select(*entity.key_columns).dropDuplicates(entity.key_columns)
+
+        if BUCKET_COL not in existing.columns:
+            # legacy pre-bucketed table: one full anti-join rewrite
+            remaining = existing.join(
+                F.broadcast(kdf), on=entity.key_columns, how="left_anti"
+            )
+            removed = existing.count() - remaining.count()
+            if removed:
+                tmp = path + "__staging"
+                remaining.write.mode("overwrite").parquet(tmp)
+                self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            return removed
+
+        nb = self._effective_n_buckets(path)
+        kdf = kdf.withColumn(BUCKET_COL, _bucket_expr(entity.key_columns, nb))
+        touched = sorted(r[0] for r in kdf.select(BUCKET_COL).distinct().collect())
+        scoped = existing.filter(F.col(BUCKET_COL).isin(touched))
+        remaining = scoped.join(
+            F.broadcast(kdf.drop(BUCKET_COL)), on=entity.key_columns, how="left_anti"
+        )
+        n_remaining = remaining.count()
+        removed = scoped.count() - n_remaining
+        if not removed:
+            return 0
+        if n_remaining == 0:
+            # every row of every touched bucket is gone: nothing to stage
+            # (an empty parquet write can't even be read back) — drop the
+            # touched directories directly
+            for b in touched:
+                hadoop_delete_path(self.spark, f"{path}/{BUCKET_COL}={b}")
+            return removed
+        tmp = path + "__staging"
+        (
+            remaining.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tmp)
+        )
+        staged = self.spark.read.parquet(tmp)
+        (
+            staged.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+        survivors = {r[0] for r in staged.select(BUCKET_COL).distinct().collect()}
+        for b in touched:
+            if b not in survivors:
+                hadoop_delete_path(self.spark, f"{path}/{BUCKET_COL}={b}")
         return removed
 
     # ------------------------------------------------------------------

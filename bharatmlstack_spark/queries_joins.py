@@ -3576,3 +3576,57 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", F.col("r").alias("rank_micro"))
     )
+
+
+# ===========================================================================
+# right-to-be-forgotten: bucket-scoped key deletion through the store API
+# ===========================================================================
+
+
+@query(
+    "feature_delete_keys",
+    oracle="""
+WITH cust AS (
+  SELECT c_custkey AS user_id, CAST(c_custkey % 80 + 18 AS INT) AS age
+  FROM customer
+),
+req AS (SELECT user_id FROM cust WHERE user_id % 3 = 2),
+live AS (SELECT user_id, age FROM cust WHERE user_id % 9 <> 2)
+SELECT r.user_id, COALESCE(l.age, 0) AS demo_int32__age
+FROM req r LEFT JOIN live l USING (user_id)
+""",
+)
+def feature_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style hard delete end to end through the store API: persist a
+    bucketed feature table, DELETE every key with user_id % 9 = 2
+    (FeatureStore.delete — bucket-scoped anti-join + dynamic partition
+    overwrite, untouched bucket dirs never rewritten, emptied dirs
+    dropped), then retrieve a request set spanning deleted and surviving
+    keys. Deleted keys come back as the FG default — exactly how a
+    forgotten user must look to every downstream consumer. The oracle
+    replays persist-minus-delete declaratively. At 100 TB the delete
+    costs O(touched buckets), the same contract as persist
+    (operators/feature_store.py:delete)."""
+    import shutil
+    import tempfile
+
+    from bharatmlstack_spark import fixtures as FX
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+    from bharatmlstack_spark.query_registry import defer_cleanup
+
+    base = tempfile.mkdtemp(prefix="bmls_featdel_")
+    defer_cleanup(lambda base=base: shutil.rmtree(base, ignore_errors=True))
+    fs = FeatureStore(spark, FX.user_registry(), base, n_buckets=8)
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        (F.col("c_custkey") % 80 + 18).cast("int").alias("demo_int32__age"),
+    )
+    fs.persist("user", c)
+    fs.delete("user", c.filter(F.col("user_id") % 9 == 2).select("user_id"))
+
+    req = c.filter(F.col("user_id") % 3 == 2).select("user_id")
+    out = fs.retrieve(
+        "user", {"demo_int32": ["age"]}, req, feature_table=fs.load("user")
+    )
+    return out.select("user_id", "demo_int32__age")

@@ -521,3 +521,91 @@ def test_e4m3_storage_codec_matches_roundtrip():
     got = fp8e4m3_decode_np(fp8e4m3_encode_np(x))
     exp = fp8e4m3_roundtrip_np(x)
     np.testing.assert_array_equal(got.view(np.int32), exp.view(np.int32))
+
+
+def test_delete_keys_bucket_scoped(spark, tmp_path):
+    """delete(): removed keys vanish, untouched bucket dirs keep their
+    files byte-identical, and a fully-emptied bucket's directory is
+    removed (dynamic overwrite can't replace a partition with nothing)."""
+    import os
+
+    from bharatmlstack_spark.operators.feature_store import _bucket_expr
+
+    fsd = FeatureStore(
+        spark, fixtures.user_registry(), str(tmp_path / "featdel"), n_buckets=8
+    )
+    base = spark.range(0, 64).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 60).cast("int").alias("demo_int32__age"),
+    )
+    fsd.persist("user", base)
+    path = fsd._table_path("user")
+
+    def snapshot():
+        return {
+            d: sorted(
+                (f, os.path.getmtime(os.path.join(path, d, f)))
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            )
+            for d in sorted(os.listdir(path))
+            if d.startswith("key_bucket=")
+        }
+
+    before = snapshot()
+    # bucket of every key, computed with the store's own expression
+    buckets = {
+        r.user_id: r.b
+        for r in base.select(
+            "user_id", _bucket_expr(["user_id"], 8).alias("b")
+        ).collect()
+    }
+    # delete 2 keys from ONE bucket (partial) ...
+    some_bucket = buckets[0]
+    partial = [k for k, b in buckets.items() if b == some_bucket][:2]
+    # ... and EVERY key of another bucket (full empty)
+    other_bucket = next(b for b in set(buckets.values()) if b != some_bucket)
+    emptied = [k for k, b in buckets.items() if b == other_bucket]
+
+    keys = spark.createDataFrame([(k,) for k in partial + emptied], ["user_id"])
+    removed = fsd.delete("user", keys)
+    assert removed == len(partial) + len(emptied)
+
+    rows = {r["user_id"] for r in fsd.load("user").collect()}
+    assert rows == set(buckets) - set(partial) - set(emptied)
+
+    after = snapshot()
+    # the emptied bucket's directory is gone
+    assert f"key_bucket={other_bucket}" not in after
+    # only the two touched buckets changed; the rest are byte-identical
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert sorted(changed) == sorted(
+        [f"key_bucket={some_bucket}", f"key_bucket={other_bucket}"]
+    )
+
+    # deleting nothing is a no-op returning 0
+    assert fsd.delete("user", spark.createDataFrame([(999999,)], ["user_id"])) == 0
+
+
+def test_delete_missing_key_column_errors(fs, spark):
+    with pytest.raises(ValueError):
+        fs.delete("user", spark.createDataFrame([(1,)], ["not_a_key"]))
+
+
+def test_delete_then_retrieve_returns_defaults(spark, tmp_path):
+    fsd = FeatureStore(
+        spark, fixtures.user_registry(), str(tmp_path / "featdel2"), n_buckets=4
+    )
+    fsd.persist(
+        "user",
+        spark.createDataFrame([(1, 30), (2, 40)], ["user_id", "demo_int32__age"]),
+    )
+    fsd.delete("user", spark.createDataFrame([(1,)], ["user_id"]))
+    out = fsd.retrieve(
+        "user",
+        {"demo_int32": ["age"]},
+        spark.createDataFrame([(1,), (2,)], ["user_id"]),
+        feature_table=fsd.load("user"),
+    ).orderBy("user_id")
+    rows = [r["demo_int32__age"] for r in out.collect()]
+    assert rows == [0, 40]  # deleted key falls back to the FG default
