@@ -753,15 +753,16 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Round-7 window (first 50): the round-6 additions (BPE vocabulary
 # learning + tokenizer-apply, PNG decode, two-pass heavy hitters,
-# bucket-scoped key deletion), the 4 rows whose implementation/oracle changed
+# bucket-scoped key deletion, integer half-life decay), the 4 rows whose implementation/oracle changed
 # this round (decimal-scale fix, SCD2 tiebreaker, bucketed-table
 # cleanup, pagerank operator refactor), the 30 queries whose last green
 # is r03, and the 14 oldest r04 attestations — led by the three ANN rows
 # (lsh.py fit/fallback changed) and the two former oracle-boundary rows
 # (watermark cut, event_id narrowing) so the structural closures get a
-# fresh green. 51+: events_interarrival/rolling_7d_user_value/
-# asof_feature_join then the remaining 36 r04 greens (front-load these in
-# round 8), then the 46 untouched r05 greens. With 135 queries and a
+# fresh green. 51+: events_sessionize/events_interarrival/
+# rolling_7d_user_value/asof_feature_join then the remaining 36 r04
+# greens (front-load these in
+# round 8), then the 46 untouched r05 greens. With 136 queries and a
 # 50-row window the steady-state contract is: every query holds a green
 # from within the last 3 rounds, rows with changed semantics re-attest
 # immediately.
@@ -775,6 +776,7 @@ QUERY_PRIORITY: list[str] = [
     "multimodal_decode_png",
     "heavy_hitters_twopass",
     "feature_delete_keys",
+    "time_decay_user_value",
     # changed implementation/oracle this round — re-attest now
     "value_zscore_outliers",
     "scd2_dimension",
@@ -822,8 +824,8 @@ QUERY_PRIORITY: list[str] = [
     "last_write_wins",
     "event_wire_roundtrip",
     "events_retention_window",
-    "events_sessionize",
     # ---- window boundary (driver verifies the first 50) ----
+    "events_sessionize",
     "events_interarrival",
     "rolling_7d_user_value",
     "asof_feature_join",

@@ -3630,3 +3630,54 @@ def feature_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user", {"demo_int32": ["age"]}, req, feature_table=fs.load("user")
     )
     return out.select("user_id", "demo_int32__age")
+
+
+# ===========================================================================
+# recency weighting: exact integer half-life decay (recommender features)
+# ===========================================================================
+
+
+@query(
+    "time_decay_user_value",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CAST(ROUND(value * 1000, 0) AS BIGINT) AS v_milli
+  FROM events
+),
+mx AS (SELECT MAX(ts_ms) AS ref FROM e)
+SELECT user_id,
+       CAST(SUM(v_milli // CAST(pow(2, LEAST((ref - ts_ms) // 604800000, 50)) AS BIGINT)) AS BIGINT)
+         AS decayed_milli,
+       COUNT(*) AS n_events
+FROM e, mx
+GROUP BY user_id
+""",
+)
+def time_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user value with a one-week half-life — the decay
+    feature recommenders use so last week's purchase outweighs last
+    year's. Exactness story: the weight is 2^(-age_weeks) with an INTEGER
+    exponent, so each contribution is one integer division
+    (v_milli div 2^k) — no pow-of-fractions, no float fold anywhere; the
+    per-user sum is exact BIGINT arithmetic, bit-identical across engines
+    and partitionings (the same discipline as pagerank_copurchase).
+    value*1000 is integral in the fixture (<=2-decimal values), so the
+    ROUND only strips float representation error — identically on both
+    engines. The reference epoch is a 1-row broadcast (corpus max ts);
+    the exponent caps at 50 to keep 2^k inside BIGINT. One partial-agg
+    shuffle on user_id — scan-bound at 100 TB."""
+    ev = load_events_ms(spark, sf_dir).select("user_id", "ts_ms", "value")
+    ref = ev.agg(F.max("ts_ms").alias("ref"))
+    contrib = F.expr(
+        "CAST(ROUND(value * 1000, 0) AS BIGINT)"
+        " div CAST(pow(2, LEAST((ref - ts_ms) div 604800000, 50)) AS BIGINT)"
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.sum(contrib).cast("long").alias("decayed_milli"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
