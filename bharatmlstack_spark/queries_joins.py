@@ -3681,3 +3681,148 @@ def time_decay_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ===========================================================================
+# tabular-ML feature engineering: target encoding, WOE bins, hash crossing
+# ===========================================================================
+
+
+@query(
+    "target_encode_loo",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, value,
+         CAST(value AS DECIMAL(18,4)) AS v_dec
+  FROM events WHERE event_id % 20 = 11
+),
+g AS (
+  SELECT event_type, SUM(v_dec) AS s, COUNT(*) AS n
+  FROM e GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN g.n > 1
+            THEN ROUND(CAST(g.s - e.v_dec AS DOUBLE) / (g.n - 1), 6)
+       END AS te_loo
+FROM e JOIN g USING (event_type)
+""",
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe way to turn a
+    categorical column into a numeric feature: each row gets the mean
+    target of its OWN category computed WITHOUT itself, so the encoding
+    never memorizes the row's own label. Exactness: the category sum is
+    an exact decimal (order-independent); each row then computes
+    (S - v_i) in exact decimal before ONE double division by (n-1) —
+    identical operands on both engines, so the quotient is bit-identical
+    and the 6-dp round is pure formatting. Group stats broadcast back
+    onto the scan (|categories| rows); one partial-agg shuffle."""
+    ev = (
+        load_events_raw(spark, sf_dir)
+        .filter(F.col("event_id") % 20 == 11)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("value").cast("decimal(18,4)").alias("v_dec"),
+        )
+    )
+    g = ev.groupBy("event_type").agg(
+        F.sum("v_dec").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    loo = F.when(
+        F.col("n") > 1,
+        F.round((F.col("s") - F.col("v_dec")).cast("double") / (F.col("n") - 1), 6),
+    )
+    return ev.join(F.broadcast(g), on="event_type").select(
+        "event_id", "event_type", loo.alias("te_loo")
+    )
+
+
+@query(
+    "woe_binning",
+    oracle="""
+WITH e AS (
+  SELECT LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin,
+         (event_type = 'purchase') AS pos
+  FROM events
+),
+b AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM e GROUP BY bin
+),
+t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p, CAST(SUM(n_neg) AS BIGINT) AS q FROM b)
+SELECT bin, n_pos, n_neg,
+       ROUND(ln(((n_pos + 0.5) / (t.p + 0.5)) / ((n_neg + 0.5) / (t.q + 0.5))), 6) AS woe
+FROM b, t
+""",
+)
+def woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning — the credit-scoring/feature-selection
+    statistic: bucket the numeric feature (fixed-width bins, integer
+    math), count positives (purchases) and negatives per bin, and score
+    each bin's evidence ln((pos_rate)/(neg_rate)) with 0.5 smoothing so
+    empty cells stay finite. Counts are exact integers on both engines;
+    the single ln of identical doubles rounds at 6 dp (ten bins — ulp
+    divergence is measure-zero). One partial-agg shuffle + a 1-row
+    broadcast of the totals."""
+    # explicit FLOOR: a bare double->int CAST truncates in Spark but
+    # ROUNDS in DuckDB — floor is the one bucketing both engines share
+    ev = load_events_raw(spark, sf_dir).select(
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias("bin"),
+        (F.col("event_type") == "purchase").alias("pos"),
+    )
+    b = ev.groupBy("bin").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long").alias("n_neg"),
+    )
+    t = b.agg(
+        F.sum("n_pos").cast("long").alias("p"), F.sum("n_neg").cast("long").alias("q")
+    )
+    woe = F.round(
+        F.log(
+            ((F.col("n_pos") + 0.5) / (F.col("p") + 0.5))
+            / ((F.col("n_neg") + 0.5) / (F.col("q") + 0.5))
+        ),
+        6,
+    )
+    return b.crossJoin(F.broadcast(t)).select("bin", "n_pos", "n_neg", woe.alias("woe"))
+
+
+@query(
+    "feature_hash_cross",
+    oracle="""
+WITH e AS (
+  SELECT ((user_id * 2654435761 + (event_id % 100) * 40503) % 1048576) % 1024
+           AS bucket,
+         user_id, event_id % 100 AS b_feat
+  FROM events
+)
+SELECT bucket,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id * 100 + b_feat) AS n_crosses
+FROM e GROUP BY bucket
+""",
+)
+def feature_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick for feature crosses: (user_id x event bucket)
+    pairs hash into 1024 buckets with pure integer mixing (Knuth
+    multiplicative constants — identical BIGINT arithmetic on both
+    engines, no engine hash functions), and the row reports per-bucket
+    load plus the DISTINCT cross count, i.e. the collision profile a
+    wide-model pipeline checks before committing to a hash width. One
+    partial-agg shuffle; the distinct is bucket-local."""
+    ev = load_events_ms(spark, sf_dir).select(
+        (
+            ((F.col("user_id") * 2654435761 + (F.col("event_id") % 100) * 40503)
+             % 1048576) % 1024
+        ).alias("bucket"),
+        "user_id",
+        (F.col("event_id") % 100).alias("b_feat"),
+    )
+    return ev.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col("user_id") * 100 + F.col("b_feat")).alias("n_crosses"),
+    )
