@@ -316,6 +316,7 @@ class FeatureStore:
         if not legacy:
             writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.parquet(path)
+        hadoop_delete_path(self.spark, tmp)  # staged copy: reclaim now
         # stamp the sidecar on tables created before metadata existed (or
         # just migrated from the pre-bucketed layout)
         if read_table_meta(self.spark, path) is None:
@@ -426,6 +427,7 @@ class FeatureStore:
             else:
                 live.write.mode("overwrite").parquet(tmp)
                 self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            hadoop_delete_path(self.spark, tmp)  # staged copy: reclaim now
         return removed
 
     def delete(
@@ -460,6 +462,7 @@ class FeatureStore:
                 tmp = path + "__staging"
                 remaining.write.mode("overwrite").parquet(tmp)
                 self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+                hadoop_delete_path(self.spark, tmp)  # staged copy: reclaim
             return removed
 
         nb = self._effective_n_buckets(path)
@@ -496,6 +499,7 @@ class FeatureStore:
             .parquet(path)
         )
         survivors = {r[0] for r in staged.select(BUCKET_COL).distinct().collect()}
+        hadoop_delete_path(self.spark, tmp)  # staged copy: reclaim now
         for b in touched:
             if b not in survivors:
                 hadoop_delete_path(self.spark, f"{path}/{BUCKET_COL}={b}")

@@ -160,7 +160,9 @@ def pagerank(
             .agg(F.max(F.abs(rank.r - prev.r)).alias("m"))
             .collect()[0]["m"]
         )
-        if delta is not None and delta <= until_delta:
+        # delta is None only when the rank table is empty (no edges) —
+        # trivially converged, not a failure
+        if delta is None or delta <= until_delta:
             rank._pagerank_rounds = done  # test/observability hook
             return rank
     raise RuntimeError(

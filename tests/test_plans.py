@@ -394,3 +394,12 @@ def test_pagerank_convergence_lineage_bounded(spark):
         want = dict(new)
     got = {r.node: r.r for r in rank.collect()}
     assert got == want
+
+
+def test_pagerank_empty_graph_converges_trivially(spark):
+    from bharatmlstack_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    rank = pagerank(edges, until_delta=1, check_every=2, max_iter=10)
+    assert rank.count() == 0
+    assert rank._pagerank_rounds == 2  # first checkpoint block, then done
