@@ -609,3 +609,47 @@ def test_delete_then_retrieve_returns_defaults(spark, tmp_path):
     ).orderBy("user_id")
     rows = [r["demo_int32__age"] for r in out.collect()]
     assert rows == [0, 40]  # deleted key falls back to the FG default
+
+
+def test_delete_fuzz_set_semantics(spark, tmp_path):
+    """persist U, delete D => load == U \\ D, for seeded random key sets
+    including full-table and disjoint deletes (cheap deterministic sweep
+    instead of per-example Spark round-trips)."""
+    import random
+
+    rng = random.Random(7)
+    for case in range(4):
+        universe = sorted(rng.sample(range(1000), rng.randint(1, 40)))
+        dele = [k for k in universe if rng.random() < 0.4] or universe[:1]
+        dele += [9999]  # never-present key: must be a no-op
+        fsd = FeatureStore(
+            spark,
+            fixtures.user_registry(),
+            str(tmp_path / f"fuzzdel{case}"),
+            n_buckets=4,
+        )
+        fsd.persist(
+            "user",
+            spark.createDataFrame(
+                [(k, k % 90) for k in universe], ["user_id", "demo_int32__age"]
+            ),
+        )
+        removed = fsd.delete(
+            "user", spark.createDataFrame([(k,) for k in dele], ["user_id"])
+        )
+        assert removed == len(set(dele) & set(universe))
+        left = {r["user_id"] for r in fsd.load("user").collect()} if removed < len(
+            universe
+        ) else set()
+        if removed == len(universe):
+            # table may be empty: load of an all-deleted table still works
+            # if any bucket file remains; otherwise the dirs are gone
+            import os
+
+            path = fsd._table_path("user")
+            bucket_dirs = [
+                d for d in os.listdir(path) if d.startswith("key_bucket=")
+            ]
+            assert bucket_dirs == []
+        else:
+            assert left == set(universe) - set(dele)

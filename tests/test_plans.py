@@ -345,6 +345,10 @@ def test_round5_rows_hold_their_shuffle_budgets(spark, sf_dir, qs):
         "copurchase_pairs": 3,      # basket distinct + order join + pair agg
         "fuzzy_name_match": 1,      # variant equi-join (broadcast at this SF)
         "heavy_hitters_twopass": 3, # candidate distinct + exact recount + total agg
+        "time_decay_user_value": 2, # 1-row ref agg + user partial-agg
+        "target_encode_loo": 1,     # category moments agg (broadcast back)
+        "woe_binning": 3,           # bin agg + totals agg + final
+        "feature_hash_cross": 2,    # bucket partial-agg + distinct
     }
     for name, budget in budgets.items():
         df = qs[name](spark, sf_dir)

@@ -288,3 +288,38 @@ def test_fixed_point_pagerank_matches_python(spark, raw_edges):
         )
     got = {row.node: row.r for row in r.collect()}
     assert got == rank
+
+
+# ---------------------------------------------------------------------------
+# two-pass heavy hitters vs the direct groupBy on arbitrary skew
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 4),
+)
+def test_heavy_hitters_fuzz_matches_exact(spark, values, den):
+    """candidates+recount == direct groupBy at any skew/threshold; the
+    candidate pass can only DROP a below-top-k value, never corrupt a
+    count, and at this cardinality the cap never binds."""
+    from pyspark.sql import functions as F
+
+    from bharatmlstack_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in values], "w string").repartition(3)
+    n = len(values)
+    want = {}
+    for v in set(values):
+        c = values.count(v)
+        if c * den >= n:  # threshold_num=1
+            want[v] = c
+    got = {
+        (r.value): r.cnt for r in heavy_hitters(df, "w", 1, den).collect()
+    }
+    assert got == want
