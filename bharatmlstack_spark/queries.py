@@ -45,7 +45,7 @@ from bharatmlstack_spark.operators.normalize import (
 )
 from bharatmlstack_spark.functions.expressions import rpn_to_column
 
-from bharatmlstack_spark.query_registry import ORACLES, QUERIES, query
+from bharatmlstack_spark.query_registry import ORACLES, QUERIES, query, scratch_dir
 from bharatmlstack_spark.sources.events import load_events_ms, load_events_ts
 
 
@@ -686,7 +686,6 @@ def inference_log_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     land in ZSTD parquet (the async Kafka log of inferflow_logging.proto,
     collapsed to the columnar sink) and the query reads the log back, so
     the driver verifies what was WRITTEN, not just what was computed."""
-    import tempfile
 
     from bharatmlstack_spark.sources.writers import write_zstd
 
@@ -701,7 +700,7 @@ def inference_log_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("score"),
     )
-    path = tempfile.mkdtemp(prefix="bmls_inflog_") + "/log"
+    path = scratch_dir("bmls_inflog_") + "/log"
     write_zstd(scored, path)
     return spark.read.parquet(path)
 

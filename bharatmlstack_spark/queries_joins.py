@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bharatmlstack_spark.query_registry import defer_unpersist, query
+from bharatmlstack_spark.query_registry import defer_unpersist, query, scratch_dir
 from bharatmlstack_spark.pipeline import (
     ExpressionComponent,
     FeatureComponent,
@@ -991,7 +991,6 @@ def feature_retrieve_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieve decodes on read — the values that survive are exactly the
     narrow round-trips, pinned bit-exact against pkg/float8 vectors in
     tests/test_quantize.py AND against the DuckDB codebook oracle."""
-    import tempfile
 
     from bharatmlstack_spark import fixtures
     from bharatmlstack_spark.operators.feature_store import FeatureStore
@@ -999,7 +998,7 @@ def feature_retrieve_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs = FeatureStore(
         spark,
         fixtures.user_narrow_registry(),
-        base_path=tempfile.mkdtemp(prefix="bmls_narrow_"),
+        base_path=scratch_dir("bmls_narrow_"),
         n_buckets=8,
     )
     feats = fixtures.user_features(spark, sf_dir).select(
@@ -1049,7 +1048,6 @@ def feature_multi_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists to store 0 and demo_fp to store 1 (separate bucketed tables),
     and the request joins each store's table once (retrieve.go:436-444).
     TTL rows expire per store identically."""
-    import tempfile
 
     from bharatmlstack_spark import fixtures
     from bharatmlstack_spark.operators.feature_store import FeatureStore
@@ -1057,7 +1055,7 @@ def feature_multi_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs = FeatureStore(
         spark,
         fixtures.user_multistore_registry(),
-        base_path=tempfile.mkdtemp(prefix="bmls_multi_"),
+        base_path=scratch_dir("bmls_multi_"),
         n_buckets=8,
     )
     feats = fixtures.user_features(spark, sf_dir)
@@ -1174,7 +1172,6 @@ def stream_persist_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     then read back with the batch retrieve. Values must survive the wire +
     upsert-merge byte-exact (fp32 doubles on the wire decode to the same
     float32)."""
-    import tempfile
 
     import pandas as pd
 
@@ -1227,7 +1224,7 @@ def stream_persist_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
             wire = protowire.encode_query("user", ["user_id"], fg_schemas, data)
             yield pd.DataFrame({"value": [wire]})
 
-    work = tempfile.mkdtemp(prefix="bmls_stream_")
+    work = scratch_dir("bmls_stream_")
     topic = f"{work}/topic"
     # the simulated topic: 4 files -> 4 micro-batches under availableNow
     (
@@ -1307,7 +1304,6 @@ def order_stream_merge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     (persist/click.go:165-182; N=5 so the fixture actually trims). Late
     arrivals (week w rows in a later micro-batch) re-sort into their week,
     which is exactly SS4's in-watermark contract."""
-    import tempfile
 
     import pandas as pd
 
@@ -1352,7 +1348,7 @@ def order_stream_merge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"value": payloads})
 
-    work = tempfile.mkdtemp(prefix="bmls_orderstream_")
+    work = scratch_dir("bmls_orderstream_")
     topic = f"{work}/topic"
     # scramble by event_id so each micro-batch mixes users AND weeks:
     # every batch delivers "late" rows for weeks earlier batches touched
@@ -1412,7 +1408,6 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K, so the dedup of all emissions re-ranked per user equals the
     exact top-K independent of batch order — which is what DuckDB
     recomputes. k=5 over the view stream so the state actually truncates."""
-    import tempfile
 
     from bharatmlstack_spark.streaming.ingest import stateful_top_events
 
@@ -1421,7 +1416,7 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("event_type") == "view") & (F.col("user_id") % 5 == 0))
         .select("user_id", "ts_ms", "event_id")
     )
-    work = tempfile.mkdtemp(prefix="bmls_topkstream_")
+    work = scratch_dir("bmls_topkstream_")
     topic = f"{work}/topic"
     # 3 micro-batches, each mixing users and times (late arrivals included)
     ev.repartition(3, "event_id").write.parquet(topic)
@@ -1478,7 +1473,6 @@ def incremental_materialize_orders(spark: SparkSession, sf_dir: str) -> DataFram
     final store must equal a from-scratch build over all orders, which is
     what DuckDB computes. All-integer features (spend in cents via exact
     decimal sums) keep the comparison bit-exact."""
-    import tempfile
 
     from bharatmlstack_spark.operators.incremental import incremental_materialize
     from bharatmlstack_spark.operators.feature_store import FeatureStore
@@ -1522,7 +1516,7 @@ def incremental_materialize_orders(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     fs = FeatureStore(
-        spark, reg, base_path=tempfile.mkdtemp(prefix="bmls_incmat_"), n_buckets=8
+        spark, reg, base_path=scratch_dir("bmls_incmat_"), n_buckets=8
     )
     day1 = o.filter(F.col("o_orderkey") % 4 != 0)
     delta = o.filter(F.col("o_orderkey") % 4 == 0)
@@ -1563,7 +1557,6 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest fully before termination, so the emitted match set equals the
     batch interval join DuckDB computes — the watermark's role here is
     state bounding, not semantics."""
-    import tempfile
 
     from bharatmlstack_spark.streaming.ingest import attribution_join
 
@@ -1577,7 +1570,7 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
-    work = tempfile.mkdtemp(prefix="bmls_attrstream_")
+    work = scratch_dir("bmls_attrstream_")
     ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
     ).coalesce(1).write.parquet(f"{work}/clicks")
@@ -1638,7 +1631,6 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is min-doc_id-per-text regardless of how the stream was batched,
     which is exactly what DuckDB recomputes. Two checkpointed availableNow
     executions = two days (streaming/ingest.py stream_dedup_sink)."""
-    import tempfile
 
     from bharatmlstack_spark.streaming.ingest import stream_dedup_sink
 
@@ -1660,7 +1652,7 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    work = tempfile.mkdtemp(prefix="bmls_incdedup_")
+    work = scratch_dir("bmls_incdedup_")
     topic = f"{work}/topic"
     state = f"{work}/state"
     out = f"{work}/out"
@@ -1712,12 +1704,11 @@ def stream_weekly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-applies it via a 1-row broadcast max join — so the row does not
     depend on whether Spark's append mode finalizes a window whose end
     lands EXACTLY on the watermark (an engine-internal boundary choice)."""
-    import tempfile
 
     from bharatmlstack_spark.streaming.ingest import windowed_event_counts
 
     ev = load_events_ms(spark, sf_dir).select("user_id", "ts_ms", "event_id")
-    work = tempfile.mkdtemp(prefix="bmls_wmstream_")
+    work = scratch_dir("bmls_wmstream_")
     topic = f"{work}/topic"
     out_path = f"{work}/out"
     bulk = ev.filter(F.col("event_id") % 17 != 0).drop("event_id")
@@ -1785,7 +1776,6 @@ def skye_stream_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scylla_aggregator.go:60-84) must never null out columns a different
     payload shape wrote. Values survive JSON stringification -> parse ->
     upsert bit-exact (float32 shortest-repr round trip)."""
-    import tempfile
 
     from bharatmlstack_spark import fixtures
     from bharatmlstack_spark.operators.feature_store import FeatureStore
@@ -1822,7 +1812,7 @@ def skye_stream_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    work = tempfile.mkdtemp(prefix="bmls_skyestream_")
+    work = scratch_dir("bmls_skyestream_")
     topic = f"{work}/topic"
     payload_batch.coalesce(1).write.mode("append").parquet(topic)
     emb_batch.coalesce(1).write.mode("append").parquet(topic)
@@ -2849,11 +2839,10 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     caller has materialized this plan."""
     import os
     import shutil
-    import tempfile
 
     from bharatmlstack_spark.query_registry import defer_cleanup
 
-    wh = tempfile.mkdtemp(prefix="bmls_bucketed_")
+    wh = scratch_dir("bmls_bucketed_")
     token = os.path.basename(wh)[len("bmls_bucketed_"):]
     t_orders = f"bmls_bucketed_orders_{token}"
     t_customer = f"bmls_bucketed_customer_{token}"
@@ -3091,13 +3080,12 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     older than max(ts)-1h evict), which is what makes the operator viable
     on an unbounded 100 TB stream where a plain dropDuplicates would
     accumulate forever."""
-    import tempfile
 
     ev = load_events_ms(spark, sf_dir).filter(F.col("user_id") % 40 == 1).select(
         "event_id", "user_id", "ts_ms"
     )
     dups = ev.filter(F.col("event_id") % 3 == 0)
-    work = tempfile.mkdtemp(prefix="bmls_dedupstream_")
+    work = scratch_dir("bmls_dedupstream_")
     topic, out_path = f"{work}/topic", f"{work}/out"
     ev.unionAll(dups).coalesce(1).write.parquet(topic)
 
@@ -3608,13 +3596,12 @@ def feature_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs O(touched buckets), the same contract as persist
     (operators/feature_store.py:delete)."""
     import shutil
-    import tempfile
 
     from bharatmlstack_spark import fixtures as FX
     from bharatmlstack_spark.operators.feature_store import FeatureStore
     from bharatmlstack_spark.query_registry import defer_cleanup
 
-    base = tempfile.mkdtemp(prefix="bmls_featdel_")
+    base = scratch_dir("bmls_featdel_")
     defer_cleanup(lambda base=base: shutil.rmtree(base, ignore_errors=True))
     fs = FeatureStore(spark, FX.user_registry(), base, n_buckets=8)
 

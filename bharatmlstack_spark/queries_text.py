@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bharatmlstack_spark.query_registry import defer_unpersist, query
+from bharatmlstack_spark.query_registry import defer_unpersist, query, scratch_dir
 from bharatmlstack_spark.sources.events import load_events_ms, load_events_raw
 from bharatmlstack_spark.functions import text as TX
 from bharatmlstack_spark.operators import dedup as DD
@@ -803,7 +803,6 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is one partitioned write (hash-partitioning keeps
     shards balanced because md5 is uniform) and the manifest agg prunes
     to footer-level stats per shard directory."""
-    import tempfile
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     staged = d.select(
@@ -811,7 +810,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.substring(F.md5("text"), 1, 1)).alias("shard_id"),
         F.size(DD.tokenize("text")).alias("n_tokens"),
     )
-    path = tempfile.mkdtemp(prefix="bmls_shards_") + "/corpus"
+    path = scratch_dir("bmls_shards_") + "/corpus"
     staged.write.partitionBy("shard_id").mode("overwrite").parquet(
         path, compression="zstd"
     )

@@ -43,6 +43,28 @@ def defer_cleanup(fn: Callable[[], None]) -> None:
     _PENDING_CLEANUP.append(fn)
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp whose removal is deferred to the next registered query —
+    scratch space the RETURNED plan may still lazily read (simulated
+    topics, staged writes, checkpoints). Without the deferred rmtree
+    every invocation leaks its directory for the life of /tmp; a long
+    gate/bench session accumulates hundreds."""
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    _PENDING_CLEANUP.append(lambda d=d: shutil.rmtree(d, ignore_errors=True))
+    return d
+
+
+# the deferred queues normally drain at the NEXT query's entry; a process
+# that runs a single query (targeted gate, notebook) would otherwise exit
+# with its scratch dirs still on disk — drain at interpreter exit too
+# (unpersist on a stopped session raises and is swallowed like always)
+import atexit  # noqa: E402
+
+atexit.register(lambda: drain_pending_unpersist())
+
+
 def drain_pending_unpersist() -> None:
     while _PENDING_UNPERSIST:
         df = _PENDING_UNPERSIST.pop()
