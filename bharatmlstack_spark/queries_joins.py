@@ -3813,3 +3813,41 @@ def feature_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct(F.col("user_id") * 100 + F.col("b_feat")).alias("n_crosses"),
     )
+
+
+# ===========================================================================
+# table maintenance: small-file compaction (ops-side scale hygiene)
+# ===========================================================================
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+SELECT 64 AS files_before,
+       CAST(CEIL(COUNT(*) / 4000.0) AS BIGINT) AS files_after,
+       COUNT(*) AS n_rows
+FROM events
+""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end to end: fragment the event log into 64
+    deliberately tiny files (what a streaming sink or per-bucket upsert
+    leaves behind), then compact_parquet rewrites them into
+    ceil(n / 4000) right-sized files — counts verified from the
+    READ-BACK table via input_file_name, not the writer's claim. Row
+    preservation and the deterministic output file count are the oracle
+    (round-robin repartition leaves no empty partition when n >= k). At
+    100 TB this runs per partition directory; the footer/open cost of
+    10^6 tiny files is one of the classic silent scan killers."""
+    from bharatmlstack_spark.sources.writers import compact_parquet
+
+    work = scratch_dir("bmls_compact_")
+    ev = load_events_ms(spark, sf_dir).select("event_id", "user_id", "ts_ms")
+    ev.repartition(64).write.parquet(f"{work}/fragmented")
+    stats = compact_parquet(
+        spark, f"{work}/fragmented", f"{work}/compacted", target_rows_per_file=4000
+    )
+    return spark.createDataFrame(
+        [(stats["files_before"], stats["files_after"], stats["n_rows"])],
+        "files_before bigint, files_after bigint, n_rows bigint",
+    )

@@ -70,3 +70,34 @@ def write_zstd(df: DataFrame, path: str, **options) -> None:
     opportunistically — internal/compression/zstd.go; parquet's codec is
     the columnar equivalent and is on by default in session.py)."""
     df.write.mode("overwrite").option("compression", "zstd").parquet(path, **options)
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_rows_per_file: int,
+) -> dict:
+    """Small-file compaction — the maintenance pass every long-lived
+    100 TB table needs: streaming sinks and per-bucket upserts leave
+    thousands of KB-sized files whose open/footer cost eventually
+    dominates scans. One read -> round-robin repartition to
+    ceil(n / target_rows_per_file) -> one write; row count is preserved
+    by construction and the output file count is deterministic (each
+    round-robin partition is non-empty when n >= k). Returns
+    {files_before, files_after, n_rows}. On a real cluster run this per
+    partition directory so the job parallelizes across partitions and a
+    failure invalidates one directory, not the table."""
+    import math
+
+    df = spark.read.parquet(src)
+    n = df.count()
+    files_before = df.select(F.input_file_name()).distinct().count()
+    k = max(1, math.ceil(n / target_rows_per_file))
+    df.repartition(k).write.mode("overwrite").parquet(dst)
+    out = spark.read.parquet(dst)
+    return {
+        "files_before": files_before,
+        "files_after": out.select(F.input_file_name()).distinct().count(),
+        "n_rows": out.count(),
+    }
