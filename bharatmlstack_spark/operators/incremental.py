@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bharatmlstack_spark.operators.feature_store import FeatureStore
@@ -58,3 +58,49 @@ def incremental_materialize(
     refreshed = compute_fn(pruned)
     fs.persist(entity_label, refreshed, store_id=store_id)
     return refreshed.count()
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC batch (Debezium-style insert/update/delete stream) to a
+    snapshot: per key, the HIGHEST-sequence change wins; a winning delete
+    drops the key, a winning upsert replaces the row's payload columns,
+    keys without changes keep their snapshot row, and upserts for unseen
+    keys insert. One window shuffle on the (small) change batch + one
+    full-outer join against the snapshot — at 100 TB the change batch is
+    broadcast-sized by definition of a CDC micro-batch, so the snapshot
+    side never shuffles. Payload = every non-key, non-seq, non-op column
+    of ``changes`` (must exist in ``snapshot`` too)."""
+    payload = [
+        c for c in changes.columns if c not in (*key_cols, seq_col, op_col)
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", seq_col)
+    )
+    joined = snapshot.join(F.broadcast(latest), on=key_cols, how="full_outer")
+    alive = joined.filter(
+        F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_op))
+    )
+    cols = [F.col(k) for k in key_cols]
+    for c in payload:
+        # snapshot and change batch share payload names: change wins
+        cols.append(
+            F.when(F.col(op_col).isNotNull(), latest[c])
+            .otherwise(snapshot[c])
+            .alias(c)
+        )
+    cols.append(
+        F.when(F.col(op_col).isNull(), F.lit("snapshot"))
+        .otherwise(F.lit("cdc"))
+        .alias("src")
+    )
+    return alive.select(*cols)

@@ -753,7 +753,8 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # Round-7 window (first 50): the round-6 additions (BPE vocabulary
 # learning + tokenizer-apply, PNG decode, two-pass heavy hitters,
 # bucket-scoped key deletion, integer half-life decay, LOO target
-# encoding, WOE binning, hash crossing, small-file compaction), the 4 rows whose implementation/oracle changed
+# encoding, WOE binning, hash crossing, small-file compaction, CDC
+# merge), the 4 rows whose implementation/oracle changed
 # this round (decimal-scale fix, SCD2 tiebreaker, bucketed-table
 # cleanup, pagerank operator refactor), the 30 queries whose last green
 # is r03, and the 14 oldest r04 attestations — led by the three ANN rows
@@ -761,7 +762,7 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # (watermark cut, event_id narrowing) so the structural closures get a
 # fresh green. 51+: the displaced r04 rows (last_write_wins ..
 # asof_feature_join) then the remaining 36 r04 greens (front-load these in
-# round 8), then the 46 untouched r05 greens. With 140 queries and a
+# round 8), then the 46 untouched r05 greens. With 141 queries and a
 # 50-row window the steady-state contract is: every query holds a green
 # from within the last 3 rounds, rows with changed semantics re-attest
 # immediately.
@@ -780,6 +781,7 @@ QUERY_PRIORITY: list[str] = [
     "woe_binning",
     "feature_hash_cross",
     "compact_small_files",
+    "cdc_apply",
     # changed implementation/oracle this round — re-attest now
     "value_zscore_outliers",
     "scd2_dimension",
@@ -820,10 +822,10 @@ QUERY_PRIORITY: list[str] = [
     "ann_lsh_dot",
     "ann_ivf_dot",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "order_stream_merge_trim",
     "stream_weekly_watermark",
     # ---- window boundary (driver verifies the first 50) ----
+    "dedup_simhash",
     "pq_ann_topk",
     "last_write_wins",
     "event_wire_roundtrip",

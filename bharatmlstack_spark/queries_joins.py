@@ -3851,3 +3851,65 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(stats["files_before"], stats["files_after"], stats["n_rows"])],
         "files_before bigint, files_after bigint, n_rows bigint",
     )
+
+
+# ===========================================================================
+# CDC merge: apply an insert/update/delete change batch onto a snapshot
+# ===========================================================================
+
+
+@query(
+    "cdc_apply",
+    oracle="""
+WITH snap AS (
+  SELECT c_custkey AS user_id,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal
+  FROM customer
+),
+cdc AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(value * 1000, 0) AS BIGINT) AS bal
+  FROM events WHERE user_id % 2 = 1
+),
+latest AS (
+  SELECT user_id, op, bal FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+    FROM cdc
+  ) WHERE rn = 1
+)
+SELECT COALESCE(s.user_id, l.user_id) AS user_id,
+       CASE WHEN l.op IS NOT NULL THEN l.bal ELSE s.bal END AS bal,
+       CASE WHEN l.op IS NULL THEN 'snapshot' ELSE 'cdc' END AS src
+FROM snap s FULL JOIN latest l ON s.user_id = l.user_id
+WHERE l.op IS NULL OR l.op <> 'D'
+""",
+)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingestion (the Debezium/MERGE INTO primitive): a change batch
+    of upserts and deletes — sequence-numbered, odd users only — applies
+    onto the customer snapshot. Per key the highest-sequence change
+    wins: a delete drops the key, an upsert replaces the payload (and
+    INSERTS keys the snapshot never had — the event log's user ids only
+    partially overlap customers, so all three paths exercise), untouched
+    keys keep their snapshot row; `src` labels the provenance. The
+    change batch broadcasts (a CDC micro-batch is small by definition),
+    so the snapshot side never shuffles — the right 100 TB shape. See
+    operators/incremental.cdc_apply."""
+    from bharatmlstack_spark.operators.incremental import cdc_apply as apply_cdc
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)").alias("bal"),
+    )
+    changes = (
+        load_events_ms(spark, sf_dir)
+        .filter(F.col("user_id") % 2 == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("bal"),
+        )
+    )
+    return apply_cdc(snap, changes, key_cols=["user_id"], seq_col="seq")

@@ -87,3 +87,32 @@ def test_incremental_replay_is_idempotent(spark, tmp_path, orders):
     # at-least-once delivery: the same delta arrives again
     incremental_materialize(fs, "buyer", orders, delta, ["o_custkey"], _compute)
     assert _state(fs) == first
+
+
+def test_cdc_apply_three_paths(spark):
+    """upsert / delete / insert / untouched — all four outcomes on one
+    crafted batch, latest-sequence-wins within the batch."""
+    from bharatmlstack_spark.operators.incremental import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "user_id long, bal long"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "U", 111),   # plain update
+            (2, 11, "U", 999),   # superseded by ...
+            (2, 12, "D", 0),     # ... a later delete
+            (4, 13, "U", 444),   # insert (not in snapshot)
+            (4, 9, "D", 0),      # stale delete, loses to seq 13
+        ],
+        "user_id long, seq long, op string, bal long",
+    )
+    out = {
+        r.user_id: (r.bal, r.src)
+        for r in cdc_apply(snap, changes, ["user_id"], "seq").collect()
+    }
+    assert out == {
+        1: (111, "cdc"),
+        3: (300, "snapshot"),
+        4: (444, "cdc"),
+    }
