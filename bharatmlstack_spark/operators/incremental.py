@@ -72,11 +72,16 @@ def cdc_apply(
     snapshot: per key, the HIGHEST-sequence change wins; a winning delete
     drops the key, a winning upsert replaces the row's payload columns,
     keys without changes keep their snapshot row, and upserts for unseen
-    keys insert. One window shuffle on the (small) change batch + one
-    full-outer join against the snapshot — at 100 TB the change batch is
-    broadcast-sized by definition of a CDC micro-batch, so the snapshot
-    side never shuffles. Payload = every non-key, non-seq, non-op column
-    of ``changes`` (must exist in ``snapshot`` too)."""
+    keys insert. Shape: the natural formulation is one FULL OUTER join,
+    but Spark cannot broadcast either side of a full outer — the whole
+    snapshot would shuffle. Instead: (a) snapshot LEFT JOIN
+    broadcast(latest) handles update/delete/keep with ZERO snapshot
+    shuffle (the change batch is broadcast-sized by definition of a CDC
+    micro-batch), and (b) inserts come from a keys-only left-anti join —
+    the snapshot side of that exchange carries just the key columns,
+    bytes-per-row instead of full rows. Payload = every non-key,
+    non-seq, non-op column of ``changes`` (must exist in ``snapshot``
+    too)."""
     payload = [
         c for c in changes.columns if c not in (*key_cols, seq_col, op_col)
     ]
@@ -86,8 +91,8 @@ def cdc_apply(
         .filter(F.col("__rn") == 1)
         .drop("__rn", seq_col)
     )
-    joined = snapshot.join(F.broadcast(latest), on=key_cols, how="full_outer")
-    alive = joined.filter(
+
+    body = snapshot.join(F.broadcast(latest), on=key_cols, how="left").filter(
         F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_op))
     )
     cols = [F.col(k) for k in key_cols]
@@ -103,4 +108,13 @@ def cdc_apply(
         .otherwise(F.lit("cdc"))
         .alias("src")
     )
-    return alive.select(*cols)
+    inserts = latest.filter(F.col(op_col) != F.lit(delete_op)).join(
+        snapshot.select(*key_cols), on=key_cols, how="left_anti"
+    )
+    return body.select(*cols).unionByName(
+        inserts.select(
+            *[F.col(k) for k in key_cols],
+            *[F.col(c) for c in payload],
+            F.lit("cdc").alias("src"),
+        )
+    )

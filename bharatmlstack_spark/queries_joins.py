@@ -3892,10 +3892,12 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins: a delete drops the key, an upsert replaces the payload (and
     INSERTS keys the snapshot never had — the event log's user ids only
     partially overlap customers, so all three paths exercise), untouched
-    keys keep their snapshot row; `src` labels the provenance. The
-    change batch broadcasts (a CDC micro-batch is small by definition),
-    so the snapshot side never shuffles — the right 100 TB shape. See
-    operators/incremental.cdc_apply."""
+    keys keep their snapshot row; `src` labels the provenance. Spark
+    cannot broadcast a side of a FULL OUTER join, so the operator splits
+    the merge: snapshot LEFT JOIN broadcast(changes) for
+    update/delete/keep (zero snapshot shuffle) plus a keys-only
+    anti-join for inserts — the snapshot's full rows never cross the
+    wire. See operators/incremental.cdc_apply."""
     from bharatmlstack_spark.operators.incremental import cdc_apply as apply_cdc
 
     snap = _t(spark, sf_dir, "customer").select(

@@ -349,6 +349,8 @@ def test_round5_rows_hold_their_shuffle_budgets(spark, sf_dir, qs):
         "target_encode_loo": 1,     # category moments agg (broadcast back)
         "woe_binning": 3,           # bin agg + totals agg + final
         "feature_hash_cross": 2,    # bucket partial-agg + distinct
+        "cdc_apply": 2,             # change-batch window x2 consumers; snapshot never shuffles
+        "compact_small_files": 1,   # read-back manifest agg (writes are actions)
     }
     for name, budget in budgets.items():
         df = qs[name](spark, sf_dir)
