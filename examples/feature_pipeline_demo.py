@@ -116,6 +116,16 @@ def main() -> None:
     knn = VectorSearch(id_col="vec_id").knn(emb, queries, k=3, metric="COSINE")
     print("top-3 similar candidates per query:")
     knn.show()
+
+    # 6. table lifecycle: right-to-be-forgotten delete (bucket-scoped,
+    # untouched bucket dirs never rewritten) then a serving read showing
+    # the forgotten user as defaults
+    removed = fs.delete(
+        "user", spark.createDataFrame([(1,)], ["user_id"])
+    )
+    post = fs.retrieve("user", {"orders": ["n_orders"]}, keys)
+    print(f"lifecycle: deleted {removed} key(s); user 1 now serves defaults:")
+    post.orderBy("user_id").show()
     print("done.")
 
 
