@@ -431,7 +431,11 @@ class FeatureStore:
         return removed
 
     def delete(
-        self, entity_label: str, keys: DataFrame, store_id: int = 0
+        self,
+        entity_label: str,
+        keys: DataFrame,
+        store_id: int = 0,
+        broadcast_keys: bool = True,
     ) -> int:
         """Hard-delete rows by PK (the right-to-be-forgotten path) with
         the same bucket-scoped cost model as persist: the key set's
@@ -441,7 +445,10 @@ class FeatureStore:
         never read or rewritten. Buckets the delete fully empties are
         removed explicitly (dynamic overwrite cannot replace a partition
         with nothing). Returns rows removed. At 100 TB a delete costs
-        O(touched buckets), like persist."""
+        O(touched buckets), like persist. ``broadcast_keys=False`` drops
+        the broadcast hint for compliance-scale key sets (tens of
+        millions of keys stop being broadcastable; AQE then picks a
+        shuffled join over the already-bucket-pruned existing side)."""
         entity = self.registry.entity(entity_label)
         for k in entity.key_columns:
             if k not in keys.columns:
@@ -454,8 +461,9 @@ class FeatureStore:
 
         if BUCKET_COL not in existing.columns:
             # legacy pre-bucketed table: one full anti-join rewrite
+            kside = F.broadcast(kdf) if broadcast_keys else kdf
             remaining = existing.join(
-                F.broadcast(kdf), on=entity.key_columns, how="left_anti"
+                kside, on=entity.key_columns, how="left_anti"
             )
             removed = existing.count() - remaining.count()
             if removed:
@@ -469,9 +477,10 @@ class FeatureStore:
         kdf = kdf.withColumn(BUCKET_COL, _bucket_expr(entity.key_columns, nb))
         touched = sorted(r[0] for r in kdf.select(BUCKET_COL).distinct().collect())
         scoped = existing.filter(F.col(BUCKET_COL).isin(touched))
-        remaining = scoped.join(
-            F.broadcast(kdf.drop(BUCKET_COL)), on=entity.key_columns, how="left_anti"
-        )
+        kside = kdf.drop(BUCKET_COL)
+        if broadcast_keys:
+            kside = F.broadcast(kside)
+        remaining = scoped.join(kside, on=entity.key_columns, how="left_anti")
         n_remaining = remaining.count()
         removed = scoped.count() - n_remaining
         if not removed:
