@@ -23,7 +23,13 @@ FIXED_NOW = "2026-01-01 00:00:00"
 PAST_TS = "2020-01-01 00:00:00"
 FUTURE_TS = "2030-01-01 00:00:00"
 
-_MULT = 2654435761  # Knuth multiplicative constant; exact in int64 here
+# Knuth multiplicative constant. The taste-vector mix reduces the key
+# mod 2^20 BEFORE multiplying (max product 2^23 * 2654435761 < 2^55):
+# the raw key*(8*_MULT) would exceed int64 for keys >= ~4.3e8, where
+# Spark wraps silently but DuckDB promotes to HUGEINT (the divergence
+# class tests/test_oracle_types.py lints). Identical values for keys
+# < 2^20 — every driver fixture id.
+_MULT = 2654435761
 
 
 def user_registry() -> SchemaRegistry:
@@ -146,7 +152,7 @@ def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     k = F.col("c_custkey")
     taste = F.array(*[
-        ((k * F.lit((i + 1) * _MULT)) % 1000).cast("double") / 1000.0
+        ((((k % 1048576) * F.lit(i + 1)) * F.lit(_MULT)) % 1000).cast("double") / 1000.0
         for i in range(8)
     ]).cast("array<float>")
     return c.select(
@@ -175,7 +181,7 @@ USER_FEATURES_CTE = f"""user_features AS (
     c_mktsegment AS demo_str__location,
     CASE WHEN c_custkey % 2 = 0 THEN 'premium' ELSE 'basic' END AS demo_str__subscription_type,
     c_acctbal > 0 AS demo_bool__is_active,
-    [CAST(CAST((c_custkey * (i * {_MULT})) % 1000 AS DOUBLE) / 1000.0 AS FLOAT) FOR i IN [1,2,3,4,5,6,7,8]] AS demo_vec__taste_vec,
+    [CAST(CAST((((c_custkey % 1048576) * i) * {_MULT}) % 1000 AS DOUBLE) / 1000.0 AS FLOAT) FOR i IN [1,2,3,4,5,6,7,8]] AS demo_vec__taste_vec,
     1 AS schema_version,
     CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '{PAST_TS}' ELSE TIMESTAMP '{FUTURE_TS}' END AS expires_at
   FROM customer

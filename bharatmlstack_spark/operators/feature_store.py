@@ -189,6 +189,33 @@ class FeatureStore:
     def _table_path(self, entity_label: str, store_id: int = 0) -> str:
         return os.path.join(self.base_path, entity_label, f"store_{store_id}")
 
+    def _drop_table(self, path: str) -> None:
+        """Remove a table directory entirely (incl. the meta sidecar) and
+        forget its cached bucket count — the next persist sees a NEW table
+        (ctor n_buckets applies again). Used when a delete empties the
+        whole table: leaving only the sidecar behind would make
+        hadoop_path_exists(path) true while spark.read.parquet(path)
+        raises 'Unable to infer schema for Parquet'."""
+        hadoop_delete_path(self.spark, path)
+        self._nb_cache.pop(path, None)
+
+    def _drop_table_if_no_buckets(self, path: str) -> None:
+        """After dropping emptied bucket dirs, check whether ANY
+        key_bucket= directory survives; if none does, the table holds no
+        data files (just the sidecar) and must be dropped — see
+        _drop_table. The listing is driver-side over <= n_buckets
+        entries, Hadoop-FS-API so HDFS/S3/GCS-safe."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            self._nb_cache.pop(path, None)
+            return
+        for st in fs.listStatus(jpath):
+            if st.getPath().getName().startswith(f"{BUCKET_COL}="):
+                return
+        self._drop_table(path)
+
     # ------------------------------------------------------------------
     # persist (S2 + write path §3.2)
     # ------------------------------------------------------------------
@@ -465,8 +492,14 @@ class FeatureStore:
             remaining = existing.join(
                 kside, on=entity.key_columns, how="left_anti"
             )
-            removed = existing.count() - remaining.count()
-            if removed:
+            n_remaining = remaining.count()
+            removed = existing.count() - n_remaining
+            if removed and n_remaining == 0:
+                # full-table delete: an empty parquet write can't be read
+                # back ("Unable to infer schema"), so drop the table dir —
+                # the next persist recreates it as a NEW table
+                self._drop_table(path)
+            elif removed:
                 tmp = path + "__staging"
                 remaining.write.mode("overwrite").parquet(tmp)
                 self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
@@ -491,6 +524,7 @@ class FeatureStore:
             # touched directories directly
             for b in touched:
                 hadoop_delete_path(self.spark, f"{path}/{BUCKET_COL}={b}")
+            self._drop_table_if_no_buckets(path)
             return removed
         tmp = path + "__staging"
         (

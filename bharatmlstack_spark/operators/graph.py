@@ -119,7 +119,17 @@ def pagerank(
       multiple of check_every — deterministic for a given dataset.
 
     Per round: one join-on-src + one partial-agg-on-dst shuffle over the
-    persisted degree-folded edge list — the same shape at any scale.
+    persisted degree-folded edge list, plus a left join back onto the
+    persisted node universe — the same shape at any scale.
+
+    Works on arbitrary DIRECTED edge lists: rank is seeded over
+    distinct(src) UNION distinct(dst) and every round re-unions onto that
+    universe (nodes with no in-edges keep the teleport term 150_000, and
+    their out-contributions keep flowing — on a src-only seed with a
+    dst-side rebuild they would silently vanish after round 1). Dangling
+    mass (nodes with no OUT-edges) is dropped, not redistributed — the
+    simplified-PageRank convention; symmetric graphs (the co-purchase
+    callers) have none.
     """
     from pyspark.sql import Window as W
 
@@ -130,16 +140,28 @@ def pagerank(
         .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
         .persist()
     )
-    rank = e.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1_000_000).cast("bigint").alias("r")
+    nodes = defer_unpersist(
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    rank = nodes.select(
+        "node", F.lit(1_000_000).cast("bigint").alias("r")
     )
 
     def step(r: DataFrame) -> DataFrame:
         contrib = e.join(r, e.src == r.node).select(
             F.col("dst"), F.expr("(r * 85) div (100 * d)").alias("c")
         )
-        return contrib.groupBy(F.col("dst").alias("node")).agg(
-            (F.lit(150_000) + F.sum("c")).cast("bigint").alias("r")
+        agg = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("__in")
+        )
+        return nodes.join(agg, on="node", how="left").select(
+            "node",
+            (F.lit(150_000) + F.coalesce(F.col("__in"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
         )
 
     if until_delta is None:
@@ -156,8 +178,11 @@ def pagerank(
         rank = rank.localCheckpoint()  # truncate BEFORE the check action
         done += check_every
         delta = (
-            rank.join(prev, on="node")
-            .agg(F.max(F.abs(rank.r - prev.r)).alias("m"))
+            rank.alias("__cur")
+            .join(prev.alias("__prev"), on="node")
+            .agg(
+                F.max(F.abs(F.col("__cur.r") - F.col("__prev.r"))).alias("m")
+            )
             .collect()[0]["m"]
         )
         # delta is None only when the rank table is empty (no edges) —

@@ -67,6 +67,7 @@ def cdc_apply(
     seq_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    broadcast_changes: bool = True,
 ) -> DataFrame:
     """Apply a CDC batch (Debezium-style insert/update/delete stream) to a
     snapshot: per key, the HIGHEST-sequence change wins; a winning delete
@@ -81,18 +82,38 @@ def cdc_apply(
     the snapshot side of that exchange carries just the key columns,
     bytes-per-row instead of full rows. Payload = every non-key,
     non-seq, non-op column of ``changes`` (must exist in ``snapshot``
-    too)."""
+    too).
+
+    ``broadcast_changes=False`` is the bulk-backlog mode (an initial
+    load or compliance replay of 10^8 changes stops being
+    broadcastable): the broadcast hint is dropped and AQE picks a
+    shuffled join — same results, same two-join split, the snapshot
+    pays one key shuffle instead of a driver OOM. Mirrors
+    FeatureStore.delete(broadcast_keys=False).
+
+    Within one batch, ties on (key, seq) break deterministically by
+    descending op then descending payload values — but a real CDC
+    sequence (Debezium LSN/offset, ref kafka.go:49-120 consumer
+    ordering) is unique per key; the tiebreak exists so an
+    out-of-contract feed still yields a partition-order-independent
+    winner rather than a silently nondeterministic one."""
     payload = [
         c for c in changes.columns if c not in (*key_cols, seq_col, op_col)
     ]
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), F.desc(op_col), *[F.desc(c) for c in payload]
+    )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", seq_col)
     )
+    # hint only the body join's build side: in the inserts anti-join
+    # `latest` is the LEFT (streamed) side, where a broadcast hint is
+    # unusable for left_anti and would just be ignored with a warning
+    lat_hinted = F.broadcast(latest) if broadcast_changes else latest
 
-    body = snapshot.join(F.broadcast(latest), on=key_cols, how="left").filter(
+    body = snapshot.join(lat_hinted, on=key_cols, how="left").filter(
         F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_op))
     )
     cols = [F.col(k) for k in key_cols]

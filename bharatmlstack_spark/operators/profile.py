@@ -133,7 +133,11 @@ def heavy_hitters(
         )
         yield pd.DataFrame({"__v": top.index})
 
-    cands = vals.mapInPandas(part_candidates, "__v string").distinct()
+    # candidate schema mirrors the input column's type — a hardcoded
+    # string would break the Arrow conversion for numeric columns (or,
+    # coerced, push an implicit lossy cast into the join back)
+    cand_schema = f"__v {df.schema[col].dataType.simpleString()}"
+    cands = vals.mapInPandas(part_candidates, cand_schema).distinct()
     return (
         vals.join(F.broadcast(cands), on="__v")
         .groupBy("__v")

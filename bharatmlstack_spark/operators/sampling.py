@@ -27,13 +27,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # 2^32 * golden-ratio conjugate; engine-portable int mix
+MIX_LOW = 1 << 20  # low-bits window of the int64-safe mix
+MIX_HI = 40503  # 16-bit Knuth constant folds the high bits back in
+
+
+def knuth_mix(key: Column | str) -> Column:
+    """Full-entropy multiplicative mix that CANNOT overflow int64:
+    ``(x % 2^20) * KNUTH + (x >> 20) * 40503`` — max ~2^52 + 2^59 < 2^63,
+    exact BIGINT arithmetic on every engine at every id range. Equal to
+    the raw ``x * KNUTH`` for x < 2^20 (every test-fixture id), while the
+    raw product overflows for x >= ~3.5e9, where Spark wraps silently but
+    DuckDB promotes to HUGEINT — the arithmetic-divergence family
+    tests/test_oracle_types.py lints registry-wide. The SQL twin is
+    ``(x % 1048576) * 2654435761 + (x // 1048576) * 40503``."""
+    c = F.col(key) if isinstance(key, str) else key
+    c = c.cast("bigint")
+    return (c % F.lit(MIX_LOW)) * F.lit(KNUTH) + F.shiftright(c, 20) * F.lit(MIX_HI)
+
+
+def knuth_mix_sql(col: str) -> str:
+    """DuckDB twin of knuth_mix — paste into oracle SQL."""
+    return f"(({col} % 1048576) * 2654435761 + ({col} // 1048576) * 40503)"
 
 
 def hash_fraction(key: Column | str, modulus: int = 10000) -> Column:
     """Deterministic pseudo-uniform value in [0, modulus) from an integer
     key. Pure int arithmetic -> identical in Spark / DuckDB / anything."""
-    c = F.col(key) if isinstance(key, str) else key
-    return (c.cast("bigint") * F.lit(KNUTH)) % F.lit(modulus)
+    return knuth_mix(key) % F.lit(modulus)
 
 
 def mix_sample(
@@ -80,8 +100,14 @@ def negative_sample(
     i = items.select(F.col(item_col).cast("bigint").alias(item_col)).distinct()
     pos = interactions.select(user_col, item_col).distinct()
     cand = u.crossJoin(F.broadcast(i)).join(pos, on=[user_col, item_col], how="left_anti")
+    # per-(user, item) mix in the same int64-safe form as knuth_mix —
+    # the raw user*1000003 + item*KNUTH wraps for item >= ~3.5e9
+    u_c, i_c = F.col(user_col).cast("bigint"), F.col(item_col).cast("bigint")
     score = (
-        F.col(user_col) * F.lit(1000003) + F.col(item_col) * F.lit(KNUTH)
+        (u_c % F.lit(MIX_LOW)) * F.lit(1000003)
+        + F.shiftright(u_c, 20) * F.lit(7919)
+        + (i_c % F.lit(MIX_LOW)) * F.lit(KNUTH)
+        + F.shiftright(i_c, 20) * F.lit(MIX_HI)
     ) % F.lit(999999937)
     w = Window.partitionBy(user_col).orderBy(score.asc(), F.col(item_col).asc())
     return (

@@ -75,7 +75,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {CORPUS_SQL.strip()},
 split AS (
   SELECT doc_id, text,
-         CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split
+         CASE WHEN ((doc_id % 1048576) * 2654435761 + (doc_id // 1048576) * 40503) % 100 < 80 THEN 'train' ELSE 'test' END AS split
   FROM corpus
 ),
 wordlists AS (
@@ -106,7 +106,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     if c.rdd.getNumPartitions() < par:
         c = c.repartition(par)  # spread the 5-gram map off the 3 union branches
     split = F.when(
-        (F.col("doc_id") * SP.KNUTH) % 100 < 80, F.lit("train")
+        SP.knuth_mix(F.col("doc_id")) % 100 < 80, F.lit("train")
     ).otherwise(F.lit("test"))
     sh = c.select(
         "doc_id", split.alias("split"), F.explode(word_shingles("text", n=5)).alias("shingle")
@@ -131,7 +131,7 @@ _MIX_RATES = {"en": 1.0, "es": 0.5, "de": 0.25, "fr": 0.1, "zh": 0.05}
     "corpus_mix_sample",
     oracle="""
 SELECT doc_id, lang FROM documents
-WHERE (doc_id * 2654435761) % 10000 < (
+WHERE ((doc_id % 1048576) * 2654435761 + (doc_id // 1048576) * 40503) % 10000 < (
   CASE lang WHEN 'en' THEN 1.0 WHEN 'es' THEN 0.5 WHEN 'de' THEN 0.25
             WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.05 ELSE 0.0 END) * 10000
 """,
@@ -169,7 +169,8 @@ ranked AS (
   SELECT c_custkey, p_partkey,
          ROW_NUMBER() OVER (
            PARTITION BY c_custkey
-           ORDER BY (c_custkey * 1000003 + p_partkey * 2654435761) % 999999937, p_partkey
+           ORDER BY ((c_custkey % 1048576) * 1000003 + (c_custkey // 1048576) * 7919
+                     + (p_partkey % 1048576) * 2654435761 + (p_partkey // 1048576) * 40503) % 999999937, p_partkey
          ) AS rn
   FROM cand
 )

@@ -3782,8 +3782,8 @@ def woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_hash_cross",
     oracle="""
 WITH e AS (
-  SELECT ((user_id * 2654435761 + (event_id % 100) * 40503) % 1048576) % 1024
-           AS bucket,
+  SELECT (((user_id % 1048576) * 2654435761
+           + (event_id % 100) * 40503) % 1048576) % 1024 AS bucket,
          user_id, event_id % 100 AS b_feat
   FROM events
 )
@@ -3800,10 +3800,20 @@ def feature_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, no engine hash functions), and the row reports per-bucket
     load plus the DISTINCT cross count, i.e. the collision profile a
     wide-model pipeline checks before committing to a hash width. One
-    partial-agg shuffle; the distinct is bucket-local."""
+    partial-agg shuffle; the distinct is bucket-local.
+
+    The id is reduced mod 2^20 BEFORE the Knuth multiply: the raw
+    product overflows int64 for ids >= ~3.5e9, where Spark wraps
+    silently but DuckDB promotes to HUGEINT — the reduced form keeps
+    the product < 2^52, exact on both engines at any real id range
+    (the bucket distribution is unchanged in character: the multiply
+    mixes the low 20 bits, the outer mod folds to the table width).
+    The n_crosses key user_id*100+b_feat stays exact for ids < 2^63/100
+    — the int64 range itself, a documented precondition, not a hash."""
     ev = load_events_ms(spark, sf_dir).select(
         (
-            ((F.col("user_id") * 2654435761 + (F.col("event_id") % 100) * 40503)
+            (((F.col("user_id") % 1048576) * 2654435761
+              + (F.col("event_id") % 100) * 40503)
              % 1048576) % 1024
         ).alias("bucket"),
         "user_id",

@@ -19,6 +19,7 @@ from bharatmlstack_spark.query_registry import defer_unpersist, query, scratch_d
 from bharatmlstack_spark.sources.events import load_events_ms, load_events_raw
 from bharatmlstack_spark.functions import text as TX
 from bharatmlstack_spark.operators import dedup as DD
+from bharatmlstack_spark.operators import sampling as SP
 
 # ---------------------------------------------------------------------------
 # corpus fixture: documents + exact copies (id+10000) + near copies (id+20000)
@@ -415,7 +416,7 @@ def temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_test_split",
     oracle="""
 SELECT doc_id,
-       CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split
+       CASE WHEN ((doc_id % 1048576) * 2654435761 + (doc_id // 1048576) * 40503) % 100 < 80 THEN 'train' ELSE 'test' END AS split
 FROM documents
 """,
 )
@@ -423,7 +424,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/20 split by multiplicative key hash — stable across
     runs/engines (no rand()), the reproducible-pipeline way to split."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bucket = (F.col("doc_id") * 2654435761) % 100
+    bucket = SP.knuth_mix(F.col("doc_id")) % 100
     return d.select(
         "doc_id",
         F.when(bucket < 80, F.lit("train")).otherwise(F.lit("test")).alias("split"),
@@ -435,7 +436,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ((doc_id % 1048576) * 2654435761 + (doc_id // 1048576) * 40503) % 1000003, doc_id) AS rn,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM documents
 ) WHERE rn <= CAST(ceil(n * 0.2) AS BIGINT)
@@ -448,7 +449,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    order = (F.col("doc_id") * 2654435761) % 1000003
+    order = SP.knuth_mix(F.col("doc_id")) % 1000003
     w = Window.partitionBy("lang").orderBy(order.asc(), F.col("doc_id").asc())
     wn = Window.partitionBy("lang")
     return (

@@ -113,7 +113,17 @@ def ensure_workers_have_package(spark: SparkSession) -> None:
 
 def query(name: str, oracle: str | None = None):
     """Register a query; ``oracle=None`` declares a rows-only check (for
-    genuinely non-SQL-expressible ops, e.g. xxhash-based LSH)."""
+    genuinely non-SQL-expressible ops, e.g. xxhash-based LSH).
+
+    LIFECYCLE CONTRACT for external callers: a registered query may
+    return a LAZY plan that reads scratch paths / catalog tables whose
+    cleanup is deferred to the NEXT registered query's entry (see
+    scratch_dir / defer_cleanup). Materialize (collect/write) query A's
+    result BEFORE invoking query B — interleaving invoke-B-then-collect-A
+    reads a deleted directory and fails with a FileNotFound/
+    FileSourceScan error, by design (failing loudly beats silently
+    serving a leaked stale dir). The driver's gate, bench.py, and the
+    tests all materialize sequentially and satisfy this."""
 
     def deco(fn):
         @functools.wraps(fn)

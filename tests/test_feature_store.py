@@ -642,14 +642,36 @@ def test_delete_fuzz_set_semantics(spark, tmp_path):
             universe
         ) else set()
         if removed == len(universe):
-            # table may be empty: load of an all-deleted table still works
-            # if any bucket file remains; otherwise the dirs are gone
+            # full-table delete drops the table DIRECTORY itself (not just
+            # the bucket dirs): a sidecar-only dir would make
+            # hadoop_path_exists true while spark.read.parquet raises
+            # 'Unable to infer schema for Parquet'
             import os
 
-            path = fsd._table_path("user")
-            bucket_dirs = [
-                d for d in os.listdir(path) if d.startswith("key_bucket=")
-            ]
-            assert bucket_dirs == []
+            assert not os.path.exists(fsd._table_path("user"))
         else:
             assert left == set(universe) - set(dele)
+
+
+def test_delete_all_then_persist_roundtrip(spark, tmp_path):
+    """Emptying a table via delete() then persisting again must behave as
+    a fresh table (the sidecar-only-dir trap: exists-branch read of a
+    data-file-less directory)."""
+    fsd = FeatureStore(
+        spark, fixtures.user_registry(), str(tmp_path / "featdelall"), n_buckets=4
+    )
+    batch = spark.createDataFrame(
+        [(1, 30), (2, 40), (3, 50)], ["user_id", "demo_int32__age"]
+    )
+    fsd.persist("user", batch)
+    removed = fsd.delete(
+        "user", spark.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    )
+    assert removed == 3
+    # re-persist into the (now nonexistent) table: the exists-branch must
+    # not try to read a parquet-less dir
+    fsd.persist(
+        "user", spark.createDataFrame([(7, 70)], ["user_id", "demo_int32__age"])
+    )
+    rows = {(r["user_id"], r["demo_int32__age"]) for r in fsd.load("user").collect()}
+    assert rows == {(7, 70)}

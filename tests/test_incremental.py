@@ -116,3 +116,54 @@ def test_cdc_apply_three_paths(spark):
         3: (300, "snapshot"),
         4: (444, "cdc"),
     }
+
+
+def test_cdc_apply_bulk_mode_matches_broadcast_mode(spark):
+    """broadcast_changes=False (the bulk-backlog / compliance-replay path)
+    must produce identical results to the default broadcast mode, and the
+    two plans must differ exactly in the body join's build strategy:
+    broadcast -> BroadcastHashJoin on the snapshot LEFT JOIN; bulk -> a
+    shuffled join (SortMergeJoin / ShuffledHashJoin) chosen by AQE."""
+    from bharatmlstack_spark.operators.incremental import cdc_apply
+
+    snap = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 200)], "user_id long, bal long"
+    )
+    changes = spark.createDataFrame(
+        [(i, i, "U", i * 100) for i in range(150, 250)]
+        + [(i, 1000 + i, "D", 0) for i in range(1, 20)],
+        "user_id long, seq long, op string, bal long",
+    )
+
+    fast = cdc_apply(snap, changes, ["user_id"], "seq")
+    bulk = cdc_apply(snap, changes, ["user_id"], "seq", broadcast_changes=False)
+    a = {(r.user_id, r.bal, r.src) for r in fast.collect()}
+    b = {(r.user_id, r.bal, r.src) for r in bulk.collect()}
+    assert a == b and len(a) == 199 - 19 + 50  # 199 snap - 19 deleted + 50 inserts
+
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    bulk_plan = bulk._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in fast_plan
+    # bulk mode: no broadcast hint on the change batch — the body join may
+    # still END UP broadcast via AQE size estimation on this tiny fixture,
+    # but the HINT must be gone from the analyzed plan
+    assert "broadcast" not in bulk._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_cdc_apply_seq_tie_is_deterministic(spark):
+    """Two changes sharing (key, seq) — an out-of-contract feed — resolve
+    by the documented tiebreak (desc op, then desc payload), identically
+    across partitionings."""
+    from bharatmlstack_spark.operators.incremental import cdc_apply
+
+    snap = spark.createDataFrame([(1, 100)], "user_id long, bal long")
+    changes = [(1, 5, "U", 111), (1, 5, "U", 333), (1, 5, "D", 0)]
+    outs = set()
+    for n_parts in (1, 3):
+        ch = spark.createDataFrame(
+            changes, "user_id long, seq long, op string, bal long"
+        ).repartition(n_parts)
+        rows = cdc_apply(snap, ch, ["user_id"], "seq").collect()
+        outs.add(tuple(sorted((r.user_id, r.bal, r.src) for r in rows)))
+    # op desc: 'U' > 'D', then payload desc: 333 > 111 -> the 333 update wins
+    assert outs == {((1, 333, "cdc"),)}

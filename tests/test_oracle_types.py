@@ -47,6 +47,37 @@ def test_no_oracle_emits_driver_unsafe_types(con):
     )
 
 
+def test_no_oracle_multiplies_raw_column_by_overflowable_literal():
+    """The arithmetic sibling of the HUGEINT lint: `col * L` with a large
+    literal L silently diverges at scale — Spark wraps int64 while DuckDB
+    promotes to HUGEINT (the feature_hash_cross class, closed in r07 by
+    reducing the id mod 2^20 BEFORE its Knuth multiply). Flag any BARE
+    column identifier multiplied by a literal >= 10^7 (a raw id can
+    plausibly reach 2^40; 2^40 * 10^7 > 2^63): reduce the column
+    (`(col % m) * L` — the paren breaks the match) or shrink the literal."""
+    import re
+
+    LIMIT = 10_000_000
+    ident = r"[A-Za-z_]\w*"
+    pat_cl = re.compile(rf"\b({ident})\s*\*\s*(\d+)")
+    pat_lc = re.compile(rf"\b(\d+)\s*\*\s*({ident})\b")
+    offenders = {}
+    for name, sql in all_oracles().items():
+        hits = []
+        for col, lit in pat_cl.findall(sql):
+            if int(lit) >= LIMIT:
+                hits.append(f"{col} * {lit}")
+        for lit, col in pat_lc.findall(sql):
+            if int(lit) >= LIMIT:
+                hits.append(f"{lit} * {col}")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"oracles multiplying a raw column by an int64-overflowable "
+        f"literal: {offenders} — reduce the column mod m first"
+    )
+
+
 def test_query_priority_names_are_registered_and_unique():
     from bharatmlstack_spark.queries import QUERY_PRIORITY, all_queries
 

@@ -409,3 +409,24 @@ def test_pagerank_empty_graph_converges_trivially(spark):
     rank = pagerank(edges, until_delta=1, check_every=2, max_iter=10)
     assert rank.count() == 0
     assert rank._pagerank_rounds == 2  # first checkpoint block, then done
+
+
+def test_pagerank_directed_graph_conserves_node_universe(spark):
+    """On a DIRECTED edge list, nodes with out-edges but no in-edges must
+    survive every round at the teleport rank (not vanish after round 1),
+    and their contributions must keep flowing downstream. Chain a->b->c:
+    a has no in-edges."""
+    from bharatmlstack_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.node: r.r for r in pagerank(edges, iters=3).collect()}
+    # python reference over the full node universe
+    rank = {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+    deg = {1: 1, 2: 1}
+    for _ in range(3):
+        new = {n: 150_000 for n in rank}
+        for s, d in [(1, 2), (2, 3)]:
+            new[d] += (rank[s] * 85) // (100 * deg[s])
+        rank = new
+    assert got == rank
+    assert got[1] == 150_000  # source-only node: pure teleport, present

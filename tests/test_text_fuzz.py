@@ -323,3 +323,16 @@ def test_heavy_hitters_fuzz_matches_exact(spark, values, den):
         (r.value): r.cnt for r in heavy_hitters(df, "w", 1, den).collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_numeric_column(spark):
+    """The candidate schema derives from the input column's type: a BIGINT
+    column must survive the Arrow candidate pass and join back without a
+    lossy cast (previously hardcoded '__v string')."""
+    from bharatmlstack_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(v,) for v in [7] * 50 + [8] * 30 + list(range(100, 120))], "k long"
+    )
+    got = {(r.value, r.cnt) for r in heavy_hitters(df, "k", 1, 5).collect()}
+    assert got == {(7, 50), (8, 30)}  # 20% of 100 rows
