@@ -770,6 +770,7 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # 36 r04-era greens below the window boundary (range_join_sessions ..
 # rpn_literal_div), then the oldest r05 greens.
 QUERY_PRIORITY: list[str] = [
+    "stream_cdc_apply",
     # new this round (r06)
     "bpe_vocab_learn",
     "bpe_tokenize_apply",

@@ -3925,3 +3925,92 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return apply_cdc(snap, changes, key_cols=["user_id"], seq_col="seq")
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+WITH snap AS (
+  SELECT c_custkey AS user_id,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal
+  FROM customer
+),
+cdc AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(value * 1000, 0) AS BIGINT) AS bal
+  FROM events WHERE user_id % 2 = 1
+),
+latest AS (
+  SELECT user_id, op, bal FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+    FROM cdc
+  ) WHERE rn = 1
+)
+SELECT COALESCE(s.user_id, l.user_id) AS user_id,
+       CASE WHEN l.op IS NOT NULL THEN l.bal ELSE s.bal END AS bal,
+       CASE WHEN l.op IS NULL THEN 'snapshot' ELSE 'cdc' END AS src
+FROM snap s FULL JOIN latest l ON s.user_id = l.user_id
+WHERE l.op IS NULL OR l.op <> 'D'
+""",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_apply driven through foreachBatch over a replayed topic — the
+    streaming half of the CDC write path (consumer replay,
+    online-feature-store/internal/consumer/listeners/kafka.go:49-120).
+    The change log splits into 3 micro-batches whose per-key sequence
+    numbers SPAN batch boundaries (repartition by seq hash — a key's
+    newest change can land in an earlier batch than its oldest), then
+    the ENTIRE topic replays a second time under a fresh checkpoint —
+    at-least-once redelivery of every batch. The state sink's seq guard
+    plus delete tombstones make both orderings and the replay converge
+    on the one-shot batch answer: the DuckDB oracle is the SAME
+    full-outer max-seq merge that checks cdc_apply. See
+    streaming/ingest.stream_cdc_sink."""
+    from bharatmlstack_spark.streaming.ingest import stream_cdc_sink
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)").alias("bal"),
+    )
+    changes = (
+        load_events_ms(spark, sf_dir)
+        .filter(F.col("user_id") % 2 == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("bal"),
+        )
+    )
+    work = scratch_dir("bmls_cdcstream_")
+    topic, state = f"{work}/topic", f"{work}/state"
+    # 3 micro-batches; seq-hash split => per-key sequences cross batches
+    changes.repartition(3, "seq").write.parquet(topic)
+    # seed: snapshot rows carry NULL __last_seq (never touched by a change)
+    snap.withColumn("__op", F.lit("U")).withColumn(
+        "__last_seq", F.lit(None).cast("long")
+    ).write.parquet(state)
+
+    schema = "user_id long, seq long, op string, bal long"
+    for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_cdc_sink(
+            stream, state, f"{work}/{replay}", spark,
+            key_cols=["user_id"], seq_col="seq", op_col="op",
+            trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    st = spark.read.parquet(state)
+    return st.filter(F.col("__op") != "D").select(
+        "user_id",
+        "bal",
+        F.when(F.col("__last_seq").isNotNull(), F.lit("cdc"))
+        .otherwise(F.lit("snapshot"))
+        .alias("src"),
+    )

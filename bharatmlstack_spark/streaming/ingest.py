@@ -421,6 +421,90 @@ def stream_event_retention(
     return writer.start()
 
 
+def stream_cdc_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    spark: SparkSession,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    trigger_once: bool = False,
+):
+    """Streaming CDC: apply sequence-numbered insert/update/delete
+    micro-batches onto a snapshot with exactly-once EFFECT under
+    at-least-once DELIVERY (the consumer replay path,
+    online-feature-store/internal/consumer/listeners/kafka.go:49-120 —
+    Kafka redelivers, per-key order holds only within a shard).
+
+    The caller seeds ``state_path`` with the snapshot plus two
+    bookkeeping columns: ``__op`` (winning op; DELETES PERSIST AS
+    TOMBSTONE ROWS so a late stale update cannot resurrect a deleted
+    key — readout filters them) and ``__last_seq`` (highest applied
+    sequence; NULL for untouched snapshot rows). Each micro-batch:
+
+    1. SEQ GUARD: incoming changes left-join the state's
+       (key, __last_seq) pairs — keys-only, the bytes-per-row cost
+       class of cdc_apply's insert anti-join — and any row with
+       seq <= applied seq drops. A redelivered batch therefore no-ops
+       (idempotence) and a batch carrying an OLDER change than one
+       already applied (micro-batch boundaries don't respect per-key
+       sequence order) cannot regress the row.
+    2. MERGE: operators.incremental.cdc_apply with the real op and seq
+       carried as PAYLOAD (every change is an upsert at the merge
+       level; the change batch is broadcast — a micro-batch by
+       definition).
+    3. staged overwrite of the state parquet (at 100 TB: a
+       FeatureStore-style bucket layout makes this touched-buckets-only;
+       the state here is a flat table for oracle clarity).
+
+    Fixed point == one-shot batch cdc_apply over ALL changes, because
+    per-key max-seq-wins is associative and commutative across any
+    batch split — the property that makes replay safety provable (and
+    what the stream_cdc_apply driver row checks against the batch
+    oracle)."""
+    from bharatmlstack_spark.operators.incremental import cdc_apply
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        state = spark.read.parquet(state_path)
+        payload = [
+            c for c in batch_df.columns if c not in (*key_cols, seq_col, op_col)
+        ]
+        guarded = (
+            batch_df.join(
+                state.select(*key_cols, "__last_seq"), on=key_cols, how="left"
+            )
+            .filter(
+                F.col("__last_seq").isNull()
+                | (F.col(seq_col) > F.col("__last_seq"))
+            )
+            .drop("__last_seq")
+        )
+        changes = guarded.select(
+            *key_cols,
+            F.col(seq_col),
+            F.lit("U").alias("__mop"),
+            *payload,
+            F.col(op_col).alias("__op"),
+            F.col(seq_col).cast("long").alias("__last_seq"),
+        )
+        merged = cdc_apply(
+            state, changes, key_cols=key_cols, seq_col=seq_col, op_col="__mop"
+        ).drop("src")
+        tmp = state_path + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -365,3 +365,52 @@ def test_skye_aggregator_sink_sparse_columns(spark, tmp_path):
     assert got[1]["emb__vector"] == [0.0, 2.0, 0.0, 0.0]  # updated
     assert got[2]["payload__brand"] == "zeta"
     assert got[2]["emb__vector"] is None  # never provided
+
+
+def test_stream_cdc_sink_guard_and_tombstones(spark, tmp_path):
+    """Adversarial micro-batch ordering: batch 1 delivers a key's NEWEST
+    change (a delete), batch 2 its stale older update — the seq guard
+    must drop the stale row and the tombstone must keep the key dead.
+    Then the whole topic redelivers (fresh checkpoint): state unchanged."""
+    from bharatmlstack_spark.streaming.ingest import stream_cdc_sink
+
+    state = str(tmp_path / "cdcstate")
+    topic = str(tmp_path / "cdctopic")
+    snap = spark.createDataFrame([(1, 100), (2, 200)], "user_id long, bal long")
+    snap.withColumn("__op", F.lit("U")).withColumn(
+        "__last_seq", F.lit(None).cast("long")
+    ).write.parquet(state)
+
+    schema = "user_id long, seq long, op string, bal long"
+    # file order == micro-batch order (maxFilesPerTrigger=1 reads in
+    # listing order; one explicit file per batch)
+    b1 = spark.createDataFrame(
+        [(1, 20, "D", 0), (3, 21, "U", 333)], schema
+    )  # delete user 1 at seq 20; insert user 3
+    b2 = spark.createDataFrame(
+        [(1, 10, "U", 111), (3, 5, "U", 999)], schema
+    )  # STALE rows for both: must lose to the guard
+    b1.coalesce(1).write.parquet(f"{topic}/f=a")
+    b2.coalesce(1).write.parquet(f"{topic}/f=b")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{topic}/f=*")
+        )
+        q = stream_cdc_sink(
+            stream, state, str(tmp_path / ckpt), spark,
+            key_cols=["user_id"], trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    run("ck1")
+    live = lambda: {  # noqa: E731
+        (r.user_id, r.bal)
+        for r in spark.read.parquet(state).filter(F.col("__op") != "D").collect()
+    }
+    first = live()
+    assert first == {(2, 200), (3, 333)}  # 1 deleted, stale rows rejected
+    run("ck2")  # full redelivery: idempotent
+    assert live() == first
