@@ -1013,6 +1013,102 @@ UNION ALL SELECT 3 AS step, replace(pair, ' ', '') AS token, cnt FROM b3
 """
 
 
+def _bpe_initial_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word table (w, s, n): raw word, per-character symbol
+    encoding ('h|e|l|l|o|' with leading-space separators), corpus
+    frequency — the Heaps'-law-sized loop state of BPE training."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return (
+        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w", F.regexp_replace("w", "(.)", " $1|").alias("s"), "n")
+    )
+
+
+def _bpe_pair_counts(wdf: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-symbol-pair counts over the word table."""
+    return (
+        wdf.select(F.expr(_BPE_BARE).alias("b"), "n")
+        .filter(F.expr("size(b) >= 2"))  # sequence(1,0) would DESCEND in Spark
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(b) - 1),"
+                    " i -> concat(element_at(b, i), ' ', element_at(b, i + 1)))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def bpe_learn_until_vocab(
+    spark: SparkSession,
+    sf_dir: str,
+    target_vocab: int,
+    checkpoint_every: int = 5,
+    max_merges: int = 200,
+) -> tuple[DataFrame, list[tuple[int, str, int]], int]:
+    """Vocabulary-size-driven BPE training: merge until the in-use token
+    vocabulary reaches ``target_vocab`` (the convergence-mode sibling of
+    the fixed-k ``_bpe_learn_words`` oracle anchor — the graph.py
+    pagerank(until_delta=...) pattern applied to the second iterative
+    operator).
+
+    Per merge round: one pair-count aggregation + a 1-row argmax collect
+    (ties break lexicographically, same as the k=3 anchor), then the
+    winning merge applies to every word as an inlined literal replace
+    (tokens are [a-z]+ by construction, safe to embed). Lineage is
+    TRUNCATED via localCheckpoint every ``checkpoint_every`` merges, so
+    the live plan never stacks more than checkpoint_every replace
+    expressions (plan-asserted in tests/test_plans.py) and the vocabulary
+    size — one distinct-count action — is checked at checkpoint
+    boundaries only; the merge count is therefore always a multiple of
+    checkpoint_every (deterministic for a dataset), or smaller if the
+    words fully merge first. Returns (words, merges, final_vocab_size);
+    raises if max_merges rounds can't reach the target. At 100 TB the
+    loop state is the distinct-word table (Heaps' law: vocabulary-sized)
+    and each round is one partial-agg shuffle over it."""
+    words = _bpe_initial_words(spark, sf_dir).localCheckpoint()
+    merges: list[tuple[int, str, int]] = []
+    exhausted = False
+    while True:
+        for _ in range(checkpoint_every):
+            win = (
+                _bpe_pair_counts(words)
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not win:
+                exhausted = True  # every word is a single symbol
+                break
+            pair, cnt = win[0]["pair"], win[0]["cnt"]
+            merges.append((len(merges) + 1, pair.replace(" ", ""), int(cnt)))
+            a, b = pair.split(" ")
+            words = words.select(
+                "w",
+                F.expr(f"replace(s, ' {a}| {b}|', ' {a}{b}|')").alias("s"),
+                "n",
+            )
+        words = words.localCheckpoint()  # truncate BEFORE the size action
+        vocab_n = (
+            words.select(F.explode(F.expr(_BPE_BARE)).alias("t")).distinct().count()
+        )
+        if vocab_n >= target_vocab or exhausted:
+            return words, merges, vocab_n
+        if len(merges) >= max_merges:
+            raise RuntimeError(
+                f"bpe_learn_until_vocab: vocab {vocab_n} < target "
+                f"{target_vocab} after {max_merges} merges — corpus too "
+                "small for the target; lower target_vocab or raise max_merges"
+            )
+
+
 def _bpe_learn_words(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[DataFrame]]:
@@ -1021,31 +1117,8 @@ def _bpe_learn_words(
     merges, corpus frequency — plus the per-round winner frames
     (step, token, cnt). Each round's winner is a 1-row broadcast; each
     round's word table persists so round k never recomputes 1..k-1."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
-    w0 = (
-        d.select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
-        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("w", F.regexp_replace("w", "(.)", " $1|").alias("s"), "n")
-    )
-
-    def pair_counts(wdf: DataFrame) -> DataFrame:
-        return (
-            wdf.select(F.expr(_BPE_BARE).alias("b"), "n")
-            .filter(F.expr("size(b) >= 2"))  # sequence(1,0) would DESCEND in Spark
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(b) - 1),"
-                        " i -> concat(element_at(b, i), ' ', element_at(b, i + 1)))"
-                    )
-                ).alias("pair"),
-                "n",
-            )
-            .groupBy("pair")
-            .agg(F.sum("n").alias("cnt"))
-        )
+    w0 = _bpe_initial_words(spark, sf_dir)
+    pair_counts = _bpe_pair_counts
 
     words = defer_unpersist(w0.persist())
     merges = []

@@ -430,3 +430,28 @@ def test_pagerank_directed_graph_conserves_node_universe(spark):
         rank = new
     assert got == rank
     assert got[1] == 150_000  # source-only node: pure teleport, present
+
+
+def test_bpe_until_vocab_lineage_bounded(spark, sf_dir):
+    """Convergence-mode BPE (merge until |vocab| >= V) truncates lineage
+    every checkpoint_every merges: after 35 real merges the word table's
+    plan is a checkpoint scan (no stacked replaces, no Join/Exchange),
+    the merge count is a multiple of checkpoint_every, and the argmax/
+    tiebreak path is IDENTICAL to the fixed-k oracle anchor — its first
+    three winners are the k=3 row's winners."""
+    from bharatmlstack_spark.queries_text import (
+        _bpe_learn_words,
+        bpe_learn_until_vocab,
+    )
+
+    words, merges, vocab_n = bpe_learn_until_vocab(
+        spark, sf_dir, target_vocab=40, checkpoint_every=5, max_merges=60
+    )
+    assert vocab_n >= 40 and len(merges) % 5 == 0 and len(merges) >= 20
+
+    plan = words._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+    _w3, m3 = _bpe_learn_words(spark, sf_dir)
+    anchor = [(r["step"], r["token"], r["cnt"]) for m in m3 for r in m.collect()]
+    assert [m for m in merges[:3]] == anchor
