@@ -241,6 +241,37 @@ def ngram_jaccard_pairs_prefix(
 # ---------------------------------------------------------------------------
 
 
+def minhash_signatures_from_hashes(
+    base: DataFrame,
+    id_col: str = "id",
+    hashes_col: str = "sh",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, signature ARRAY<BIGINT>[num_hashes]) from a PRE-HASHED shingle
+    array: slot i = min over shingles of xxhash64(i, shingle_hash).
+
+    Split out of minhash_signatures so a pipeline that also needs the
+    shingle sets for verification (minhash_lsh_dedup_pairs) hashes the
+    corpus ONCE and derives both the signatures and the verify sides from
+    the persisted (id, long-array) frame — shingling is the expensive
+    map, and computing it twice was the dominant cost of the product
+    path. Entirely map-side over the cached arrays; no explode, no
+    shuffle."""
+
+    def slot(i: int):
+        # NB: the lambda must take ONE arg — pyspark's transform() passes
+        # the array index to 2-arg lambdas, which would silently shadow a
+        # `lambda s, i=i` default and collapse every slot to the same hash
+        return F.array_min(
+            F.transform(F.col(hashes_col), lambda s: F.xxhash64(F.lit(i), s))
+        )
+
+    return base.select(
+        F.col(id_col).alias("id"),
+        F.array(*[slot(i) for i in range(num_hashes)]).alias("signature"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -261,16 +292,7 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         hashed_word_shingles(text_col, shingle_n).alias("sh"),
     )
-
-    def slot(i: int):
-        # NB: the lambda must take ONE arg — pyspark's transform() passes
-        # the array index to 2-arg lambdas, which would silently shadow a
-        # `lambda s, i=i` default and collapse every slot to the same hash
-        return F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(i), s)))
-
-    return base.select(
-        "id", F.array(*[slot(i) for i in range(num_hashes)]).alias("signature")
-    )
+    return minhash_signatures_from_hashes(base, "id", "sh", num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -340,17 +362,24 @@ def minhash_lsh_dedup_pairs(
     xxhash64 collisions within a pair)."""
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, bands)
-    # shingling is the expensive map and BOTH verification sides need it
-    # (and the source may itself be a multi-branch union): hash-shingle
-    # once, persist the compact (id, long-array) frame, derive both sides
+    # shingling is the expensive map and EVERY stage needs it — the
+    # signatures AND both verification sides (and the source may itself
+    # be a multi-branch union): hash-shingle ONCE, persist the compact
+    # (id, long-array) frame, derive everything from the cache. Spread
+    # the map first when the source arrives in fewer splits than cores
+    # (a 3-branch union strands the whole signature stage on 3 tasks) —
+    # the raw-text exchange is bytes-cheap next to the map it unblocks.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sets = defer_unpersist(
         df.select(
             F.col(id_col).alias("id"),
             hashed_word_shingles(text_col, shingle_n).alias("sh"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sigs = minhash_signatures_from_hashes(sets, "id", "sh", num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands)
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
