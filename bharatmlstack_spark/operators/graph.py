@@ -119,17 +119,17 @@ def pagerank(
       multiple of check_every — deterministic for a given dataset.
 
     Per round: one join-on-src + one partial-agg-on-dst shuffle over the
-    persisted degree-folded edge list, plus a left join back onto the
-    persisted node universe — the same shape at any scale.
+    persisted degree-folded edge list — the same shape at any scale.
 
     Works on arbitrary DIRECTED edge lists: rank is seeded over
-    distinct(src) UNION distinct(dst) and every round re-unions onto that
-    universe (nodes with no in-edges keep the teleport term 150_000, and
-    their out-contributions keep flowing — on a src-only seed with a
-    dst-side rebuild they would silently vanish after round 1). Dangling
-    mass (nodes with no OUT-edges) is dropped, not redistributed — the
-    simplified-PageRank convention; symmetric graphs (the co-purchase
-    callers) have none.
+    distinct(src) UNION distinct(dst), and nodes WITHOUT in-edges — which
+    a dst-side aggregate rebuild would silently drop after round 1, losing
+    their downstream contributions — are re-unioned each round at their
+    (constant after round 1) teleport rank 150_000. That branch is a
+    once-computed persisted frame, so conservation costs a shuffle-free
+    unionAll per round, not a join; on symmetric graphs (the co-purchase
+    callers) it is empty. Dangling mass (nodes with no OUT-edges) is
+    dropped, not redistributed — the simplified-PageRank convention.
     """
     from pyspark.sql import Window as W
 
@@ -140,14 +140,20 @@ def pagerank(
         .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
         .persist()
     )
-    nodes = defer_unpersist(
+    # nodes with no in-edges: absent from every dst-side aggregate, rank
+    # fixed at the teleport term from round 1 on
+    no_in = defer_unpersist(
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .join(e.select(F.col("dst").alias("node")).distinct(), on="node", how="left_anti")
+        .select("node", F.lit(150_000).cast("bigint").alias("r"))
+        .persist()
+    )
+    rank = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
-    )
-    rank = nodes.select(
-        "node", F.lit(1_000_000).cast("bigint").alias("r")
+        .select("node", F.lit(1_000_000).cast("bigint").alias("r"))
     )
 
     def step(r: DataFrame) -> DataFrame:
@@ -155,14 +161,9 @@ def pagerank(
             F.col("dst"), F.expr("(r * 85) div (100 * d)").alias("c")
         )
         agg = contrib.groupBy(F.col("dst").alias("node")).agg(
-            F.sum("c").alias("__in")
+            (F.lit(150_000) + F.sum("c")).cast("bigint").alias("r")
         )
-        return nodes.join(agg, on="node", how="left").select(
-            "node",
-            (F.lit(150_000) + F.coalesce(F.col("__in"), F.lit(0)))
-            .cast("bigint")
-            .alias("r"),
-        )
+        return agg.unionByName(no_in)
 
     if until_delta is None:
         for _ in range(int(iters)):
