@@ -750,82 +750,34 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Round-7 window (first 50): the round-6 additions (BPE vocabulary
-# learning + tokenizer-apply, PNG decode, two-pass heavy hitters,
-# bucket-scoped key deletion, integer half-life decay, LOO target
-# encoding, WOE binning, hash crossing, small-file compaction, CDC
-# merge), the 4 rows whose implementation/oracle changed
-# this round (decimal-scale fix, SCD2 tiebreaker, bucketed-table
-# cleanup, pagerank operator refactor), the 30 queries whose last green
-# is r03, and the 14 oldest r04 attestations — led by the three ANN rows
-# (lsh.py fit/fallback changed) and the two former oracle-boundary rows
-# (watermark cut, event_id narrowing) so the structural closures get a
-# fresh green. 51+: the displaced r04 rows (last_write_wins ..
-# asof_feature_join) then the remaining 36 r04 greens (front-load these in
-# round 8), then the 46 untouched r05 greens. With 141 queries and a
-# 50-row window the steady-state contract is: every query holds a green
-# from within the last 3 rounds, rows with changed semantics re-attest
-# immediately.
-# Round-8 rotation guidance: front-load (a) any NEW rows, then (b) the
-# 36 r04-era greens below the window boundary (range_join_sessions ..
-# rpn_literal_div), then the oldest r05 greens.
+# Round-7 window (first 50): the new streaming-CDC row, the 4 rows whose
+# VALUES or merge path changed this round (feature_hash_cross — id
+# reduced mod 2^20 before the Knuth multiply; cdc_apply — deterministic
+# tie order + broadcast_changes flag; dedup_minhash_lsh — single-shingle
+# -pass rewrite; bpe_vocab_learn — learn-loop refactor), and ALL 45
+# queries whose newest green is r04 (the 9 rows displaced from the r06
+# window plus the 36 r04-era greens) — exactly 50, which restores the
+# freshness contract: after this round no query's latest green is older
+# than r05. 51+: first the 16 rows whose implementation was touched this
+# round but whose driver-scale VALUES are provably identical (the
+# int64-safe hash rewrite equals the raw multiply for every id < 2^20 —
+# verified cell-exact vs DuckDB locally; plus the sets-reuse/pagerank
+# shape changes re-verified green locally), then the 46 rows whose last
+# green is r05 (round 8 MUST front-load these — they hit the 3-round
+# boundary), then the r06-attested remainder.
+# Round-8 rotation guidance: front-load (a) any NEW rows, (b) rows whose
+# values/oracle changed, then (c) the 46 r05-era greens (pii_redact ..
+# uint64_decimal_sum block below), filling to 50 with the touched-but-
+# value-identical block.
 QUERY_PRIORITY: list[str] = [
+    # new this round (r07)
     "stream_cdc_apply",
-    # new this round (r06)
-    "bpe_vocab_learn",
-    "bpe_tokenize_apply",
-    "multimodal_decode_png",
-    "heavy_hitters_twopass",
-    "feature_delete_keys",
-    "time_decay_user_value",
-    "target_encode_loo",
-    "woe_binning",
+    # values / merge path changed this round -- re-attest now
     "feature_hash_cross",
-    "compact_small_files",
     "cdc_apply",
-    # changed implementation/oracle this round — re-attest now
-    "value_zscore_outliers",
-    "scd2_dimension",
-    "bucketed_colocated_join",
-    "pagerank_copurchase",
-    # last green r03 (oldest attestations)
-    "contamination_check",
-    "dedup_components",
-    "dedup_survivors",
-    "doc_chunks",
-    "doc_repetition_ratio",
-    "embedding_label_centroid",
-    "entity_resolution_join",
-    "events_batch_topn",
-    "events_range_user",
-    "events_weekly_buckets",
-    "feature_missing_keys",
-    "feature_multi_store",
-    "feature_retrieve",
-    "feature_retrieve_composite",
-    "feature_retrieve_decoded",
-    "feature_retrieve_quantized",
-    "get_embeddings_bulk",
-    "inference_log_readback",
-    "l2_normalized_embeddings",
-    "materialize_user_features",
-    "metadata_dim_join",
-    "negative_sampling",
-    "ngram_topk",
-    "orders_priority_pivot",
-    "q1_pricing_summary",
-    "quantile_binning",
-    "sequence_packing",
-    "stream_persist_retrieve",
-    "text_stats",
-    "tfidf_top_terms",
-    # oldest r04 greens: lsh.py-affected ANN + closed-boundary rows first
-    "ann_lsh_dot",
-    "ann_ivf_dot",
     "dedup_minhash_lsh",
-    "order_stream_merge_trim",
-    "stream_weekly_watermark",
-    # ---- window boundary (driver verifies the first 50) ----
+    "bpe_vocab_learn",
+    # last green r04: rows displaced from the r06 window
     "dedup_simhash",
     "pq_ann_topk",
     "last_write_wins",
@@ -835,7 +787,7 @@ QUERY_PRIORITY: list[str] = [
     "events_interarrival",
     "rolling_7d_user_value",
     "asof_feature_join",
-    # remaining r04 greens (round-8 front-runners)
+    # last green r04: the r04-era block
     "range_join_sessions",
     "sketch_distinct_users",
     "sketch_percentile_value",
@@ -872,7 +824,26 @@ QUERY_PRIORITY: list[str] = [
     "rollup_lineitem",
     "rpn_bool_compare",
     "rpn_literal_div",
-    # r05 greens, untouched this round
+    # ---- window boundary (driver verifies the first 50) ----
+    # touched this round, values identical at driver scale (re-verified
+    # cell-exact locally): the int64-safe hash family + operator shapes
+    "pagerank_copurchase",
+    "heavy_hitters_twopass",
+    "feature_delete_keys",
+    "bpe_tokenize_apply",
+    "contamination_check",
+    "corpus_mix_sample",
+    "negative_sampling",
+    "stratified_sample",
+    "train_test_split",
+    "feature_retrieve",
+    "feature_retrieve_composite",
+    "feature_retrieve_decoded",
+    "feature_retrieve_quantized",
+    "feature_missing_keys",
+    "feature_multi_store",
+    "stream_persist_retrieve",
+    # last green r05 (round-8 front-runners)
     "pii_redact",
     "span_dedup_exact",
     "unigram_lm_quality",
@@ -899,7 +870,6 @@ QUERY_PRIORITY: list[str] = [
     "segment_intersect",
     "slate_expansion",
     "topk_orders",
-    "corpus_mix_sample",
     "doc_fingerprint",
     "dot_score_ids",
     "feature_schema_evolution",
@@ -916,9 +886,41 @@ QUERY_PRIORITY: list[str] = [
     "quality_score",
     "rpn_score",
     "segment_except",
-    "stratified_sample",
-    "train_test_split",
     "uint64_decimal_sum",
+    # last green r06
+    "multimodal_decode_png",
+    "time_decay_user_value",
+    "target_encode_loo",
+    "woe_binning",
+    "compact_small_files",
+    "value_zscore_outliers",
+    "scd2_dimension",
+    "bucketed_colocated_join",
+    "ann_lsh_dot",
+    "ann_ivf_dot",
+    "order_stream_merge_trim",
+    "stream_weekly_watermark",
+    "dedup_components",
+    "dedup_survivors",
+    "doc_chunks",
+    "doc_repetition_ratio",
+    "embedding_label_centroid",
+    "entity_resolution_join",
+    "events_batch_topn",
+    "events_range_user",
+    "events_weekly_buckets",
+    "get_embeddings_bulk",
+    "inference_log_readback",
+    "l2_normalized_embeddings",
+    "materialize_user_features",
+    "metadata_dim_join",
+    "ngram_topk",
+    "orders_priority_pivot",
+    "q1_pricing_summary",
+    "quantile_binning",
+    "sequence_packing",
+    "text_stats",
+    "tfidf_top_terms",
 ]
 
 
