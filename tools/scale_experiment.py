@@ -65,6 +65,10 @@ QUERIES = [
     "bpe_vocab_learn",
     "bpe_tokenize_apply",
     "pagerank_copurchase",
+    # round-7 additions: the rewritten single-shingle-pass LSH pipeline and
+    # the streaming CDC apply (topic replayed twice per run)
+    "dedup_minhash_lsh",
+    "stream_cdc_apply",
 ]
 
 
