@@ -3965,9 +3965,12 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once redelivery of every batch. The state sink's seq guard
     plus delete tombstones make both orderings and the replay converge
     on the one-shot batch answer: the DuckDB oracle is the SAME
-    full-outer max-seq merge that checks cdc_apply. See
-    streaming/ingest.stream_cdc_sink."""
-    from bharatmlstack_spark.streaming.ingest import stream_cdc_sink
+    full-outer max-seq merge that checks cdc_apply. The state uses the
+    bucket-partitioned layout (n_buckets=8), so each micro-batch
+    rewrites only the bucket directories its keys hash into — the
+    FeatureStore.persist cost model, pytest-pinned in
+    tests/test_streaming.py. See streaming/ingest.stream_cdc_sink."""
+    from bharatmlstack_spark.streaming.ingest import seed_cdc_state, stream_cdc_sink
 
     snap = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
@@ -3988,9 +3991,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3 micro-batches; seq-hash split => per-key sequences cross batches
     changes.repartition(3, "seq").write.parquet(topic)
     # seed: snapshot rows carry NULL __last_seq (never touched by a change)
-    snap.withColumn("__op", F.lit("U")).withColumn(
-        "__last_seq", F.lit(None).cast("long")
-    ).write.parquet(state)
+    seed_cdc_state(snap, state, key_cols=["user_id"], n_buckets=8)
 
     schema = "user_id long, seq long, op string, bal long"
     for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
@@ -4002,7 +4003,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_cdc_sink(
             stream, state, f"{work}/{replay}", spark,
             key_cols=["user_id"], seq_col="seq", op_col="op",
-            trigger_once=True,
+            trigger_once=True, n_buckets=8,
         )
         q.awaitTermination(300)
 

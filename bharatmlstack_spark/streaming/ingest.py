@@ -421,6 +421,28 @@ def stream_event_retention(
     return writer.start()
 
 
+def seed_cdc_state(
+    snapshot: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    n_buckets: int | None = None,
+) -> None:
+    """Write the initial CDC state: the snapshot plus the sink's
+    bookkeeping columns (__op='U', __last_seq=NULL — never touched by a
+    change), in the bucket layout ``stream_cdc_sink`` expects when
+    ``n_buckets`` is set."""
+    seeded = snapshot.withColumn("__op", F.lit("U")).withColumn(
+        "__last_seq", F.lit(None).cast("long")
+    )
+    if n_buckets is None:
+        seeded.write.parquet(state_path)
+        return
+    seeded = seeded.withColumn(
+        "__kb", F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    )
+    seeded.repartition("__kb").write.partitionBy("__kb").parquet(state_path)
+
+
 def stream_cdc_sink(
     stream_df: DataFrame,
     state_path: str,
@@ -430,6 +452,7 @@ def stream_cdc_sink(
     seq_col: str = "seq",
     op_col: str = "op",
     trigger_once: bool = False,
+    n_buckets: int | None = None,
 ):
     """Streaming CDC: apply sequence-numbered insert/update/delete
     micro-batches onto a snapshot with exactly-once EFFECT under
@@ -454,9 +477,15 @@ def stream_cdc_sink(
        carried as PAYLOAD (every change is an upsert at the merge
        level; the change batch is broadcast — a micro-batch by
        definition).
-    3. staged overwrite of the state parquet (at 100 TB: a
-       FeatureStore-style bucket layout makes this touched-buckets-only;
-       the state here is a flat table for oracle clarity).
+    3. staged rewrite of the state parquet. With ``n_buckets`` set the
+       state is laid out in FeatureStore-style hash-bucket partition
+       directories and a batch rewrites ONLY the buckets its keys hash
+       into (guard read, merge scope, and dynamic partition overwrite
+       are all bucket-pruned) — at 100 TB a micro-batch costs O(touched
+       buckets), the same cost model as FeatureStore.persist. Deletes
+       are tombstone ROWS, so no bucket is ever emptied by CDC and the
+       emptied-dir cleanup persist/delete need doesn't arise.
+       ``n_buckets=None`` keeps a flat table (fine for small state).
 
     Fixed point == one-shot batch cdc_apply over ALL changes, because
     per-key max-seq-wins is associative and commutative across any
@@ -465,10 +494,24 @@ def stream_cdc_sink(
     oracle)."""
     from bharatmlstack_spark.operators.incremental import cdc_apply
 
+    def _bucket(df: DataFrame) -> F.Column:
+        return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         state = spark.read.parquet(state_path)
+        if n_buckets is not None:
+            touched = sorted(
+                r[0]
+                for r in batch_df.select(_bucket(batch_df).alias("b"))
+                .distinct()
+                .collect()
+            )
+            # partition pruning: only the touched bucket dirs are read —
+            # keys outside them cannot collide with the batch's keys
+            # (same hash, same bucket)
+            state = state.filter(F.col("__kb").isin(touched)).drop("__kb")
         payload = [
             c for c in batch_df.columns if c not in (*key_cols, seq_col, op_col)
         ]
@@ -494,8 +537,28 @@ def stream_cdc_sink(
             state, changes, key_cols=key_cols, seq_col=seq_col, op_col="__mop"
         ).drop("src")
         tmp = state_path + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+        if n_buckets is None:
+            merged.write.mode("overwrite").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+        else:
+            merged = merged.withColumn("__kb", _bucket(merged))
+            (
+                merged.repartition("__kb")
+                .write.mode("overwrite")
+                .partitionBy("__kb")
+                .parquet(tmp)
+            )
+            (
+                spark.read.parquet(tmp)
+                .repartition("__kb")
+                .write.mode("overwrite")
+                .partitionBy("__kb")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(state_path)
+            )
+        from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
+
+        hadoop_delete_path(spark, tmp)  # staged copy: reclaim now
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

@@ -414,3 +414,68 @@ def test_stream_cdc_sink_guard_and_tombstones(spark, tmp_path):
     assert first == {(2, 200), (3, 333)}  # 1 deleted, stale rows rejected
     run("ck2")  # full redelivery: idempotent
     assert live() == first
+
+
+def test_stream_cdc_sink_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
+    """n_buckets mode: a micro-batch must rewrite ONLY the bucket
+    directories its keys hash into (dynamic partition overwrite +
+    bucket-pruned guard/merge) — untouched buckets keep their exact
+    files. Results equal flat mode."""
+    import os
+
+    from bharatmlstack_spark.streaming.ingest import seed_cdc_state, stream_cdc_sink
+
+    snap = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 41)], "user_id long, bal long"
+    )
+    schema = "user_id long, seq long, op string, bal long"
+    batch = spark.createDataFrame([(1, 5, "U", 111), (2, 6, "D", 0)], schema)
+
+    states = {}
+    for mode, nb in (("flat", None), ("bucketed", 8)):
+        state = str(tmp_path / f"state_{mode}")
+        topic = str(tmp_path / f"topic_{mode}")
+        seed_cdc_state(snap, state, key_cols=["user_id"], n_buckets=nb)
+        batch.coalesce(1).write.parquet(topic)
+
+        if nb:
+            listing = {
+                d: sorted(os.listdir(f"{state}/{d}"))
+                for d in os.listdir(state)
+                if d.startswith("__kb=")
+            }
+
+        stream = spark.readStream.schema(schema).parquet(topic)
+        q = stream_cdc_sink(
+            stream, state, str(tmp_path / f"ck_{mode}"), spark,
+            key_cols=["user_id"], trigger_once=True, n_buckets=nb,
+        )
+        q.awaitTermination(300)
+
+        df = spark.read.parquet(state)
+        states[mode] = {
+            (r["user_id"], r["bal"], r["__op"], r["__last_seq"]) for r in
+            df.select("user_id", "bal", "__op", "__last_seq").collect()
+        }
+        if nb:
+            from pyspark.sql import functions as FF
+            touched = {
+                r[0] for r in batch.select(
+                    FF.pmod(FF.xxhash64("user_id"), FF.lit(nb)).alias("b")
+                ).distinct().collect()
+            }
+            after = {
+                d: sorted(os.listdir(f"{state}/{d}"))
+                for d in os.listdir(state)
+                if d.startswith("__kb=")
+            }
+            for d, files in listing.items():
+                b = int(d.split("=")[1])
+                if b not in touched:
+                    assert after[d] == files, f"untouched bucket {d} rewritten"
+                else:
+                    assert after[d] != files, f"touched bucket {d} not rewritten"
+    assert states["flat"] == states["bucketed"]
+    # delete is a tombstone row, update applied
+    live = {(u, b) for (u, b, op, _s) in states["bucketed"] if op != "D"}
+    assert (1, 111) in live and all(u != 2 for u, _ in live)
