@@ -568,6 +568,75 @@ def stream_cdc_sink(
     return writer.start()
 
 
+def compact_cdc_state(
+    spark: SparkSession,
+    state_path: str,
+    watermark_seq: int,
+    n_buckets: int | None = None,
+) -> int:
+    """Tombstone GC for the streaming-CDC state: physically drop delete
+    tombstones whose sequence is <= ``watermark_seq``.
+
+    A tombstone exists to reject late-arriving STALE changes for a
+    deleted key (stream_cdc_sink's seq guard). Once the source's
+    committed watermark has passed seq S — Kafka redelivers only
+    uncommitted offsets, so no change with seq <= S can ever arrive
+    again (kafka.go:49-120 commits after apply) — tombstones at or below
+    S are dead weight and can be reclaimed, exactly like Scylla's
+    gc_grace_seconds tombstone expiry. Tombstones ABOVE the watermark
+    must stay: dropping one would let a stale update resurrect the key.
+
+    Returns tombstones removed. The rewrite is a staged full-state pass
+    (flat) or per-bucket dynamic overwrite touching only buckets that
+    held dead tombstones (``n_buckets`` set) — run it at the cadence of
+    FeatureStore.compact, not per batch."""
+    from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
+
+    state = spark.read.parquet(state_path)
+    dead = (F.col("__op") == "D") & (F.col("__last_seq") <= F.lit(watermark_seq))
+    if n_buckets is not None:
+        touched = sorted(
+            r[0]
+            for r in state.filter(dead).select("__kb").distinct().collect()
+        )
+        if not touched:
+            return 0
+        scoped = state.filter(F.col("__kb").isin(touched))
+        removed = scoped.filter(dead).count()
+        tmp = state_path + "__staging"
+        (
+            scoped.filter(~dead)
+            .repartition("__kb")
+            .write.mode("overwrite")
+            .partitionBy("__kb")
+            .parquet(tmp)
+        )
+        staged = spark.read.parquet(tmp)
+        (
+            staged.repartition("__kb")
+            .write.mode("overwrite")
+            .partitionBy("__kb")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_path)
+        )
+        # a bucket holding ONLY dead tombstones produces no staged rows;
+        # dynamic overwrite leaves its stale dir — drop it explicitly
+        survivors = {r[0] for r in staged.select("__kb").distinct().collect()}
+        hadoop_delete_path(spark, tmp)
+        for b in touched:
+            if b not in survivors:
+                hadoop_delete_path(spark, f"{state_path}/__kb={b}")
+        return removed
+    removed = state.filter(dead).count()
+    if not removed:
+        return 0
+    tmp = state_path + "__staging"
+    state.filter(~dead).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+    hadoop_delete_path(spark, tmp)
+    return removed
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -479,3 +479,46 @@ def test_stream_cdc_sink_bucketed_rewrites_only_touched_buckets(spark, tmp_path)
     # delete is a tombstone row, update applied
     live = {(u, b) for (u, b, op, _s) in states["bucketed"] if op != "D"}
     assert (1, 111) in live and all(u != 2 for u, _ in live)
+
+
+def test_compact_cdc_state_tombstone_gc(spark, tmp_path):
+    """Tombstones at or below the committed watermark are physically
+    dropped (no change with seq <= watermark can ever arrive again);
+    tombstones above it stay — they still guard against stale-update
+    resurrection. Live rows never touched. Both layouts."""
+    from bharatmlstack_spark.streaming.ingest import (
+        compact_cdc_state,
+        seed_cdc_state,
+        stream_cdc_sink,
+    )
+
+    schema = "user_id long, seq long, op string, bal long"
+    snap = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 20)], "user_id long, bal long"
+    )
+    # delete user 1 at seq 5 (old, below watermark) and user 2 at seq 50
+    batch = spark.createDataFrame(
+        [(1, 5, "D", 0), (2, 50, "D", 0), (3, 7, "U", 333)], schema
+    )
+    for mode, nb in (("flat", None), ("bucketed", 4)):
+        state = str(tmp_path / f"gc_state_{mode}")
+        topic = str(tmp_path / f"gc_topic_{mode}")
+        seed_cdc_state(snap, state, key_cols=["user_id"], n_buckets=nb)
+        batch.coalesce(1).write.parquet(topic)
+        stream = spark.readStream.schema(schema).parquet(topic)
+        q = stream_cdc_sink(
+            stream, state, str(tmp_path / f"gc_ck_{mode}"), spark,
+            key_cols=["user_id"], trigger_once=True, n_buckets=nb,
+        )
+        q.awaitTermination(300)
+
+        removed = compact_cdc_state(spark, state, watermark_seq=10, n_buckets=nb)
+        assert removed == 1  # user 1's tombstone (seq 5 <= 10); user 2's stays
+        rows = {
+            (r["user_id"], r["__op"]) for r in
+            spark.read.parquet(state).select("user_id", "__op").collect()
+        }
+        assert (1, "D") not in rows and (2, "D") in rows and (3, "U") in rows
+        assert len(rows) == 18  # 16 untouched + updated 3 + tombstone 2
+        # idempotent: nothing left to reclaim at the same watermark
+        assert compact_cdc_state(spark, state, 10, n_buckets=nb) == 0
