@@ -126,6 +126,42 @@ def main() -> None:
     post = fs.retrieve("user", {"orders": ["n_orders"]}, keys)
     print(f"lifecycle: deleted {removed} key(s); user 1 now serves defaults:")
     post.orderBy("user_id").show()
+
+    # 7. streaming CDC: replay a sequence-numbered change log onto a
+    # bucket-partitioned state via foreachBatch — idempotent under
+    # redelivery (seq guard), deletes survive as tombstones until the
+    # committed watermark passes them (compact_cdc_state)
+    from bharatmlstack_spark.streaming.ingest import (
+        compact_cdc_state,
+        seed_cdc_state,
+        stream_cdc_sink,
+    )
+
+    cdc_dir = tempfile.mkdtemp(prefix="bmls_demo_cdc_")
+    snap = spark.createDataFrame(
+        [(i, i * 100) for i in range(1, 6)], "user_id long, spend long"
+    )
+    seed_cdc_state(snap, f"{cdc_dir}/state", key_cols=["user_id"], n_buckets=4)
+    spark.createDataFrame(
+        [(2, 10, "U", 999), (4, 11, "D", 0), (9, 12, "U", 555)],
+        "user_id long, seq long, op string, spend long",
+    ).coalesce(1).write.parquet(f"{cdc_dir}/topic")
+    stream = spark.readStream.schema(
+        "user_id long, seq long, op string, spend long"
+    ).parquet(f"{cdc_dir}/topic")
+    q = stream_cdc_sink(
+        stream, f"{cdc_dir}/state", f"{cdc_dir}/ckpt", spark,
+        key_cols=["user_id"], trigger_once=True, n_buckets=4,
+    )
+    q.awaitTermination(120)
+    gc = compact_cdc_state(spark, f"{cdc_dir}/state", watermark_seq=12, n_buckets=4)
+    print(f"streaming CDC applied (update/delete/insert), {gc} tombstone(s) GC'd:")
+    spark.read.parquet(f"{cdc_dir}/state").filter(
+        F.col("__op") != "D"
+    ).select("user_id", "spend").orderBy("user_id").show()
+    import shutil as _sh
+
+    _sh.rmtree(cdc_dir, ignore_errors=True)
     print("done.")
 
 
