@@ -92,16 +92,24 @@ def cdc_apply(
     FeatureStore.delete(broadcast_keys=False).
 
     Within one batch, ties on (key, seq) break deterministically by
-    descending op then descending payload values — but a real CDC
+    descending op then descending ORDERABLE payload values (map-typed
+    payload columns are skipped — Spark cannot sort them, and including
+    one would reject batches that have no ties at all) — but a real CDC
     sequence (Debezium LSN/offset, ref kafka.go:49-120 consumer
     ordering) is unique per key; the tiebreak exists so an
     out-of-contract feed still yields a partition-order-independent
     winner rather than a silently nondeterministic one."""
+    from pyspark.sql.types import MapType
+
     payload = [
         c for c in changes.columns if c not in (*key_cols, seq_col, op_col)
     ]
+    orderable = [
+        c for c in payload
+        if not isinstance(changes.schema[c].dataType, MapType)
+    ]
     w = Window.partitionBy(*key_cols).orderBy(
-        F.desc(seq_col), F.desc(op_col), *[F.desc(c) for c in payload]
+        F.desc(seq_col), F.desc(op_col), *[F.desc(c) for c in orderable]
     )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))

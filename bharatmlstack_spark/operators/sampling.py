@@ -34,12 +34,18 @@ MIX_HI = 40503  # 16-bit Knuth constant folds the high bits back in
 def knuth_mix(key: Column | str) -> Column:
     """Full-entropy multiplicative mix that CANNOT overflow int64:
     ``(x % 2^20) * KNUTH + (x >> 20) * 40503`` — max ~2^52 + 2^59 < 2^63,
-    exact BIGINT arithmetic on every engine at every id range. Equal to
-    the raw ``x * KNUTH`` for x < 2^20 (every test-fixture id), while the
-    raw product overflows for x >= ~3.5e9, where Spark wraps silently but
-    DuckDB promotes to HUGEINT — the arithmetic-divergence family
-    tests/test_oracle_types.py lints registry-wide. The SQL twin is
-    ``(x % 1048576) * 2654435761 + (x // 1048576) * 40503``."""
+    exact BIGINT arithmetic on every engine at every NONNEGATIVE id.
+    Equal to the raw ``x * KNUTH`` for x < 2^20 (every test-fixture id),
+    while the raw product overflows for x >= ~3.5e9, where Spark wraps
+    silently but DuckDB promotes to HUGEINT — the arithmetic-divergence
+    family tests/test_oracle_types.py lints registry-wide. The SQL twin
+    is ``(x % 1048576) * 2654435761 + (x // 1048576) * 40503``.
+
+    PRECONDITION: keys must be >= 0 (true of every id column here). For
+    negative keys the two forms disagree: Spark's ``shiftright`` is an
+    arithmetic shift (floors toward -inf) while DuckDB's ``//``
+    truncates toward zero — e.g. x=-1 gives high=-1 vs high=0. A
+    negative-id feed must be shifted into the nonnegative range first."""
     c = F.col(key) if isinstance(key, str) else key
     c = c.cast("bigint")
     return (c % F.lit(MIX_LOW)) * F.lit(KNUTH) + F.shiftright(c, 20) * F.lit(MIX_HI)

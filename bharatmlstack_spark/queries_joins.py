@@ -4003,7 +4003,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_cdc_sink(
             stream, state, f"{work}/{replay}", spark,
             key_cols=["user_id"], seq_col="seq", op_col="op",
-            trigger_once=True, n_buckets=8,
+            trigger_once=True,
         )
         q.awaitTermination(300)
 

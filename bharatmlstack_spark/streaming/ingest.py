@@ -429,18 +429,49 @@ def seed_cdc_state(
 ) -> None:
     """Write the initial CDC state: the snapshot plus the sink's
     bookkeeping columns (__op='U', __last_seq=NULL — never touched by a
-    change), in the bucket layout ``stream_cdc_sink`` expects when
-    ``n_buckets`` is set."""
+    change), in the bucket layout when ``n_buckets`` is set. The layout
+    is RECORDED in the state's meta sidecar — stream_cdc_sink and
+    compact_cdc_state read it from there, so the bucket count is a
+    property of the state, not a per-call argument that could silently
+    mismatch (the FeatureStore _effective_n_buckets discipline).
+
+    An EMPTY snapshot (bootstrapping a table purely from the change
+    stream) seeds a flat schema-ful zero-row parquet even in bucketed
+    mode: a partitionBy write of zero rows leaves a file-less dir that
+    cannot be read back; the flat empty file reads fine, carries no
+    __kb partition values (nothing to prune), and the first real batch
+    writes the actual bucket dirs via dynamic overwrite."""
+    from bharatmlstack_spark.operators.feature_store import write_table_meta
+
+    spark = snapshot.sparkSession
     seeded = snapshot.withColumn("__op", F.lit("U")).withColumn(
         "__last_seq", F.lit(None).cast("long")
     )
     if n_buckets is None:
         seeded.write.parquet(state_path)
         return
-    seeded = seeded.withColumn(
-        "__kb", F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
-    )
-    seeded.repartition("__kb").write.partitionBy("__kb").parquet(state_path)
+    if seeded.isEmpty():
+        # flat zero-row bootstrap WITHOUT the partition column (its
+        # presence as a data column would conflict with the partition
+        # dirs the first batch writes); repartition(1) forces one
+        # schema-ful part file — a partitionBy write of zero rows would
+        # leave a file-less, unreadable dir
+        seeded.repartition(1).write.parquet(state_path)
+    else:
+        seeded = seeded.withColumn(
+            "__kb",
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)),
+        )
+        seeded.repartition("__kb").write.partitionBy("__kb").parquet(state_path)
+    write_table_meta(spark, state_path, n_buckets)
+
+
+def cdc_state_n_buckets(spark: SparkSession, state_path: str) -> int | None:
+    """The state's recorded bucket layout (None = flat)."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    meta = read_table_meta(spark, state_path)
+    return int(meta["n_buckets"]) if meta and "n_buckets" in meta else None
 
 
 def stream_cdc_sink(
@@ -452,7 +483,6 @@ def stream_cdc_sink(
     seq_col: str = "seq",
     op_col: str = "op",
     trigger_once: bool = False,
-    n_buckets: int | None = None,
 ):
     """Streaming CDC: apply sequence-numbered insert/update/delete
     micro-batches onto a snapshot with exactly-once EFFECT under
@@ -460,51 +490,63 @@ def stream_cdc_sink(
     online-feature-store/internal/consumer/listeners/kafka.go:49-120 —
     Kafka redelivers, per-key order holds only within a shard).
 
-    The caller seeds ``state_path`` with the snapshot plus two
-    bookkeeping columns: ``__op`` (winning op; DELETES PERSIST AS
+    The caller seeds ``state_path`` via ``seed_cdc_state``: snapshot plus
+    two bookkeeping columns — ``__op`` (winning op; DELETES PERSIST AS
     TOMBSTONE ROWS so a late stale update cannot resurrect a deleted
     key — readout filters them) and ``__last_seq`` (highest applied
-    sequence; NULL for untouched snapshot rows). Each micro-batch:
+    sequence; NULL for untouched snapshot rows). The bucket layout is
+    read from the state's meta sidecar, never passed per call — a
+    mismatched per-call bucket count would silently corrupt the layout
+    (the FeatureStore _effective_n_buckets discipline). Each micro-batch:
 
     1. SEQ GUARD: incoming changes left-join the state's
        (key, __last_seq) pairs — keys-only, the bytes-per-row cost
        class of cdc_apply's insert anti-join — and any row with
        seq <= applied seq drops. A redelivered batch therefore no-ops
-       (idempotence) and a batch carrying an OLDER change than one
-       already applied (micro-batch boundaries don't respect per-key
-       sequence order) cannot regress the row.
+       (idempotence, incl. skipping the state rewrite entirely when the
+       whole batch is stale) and a batch carrying an OLDER change than
+       one already applied (micro-batch boundaries don't respect
+       per-key sequence order) cannot regress the row.
     2. MERGE: operators.incremental.cdc_apply with the real op and seq
        carried as PAYLOAD (every change is an upsert at the merge
        level; the change batch is broadcast — a micro-batch by
        definition).
-    3. staged rewrite of the state parquet. With ``n_buckets`` set the
-       state is laid out in FeatureStore-style hash-bucket partition
-       directories and a batch rewrites ONLY the buckets its keys hash
-       into (guard read, merge scope, and dynamic partition overwrite
-       are all bucket-pruned) — at 100 TB a micro-batch costs O(touched
-       buckets), the same cost model as FeatureStore.persist. Deletes
-       are tombstone ROWS, so no bucket is ever emptied by CDC and the
-       emptied-dir cleanup persist/delete need doesn't arise.
-       ``n_buckets=None`` keeps a flat table (fine for small state).
+    3. staged rewrite of the state parquet. In a bucketed state a batch
+       rewrites ONLY the buckets its keys hash into (guard read, merge
+       scope, and dynamic partition overwrite are all bucket-pruned) —
+       at 100 TB a micro-batch costs O(touched buckets), the same cost
+       model as FeatureStore.persist. Deletes are tombstone ROWS, so no
+       bucket is ever emptied by CDC. An empty-seeded bucketed state
+       (flat zero-row bootstrap file, see seed_cdc_state) converts to
+       the real bucket layout on its first non-stale batch via one full
+       (non-dynamic) overwrite.
 
     Fixed point == one-shot batch cdc_apply over ALL changes, because
     per-key max-seq-wins is associative and commutative across any
     batch split — the property that makes replay safety provable (and
     what the stream_cdc_apply driver row checks against the batch
     oracle)."""
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_delete_path,
+        write_table_meta,
+    )
     from bharatmlstack_spark.operators.incremental import cdc_apply
 
-    def _bucket(df: DataFrame) -> F.Column:
-        return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    def _bucket(n: int) -> F.Column:
+        return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        n_buckets = cdc_state_n_buckets(spark, state_path)
         state = spark.read.parquet(state_path)
-        if n_buckets is not None:
+        # an empty-seeded bucketed state is a flat zero-row bootstrap
+        # file without the partition column (see seed_cdc_state)
+        bootstrap = n_buckets is not None and "__kb" not in state.columns
+        if n_buckets is not None and not bootstrap:
             touched = sorted(
                 r[0]
-                for r in batch_df.select(_bucket(batch_df).alias("b"))
+                for r in batch_df.select(_bucket(n_buckets).alias("b"))
                 .distinct()
                 .collect()
             )
@@ -525,6 +567,8 @@ def stream_cdc_sink(
             )
             .drop("__last_seq")
         )
+        if guarded.isEmpty():
+            return  # pure redelivery: don't pay the rewrite for a no-op
         changes = guarded.select(
             *key_cols,
             F.col(seq_col),
@@ -541,23 +585,25 @@ def stream_cdc_sink(
             merged.write.mode("overwrite").parquet(tmp)
             spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
         else:
-            merged = merged.withColumn("__kb", _bucket(merged))
+            merged = merged.withColumn("__kb", _bucket(n_buckets))
             (
                 merged.repartition("__kb")
                 .write.mode("overwrite")
                 .partitionBy("__kb")
                 .parquet(tmp)
             )
-            (
+            writer = (
                 spark.read.parquet(tmp)
                 .repartition("__kb")
                 .write.mode("overwrite")
                 .partitionBy("__kb")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(state_path)
             )
-        from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
-
+            if not bootstrap:
+                writer = writer.option("partitionOverwriteMode", "dynamic")
+            writer.parquet(state_path)
+            if bootstrap:
+                # the full overwrite replaced the dir, sidecar included
+                write_table_meta(spark, state_path, n_buckets)
         hadoop_delete_path(spark, tmp)  # staged copy: reclaim now
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(
@@ -572,7 +618,6 @@ def compact_cdc_state(
     spark: SparkSession,
     state_path: str,
     watermark_seq: int,
-    n_buckets: int | None = None,
 ) -> int:
     """Tombstone GC for the streaming-CDC state: physically drop delete
     tombstones whose sequence is <= ``watermark_seq``.
@@ -586,15 +631,20 @@ def compact_cdc_state(
     gc_grace_seconds tombstone expiry. Tombstones ABOVE the watermark
     must stay: dropping one would let a stale update resurrect the key.
 
-    Returns tombstones removed. The rewrite is a staged full-state pass
-    (flat) or per-bucket dynamic overwrite touching only buckets that
-    held dead tombstones (``n_buckets`` set) — run it at the cadence of
-    FeatureStore.compact, not per batch."""
+    Returns tombstones removed. The layout comes from the state's meta
+    sidecar; the rewrite is a staged full-state pass (flat) or per-bucket
+    dynamic overwrite touching only buckets that held dead tombstones,
+    dropping any bucket the GC empties — run it at the cadence of
+    FeatureStore.compact, not per batch. If the GC would leave the WHOLE
+    state empty (every row a dead tombstone), it declines and returns 0:
+    a file-less state dir is unreadable, and an all-tombstone table
+    should be re-seeded, not compacted."""
     from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
 
+    n_buckets = cdc_state_n_buckets(spark, state_path)
     state = spark.read.parquet(state_path)
     dead = (F.col("__op") == "D") & (F.col("__last_seq") <= F.lit(watermark_seq))
-    if n_buckets is not None:
+    if n_buckets is not None and "__kb" in state.columns:
         touched = sorted(
             r[0]
             for r in state.filter(dead).select("__kb").distinct().collect()
@@ -602,11 +652,21 @@ def compact_cdc_state(
         if not touched:
             return 0
         scoped = state.filter(F.col("__kb").isin(touched))
+        keep = scoped.filter(~dead)
         removed = scoped.filter(dead).count()
+        if keep.isEmpty():
+            # every touched-bucket row is a dead tombstone: nothing to
+            # stage (a zero-row partitionBy write is unreadable) — drop
+            # the dirs directly, unless that would empty the whole state
+            others = state.filter(~F.col("__kb").isin(touched))
+            if others.isEmpty():
+                return 0
+            for b in touched:
+                hadoop_delete_path(spark, f"{state_path}/__kb={b}")
+            return removed
         tmp = state_path + "__staging"
         (
-            scoped.filter(~dead)
-            .repartition("__kb")
+            keep.repartition("__kb")
             .write.mode("overwrite")
             .partitionBy("__kb")
             .parquet(tmp)
@@ -630,8 +690,12 @@ def compact_cdc_state(
     removed = state.filter(dead).count()
     if not removed:
         return 0
+    keep = state.filter(~dead)
     tmp = state_path + "__staging"
-    state.filter(~dead).write.mode("overwrite").parquet(tmp)
+    # repartition(1) keeps a zero-survivor flat state readable (one
+    # schema-ful empty part file) instead of a file-less dir
+    writer = keep.repartition(1) if keep.isEmpty() else keep
+    writer.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
     hadoop_delete_path(spark, tmp)
     return removed

@@ -30,7 +30,8 @@ from bharatmlstack_spark.operators import dedup as DD
 from bharatmlstack_spark.operators.chunking import chunk_documents, pack_sequences
 from bharatmlstack_spark.operators.graph import connected_components
 from bharatmlstack_spark.operators.profile import profile_table
-from bharatmlstack_spark.operators.sampling import KNUTH, mix_sample
+from bharatmlstack_spark.operators import sampling as SP
+from bharatmlstack_spark.operators.sampling import mix_sample
 
 
 def main() -> None:
@@ -80,7 +81,7 @@ def main() -> None:
     print(f"== 4. dedup: {mixed.count()} -> exact {exact.count()} -> clustered {deduped.count()} ==")
 
     # 5. decontaminate: drop train docs sharing a 5-gram with the test split
-    split = F.when((F.col("doc_id") * KNUTH) % 100 < 80, "train").otherwise("test")
+    split = F.when(SP.knuth_mix(F.col("doc_id")) % 100 < 80, "train").otherwise("test")
     tagged = deduped.withColumn("split", split)
     sh = tagged.select(
         "doc_id", "split", F.explode(DD.word_shingles("text", n=5)).alias("shingle")

@@ -151,10 +151,10 @@ def main() -> None:
     ).parquet(f"{cdc_dir}/topic")
     q = stream_cdc_sink(
         stream, f"{cdc_dir}/state", f"{cdc_dir}/ckpt", spark,
-        key_cols=["user_id"], trigger_once=True, n_buckets=4,
+        key_cols=["user_id"], trigger_once=True,
     )
     q.awaitTermination(120)
-    gc = compact_cdc_state(spark, f"{cdc_dir}/state", watermark_seq=12, n_buckets=4)
+    gc = compact_cdc_state(spark, f"{cdc_dir}/state", watermark_seq=12)
     print(f"streaming CDC applied (update/delete/insert), {gc} tombstone(s) GC'd:")
     spark.read.parquet(f"{cdc_dir}/state").filter(
         F.col("__op") != "D"

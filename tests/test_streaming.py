@@ -448,7 +448,7 @@ def test_stream_cdc_sink_bucketed_rewrites_only_touched_buckets(spark, tmp_path)
         stream = spark.readStream.schema(schema).parquet(topic)
         q = stream_cdc_sink(
             stream, state, str(tmp_path / f"ck_{mode}"), spark,
-            key_cols=["user_id"], trigger_once=True, n_buckets=nb,
+            key_cols=["user_id"], trigger_once=True,
         )
         q.awaitTermination(300)
 
@@ -508,11 +508,11 @@ def test_compact_cdc_state_tombstone_gc(spark, tmp_path):
         stream = spark.readStream.schema(schema).parquet(topic)
         q = stream_cdc_sink(
             stream, state, str(tmp_path / f"gc_ck_{mode}"), spark,
-            key_cols=["user_id"], trigger_once=True, n_buckets=nb,
+            key_cols=["user_id"], trigger_once=True,
         )
         q.awaitTermination(300)
 
-        removed = compact_cdc_state(spark, state, watermark_seq=10, n_buckets=nb)
+        removed = compact_cdc_state(spark, state, watermark_seq=10)
         assert removed == 1  # user 1's tombstone (seq 5 <= 10); user 2's stays
         rows = {
             (r["user_id"], r["__op"]) for r in
@@ -521,4 +521,39 @@ def test_compact_cdc_state_tombstone_gc(spark, tmp_path):
         assert (1, "D") not in rows and (2, "D") in rows and (3, "U") in rows
         assert len(rows) == 18  # 16 untouched + updated 3 + tombstone 2
         # idempotent: nothing left to reclaim at the same watermark
-        assert compact_cdc_state(spark, state, 10, n_buckets=nb) == 0
+        assert compact_cdc_state(spark, state, 10) == 0
+
+
+def test_stream_cdc_sink_bootstrap_from_empty_snapshot(spark, tmp_path):
+    """Bootstrapping a table purely from the change stream: an EMPTY
+    bucketed seed must stay readable (flat zero-row file), convert to
+    the real bucket layout on the first batch, and keep working on the
+    second — the layout is read from the sidecar, never passed."""
+    import os
+
+    from bharatmlstack_spark.streaming.ingest import seed_cdc_state, stream_cdc_sink
+
+    schema = "user_id long, seq long, op string, bal long"
+    state = str(tmp_path / "boot_state")
+    empty = spark.createDataFrame([], "user_id long, bal long")
+    seed_cdc_state(empty, state, key_cols=["user_id"], n_buckets=4)
+    assert spark.read.parquet(state).count() == 0  # readable bootstrap
+
+    for i, rows in enumerate(
+        ([(1, 10, "U", 111), (2, 11, "U", 222)], [(3, 20, "U", 333), (1, 21, "D", 0)])
+    ):
+        topic = str(tmp_path / f"boot_topic{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(topic)
+        stream = spark.readStream.schema(schema).parquet(topic)
+        q = stream_cdc_sink(
+            stream, state, str(tmp_path / f"boot_ck{i}"), spark,
+            key_cols=["user_id"], trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    assert any(d.startswith("__kb=") for d in os.listdir(state))  # real layout now
+    live = {
+        (r["user_id"], r["bal"]) for r in
+        spark.read.parquet(state).filter(F.col("__op") != "D").collect()
+    }
+    assert live == {(2, 222), (3, 333)}  # user 1 inserted then deleted
