@@ -295,23 +295,19 @@ def minhash_signatures(
     return minhash_signatures_from_hashes(base, "id", "sh", num_hashes)
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     signatures: DataFrame,
     bands: int = 16,
     id_col: str = "id",
     sig_col: str = "signature",
 ) -> DataFrame:
-    """Band the signature; docs colliding in any band become candidates.
-
-    One explode + one equi-join on (band_idx, band_hash) — the sub-linear
-    path that replaces the all-pairs product at scale. The banded frame is
-    persisted because BOTH self-join sides consume it — without the cache
-    the whole signature scan (the pipeline's expensive map) runs twice; the
-    cached rows are (id, band_idx, band_hash) longs, docs x bands of them,
-    tiny next to the corpus.
-    """
+    """(id, band_idx, band_hash): the signature split into ``bands``
+    equal slices, each hashed to one long — the LSH bucket keys. Pure
+    map-side; shared by the batch pipeline (self-join) and the streaming
+    index (append + probe), so both produce IDENTICAL candidate sets for
+    the same corpus regardless of batching."""
     sig_len_expr = F.size(F.col(sig_col))
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.transform(
@@ -332,6 +328,24 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Band the signature; docs colliding in any band become candidates.
+
+    One explode + one equi-join on (band_idx, band_hash) — the sub-linear
+    path that replaces the all-pairs product at scale. The banded frame is
+    persisted because BOTH self-join sides consume it — without the cache
+    the whole signature scan (the pipeline's expensive map) runs twice; the
+    cached rows are (id, band_idx, band_hash) longs, docs x bands of them,
+    tiny next to the corpus.
+    """
+    banded = band_signatures(signatures, bands, id_col, sig_col)
     banded = defer_unpersist(banded.persist())
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -701,6 +701,128 @@ def compact_cdc_state(
     return removed
 
 
+def stream_neardup_minhash_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    spark: SparkSession,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    trigger_once: bool = False,
+):
+    """Streaming NEAR-duplicate detection: MinHash-LSH with an
+    APPEND-ONLY band index, the incremental form of
+    dedup.minhash_lsh_dedup_pairs (stream_dedup_sink is the exact-dup
+    sibling). Per micro-batch:
+
+    1. hash-shingle + sign the batch docs (one map pass, the batch is
+       the small side);
+    2. candidates = batch-bands self-join (intra-batch pairs) UNION
+       batch-bands probe into the ACCUMULATED band index (cross-batch
+       pairs — a pair is discovered when its LATER doc arrives);
+    3. exact-Jaccard verify against the accumulated shingle-set store,
+       emit surviving pairs (append);
+    4. append the batch's bands and sets to the state.
+
+    Because band_signatures is deterministic and banding collisions are
+    pairwise (independent of WHEN each doc arrived), the union of all
+    emissions equals the one-shot batch LSH pair set over the full
+    corpus — so the stream_dedup_minhash row can reuse the batch row's
+    exact-Jaccard oracle. At 100 TB: each batch pays one probe join of
+    (batch x bands) keys against the index — bucket/partition the index
+    by band_hash and the probe prunes to matching buckets; the index
+    grows by docs x bands longs per batch, never rewritten (contrast
+    CDC's in-place state: dedup state is append-only by nature).
+    Assumes each doc id arrives once (a corpus build, not a changelog);
+    re-delivered docs would re-emit their pairs — readers dedup pairs,
+    which the registered row's readout does."""
+    from bharatmlstack_spark.operators.dedup import (
+        band_signatures,
+        hashed_word_shingles,
+        minhash_signatures_from_hashes,
+    )
+
+    bands_path = f"{state_dir}/bands"
+    sets_path = f"{state_dir}/sets"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sets_new = batch_df.select(
+            F.col(id_col).alias("id"),
+            hashed_word_shingles(text_col, shingle_n).alias("sh"),
+        ).persist()
+        try:
+            sigs = minhash_signatures_from_hashes(sets_new, "id", "sh", num_hashes)
+            bands_new = band_signatures(sigs, bands).persist()
+            try:
+                a, b = bands_new.alias("a"), bands_new.alias("b")
+                intra = (
+                    a.join(b, on=["band_idx", "band_hash"])
+                    .filter(F.col("a.id") < F.col("b.id"))
+                    .select(
+                        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+                    )
+                )
+                cands = intra
+                have_state = hadoop_path_exists(spark, bands_path)
+                if have_state:
+                    old = spark.read.parquet(bands_path).alias("o")
+                    cross = (
+                        bands_new.alias("n")
+                        .join(old, on=["band_idx", "band_hash"])
+                        .filter(F.col("n.id") != F.col("o.id"))
+                        .select(
+                            F.least("n.id", "o.id").alias("id_a"),
+                            F.greatest("n.id", "o.id").alias("id_b"),
+                        )
+                    )
+                    cands = cands.unionByName(cross)
+                cands = cands.dropDuplicates(["id_a", "id_b"])
+
+                sets_all = sets_new
+                if have_state:
+                    sets_all = sets_all.unionByName(spark.read.parquet(sets_path))
+                sa = sets_all.select(
+                    F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+                )
+                sb = sets_all.select(
+                    F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+                )
+                pairs = (
+                    cands.join(sa, on="id_a")
+                    .join(sb, on="id_b")
+                    .select(
+                        "id_a",
+                        "id_b",
+                        (
+                            F.size(F.array_intersect("sh_a", "sh_b"))
+                            / F.size(F.array_union("sh_a", "sh_b"))
+                        ).alias("jaccard"),
+                    )
+                    .filter(F.col("jaccard") >= threshold)
+                )
+                pairs.write.mode("append").parquet(out_path)
+                bands_new.write.mode("append").parquet(bands_path)
+                sets_new.write.mode("append").parquet(sets_path)
+            finally:
+                bands_new.unpersist()
+        finally:
+            sets_new.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",
