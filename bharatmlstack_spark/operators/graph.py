@@ -125,11 +125,15 @@ def pagerank(
     distinct(src) UNION distinct(dst), and nodes WITHOUT in-edges — which
     a dst-side aggregate rebuild would silently drop after round 1, losing
     their downstream contributions — are re-unioned each round at their
-    (constant after round 1) teleport rank 150_000. That branch is a
-    once-computed persisted frame, so conservation costs a shuffle-free
-    unionAll per round, not a join; on symmetric graphs (the co-purchase
-    callers) it is empty. Dangling mass (nodes with no OUT-edges) is
-    dropped, not redistributed — the simplified-PageRank convention.
+    (constant after round 1) teleport rank 150_000. Seed and no-in-edge
+    sets both derive from ONE persisted endpoint aggregate (node,
+    has_in = max over a 0/1 endpoint flag) — one shuffle where the naive
+    form (distinct ∪ distinct for the seed, distinct + distinct +
+    anti-join for no_in) pays four. Conservation then costs a
+    shuffle-free unionAll of that persisted frame per round, not a join;
+    on symmetric graphs (the co-purchase callers) the no-in branch is
+    empty. Dangling mass (nodes with no OUT-edges) is dropped, not
+    redistributed — the simplified-PageRank convention.
     """
     from pyspark.sql import Window as W
 
@@ -140,21 +144,21 @@ def pagerank(
         .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
         .persist()
     )
-    # nodes with no in-edges: absent from every dst-side aggregate, rank
-    # fixed at the teleport term from round 1 on
-    no_in = defer_unpersist(
-        e.select(F.col("src").alias("node"))
-        .distinct()
-        .join(e.select(F.col("dst").alias("node")).distinct(), on="node", how="left_anti")
-        .select("node", F.lit(150_000).cast("bigint").alias("r"))
+    # one endpoint aggregate yields BOTH the seed universe and the
+    # no-in-edge set: has_in = 1 iff the node ever appears as a dst
+    nodes = defer_unpersist(
+        e.select(F.col("src").alias("node"), F.lit(0).alias("i"))
+        .unionAll(e.select(F.col("dst").alias("node"), F.lit(1).alias("i")))
+        .groupBy("node")
+        .agg(F.max("i").alias("has_in"))
         .persist()
     )
-    rank = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .select("node", F.lit(1_000_000).cast("bigint").alias("r"))
+    # nodes with no in-edges: absent from every dst-side aggregate, rank
+    # fixed at the teleport term from round 1 on
+    no_in = nodes.filter(F.col("has_in") == 0).select(
+        "node", F.lit(150_000).cast("bigint").alias("r")
     )
+    rank = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
 
     def step(r: DataFrame) -> DataFrame:
         contrib = e.join(r, e.src == r.node).select(

@@ -3534,16 +3534,26 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle over the edge list (edges and degrees persist once); the
     driver loop only STACKS plan iterations — no data returns to the
     driver."""
-    items = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # per-order part sets in ONE shuffle (collect_set folds the distinct
+    # into the aggregate), pairs expanded IN-ROW from the sorted array —
+    # the self-join form pays a distinct shuffle plus a two-sided join
+    # shuffle for the same pair multiset (order baskets are a few items,
+    # so the quadratic expansion is per-row tiny)
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
-    a, b = items.alias("a"), items.alias("b")
     strong = (
-        a.join(b, on="l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        baskets.select(
+            F.expr(
+                "inline(flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS pa, y AS pb)))))"
+            )
         )
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= 2)
         .select("pa", "pb")

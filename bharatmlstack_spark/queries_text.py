@@ -159,6 +159,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_minhash",
+    oracle=f"""
+WITH {CORPUS_SQL.strip()},
+{_SHINGLE_SQL.strip()}
+SELECT id_a, id_b,
+       ROUND(CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
+""",
+)
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection — the incremental form
+    of dedup_minhash_lsh (reference analog: skye's realtime indexer
+    consumers, skye/internal/consumers/handler/indexer/). The corpus
+    splits into 3 micro-batches, so every pair class exercises: pairs
+    INSIDE one batch (band self-join) and pairs SPANNING batches (the
+    later doc's bands probe the accumulated append-only band index, then
+    exact-Jaccard-verify against the accumulated shingle store). The
+    ENTIRE topic then replays under a fresh checkpoint — at-least-once
+    redelivery of every batch — which only re-emits already-found pairs;
+    the readout dedups on (id_a, id_b). Because banding collisions are
+    pairwise and deterministic, the deduped union of emissions equals
+    the one-shot batch LSH pair set, so the oracle is the SAME exact
+    shingle-Jaccard >= 0.8 set that checks the batch row (recall-1.0
+    claim included: a pair the stream never surfaced turns the row
+    red). See streaming/ingest.stream_neardup_minhash_sink."""
+    from bharatmlstack_spark.streaming.ingest import stream_neardup_minhash_sink
+
+    work = scratch_dir("bmls_neardup_")
+    topic = f"{work}/topic"
+    corpus(spark, sf_dir).repartition(3).write.parquet(topic)
+    schema = "doc_id bigint, text string, lang string"
+    for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_neardup_minhash_sink(
+            stream,
+            state_dir=f"{work}/state",
+            out_path=f"{work}/pairs",
+            checkpoint_dir=f"{work}/{replay}",
+            spark=spark,
+            id_col="doc_id",
+            text_col="text",
+            num_hashes=64,
+            bands=16,
+            shingle_n=3,
+            threshold=0.8,
+            trigger_once=True,
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{work}/pairs")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=f"""
 WITH {CORPUS_SQL.strip()},

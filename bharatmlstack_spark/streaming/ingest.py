@@ -732,15 +732,25 @@ def stream_neardup_minhash_sink(
     Because band_signatures is deterministic and banding collisions are
     pairwise (independent of WHEN each doc arrived), the union of all
     emissions equals the one-shot batch LSH pair set over the full
-    corpus — so the stream_dedup_minhash row can reuse the batch row's
-    exact-Jaccard oracle. At 100 TB: each batch pays one probe join of
-    (batch x bands) keys against the index — bucket/partition the index
-    by band_hash and the probe prunes to matching buckets; the index
-    grows by docs x bands longs per batch, never rewritten (contrast
-    CDC's in-place state: dedup state is append-only by nature).
-    Assumes each doc id arrives once (a corpus build, not a changelog);
-    re-delivered docs would re-emit their pairs — readers dedup pairs,
-    which the registered row's readout does."""
+    corpus — the registered ``stream_dedup_minhash`` row replays a
+    3-batch topic TWICE (full redelivery) and checks the deduped pair
+    readout against the batch row's exact-Jaccard oracle. At 100 TB:
+    each batch pays one probe join of (batch x bands) keys against the
+    index — bucket/partition the index by band_hash and the probe prunes
+    to matching buckets; the index grows by docs x bands longs per
+    batch, never rewritten (contrast CDC's in-place state: dedup state
+    is append-only by nature).
+
+    Crash/redelivery contract (all three state writes are appends, not
+    atomic together): SETS append before BANDS, so every doc the band
+    index can ever surface as a candidate is guaranteed a shingle set —
+    a crash between the two leaves sets without bands, and the
+    redelivered batch simply re-appends both. Re-delivery therefore
+    only DUPLICATES rows (pairs in the output, copies in sets/bands);
+    duplicated shingle sets yield byte-identical jaccard values, so a
+    reader deduping on (id_a, id_b) — which the registered row's
+    readout does — sees exactly the one-shot pair set. Assumes each doc
+    id arrives once (a corpus build, not a changelog)."""
     from bharatmlstack_spark.operators.dedup import (
         band_signatures,
         hashed_word_shingles,
@@ -808,8 +818,12 @@ def stream_neardup_minhash_sink(
                     .filter(F.col("jaccard") >= threshold)
                 )
                 pairs.write.mode("append").parquet(out_path)
-                bands_new.write.mode("append").parquet(bands_path)
+                # sets BEFORE bands: every doc reachable through the band
+                # index must have a shingle set for the verify join (a
+                # crash between the appends then redelivers the batch,
+                # which only duplicates rows — see docstring)
                 sets_new.write.mode("append").parquet(sets_path)
+                bands_new.write.mode("append").parquet(bands_path)
             finally:
                 bands_new.unpersist()
         finally:

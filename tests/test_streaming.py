@@ -557,3 +557,106 @@ def test_stream_cdc_sink_bootstrap_from_empty_snapshot(spark, tmp_path):
         spark.read.parquet(state).filter(F.col("__op") != "D").collect()
     }
     assert live == {(2, 222), (3, 333)}  # user 1 inserted then deleted
+
+
+def _neardup_docs():
+    """12-word base docs: an exact copy (J=1.0), a one-word-suffix near
+    copy (10 shared / 11 union 3-shingles -> J~0.91), and unrelated
+    text. Pairs expected at threshold 0.8: (1,2), (1,3), (2,3)."""
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    return [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                  # exact copy
+        {"doc_id": 3, "text": base + " today"},       # near copy
+        {"doc_id": 4, "text": "completely different words about spark shuffles and parquet files here"},
+    ]
+
+
+def _neardup_pairs(spark, out):
+    return {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out).dropDuplicates(["id_a", "id_b"]).collect()
+    }
+
+
+def test_stream_neardup_minhash_cross_batch(spark, tmp_path):
+    """Near-dup pairs spanning micro-batches are found when the LATER doc
+    arrives (probe of the accumulated band index), intra-batch pairs via
+    the band self-join, and the deduped union equals the one-shot batch
+    LSH pair set."""
+    from bharatmlstack_spark.operators.dedup import minhash_lsh_dedup_pairs
+    from bharatmlstack_spark.streaming.ingest import stream_neardup_minhash_sink
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "nd_src")
+    state, out = str(tmp_path / "nd_state"), str(tmp_path / "nd_out")
+    # batch 1: docs 1+4 (no pair); batch 2: docs 2+3 (intra pair 2-3,
+    # cross pairs 1-2 and 1-3 discovered on arrival)
+    _write_json_batch(src, [docs[0], docs[3]])
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_neardup_minhash_sink(
+        stream, state, out, str(tmp_path / "nd_ck"), spark,
+        id_col="doc_id", text_col="text", trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert _neardup_pairs(spark, out) == set()
+
+    _write_json_batch(src, [docs[1], docs[2]])
+    stream2 = spark.readStream.schema("doc_id long, text string").json(src)
+    q2 = stream_neardup_minhash_sink(
+        stream2, state, out, str(tmp_path / "nd_ck"), spark,
+        id_col="doc_id", text_col="text", trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    got = _neardup_pairs(spark, out)
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+    # one-shot batch pipeline over the same corpus == streamed union
+    full = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id long, text string"
+    )
+    batch = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup_pairs(
+            full, id_col="doc_id", text_col="text", threshold=0.8
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_stream_neardup_minhash_replay_and_partial_state(spark, tmp_path):
+    """At-least-once redelivery only DUPLICATES emissions (deduped readout
+    unchanged), and the sets-before-bands append order means the worst
+    crash state — sets appended, bands missing — recovers by replay
+    without wedging or losing pairs."""
+    import shutil
+
+    from bharatmlstack_spark.streaming.ingest import stream_neardup_minhash_sink
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "rp_src")
+    state, out = str(tmp_path / "rp_state"), str(tmp_path / "rp_out")
+    _write_json_batch(src, docs[:2])
+    _write_json_batch(src, docs[2:])
+
+    def run(ck):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = stream_neardup_minhash_sink(
+            stream, state, out, str(tmp_path / ck), spark,
+            id_col="doc_id", text_col="text", trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    run("rp_ck1")
+    assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
+
+    # full redelivery under a fresh checkpoint: re-emits, never invents
+    run("rp_ck2")
+    assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
+
+    # crash simulation: bands append never happened (sets write first, so
+    # this is the only possible partial state) -> the batch is uncommitted
+    # and redelivers; the stream must neither raise nor miss pairs
+    shutil.rmtree(f"{state}/bands")
+    run("rp_ck3")
+    assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
