@@ -4025,3 +4025,161 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("snapshot"))
         .alias("src"),
     )
+
+
+@query(
+    "stream_cdc_gc",
+    oracle="""
+WITH snap AS (
+  SELECT c_custkey AS user_id,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal
+  FROM customer
+),
+cdc AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(value * 1000, 0) AS BIGINT) AS bal
+  FROM events WHERE user_id % 2 = 1
+),
+latest AS (
+  SELECT user_id, op, bal FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+    FROM cdc
+  ) WHERE rn = 1
+)
+SELECT COALESCE(s.user_id, l.user_id) AS user_id,
+       CASE WHEN l.op IS NOT NULL THEN l.bal ELSE s.bal END AS bal,
+       CASE WHEN l.op IS NULL THEN 'snapshot' ELSE 'cdc' END AS src,
+       TRUE AS gc_ok
+FROM snap s FULL JOIN latest l ON s.user_id = l.user_id
+WHERE l.op IS NULL OR l.op <> 'D'
+""",
+)
+def stream_cdc_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC tombstone GC end to end — the step that keeps a year-long CDC
+    state from accreting dead tombstones (Scylla's gc_grace_seconds
+    semantics; the watermark soundness comes from the consumer's
+    commit-AFTER-apply ordering, online-feature-store/internal/consumer/
+    listeners/kafka.go:49-120 — Kafka redelivers only uncommitted
+    offsets, so no change at or below the committed watermark can ever
+    arrive again). Scenario:
+
+    1. replay the change topic through stream_cdc_sink (bucketed state);
+    2. GC at the exact MEDIAN tombstone sequence — compact_cdc_state
+       physically drops every delete tombstone with seq <= watermark
+       (about half), keeps the rest;
+    3. deliver a crafted STALE update (seq = tombstone seq - 1, still
+       above the watermark) for every surviving tombstoned key — each
+       must be rejected by the seq guard: an accepted one would
+       resurrect a deleted key and surface as an extra survivor row,
+       turning the hash red;
+    4. read out survivors + a plan-computed gc_ok flag: TRUE iff the GC
+       removed at least one tombstone AND no at-or-below-watermark
+       tombstone remains in the state.
+
+    Survivors are GC-invariant, so the oracle is the same one-shot
+    full-outer max-seq merge that checks cdc_apply/stream_cdc_apply,
+    with the flag as a constant TRUE column. See
+    streaming/ingest.compact_cdc_state."""
+    from bharatmlstack_spark.streaming.ingest import (
+        compact_cdc_state,
+        seed_cdc_state,
+        stream_cdc_sink,
+    )
+
+    snap = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.expr("CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)").alias("bal"),
+    )
+    changes = (
+        load_events_ms(spark, sf_dir)
+        .filter(F.col("user_id") % 2 == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            F.expr("CAST(ROUND(value * 1000, 0) AS BIGINT)").alias("bal"),
+        )
+    )
+    work = scratch_dir("bmls_cdcgc_")
+    topic, state = f"{work}/topic", f"{work}/state"
+    changes.repartition(3, "seq").write.parquet(topic)
+    seed_cdc_state(snap, state, key_cols=["user_id"], n_buckets=8)
+
+    schema = "user_id long, seq long, op string, bal long"
+
+    def deliver(topic_dir: str, ck: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic_dir)
+        )
+        q = stream_cdc_sink(
+            stream, state, f"{work}/{ck}", spark,
+            key_cols=["user_id"], seq_col="seq", op_col="op",
+            trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    deliver(topic, "ck_apply")
+
+    # committed watermark = exact median tombstone sequence: >=1 tombstone
+    # is at-or-below (the median IS an element) and, for n >= 2 distinct
+    # seqs, >=1 stays above — both GC branches exercise (two bounded
+    # actions on the tombstone-only slice, driver-side metadata)
+    tombs = spark.read.parquet(state).filter(F.col("__op") == "D")
+    n_tombs = tombs.count()
+    watermark = (
+        tombs.select("__last_seq")
+        .orderBy("__last_seq")
+        .limit(n_tombs // 2 + 1)
+        .orderBy(F.desc("__last_seq"))
+        .limit(1)
+        .collect()[0][0]
+    )
+    removed = compact_cdc_state(spark, state, watermark_seq=watermark)
+
+    # stale updates for every surviving tombstoned key: above the
+    # watermark (the delivery contract) but below the tombstone's seq —
+    # every one must bounce off the (key, __last_seq) guard
+    stale_topic = f"{work}/stale_topic"
+    (
+        spark.read.parquet(state)
+        .filter((F.col("__op") == "D") & (F.col("__last_seq") >= watermark + 2))
+        .select(
+            "user_id",
+            (F.col("__last_seq") - 1).alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(999_999_999).cast("long").alias("bal"),
+        )
+        .coalesce(1)
+        .write.parquet(stale_topic)
+    )
+    deliver(stale_topic, "ck_stale")
+
+    st = spark.read.parquet(state)
+    flag = (
+        st.agg(
+            F.sum(
+                F.when(
+                    (F.col("__op") == "D")
+                    & (F.col("__last_seq") <= F.lit(watermark)),
+                    1,
+                ).otherwise(0)
+            ).alias("__dead_left")
+        )
+        .select(
+            ((F.col("__dead_left") == 0) & F.lit(removed > 0)).alias("gc_ok")
+        )
+    )
+    return (
+        st.filter(F.col("__op") != "D")
+        .select(
+            "user_id",
+            "bal",
+            F.when(F.col("__last_seq").isNotNull(), F.lit("cdc"))
+            .otherwise(F.lit("snapshot"))
+            .alias("src"),
+        )
+        .crossJoin(F.broadcast(flag))
+    )

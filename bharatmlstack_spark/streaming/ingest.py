@@ -474,6 +474,42 @@ def cdc_state_n_buckets(spark: SparkSession, state_path: str) -> int | None:
     return int(meta["n_buckets"]) if meta and "n_buckets" in meta else None
 
 
+def _resolve_state_layout(
+    spark: SparkSession, state_path: str, state_cols: list[str]
+) -> int | None:
+    """Recorded bucket count, CONSISTENCY-CHECKED against the physical
+    layout. A bucket-partitioned state ('__kb' present) whose meta
+    sidecar is missing means the bootstrap conversion's full overwrite
+    (which deletes the sidecar) crashed before write_table_meta restored
+    it. Treating that state as flat would be silently wrong twice over:
+    every later batch would rewrite the FULL state (the O(touched
+    buckets) cost model lost for good) and would write '__kb' as a DATA
+    column conflicting with the partition dirs. Recover the count from
+    the staging copy's sidecar (written before the overwrite precisely
+    for this window) and re-record it; if the staging dir is gone too,
+    fail loudly — never degrade the layout."""
+    from bharatmlstack_spark.operators.feature_store import (
+        read_table_meta,
+        write_table_meta,
+    )
+
+    n_buckets = cdc_state_n_buckets(spark, state_path)
+    if n_buckets is not None or "__kb" not in state_cols:
+        return n_buckets
+    staged = read_table_meta(spark, state_path + "__staging")
+    if staged and "n_buckets" in staged:
+        n = int(staged["n_buckets"])
+        write_table_meta(spark, state_path, n)
+        return n
+    raise RuntimeError(
+        f"CDC state {state_path} is bucket-partitioned ('__kb' dirs) but "
+        "has no meta sidecar and no staging copy to recover it from — "
+        "refusing to silently flatten the layout. Repair: "
+        "write_table_meta(spark, state_path, <the n_buckets the state "
+        "was seeded with>)."
+    )
+
+
 def stream_cdc_sink(
     stream_df: DataFrame,
     state_path: str,
@@ -538,8 +574,8 @@ def stream_cdc_sink(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        n_buckets = cdc_state_n_buckets(spark, state_path)
         state = spark.read.parquet(state_path)
+        n_buckets = _resolve_state_layout(spark, state_path, state.columns)
         # an empty-seeded bucketed state is a flat zero-row bootstrap
         # file without the partition column (see seed_cdc_state)
         bootstrap = n_buckets is not None and "__kb" not in state.columns
@@ -592,6 +628,12 @@ def stream_cdc_sink(
                 .partitionBy("__kb")
                 .parquet(tmp)
             )
+            if bootstrap:
+                # the conversion's full overwrite below deletes the
+                # state's meta sidecar; the staging copy carries it
+                # across the crash window until write_table_meta
+                # restores it (_resolve_state_layout recovers from here)
+                write_table_meta(spark, tmp, n_buckets)
             writer = (
                 spark.read.parquet(tmp)
                 .repartition("__kb")
@@ -641,8 +683,8 @@ def compact_cdc_state(
     should be re-seeded, not compacted."""
     from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
 
-    n_buckets = cdc_state_n_buckets(spark, state_path)
     state = spark.read.parquet(state_path)
+    n_buckets = _resolve_state_layout(spark, state_path, state.columns)
     dead = (F.col("__op") == "D") & (F.col("__last_seq") <= F.lit(watermark_seq))
     if n_buckets is not None and "__kb" in state.columns:
         touched = sorted(

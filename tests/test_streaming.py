@@ -660,3 +660,55 @@ def test_stream_neardup_minhash_replay_and_partial_state(spark, tmp_path):
     shutil.rmtree(f"{state}/bands")
     run("rp_ck3")
     assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_stream_cdc_sink_meta_loss_recovers_or_fails_loudly(spark, tmp_path):
+    """Bootstrap-conversion crash window: the full overwrite deletes the
+    meta sidecar before write_table_meta restores it. A bucketed state
+    ('__kb' dirs) without a sidecar must recover the bucket count from
+    the staging copy when present, and refuse to run (never silently
+    flatten) when it is not."""
+    import os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        read_table_meta,
+        write_table_meta,
+    )
+    from bharatmlstack_spark.streaming.ingest import seed_cdc_state, stream_cdc_sink
+
+    schema = "user_id long, seq long, op string, bal long"
+    snap = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 10)], "user_id long, bal long"
+    )
+
+    def deliver(state, rows, topic, ck):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(topic))
+        stream = spark.readStream.schema(schema).parquet(str(topic))
+        q = stream_cdc_sink(
+            stream, state, str(ck), spark, key_cols=["user_id"], trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    # recovery path: meta gone, staging copy present
+    state = str(tmp_path / "ml_state")
+    seed_cdc_state(snap, state, key_cols=["user_id"], n_buckets=4)
+    deliver(state, [(1, 10, "U", 111)], tmp_path / "ml_t0", tmp_path / "ml_c0")
+    os.remove(os.path.join(state, TABLE_META_FILE))
+    os.makedirs(state + "__staging", exist_ok=True)
+    write_table_meta(spark, state + "__staging", 4)
+    deliver(state, [(2, 11, "U", 222)], tmp_path / "ml_t1", tmp_path / "ml_c1")
+    assert read_table_meta(spark, state)["n_buckets"] == 4  # re-recorded
+    got = {
+        (r["user_id"], r["bal"]) for r in
+        spark.read.parquet(state).filter(F.col("__last_seq").isNotNull()).collect()
+    }
+    assert got == {(1, 111), (2, 222)}  # both batches applied, layout kept
+
+    # fail-loud path: meta gone, no staging to recover from
+    state2 = str(tmp_path / "ml_state2")
+    seed_cdc_state(snap, state2, key_cols=["user_id"], n_buckets=4)
+    deliver(state2, [(1, 10, "U", 111)], tmp_path / "ml_t2", tmp_path / "ml_c2")
+    os.remove(os.path.join(state2, TABLE_META_FILE))
+    with pytest.raises(Exception, match="refusing to silently flatten"):
+        deliver(state2, [(2, 11, "U", 222)], tmp_path / "ml_t3", tmp_path / "ml_c3")
