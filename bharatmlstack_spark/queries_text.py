@@ -1051,7 +1051,7 @@ p{i} AS (
 ),
 c{i} AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM p{i} GROUP BY pair),
 b{i} AS (SELECT pair, cnt FROM c{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
-w{i} AS (SELECT w, {merge} AS s, n FROM {prev}, b{i})""")
+w{i} AS MATERIALIZED (SELECT w, {merge} AS s, n FROM {prev}, b{i})""")
     return f"""
 WITH w0 AS (
   SELECT w, regexp_replace(w, '(.)', ' \\1|', 'g') AS s, COUNT(*) AS n
@@ -1170,6 +1170,78 @@ def bpe_learn_until_vocab(
                 f"{target_vocab} after {max_merges} merges — corpus too "
                 "small for the target; lower target_vocab or raise max_merges"
             )
+
+
+def _bpe_until_oracle(target: int, kmax: int) -> str:
+    """Unrolled-CTE oracle that encodes the STOPPING RULE of
+    vocabulary-size-driven BPE training (checkpoint_every=1): unroll
+    ``kmax`` learn-and-apply rounds, compute the in-use vocabulary size
+    after each, pick kstar = the first round whose vocabulary reaches
+    ``target`` (>= 1: the loop always merges once before its first
+    check), and emit merges 1..kstar plus a step-0 vocabulary-size row.
+    If no unrolled round reaches the target the oracle yields zero rows
+    while the Spark side raises — both fail loudly, never quietly agree."""
+    bare = _BPE_ORACLE_BARE
+    merge = (
+        "replace(s, ' ' || split_part(pair, ' ', 1) || '| ' || split_part(pair, ' ', 2) || '|',"
+        " ' ' || split_part(pair, ' ', 1) || split_part(pair, ' ', 2) || '|')"
+    )
+    its, vocab_rows, merge_rows = [], [], []
+    vocab_rows.append(
+        f"SELECT 0 AS k, COUNT(DISTINCT tok) AS vn FROM (SELECT unnest({bare}) AS tok FROM w0)"
+    )
+    for i in range(1, kmax + 1):
+        prev = f"w{i-1}"
+        its.append(f"""
+p{i} AS (
+  SELECT unnest([b[i] || ' ' || b[i+1] FOR i IN generate_series(1, len(b)-1)]) AS pair, n
+  FROM (SELECT {bare} AS b, n FROM {prev})
+),
+c{i} AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM p{i} GROUP BY pair),
+b{i} AS (SELECT pair, cnt FROM c{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
+w{i} AS MATERIALIZED (SELECT w, {merge} AS s, n FROM {prev}, b{i})""")
+        vocab_rows.append(
+            f"SELECT {i} AS k, COUNT(DISTINCT tok) AS vn FROM (SELECT unnest({bare}) AS tok FROM w{i})"
+        )
+        merge_rows.append(
+            f"SELECT {i} AS step, replace(pair, ' ', '') AS token, cnt FROM b{i}"
+        )
+    return f"""
+WITH w0 AS MATERIALIZED (
+  SELECT w, regexp_replace(w, '(.)', ' \\1|', 'g') AS s, COUNT(*) AS n
+  FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+  GROUP BY 1
+),{",".join(its)},
+v AS ({" UNION ALL ".join(vocab_rows)}),
+kstar AS (SELECT MIN(k) AS k FROM v WHERE k >= 1 AND vn >= {target}),
+m AS ({" UNION ALL ".join(merge_rows)})
+SELECT m.step, m.token, m.cnt FROM m, kstar WHERE m.step <= kstar.k
+UNION ALL
+SELECT 0 AS step, '<vocab>' AS token, CAST(v.vn AS BIGINT) AS cnt
+FROM v, kstar WHERE v.k = kstar.k
+"""
+
+
+@query("bpe_learn_until_vocab", oracle=_bpe_until_oracle(target=30, kmax=8))
+def bpe_learn_until_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver attestation of the CONVERGENCE-mode BPE trainer's VALUES,
+    not just its plan shape (the k=3 bpe_vocab_learn row stays the
+    fixed-round anchor; tests/test_plans.py pins plan boundedness): train
+    until the in-use vocabulary reaches 30 tokens with a vocabulary check
+    after every merge (checkpoint_every=1), then emit each winning merge
+    (step, token, corpus count) plus a step-0 row carrying the final
+    vocabulary size. The oracle unrolls 8 learn-and-apply rounds in pure
+    SQL, recomputes the per-round vocabulary sizes, and selects the SAME
+    stopping round — so the merge sequence, every merge's count, the
+    round count, and the final vocabulary size are all value-checked
+    against an engine that never saw the loop."""
+    _, merges, vocab_n = bpe_learn_until_vocab(
+        spark, sf_dir, target_vocab=30, checkpoint_every=1, max_merges=8
+    )
+    rows = [(s, t, c) for (s, t, c) in merges] + [(0, "<vocab>", vocab_n)]
+    return spark.createDataFrame(rows, "step int, token string, cnt long")
 
 
 def _bpe_learn_words(
