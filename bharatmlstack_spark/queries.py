@@ -750,156 +750,86 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Round-7 window (first 50): the new streaming-CDC row, the 4 rows whose
-# VALUES or merge path changed this round (feature_hash_cross — id
-# reduced mod 2^20 before the Knuth multiply; cdc_apply — deterministic
-# tie order + broadcast_changes flag; dedup_minhash_lsh — single-shingle
-# -pass rewrite; bpe_vocab_learn — learn-loop refactor), and ALL 45
-# queries whose newest green is r04 (the 9 rows displaced from the r06
-# window plus the 36 r04-era greens) — exactly 50, which restores the
-# freshness contract: after this round no query's latest green is older
-# than r05. 51+: first the 16 rows whose implementation was touched this
-# round but whose driver-scale VALUES are provably identical (the
-# int64-safe hash rewrite equals the raw multiply for every id < 2^20 —
-# verified cell-exact vs DuckDB locally; plus the sets-reuse/pagerank
-# shape changes re-verified green locally), then the 46 rows whose last
-# green is r05 (round 8 MUST front-load these — they hit the 3-round
-# boundary), then the r06-attested remainder.
-# Round-8 rotation guidance: front-load (a) any NEW rows, (b) rows whose
-# values/oracle changed, then (c) the 46 r05-era greens (pii_redact ..
-# uint64_decimal_sum block below), filling to 50 with the touched-but-
-# value-identical block.
+# Round-8 window (first 50): the 3 NEW rows (stream_dedup_minhash — the
+# streaming near-dup sink's verification row; stream_cdc_gc — tombstone
+# GC + stale-rejection after GC; bpe_learn_until_vocab — convergence-mode
+# BPE values), pagerank_copurchase (edge build rewritten to basket
+# expansion + single-aggregate seed this round — values verified
+# cell-identical locally, re-attest at driver scale), and ALL 46 queries
+# whose newest green is r05 — exactly 50, which restores the freshness
+# contract: after this round no query's latest green is older than r06.
+# 51+: first stream_cdc_apply (its sink gained the meta-recovery guard
+# this round; values unchanged, re-verified green locally), then the
+# r06-attested block (they hit the 3-round boundary NEXT round — round 9
+# must front-load them), then the r07-attested remainder.
+# Round-9 rotation guidance: front-load (a) any NEW rows, (b) rows whose
+# values/oracle changed, then (c) the 46 r06-era greens (ann_ivf_dot ..
+# woe_binning block below), filling to 50 with touched-but-identical
+# rows.
 QUERY_PRIORITY: list[str] = [
-    # new this round (r07)
-    "stream_cdc_apply",
-    # values / merge path changed this round -- re-attest now
-    "feature_hash_cross",
-    "cdc_apply",
-    "dedup_minhash_lsh",
-    "bpe_vocab_learn",
-    # last green r04: rows displaced from the r06 window
-    "dedup_simhash",
-    "pq_ann_topk",
-    "last_write_wins",
-    "event_wire_roundtrip",
-    "events_retention_window",
-    "events_sessionize",
-    "events_interarrival",
-    "rolling_7d_user_value",
-    "asof_feature_join",
-    # last green r04: the r04-era block
-    "range_join_sessions",
-    "sketch_distinct_users",
-    "sketch_percentile_value",
-    "sketch_union_distinct",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "skye_stream_aggregate",
-    "stateful_topk_stream",
-    "incremental_dedup_stream",
-    "stream_attribution_join",
-    "incremental_materialize_orders",
-    "events_funnel",
-    "feature_drift_psi",
-    "table_profile",
-    "feature_stats",
-    "percentile_by_group",
-    "events_union_types",
-    "dedup_embedding_cosine",
-    "filter_candidates",
-    "knn_dot",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "events_merge_trim",
-    "cube_orders_status",
-    "distinct_users_by_type",
-    "events_value_histogram",
-    "min_cost_supplier",
-    "pairwise_inference",
-    "parts_never_ordered",
-    "props_json_extract",
-    "q18_large_orders",
-    "q5_region_revenue",
-    "rollup_lineitem",
-    "rpn_bool_compare",
-    "rpn_literal_div",
-    # ---- window boundary (driver verifies the first 50) ----
-    # touched this round, values identical at driver scale (re-verified
-    # cell-exact locally): the int64-safe hash family + operator shapes
+    # new this round (r08)
+    "stream_dedup_minhash",
+    "stream_cdc_gc",
+    "bpe_learn_until_vocab",
+    # implementation touched this round -- re-attest now
     "pagerank_copurchase",
-    "heavy_hitters_twopass",
-    "feature_delete_keys",
-    "bpe_tokenize_apply",
-    "contamination_check",
-    "corpus_mix_sample",
-    "negative_sampling",
-    "stratified_sample",
-    "train_test_split",
-    "feature_retrieve",
-    "feature_retrieve_composite",
-    "feature_retrieve_decoded",
-    "feature_retrieve_quantized",
-    "feature_missing_keys",
-    "feature_multi_store",
-    "stream_persist_retrieve",
-    # last green r05 (round-8 front-runners)
-    "pii_redact",
-    "span_dedup_exact",
-    "unigram_lm_quality",
-    "shard_manifest",
-    "corpus_filter_chain",
+    # last green r05: the r05-era block (hits the 3-round boundary)
     "bpe_merge_step",
     "cohort_retention",
-    "zorder_cells",
-    "stream_dedup_watermark",
-    "fuzzy_name_match",
     "copurchase_pairs",
-    "event_transition_matrix",
-    "user_week_density",
-    "key_skew_report",
-    "multimodal_decode_stats",
-    "multimodal_decode_image",
-    "salted_hot_key_agg",
-    "salted_dim_join",
-    "events_limit_clamp",
-    "multimodal_decode_rgb",
-    "multimodal_decode_audio_feature",
-    "request_validation_matrix",
-    "temporal_split",
-    "segment_intersect",
-    "slate_expansion",
-    "topk_orders",
+    "corpus_filter_chain",
+    "corpus_mix_sample",
     "doc_fingerprint",
     "dot_score_ids",
+    "event_transition_matrix",
+    "events_limit_clamp",
     "feature_schema_evolution",
+    "fuzzy_name_match",
     "grouping_sets_orders",
+    "key_skew_report",
     "key_string_join",
     "knn_euclidean",
     "lang_id_heuristic",
+    "multimodal_decode_audio_feature",
+    "multimodal_decode_image",
+    "multimodal_decode_rgb",
+    "multimodal_decode_stats",
     "norm_min_max",
     "norm_percentile_5_95",
     "pair_expansion",
     "percentile_rank",
+    "pii_redact",
     "pipeline_inference",
     "q3_shipping_priority",
     "quality_score",
+    "request_validation_matrix",
     "rpn_score",
+    "salted_dim_join",
+    "salted_hot_key_agg",
     "segment_except",
+    "segment_intersect",
+    "shard_manifest",
+    "slate_expansion",
+    "span_dedup_exact",
+    "stratified_sample",
+    "stream_dedup_watermark",
+    "temporal_split",
+    "topk_orders",
+    "train_test_split",
     "uint64_decimal_sum",
-    # last green r06
-    "multimodal_decode_png",
-    "time_decay_user_value",
-    "target_encode_loo",
-    "woe_binning",
-    "compact_small_files",
-    "value_zscore_outliers",
-    "scd2_dimension",
-    "bucketed_colocated_join",
-    "ann_lsh_dot",
+    "unigram_lm_quality",
+    "user_week_density",
+    "zorder_cells",
+    # ---- window boundary (driver verifies the first 50) ----
+    # touched this round, values identical (re-verified locally)
+    "stream_cdc_apply",
+    # last green r06 (round-9 front-runners)
     "ann_ivf_dot",
-    "order_stream_merge_trim",
-    "stream_weekly_watermark",
+    "ann_lsh_dot",
+    "bpe_tokenize_apply",
+    "bucketed_colocated_join",
+    "compact_small_files",
+    "contamination_check",
     "dedup_components",
     "dedup_survivors",
     "doc_chunks",
@@ -909,18 +839,86 @@ QUERY_PRIORITY: list[str] = [
     "events_batch_topn",
     "events_range_user",
     "events_weekly_buckets",
+    "feature_delete_keys",
+    "feature_missing_keys",
+    "feature_multi_store",
+    "feature_retrieve",
+    "feature_retrieve_composite",
+    "feature_retrieve_decoded",
+    "feature_retrieve_quantized",
     "get_embeddings_bulk",
+    "heavy_hitters_twopass",
     "inference_log_readback",
     "l2_normalized_embeddings",
     "materialize_user_features",
     "metadata_dim_join",
+    "multimodal_decode_png",
+    "negative_sampling",
     "ngram_topk",
+    "order_stream_merge_trim",
     "orders_priority_pivot",
     "q1_pricing_summary",
     "quantile_binning",
+    "scd2_dimension",
     "sequence_packing",
+    "stream_persist_retrieve",
+    "stream_weekly_watermark",
+    "target_encode_loo",
     "text_stats",
     "tfidf_top_terms",
+    "time_decay_user_value",
+    "value_zscore_outliers",
+    "woe_binning",
+    "asof_feature_join",
+    # last green r07
+    "bpe_vocab_learn",
+    "cdc_apply",
+    "cube_orders_status",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_users_by_type",
+    "event_wire_roundtrip",
+    "events_funnel",
+    "events_interarrival",
+    "events_merge_trim",
+    "events_retention_window",
+    "events_sessionize",
+    "events_union_types",
+    "events_value_histogram",
+    "feature_drift_psi",
+    "feature_hash_cross",
+    "feature_stats",
+    "filter_candidates",
+    "incremental_dedup_stream",
+    "incremental_materialize_orders",
+    "knn_dot",
+    "last_write_wins",
+    "min_cost_supplier",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "pairwise_inference",
+    "parts_never_ordered",
+    "percentile_by_group",
+    "pq_ann_topk",
+    "props_json_extract",
+    "q18_large_orders",
+    "q5_region_revenue",
+    "range_join_sessions",
+    "rolling_7d_user_value",
+    "rollup_lineitem",
+    "rpn_bool_compare",
+    "rpn_literal_div",
+    "sketch_distinct_users",
+    "sketch_percentile_value",
+    "sketch_union_distinct",
+    "skye_stream_aggregate",
+    "stateful_topk_stream",
+    "stream_attribution_join",
+    "table_profile",
 ]
 
 

@@ -69,6 +69,10 @@ QUERIES = [
     # the streaming CDC apply (topic replayed twice per run)
     "dedup_minhash_lsh",
     "stream_cdc_apply",
+    # round-8 additions: the streaming near-dup sink (3-batch topic x 2
+    # replays per run) and CDC tombstone GC (replay + compact + stale probe)
+    "stream_dedup_minhash",
+    "stream_cdc_gc",
 ]
 
 
