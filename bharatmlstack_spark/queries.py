@@ -750,16 +750,17 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Round-8 window (first 50): the 3 NEW rows (stream_dedup_minhash — the
+# Round-8 window (first 50): the 4 NEW rows (stream_dedup_minhash — the
 # streaming near-dup sink's verification row; stream_cdc_gc — tombstone
 # GC + stale-rejection after GC; bpe_learn_until_vocab — convergence-mode
-# BPE values), pagerank_copurchase (edge build rewritten to basket
-# expansion + single-aggregate seed this round — values verified
-# cell-identical locally, re-attest at driver scale), and ALL 46 queries
-# whose newest green is r05 — exactly 50, which restores the freshness
-# contract: after this round no query's latest green is older than r06.
-# 51+: first stream_cdc_apply (its sink gained the meta-recovery guard
-# this round; values unchanged, re-verified green locally), then the
+# BPE values; stream_ann_ivf_dot — stream-built IVF index search) and
+# ALL 46 queries whose newest green is r05 — exactly 50, which restores
+# the freshness contract: after this round no query's latest green is
+# older than r06. 51+: first the rows whose implementation was touched
+# this round but whose VALUES are verified identical locally
+# (pagerank_copurchase — basket-expansion edge build + single-aggregate
+# seed, cell-exact vs DuckDB at sf0.01; stream_cdc_apply — its sink
+# gained the meta-recovery guard, values unchanged), then the
 # r06-attested block (they hit the 3-round boundary NEXT round — round 9
 # must front-load them), then the r07-attested remainder.
 # Round-9 rotation guidance: front-load (a) any NEW rows, (b) rows whose
@@ -771,8 +772,7 @@ QUERY_PRIORITY: list[str] = [
     "stream_dedup_minhash",
     "stream_cdc_gc",
     "bpe_learn_until_vocab",
-    # implementation touched this round -- re-attest now
-    "pagerank_copurchase",
+    "stream_ann_ivf_dot",
     # last green r05: the r05-era block (hits the 3-round boundary)
     "bpe_merge_step",
     "cohort_retention",
@@ -822,6 +822,7 @@ QUERY_PRIORITY: list[str] = [
     "zorder_cells",
     # ---- window boundary (driver verifies the first 50) ----
     # touched this round, values identical (re-verified locally)
+    "pagerank_copurchase",
     "stream_cdc_apply",
     # last green r06 (round-9 front-runners)
     "ann_ivf_dot",

@@ -543,6 +543,61 @@ def ann_ivf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_ann_ivf_dot",
+    oracle=f"""
+{_KNN_EXACT_SQL.strip().replace("SELECT query_id, vec_id, score, rank FROM (",
+                                "SELECT query_id, vec_id, score, rank, TRUE AS recall_ok FROM (")}
+""",
+)
+def stream_ann_ivf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a STREAM-BUILT IVF index — the embedding sibling of
+    stream_dedup_minhash (reference analog: skye's realtime indexer
+    consumers feeding its ANN service). The coarse quantizer is fit once
+    at bootstrap, then the candidate vectors arrive as a 3-batch topic
+    that REPLAYS in full under a fresh checkpoint (at-least-once
+    redelivery); each batch is cell-assigned against the frozen
+    centroids and appended to a cell-partitioned index. Because
+    assignment is deterministic, the deduped streamed index equals the
+    one-shot batch index, so the nprobe=8 search returns exactly
+    ann_ivf_dot's candidates and the SAME exact-top-10 + recall>=0.7
+    oracle applies. See streaming/ingest.stream_ann_ivf_sink."""
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+    from bharatmlstack_spark.streaming.ingest import (
+        read_streamed_ivf_index,
+        stream_ann_ivf_sink,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5)
+    idx = IvfIndex(n_cells=16).fit(cands, sample_size=512, iters=3)
+
+    work = scratch_dir("bmls_ivfstream_")
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    cands.select("vec_id", "embedding").repartition(3).write.parquet(topic)
+    schema = "vec_id bigint, embedding array<float>"
+    for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_ann_ivf_sink(
+            stream, idx, index_path, f"{work}/{replay}", spark,
+            trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    indexed = read_streamed_ivf_index(spark, index_path, id_col="vec_id")
+    ann = idx.search(
+        indexed, queries_df, k=10, nprobe=8, metric="DOT"
+    ).select("query_id", "vec_id")
+    return _exact_knn_with_flag(emb, ann, "recall_ok", 0.7)
+
+
+@query(
     "pq_ann_topk",
     oracle=f"""
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

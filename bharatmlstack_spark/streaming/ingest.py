@@ -879,6 +879,59 @@ def stream_neardup_minhash_sink(
     return writer.start()
 
 
+def stream_ann_ivf_sink(
+    stream_df: DataFrame,
+    ivf,
+    index_path: str,
+    checkpoint_dir: str,
+    spark: SparkSession,
+    trigger_once: bool = False,
+):
+    """Streaming IVF embedding indexer — skye's realtime indexer
+    (skye/internal/consumers/handler/indexer/) as a foreachBatch sink,
+    completing the streaming-index pair (stream_neardup_minhash_sink is
+    the text sibling). The coarse quantizer (``ivf``: a FIT IvfIndex) is
+    FROZEN at bootstrap — the FAISS ingestion discipline: fit once on a
+    sample, then ingestion only ASSIGNS. Per micro-batch each vector is
+    assigned to its nearest-centroid cell (one Arrow-batched GEMM, see
+    IvfIndex._cell_col) and appended to a cell-partitioned parquet index;
+    a search's nprobe cells read only their partition dirs.
+
+    Append-only like the band index: never rewritten, grows by the batch
+    size. Assignment is deterministic for a frozen quantizer, so
+    at-least-once redelivery appends byte-identical (id, cell) rows —
+    readers dedup on the vector id (read_streamed_ivf_index) and see
+    exactly the batch-built index. Assumes each vector id arrives once
+    (corpus build; for an UPDATED embedding, route through the CDC sink
+    and rebuild the cell, or version the id)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            ivf.index(batch_df)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(index_path)
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_streamed_ivf_index(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The streamed index as a searchable frame: duplicate deliveries
+    collapse on the vector id (same frozen-quantizer assignment on every
+    delivery, so any copy is identical)."""
+    return spark.read.parquet(index_path).dropDuplicates([id_col])
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -712,3 +712,70 @@ def test_stream_cdc_sink_meta_loss_recovers_or_fails_loudly(spark, tmp_path):
     os.remove(os.path.join(state2, TABLE_META_FILE))
     with pytest.raises(Exception, match="refusing to silently flatten"):
         deliver(state2, [(2, 11, "U", 222)], tmp_path / "ml_t3", tmp_path / "ml_c3")
+
+
+def test_stream_ann_ivf_sink_matches_batch_index(spark, tmp_path):
+    """A stream-built IVF index (frozen quantizer, cell-assign + append
+    per batch) equals the one-shot batch index after id-dedup, survives
+    full redelivery, and search over it returns the batch search's
+    results."""
+    import numpy as np
+
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+    from bharatmlstack_spark.streaming.ingest import (
+        read_streamed_ivf_index,
+        stream_ann_ivf_sink,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    idx = IvfIndex(n_cells=4).fit(emb, sample_size=64, iters=3)
+
+    topic = str(tmp_path / "ivf_topic")
+    index_path = str(tmp_path / "ivf_index")
+    emb.repartition(3).write.parquet(topic)
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_ann_ivf_sink(
+            stream, idx, index_path, str(tmp_path / ck), spark, trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    run("ivf_ck1")
+    streamed = {
+        (r.vec_id, r.cell)
+        for r in read_streamed_ivf_index(spark, index_path).collect()
+    }
+    batch = {(r.vec_id, r.cell) for r in idx.index(emb).collect()}
+    assert streamed == batch
+
+    # full redelivery doubles the raw rows but not the deduped index
+    run("ivf_ck2")
+    assert spark.read.parquet(index_path).count() == 2 * len(batch)
+    streamed2 = {
+        (r.vec_id, r.cell)
+        for r in read_streamed_ivf_index(spark, index_path).collect()
+    }
+    assert streamed2 == batch
+
+    # search parity: streamed index answers == batch index answers
+    queries = spark.createDataFrame(
+        [(100, vecs[0][1])], "query_id long, query_embedding array<float>"
+    )
+    got = [
+        (r.query_id, r.vec_id)
+        for r in idx.search(
+            read_streamed_ivf_index(spark, index_path), queries, k=5, nprobe=2
+        ).collect()
+    ]
+    want = [
+        (r.query_id, r.vec_id)
+        for r in idx.search(idx.index(emb), queries, k=5, nprobe=2).collect()
+    ]
+    assert got == want and len(got) == 5
