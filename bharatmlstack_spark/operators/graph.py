@@ -154,10 +154,14 @@ def pagerank(
         .persist()
     )
     # nodes with no in-edges: absent from every dst-side aggregate, rank
-    # fixed at the teleport term from round 1 on
+    # fixed at the teleport term from round 1 on. On symmetric graphs
+    # (the co-purchase callers) the set is EMPTY — checked once against
+    # the persisted aggregate (one cheap action) so every round stays a
+    # pure join+agg instead of carrying a vacuous union branch
     no_in = nodes.filter(F.col("has_in") == 0).select(
         "node", F.lit(150_000).cast("bigint").alias("r")
     )
+    conserve = not no_in.isEmpty()
     rank = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
 
     def step(r: DataFrame) -> DataFrame:
@@ -167,7 +171,7 @@ def pagerank(
         agg = contrib.groupBy(F.col("dst").alias("node")).agg(
             (F.lit(150_000) + F.sum("c")).cast("bigint").alias("r")
         )
-        return agg.unionByName(no_in)
+        return agg.unionByName(no_in) if conserve else agg
 
     if until_delta is None:
         for _ in range(int(iters)):
