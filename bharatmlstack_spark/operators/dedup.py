@@ -423,24 +423,56 @@ def simhash(
     bits: int = 64,
 ) -> DataFrame:
     """64-bit SimHash: per-token xxhash64, each bit votes +1/-1 weighted by
-    term frequency; fingerprint bit b set iff the vote is positive."""
+    term frequency; fingerprint bit b set iff the vote is positive.
+
+    The +-1 vote for bit b is ``2*ones_b - n_tokens`` where ``ones_b``
+    counts tokens with bit b set, so only the ones-counts need
+    aggregating. Three 21-bit ones-counters are packed per 64-bit sum
+    (fields at shifts 0/21/42; a field saturates only past 2^21 tokens
+    per doc, guarded below), shrinking the aggregation to
+    ceil(bits/3)+1 longs with plain shift-and-mask expressions instead
+    of ``bits`` branchy when/otherwise sums."""
+    _FIELD = 21  # 3 packed counters per long; safe below 2**21 tokens/doc
+    n_packed = (bits + 2) // 3
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+
+    def packed(j: int) -> Column:
+        # bits 3j, 3j+1, 3j+2 of h -> 21-bit fields 0, 1, 2 of sum j
+        c = F.shiftrightunsigned("h", 3 * j).bitwiseAND(F.lit(1))
+        for k in (1, 2):
+            b = 3 * j + k
+            if b < bits:
+                c = c + F.shiftleft(
+                    F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("long"),
+                    _FIELD * k,
+                )
+        return c
+
     votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                # shiftrightunsigned avoids a 1<<63 literal (Java long overflow)
-                F.when(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(bits)
-        ]
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(packed(j)).alias(f"p{j}") for j in range(n_packed)],
     )
+    mask = F.lit((1 << _FIELD) - 1)
     fp = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
     for b in range(bits):
-        fp = fp + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
-    return votes.select("id", fp.alias("simhash"))
+        j, k = divmod(b, 3)
+        ones = F.shiftrightunsigned(f"p{j}", _FIELD * k).bitwiseAND(mask)
+        # vote = 2*ones - cnt; positive iff 2*ones > cnt
+        fp = fp + F.when(ones * 2 > F.col("__cnt"), F.shiftleft(one, b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    guard = F.assert_true(
+        F.col("__cnt") < F.lit(1 << _FIELD),
+        F.concat(
+            F.lit("simhash: document "),
+            F.col("id").cast("string"),
+            F.lit(f" exceeds {1 << _FIELD} tokens; packed vote counters would overflow"),
+        ),
+    )
+    return votes.select("id", F.when(guard.isNull(), fp).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -484,8 +516,10 @@ def simhash_near_pairs(
                 "hamming"
             ),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # popcount is row-local and cheap: filter BEFORE the pair-dedup
+        # shuffle so only surviving pairs are exchanged
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -162,3 +162,37 @@ def test_minhash_signature_matches_explode_form(docs):
     got = DD.minhash_signatures(docs, num_hashes=k).withColumnRenamed("signature", "got_sig")
     j = ref.join(got, on="id")
     assert j.filter(F.col("ref_sig") != F.col("got_sig")).count() == 0
+
+
+def test_simhash_packed_votes_match_unpacked_reference(docs):
+    """The packed-counter simhash (3x21-bit ones-counts per aggregate,
+    dedup.py) must be bit-identical to the textbook per-bit +-1 vote sum
+    it replaced — same tokens, same xxhash64, same tie rule (vote 0 ->
+    bit 0)."""
+    from pyspark.sql import functions as F
+
+    def reference(df, id_col="doc_id", text_col="text", bits=64):
+        toks = df.select(
+            F.col(id_col).alias("id"), F.explode(DD.tokenize(text_col)).alias("tok")
+        ).withColumn("h", F.xxhash64("tok"))
+        votes = toks.groupBy("id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) != 0, 1
+                    ).otherwise(-1)
+                ).alias(f"b{b}")
+                for b in range(bits)
+            ]
+        )
+        fp = F.lit(0).cast("long")
+        one = F.lit(1).cast("long")
+        for b in range(bits):
+            fp = fp + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        return votes.select("id", fp.alias("simhash"))
+
+    ref = {r["id"]: r["simhash"] for r in reference(docs).collect()}
+    got = {r["id"]: r["simhash"] for r in DD.simhash(docs, id_col="doc_id").collect()}
+    assert got == ref
