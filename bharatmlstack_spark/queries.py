@@ -824,6 +824,9 @@ QUERY_PRIORITY: list[str] = [
     # touched this round, values identical (re-verified locally)
     "pagerank_copurchase",
     "stream_cdc_apply",
+    # simhash vote packing (dedup.py): fingerprints pinned bit-identical
+    # by test_simhash_packed_votes_match_unpacked_reference + oracle pass
+    "dedup_simhash",
     # last green r06 (round-9 front-runners)
     "ann_ivf_dot",
     "ann_lsh_dot",
@@ -879,7 +882,6 @@ QUERY_PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "distinct_users_by_type",
     "event_wire_roundtrip",
     "events_funnel",
