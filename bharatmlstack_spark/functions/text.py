@@ -66,6 +66,36 @@ def quality_score(col: Column | str) -> Column:
     return (length_ok + low_punct + has_stop) / F.lit(3.0)
 
 
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (natural log) of the character distribution —
+    the cheap gibberish/binary-junk detector (near-zero entropy =
+    one-character spam, ~ln(95) = random bytes; natural text sits in
+    between). Pure array expressions, NO shuffle: the per-doc histogram
+    is built with array HOFs (O(len x distinct_chars) per row, distinct
+    chars bounded by the alphabet), so at 100 TB this is scan-bandwidth
+    map work like the other quality signals. NULL/empty text -> 0.0.
+
+    DuckDB twin: unnest chars -> per-char counts -> -SUM(p*ln(p)); or
+    entropy(ch) * ln(2) (DuckDB's entropy aggregate is log2-based)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cs = F.split(F.coalesce(c, F.lit("")), "")
+    # split('') yields a trailing '' element on non-empty input in
+    # neither engine when splitting by the empty pattern — Spark's
+    # split(x, '') returns exactly the characters; guard len anyway
+    n = F.length(F.coalesce(c, F.lit(""))).cast("double")
+    distinct = F.array_distinct(cs)
+    probs = F.transform(
+        distinct,
+        lambda d: F.size(F.filter(cs, lambda x: x == d)).cast("double") / n,
+    )
+    h = F.aggregate(
+        probs,
+        F.lit(0.0),
+        lambda acc, p: acc - p * F.log(p),
+    )
+    return F.when(n > 0, h).otherwise(F.lit(0.0))
+
+
 def _stopword_hits(ws: Column, stopwords: list[str]) -> Column:
     # NB: the HOF lambda must be single-parameter — a second (default) arg
     # makes pyspark pass the element INDEX into it.

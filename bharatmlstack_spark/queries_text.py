@@ -1356,3 +1356,125 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 registration candidates (NOT registered: the round-8 driver
+# window is exactly the 4 new rows + the 46 r05-era rotations, and a row
+# registered outside the verified window would count as never-verified).
+# Round 9: wrap each with @query(name, oracle=R9_ORACLES[name]) and
+# front-load the names in QUERY_PRIORITY (queries.py) — the r06-era
+# rotation leaves exactly 4 free slots. Verified today by the DuckDB-twin
+# pytest in tests/test_retrieval.py (same value comparison the driver
+# runs).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "table", "query", "join"]
+
+R9_ORACLES: dict[str, str] = {
+    "bm25_topk": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS w
+  FROM documents
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len(w)) AS avgdl FROM toks),
+t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+  FROM t WHERE term IN ('spark', 'table', 'query', 'join') GROUP BY doc_id, term
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score, CAST(rn AS INT) AS rank FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10
+""",
+    "bigram_pmi": r"""
+WITH ws AS (
+  SELECT string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+                THEN [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w) - 1)]
+                ELSE [] END) AS g
+  FROM ws
+),
+bcnt AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+         CAST(COUNT(*) AS DOUBLE) AS n_pair
+  FROM grams GROUP BY g
+),
+ucnt AS (
+  SELECT term AS w, CAST(COUNT(*) AS DOUBLE) AS n_w
+  FROM (SELECT unnest(w) AS term FROM ws) GROUP BY term
+),
+totals AS (
+  SELECT (SELECT SUM(n_pair) FROM bcnt) AS b, (SELECT SUM(n_w) FROM ucnt) AS u
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       ROUND(ln((n_pair / t.b) / ((u1.n_w / t.u) * (u2.n_w / t.u))), 6) AS pmi
+FROM bcnt
+JOIN ucnt u1 ON u1.w = bcnt.w1
+JOIN ucnt u2 ON u2.w = bcnt.w2
+CROSS JOIN totals t
+WHERE n_pair >= 5
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 50
+""",
+    "char_entropy_quality": r"""
+WITH cs AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
+  FROM documents
+),
+cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c FROM cs GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, SUM(c) AS n FROM cc GROUP BY doc_id)
+SELECT cc.doc_id, ROUND(-SUM((c / n) * ln(c / n)), 6) AS entropy
+FROM cc JOIN tot USING (doc_id)
+GROUP BY cc.doc_id
+""",
+}
+
+
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed query-term bag — lexical retrieval
+    for query-based corpus curation. The corpus never shuffles: only the
+    query terms' postings reach the tf aggregate; stats fold in as a
+    1-row broadcast; ranking is a heap top-k (operators/retrieval.py)."""
+    from bharatmlstack_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_topk(docs, _BM25_TERMS, k=10)
+    return out.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+def bigram_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-bigram collocations by PMI (count >= 5) — the
+    phrase-candidate miner feeding tokenizer/vocab construction. One
+    corpus bigram-count shuffle + vocabulary-sized unigram joins
+    (operators/retrieval.py)."""
+    from bharatmlstack_spark.operators.retrieval import collocation_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocation_pmi(docs, min_count=5, k=50)
+
+
+def char_entropy_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (natural
+    log) — the gibberish/binary-junk quality signal. Pure array HOFs,
+    zero shuffles: scan-bandwidth map work (functions/text.char_entropy)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.round(TX.char_entropy("text"), 6).alias("entropy")
+    )
