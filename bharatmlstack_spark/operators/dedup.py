@@ -605,3 +605,55 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.99,
+    n_cells: int = 16,
+    sample_size: int = 512,
+    iters: int = 3,
+) -> DataFrame:
+    """Cosine near-dup pairs via IVF cluster pruning — SemDeDup (Abbas
+    et al. 2023, arXiv:2303.09540): k-means the corpus, then compare
+    only WITHIN a cluster. The cluster-prune sibling of
+    embedding_near_dup_pairs_lsh (hyperplane banding); same output
+    contract, different candidate generator.
+
+    Work scales with sum(|cell|^2) instead of n^2 — at 100 TB pick
+    n_cells ~ n/10^4 so cells stay executor-sized; the self-join is an
+    equi-join on the cell id, so each cluster's comparisons are
+    partition-local. Identical vectors always land in the same cell
+    (deterministic nearest-centroid assignment), so EXACT duplicates
+    are never missed; a semantic pair straddling a cell boundary is the
+    method's documented recall trade (SemDeDup accepts it; LSH banding
+    is the alternative when boundary recall matters).
+
+    The quantizer fits on a driver-side deterministic sample
+    (IvfIndex.fit: hash-thresholded, seeded — no count() pre-pass) and
+    assignment is one Arrow-batched GEMM per partition.
+    """
+    from bharatmlstack_spark.functions.vector import cosine_similarity
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+
+    idx = IvfIndex(n_cells=n_cells, id_col=id_col, emb_col=emb_col).fit(
+        df, sample_size=sample_size, iters=iters
+    )
+    # both self-join branches read the assigned frame: persist so the
+    # assignment GEMM runs once (one int per vector on top of the input)
+    cells = defer_unpersist(idx.index(df).persist())
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"), "cell"
+    )
+    return (
+        a.join(b, on="cell")  # cluster-local equi-join, never all-pairs
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("emb_a", "emb_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

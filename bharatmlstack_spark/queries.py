@@ -763,14 +763,14 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # gained the meta-recovery guard, values unchanged), then the
 # r06-attested block (they hit the 3-round boundary NEXT round — round 9
 # must front-load them), then the r07-attested remainder.
-# Round-9 rotation guidance: front-load (a) any NEW rows — three are
+# Round-9 rotation guidance: front-load (a) any NEW rows — four are
 # already STAGED with verified DuckDB twins in queries_text.R9_ORACLES
-# (bm25_topk / bigram_pmi / char_entropy_quality: wrap each *_q function
-# with @query(name, oracle=R9_ORACLES[name]); tests/test_retrieval.py
-# runs the driver's exact comparison on them today), (b) rows whose
-# values/oracle changed, then (c) the 46 r06-era greens (ann_ivf_dot ..
-# woe_binning block below), filling to 50 with touched-but-identical
-# rows. 3 staged + 46 r06-era = 49: one slot spare.
+# (bm25_topk / bigram_pmi / char_entropy_quality / semantic_dedup_ivf:
+# wrap each *_q function with @query(name, oracle=R9_ORACLES[name]);
+# tests/test_retrieval.py runs the driver's exact comparison on them
+# today), (b) rows whose values/oracle changed, then (c) the 46 r06-era
+# greens (ann_ivf_dot .. woe_binning block below). 4 staged + 46
+# r06-era = exactly 50.
 QUERY_PRIORITY: list[str] = [
     # new this round (r08)
     "stream_dedup_minhash",

@@ -1478,3 +1478,48 @@ def char_entropy_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.round(TX.char_entropy("text"), 6).alias("entropy")
     )
+
+
+R9_ORACLES["semantic_dedup_ivf"] = """
+WITH ecorpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+  FROM ecorpus a CROSS JOIN ecorpus b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM pairs WHERE ROUND(cosine, 6) >= 0.99
+"""
+
+
+def semantic_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-pruned semantic dedup, arXiv:2303.09540): IVF
+    cells -> within-cell cosine >= 0.99, on the same injected-duplicate
+    corpus as dedup_embedding_cosine (its LSH-pruned sibling; the
+    brute-force cross join survives only as the DuckDB oracle).
+
+    Why an exact oracle can gate a cluster-pruned query on this corpus:
+    the only pairs at rounded cosine >= 0.99 are the injected EXACT
+    copies (vec_id % 50 == 0 duplicated at +10000), and identical
+    vectors always receive the same nearest-centroid cell — recall
+    exactly 1, no boundary-straddle miss. The random base embeddings
+    sit far below the threshold. Re-pin if the corpus generator
+    changes (tests/test_retrieval.py pins IVF == brute force today)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    out = DD.embedding_semantic_dedup_pairs(
+        e.unionAll(dup), id_col="vec_id", threshold=-2.0
+    )
+    return (
+        out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+    )

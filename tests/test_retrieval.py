@@ -109,3 +109,34 @@ def test_r9_oracles_emit_no_driver_unsafe_types(con):
             if "HUGEINT" in str(r[1]).upper() or "DECIMAL" in str(r[1]).upper()
         ]
         assert not bad, f"{name}: {bad}"
+
+
+def test_semantic_dedup_ivf_matches_staged_oracle(spark, con):
+    from bharatmlstack_spark.queries_text import semantic_dedup_ivf_q
+
+    out = semantic_dedup_ivf_q(spark, SF_DIR)
+    got = _rows(out)
+    ref = _oracle_rows(con, R9_ORACLES["semantic_dedup_ivf"], out.columns)
+    assert len(got) > 0  # vacuous-pass guard
+    assert got == ref
+
+
+def test_semantic_dedup_ivf_prunes_to_clusters(spark):
+    """The candidate generator must be cluster-local: within-cell pair
+    count strictly below the all-pairs count on a corpus the quantizer
+    actually splits (> 1 non-empty cell)."""
+    from bharatmlstack_spark.operators.dedup import embedding_semantic_dedup_pairs
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = e.count()
+    idx = IvfIndex(n_cells=8).fit(e, sample_size=256, iters=2)
+    cells = idx.index(e)
+    n_cells = cells.select("cell").distinct().count()
+    assert n_cells > 1
+    cand = embedding_semantic_dedup_pairs(
+        e, threshold=-2.0, n_cells=8, sample_size=256, iters=2
+    ).count()
+    assert cand < n * (n - 1) // 2

@@ -73,7 +73,27 @@ QUERIES = [
     # replays per run) and CDC tombstone GC (replay + compact + stale probe)
     "stream_dedup_minhash",
     "stream_cdc_gc",
+    # round-8b: the packed-vote SimHash + banded hamming join family
+    "dedup_simhash",
 ]
+
+# round-9 registration candidates (queries_text.R9_ORACLES): not in the
+# registry yet, timed from their staged *_q callables so the scale rows
+# exist BEFORE the driver rows land
+def _staged():
+    from bharatmlstack_spark.queries_text import (
+        bigram_pmi_q,
+        bm25_topk_q,
+        char_entropy_quality_q,
+        semantic_dedup_ivf_q,
+    )
+
+    return [
+        ("bm25_topk (staged r9)", bm25_topk_q),
+        ("bigram_pmi (staged r9)", bigram_pmi_q),
+        ("char_entropy_quality (staged r9)", char_entropy_quality_q),
+        ("semantic_dedup_ivf (staged r9)", semantic_dedup_ivf_q),
+    ]
 
 
 def build(spark, src: str, out: str) -> None:
@@ -102,10 +122,11 @@ def build(spark, src: str, out: str) -> None:
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = all_queries()
+    todo = [(n, qs[n]) for n in QUERIES] + _staged()
     out = {}
-    for name in QUERIES:
+    for name, fn in todo:
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        fn(spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
     return out
 
