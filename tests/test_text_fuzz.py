@@ -336,3 +336,55 @@ def test_heavy_hitters_numeric_column(spark):
     )
     got = {(r.value, r.cnt) for r in heavy_hitters(df, "k", 1, 5).collect()}
     assert got == {(7, 50), (8, 30)}  # 20% of 100 rows
+
+
+# ---------------------------------------------------------------------------
+# PPJoin prefix filtering is EXACT: fuzz vs a pure-Python jaccard reference
+# ---------------------------------------------------------------------------
+
+# tiny word alphabet -> dense shingle collisions; docs built by mutating a
+# base pool so near-duplicates (the interesting boundary cases) are common
+_jw = st.sampled_from(["aa", "bb", "cc", "dd"])
+_jdoc = st.lists(_jw, min_size=1, max_size=10).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(_jdoc, min_size=2, max_size=8),
+    st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+    st.integers(min_value=2, max_value=3),
+)
+def test_prefix_jaccard_exact_vs_python(spark, texts, threshold, n):
+    """ngram_jaccard_pairs_prefix (AllPairs/PPJoin: rarity prefix + length
+    + position filters, all ceil-boundary math) must emit EXACTLY the
+    pairs with set-Jaccard >= t — fuzzed against an independent Python
+    shingler, including an injected exact duplicate (jaccard == 1.0 sits
+    on every threshold boundary)."""
+    from bharatmlstack_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    texts = list(texts) + [texts[0]]  # exact dup of doc 0
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t: str):
+        ws = re.split(r"\s+", t.strip())
+        if len(ws) < n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    expect = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            inter = len(sets[a] & sets[b])
+            j = inter / len(sets[a] | sets[b])
+            if j >= threshold:
+                expect[(a, b)] = round(j, 9)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs_prefix(
+            df, id_col="doc_id", text_col="text", n=n, threshold=threshold
+        ).collect()
+    }
+    assert got == expect, (texts, threshold, n)
