@@ -388,3 +388,103 @@ def test_prefix_jaccard_exact_vs_python(spark, texts, threshold, n):
         ).collect()
     }
     assert got == expect, (texts, threshold, n)
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply vs a pure-Python changelog replay
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 6), st.integers(-100, 100), min_size=0, max_size=5),
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),  # key (some unseen by the snapshot)
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_cdc_apply_fuzz_matches_python_replay(spark, snap, ops):
+    """cdc_apply (split full-outer: broadcast left join + keys-only
+    anti-join) must equal a sequential Python replay: highest seq wins,
+    winning delete drops the key, unseen-key upserts insert, unseen-key
+    deletes no-op, untouched snapshot rows pass through."""
+    from bharatmlstack_spark.operators.incremental import cdc_apply
+
+    snapshot = spark.createDataFrame(
+        list(snap.items()) or [(None, None)], "k long, v long"
+    )
+    if not snap:
+        snapshot = snapshot.filter(F.col("k").isNotNull())
+    changes = spark.createDataFrame(
+        [(k, seq, op, v) for seq, (k, op, v) in enumerate(ops)],
+        "k long, seq long, op string, v long",
+    )
+
+    state = dict(snap)
+    touched = set()
+    for k, op, v in ops:  # list order == ascending unique seq
+        touched.add(k)
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    expect = {
+        (k, v, "cdc" if k in touched else "snapshot") for k, v in state.items()
+    }
+
+    for bc in (True, False):
+        got = {
+            (r["k"], r["v"], r["src"])
+            for r in cdc_apply(
+                snapshot, changes, key_cols=["k"], seq_col="seq",
+                broadcast_changes=bc,
+            ).collect()
+        }
+        assert got == expect, (snap, ops, bc)
+
+
+# ---------------------------------------------------------------------------
+# simhash banding pigeonhole completeness vs python popcount
+# ---------------------------------------------------------------------------
+
+_U64 = (1 << 64) - 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(-(1 << 63), (1 << 63) - 1), min_size=2, max_size=10),
+    st.lists(st.sets(st.integers(0, 63), min_size=0, max_size=3), min_size=1, max_size=5),
+)
+def test_simhash_banding_fuzz_matches_python_popcount(spark, base, flips):
+    """simhash_near_pairs must emit EXACTLY the pairs with hamming <= 3
+    (pigeonhole over 4x16-bit bands; arithmetic shiftright on negative
+    fingerprints is masked per band). Planted near-dups: each flip set
+    mutates <= 3 bits of a base fingerprint, so the generator produces
+    pairs on both sides of the cutoff."""
+    from bharatmlstack_spark.operators.dedup import simhash_near_pairs
+
+    fps = list(base)
+    for i, fl in enumerate(flips):
+        src = base[i % len(base)]
+        m = 0
+        for b in fl:
+            m |= 1 << b
+        fps.append(((src & _U64) ^ m) - (1 << 64) if ((src & _U64) ^ m) >= (1 << 63) else (src & _U64) ^ m)
+
+    df = spark.createDataFrame(list(enumerate(fps)), "id long, simhash long")
+    expect = set()
+    for a in range(len(fps)):
+        for b in range(a + 1, len(fps)):
+            h = bin((fps[a] ^ fps[b]) & _U64).count("1")
+            if h <= 3:
+                expect.add((a, b, h))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(df, max_hamming=3).collect()
+    }
+    assert got == expect, fps
