@@ -187,3 +187,72 @@ def test_streaming_event_protobuf_ingest(spark, tmp_path):
     assert len(rows) == 3  # per-week trim kept the newest 3
     assert sorted(r["event_id"] for r in rows) == [12, 13, 14]
     assert all(r["user_id"] == 7 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# wire-codec roundtrip fuzz (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_i64 = st.one_of(
+    st.integers(-(1 << 63), (1 << 63) - 1),
+    st.sampled_from([0, -1, 1, -(1 << 63), (1 << 63) - 1, 127, 128, -128]),
+)
+_u64 = st.one_of(
+    st.integers(0, (1 << 64) - 1),
+    st.sampled_from([0, 1, 127, 128, (1 << 64) - 1, (1 << 63)]),
+)
+_f64 = st.one_of(
+    st.floats(allow_nan=False, width=64),
+    st.sampled_from([0.0, -0.0, float("inf"), float("-inf"), 5e-324, 1.5]),
+)
+_values = st.fixed_dictionaries(
+    {},
+    optional={
+        "fp32_values": st.lists(_f64, max_size=4),
+        "fp64_values": st.lists(_f64, max_size=4),
+        "int32_values": st.lists(_i64, max_size=4),
+        "int64_values": st.lists(_i64, max_size=4),
+        "uint32_values": st.lists(_u64, max_size=4),
+        "uint64_values": st.lists(_u64, max_size=4),
+        "string_values": st.lists(st.text(max_size=8), max_size=3),
+        "bool_values": st.lists(st.booleans(), max_size=4),
+    },
+)
+
+
+def _norm(v: dict) -> dict:
+    out = {}
+    for k, vals in v.items():
+        if not vals:
+            continue  # encoder omits empty fields; decoder never emits them
+        if k in ("fp32_values", "fp64_values"):
+            out[k] = [struct.pack("<d", float(x)) for x in vals]
+        else:
+            out[k] = list(vals)
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(_values, _values)
+def test_values_codec_roundtrip_fuzz(v, inner):
+    """encode_values/decode_values must be a lossless pair across the full
+    int64/uint64 domain (varint two's-complement boundaries), double
+    bit-patterns (+-0.0, infinities, subnormals), unicode strings, bools,
+    and one level of Vector nesting."""
+    msg = dict(v)
+    if inner:
+        msg["vector"] = [inner]
+    got = pw.decode_values(pw.encode_values(msg))
+    assert _norm({k: x for k, x in got.items() if k != "vector"}) == _norm(
+        {k: x for k, x in msg.items() if k != "vector"}
+    )
+    want_vec = msg.get("vector") or []  # empty Values still encode an entry
+    got_vec = got.get("vector") or []
+    assert len(got_vec) == len(want_vec)
+    for g, w in zip(got_vec, want_vec):
+        assert _norm(g) == _norm(w)
