@@ -256,3 +256,51 @@ def test_values_codec_roundtrip_fuzz(v, inner):
     assert len(got_vec) == len(want_vec)
     for g, w in zip(got_vec, want_vec):
         assert _norm(g) == _norm(w)
+
+
+_evt_i32 = st.one_of(st.integers(-(1 << 31), (1 << 31) - 1), st.sampled_from([0, 1, -1]))
+_evt_row_click = st.fixed_dictionaries(
+    {},
+    optional={
+        "catalog_id": _evt_i32,
+        "product_id": _evt_i32,
+        "timestamp": _i64,
+        "metadata": st.text(max_size=8),
+    },
+)
+_evt_row_order = st.fixed_dictionaries(
+    {},
+    optional={
+        "catalog_id": _evt_i32,
+        "product_id": _evt_i32,
+        "sub_order_num": st.text(max_size=6),
+        "timestamp": _i64,
+        "metadata": st.text(max_size=8),
+    },
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(max_size=8),
+    st.lists(_evt_row_click, max_size=4),
+    st.lists(_evt_row_order, max_size=4),
+)
+def test_event_request_codec_roundtrip_fuzz(user_id, clicks, orders):
+    """encode/decode_event_request roundtrip under proto3 default
+    elision: zero ints and empty strings write no bytes and decode back
+    to the scalar defaults — the decoded row is always the FULL field
+    set with absent fields defaulted."""
+    for kind, rows, fields in (
+        ("click", clicks, pw.CLICK_DATA_FIELDS),
+        ("order", orders, pw.ORDER_DATA_FIELDS),
+    ):
+        wire = pw.encode_event_request(user_id, rows, kind)
+        got = pw.decode_event_request(wire, kind)
+        assert got["user_id"] == user_id
+        assert len(got["data"]) == len(rows)
+        for g, w in zip(got["data"], rows):
+            for _, (name, k) in fields.items():
+                default = "" if k == "string" else 0
+                want = w.get(name) or default
+                assert g[name] == want, (kind, name, w)
