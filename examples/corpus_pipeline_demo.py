@@ -129,6 +129,9 @@ def main() -> None:
         .orderBy("shard_id")
     )
     print(f"== 8. wrote {manifest.count()} content-addressed shards to {out} ==")
+    import shutil as _sh
+
+    _sh.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
     print("done.")
 
 

@@ -162,6 +162,7 @@ def main() -> None:
     import shutil as _sh
 
     _sh.rmtree(cdc_dir, ignore_errors=True)
+    _sh.rmtree(workdir, ignore_errors=True)
     print("done.")
 
 

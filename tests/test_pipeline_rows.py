@@ -430,7 +430,7 @@ def _run_dedup_stream(spark, work, topic, out):
     q.awaitTermination(300)
 
 
-def test_watermark_dedup_guarantee_envelope(spark):
+def test_watermark_dedup_guarantee_envelope(spark, tmp_path):
     """The operator's guarantee is dedup WITHIN the watermark delay:
     (a) a redelivery carrying its ORIGINAL (now-late) timestamp is
         watermark-dropped, so the sink stays exactly-once;
@@ -439,12 +439,10 @@ def test_watermark_dedup_guarantee_envelope(spark):
         the documented bound that keeps state finite on infinite
         streams. Both sides pinned so a Spark upgrade that moves either
         boundary fails loudly."""
-    import tempfile
-
     t2 = 7200 * 1000 + 1000  # 2h after the first event -> watermark = t2-1h
 
     # (a) original-ts redelivery: dropped as late
-    work = tempfile.mkdtemp(prefix="bmls_evict_a_")
+    work = str(tmp_path / "evict_a")
     topic, out = f"{work}/t", f"{work}/o"
     spark.createDataFrame(
         [(1, 1000), (2, t2)], "event_id long, ts_ms long"
@@ -458,7 +456,7 @@ def test_watermark_dedup_guarantee_envelope(spark):
     assert got == [(1, 1000), (2, t2)]
 
     # (b) fresh-ts redelivery after eviction: re-emitted
-    work = tempfile.mkdtemp(prefix="bmls_evict_b_")
+    work = str(tmp_path / "evict_b")
     topic, out = f"{work}/t", f"{work}/o"
     spark.createDataFrame(
         [(1, 1000), (2, t2)], "event_id long, ts_ms long"
