@@ -140,3 +140,27 @@ def test_semantic_dedup_ivf_prunes_to_clusters(spark):
         e, threshold=-2.0, n_cells=8, sample_size=256, iters=2
     ).count()
     assert cand < n * (n - 1) // 2
+
+
+def test_r9_candidates_hold_their_shuffle_budgets(spark):
+    """Same contract the registered rows carry in test_plans: the staged
+    rows enter round 9 with a pinned physical shape — a refactor that
+    adds an exchange or a cartesian product fails before registration."""
+    from bharatmlstack_spark.plans import explain_formatted, shuffle_count
+    from bharatmlstack_spark.queries_text import semantic_dedup_ivf_q
+
+    # pin the COLD plan shape: earlier tests' persisted sub-frames would
+    # otherwise swap InMemoryRelations into these plans and shift the
+    # exchange count with test order
+    spark.catalog.clearCache()
+    budgets = {
+        "bm25_topk": (bm25_topk_q, 4),      # tf agg + df agg + doc agg + top-k
+        "bigram_pmi": (bigram_pmi_q, 4),    # unigram agg + bigram agg + join + rank
+        "char_entropy_quality": (char_entropy_quality_q, 0),  # pure scan map
+        "semantic_dedup_ivf": (semantic_dedup_ivf_q, 0),      # cell-local self-join
+    }
+    for name, (fn, budget) in budgets.items():
+        df = fn(spark, SF_DIR)
+        plan = explain_formatted(df)
+        assert shuffle_count(df) <= budget, (name, shuffle_count(df))
+        assert "Cartesian" not in plan, name
