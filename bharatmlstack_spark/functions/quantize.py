@@ -38,7 +38,8 @@ from pyspark.sql.functions import pandas_udf
 
 def fp16_roundtrip_np(x: np.ndarray) -> np.ndarray:
     """float32/64 -> fp16 -> float32 (IEEE half, numpy-native)."""
-    return x.astype(np.float16).astype(np.float32)
+    with np.errstate(over="ignore"):  # overflow -> fp16 inf is the intent
+        return x.astype(np.float16).astype(np.float32)
 
 
 def fp8e5m2_roundtrip_np(x: np.ndarray) -> np.ndarray:
