@@ -771,6 +771,16 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # today), (b) rows whose values/oracle changed, then (c) the 46 r06-era
 # greens (ann_ivf_dot .. woe_binning block below). 4 staged + 46
 # r06-era = exactly 50.
+# SATURATION NOTE (round 10+): once the 4 staged rows register, the
+# registry holds 150 queries — exactly the 50-row window x 3-round
+# freshness budget. The steady-state rotation is then forced: r10 = the
+# 50 r07-era greens, r11 = the 50 r08-era, r12 = the 50 r09-era, and so
+# on. There is ZERO slack for further registrations: a 151st row would
+# push some query past the 3-round boundary permanently. New operators
+# beyond 150 must either (a) replace a retired redundant row
+# one-for-one, or (b) ship in the staged tier (DuckDB-twin pytest that
+# replicates the driver comparison, like test_retrieval.py) and say so
+# honestly — do NOT register them.
 QUERY_PRIORITY: list[str] = [
     # new this round (r08)
     "stream_dedup_minhash",
