@@ -488,3 +488,65 @@ def test_simhash_banding_fuzz_matches_python_popcount(spark, base, flips):
         for r in simhash_near_pairs(df, max_hamming=3).collect()
     }
     assert got == expect, fps
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs a pure-Python point-in-time lookup
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # labels: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=12
+    ),
+    st.sets(  # features: unique (key, ts) -- equal-ts feature rows are the
+        # operator's documented ambiguity, deduped by callers
+        st.tuples(st.integers(0, 3), st.integers(0, 40)), max_size=16
+    ),
+    st.data(),
+    st.sampled_from([None, 5, 15]),
+)
+def test_asof_join_fuzz_matches_python_lookup(spark, labels, fkeys, data, tol):
+    """as_of_join (union + ordered window forward-fill, per-column
+    staleness) vs per-label Python: newest NON-NULL feature at ts<=label
+    ts, inclusive at equality, independently per column, absent when
+    older than the tolerance lookback."""
+    from bharatmlstack_spark.operators.asof import as_of_join
+
+    feats = [
+        (k, ts, data.draw(st.one_of(st.none(), st.integers(-50, 50))),
+         data.draw(st.one_of(st.none(), st.integers(-50, 50))))
+        for k, ts in sorted(fkeys)
+    ]
+    lab_rows = [(i, k, ts) for i, (k, ts) in enumerate(labels)]
+    ldf = spark.createDataFrame(lab_rows, "lid long, k long, lts long")
+    fdf = spark.createDataFrame(
+        feats or [(None, None, None, None)], "k long, fts long, a long, b long"
+    )
+    if not feats:
+        fdf = fdf.filter(F.col("k").isNotNull())
+
+    def ref(k, lts, col):
+        best = None
+        for fk, fts, a, b in feats:
+            v = a if col == "a" else b
+            if fk == k and fts <= lts and v is not None:
+                if best is None or fts > best[0]:
+                    best = (fts, v)
+        if best is None:
+            return None
+        if tol is not None and best[0] < lts - tol:
+            return None
+        return best[1]
+
+    out = as_of_join(
+        ldf, fdf, on=["k"], label_ts="lts", feature_ts="fts",
+        feature_cols=["a", "b"], tolerance_ms=tol,
+    )
+    got = {r["lid"]: (r["a"], r["b"]) for r in out.collect()}
+    assert len(got) == len(lab_rows)  # label count preserved
+    for lid, k, lts in lab_rows:
+        assert got[lid] == (ref(k, lts, "a"), ref(k, lts, "b")), (
+            lid, k, lts, feats, tol,
+        )
