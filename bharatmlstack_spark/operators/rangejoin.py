@@ -51,11 +51,17 @@ def range_join(
         return joined.drop("__bucket")
     if how == "left":
         matched = joined.drop("__bucket")
-        missing = points.join(
-            matched.select(*points.columns).dropDuplicates(points.columns),
-            on=points.columns,
-            how="left_anti",
+        # NULL-SAFE anti-join: plain `on=columns` equality never matches a
+        # NULL cell, so a matched point carrying a NULL column would also
+        # re-emerge here as a spurious unmatched row
+        p, m = points.alias("__p"), (
+            matched.select(*points.columns).dropDuplicates(points.columns).alias("__m")
         )
+        cond = None
+        for c in points.columns:
+            eq = F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
+            cond = eq if cond is None else cond & eq
+        missing = p.join(m, on=cond, how="left_anti")
         for c in intervals.columns:
             if c not in missing.columns:
                 missing = missing.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))

@@ -108,3 +108,22 @@ def test_range_join_left(spark):
     out = range_join(pts, ivals, "ts", "s", "e", on=["k"], bucket_width=100, how="left")
     got = {r["pid"]: r["iid"] for r in out.collect()}
     assert got == {1: 10, 2: None}
+
+
+def test_range_join_left_null_point_column(spark):
+    """Regression: a matched point carrying a NULL column must not also
+    re-emerge as a spurious unmatched row (the anti-join is null-safe)."""
+    from bharatmlstack_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 100, None), (2, 5000, "x")], "pid long, ts long, tag string"
+    )
+    iv = spark.createDataFrame([(10, 50, 150)], "iid long, s long, e long")
+    out = range_join(
+        pts, iv, point_ts="ts", start_col="s", end_col="e",
+        on=[], bucket_width=1000, how="left",
+    ).collect()
+    assert len(out) == 2
+    by_pid = {r["pid"]: r for r in out}
+    assert by_pid[1]["iid"] == 10 and by_pid[1]["tag"] is None
+    assert by_pid[2]["iid"] is None

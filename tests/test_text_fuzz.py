@@ -550,3 +550,52 @@ def test_asof_join_fuzz_matches_python_lookup(spark, labels, fkeys, data, tol):
         assert got[lid] == (ref(k, lts, "a"), ref(k, lts, "b")), (
             lid, k, lts, feats, tol,
         )
+
+
+# ---------------------------------------------------------------------------
+# bucketized range join vs the naive O(n*m) Python join
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(  # points: (pid implicit, key, ts) — ts spans negatives to
+        # exercise the trunc-vs-floor bucketing (monotone, so still exact)
+        st.tuples(st.integers(0, 2), st.integers(-5000, 5000)),
+        min_size=1, max_size=10,
+    ),
+    st.lists(  # intervals: (key, start, length)
+        st.tuples(st.integers(0, 2), st.integers(-5000, 5000), st.integers(0, 4000)),
+        min_size=0, max_size=8,
+    ),
+    st.sampled_from([1, 700, 1000, 5000]),
+    st.sampled_from(["inner", "left"]),
+)
+def test_range_join_fuzz_matches_naive(spark, pts, ivs, width, how):
+    from bharatmlstack_spark.operators.rangejoin import range_join
+
+    prows = [(i, k, ts) for i, (k, ts) in enumerate(pts)]
+    irows = [(j, k, s, s + ln) for j, (k, s, ln) in enumerate(ivs)]
+    pdf = spark.createDataFrame(prows, "pid long, k long, ts long")
+    idf = spark.createDataFrame(
+        irows or [(None, None, None, None)], "iid long, k long, s long, e long"
+    )
+    if not irows:
+        idf = idf.filter(F.col("iid").isNotNull())
+
+    expect = set()
+    for pid, pk, ts in prows:
+        hit = False
+        for iid, ik, s, e in irows:
+            if pk == ik and s <= ts <= e:
+                expect.add((pid, iid))
+                hit = True
+        if how == "left" and not hit:
+            expect.add((pid, None))
+
+    out = range_join(
+        pdf, idf, point_ts="ts", start_col="s", end_col="e",
+        on=["k"], bucket_width=width, how=how,
+    )
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == expect, (pts, ivs, width, how)
