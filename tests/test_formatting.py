@@ -66,3 +66,47 @@ def test_taste_domain_matches_decimal_trim():
         if k == 0:
             s = "0"
         assert go_format_float(np.float32(k / 1000.0), 32) == s, k
+
+
+# ---------------------------------------------------------------------------
+# round-trip + shortest-ness properties over random floats (pure Python)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bharatmlstack_spark.functions.formatting import go_format_float
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(width=32, allow_nan=False, allow_infinity=False))
+def test_go_format_float32_roundtrips(v):
+    """Go 'g'/-1 semantics: the string must parse back to the EXACT same
+    float32 (shortest round-trip), and dropping its last digit must NOT
+    (i.e. it really is minimal), for every finite float32."""
+    s = go_format_float(v, bits=32)
+    assert np.float32(float(s)) == np.float32(v) or (
+        np.float32(v) == 0 and s in ("0", "-0")
+    )
+    # strip one significant digit and require the round-trip to break
+    # (skip single-digit mantissas — nothing left to drop)
+    digits = "".join(c for c in s.split("e")[0] if c.isdigit())
+    if len(digits) > 1 and np.float32(v) != 0:
+        if "e" in s:
+            m, e = s.split("e")
+            shorter = m[:-1].rstrip(".") + "e" + e
+        else:
+            shorter = s[:-1].rstrip(".")
+        try:
+            ok = np.float32(float(shorter)) != np.float32(v)
+        except ValueError:
+            ok = True  # truncation produced an unparseable string
+        assert ok, (v, s, shorter)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(width=64, allow_nan=False, allow_infinity=False))
+def test_go_format_float64_roundtrips(v):
+    s = go_format_float(v, bits=64)
+    assert float(s) == v or (v == 0 and s in ("0", "-0"))
