@@ -196,3 +196,9 @@ def test_simhash_packed_votes_match_unpacked_reference(docs):
     ref = {r["id"]: r["simhash"] for r in reference(docs).collect()}
     got = {r["id"]: r["simhash"] for r in DD.simhash(docs, id_col="doc_id").collect()}
     assert got == ref
+
+
+def test_exact_dedup_keep_max(docs):
+    out = DD.exact_dedup(docs, on=["text"], id_col="doc_id", keep="max")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [2, 3, 101, 102]  # 1 collapsed into its copy 101
