@@ -191,3 +191,28 @@ def test_ivf_fit_deterministic_across_partitionings(spark, emb):
     c1 = IvfIndex(n_cells=8).fit(cands.repartition(1), sample_size=64, iters=2).centroids
     c2 = IvfIndex(n_cells=8).fit(cands.repartition(13, "vec_id"), sample_size=64, iters=2).centroids
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_ivf_full_probe_euclidean_equals_exact(spark, emb, queries):
+    """nprobe == n_cells probes every cell, so the EUCLIDEAN search (the
+    ascending-order branch: smaller distance = better) must equal exact
+    KNN pair-for-pair — covers the metric branch the DOT rows never hit."""
+    cands = emb.filter(F.col("vec_id") >= 3).withColumnRenamed("vec_id", "candidate_id")
+    vs = VectorSearch(id_col="candidate_id")
+    truth = {
+        (r["query_id"], r["candidate_id"])
+        for r in vs.knn(cands, queries, k=10, metric="EUCLIDEAN").collect()
+    }
+    ivf_c = emb.filter(F.col("vec_id") >= 3)
+    idx = IvfIndex(n_cells=4).fit(ivf_c, sample_size=128, iters=2)
+    got = idx.search(idx.index(ivf_c), queries, k=10, nprobe=4, metric="EUCLIDEAN")
+    rows = got.collect()
+    found = {(r["query_id"], r["vec_id"]) for r in rows}
+    assert found == truth
+    # per query, scores (distances) must come back ascending by rank
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["score"]))
+    for q, rs in by_q.items():
+        scores = [s for _, s in sorted(rs)]
+        assert scores == sorted(scores), (q, scores)
