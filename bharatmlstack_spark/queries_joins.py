@@ -1905,10 +1905,7 @@ def events_retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwrite-on-wrap, batch form) against a fixed now."""
     import datetime as dt
 
-    from bharatmlstack_spark.operators.event_store import EventStore
-
     ev = load_events_ms(spark, sf_dir).select("event_id", "user_id", "ts_ms")
-    store = EventStore(ts_col="ts_ms")
     now_ms = int(dt.datetime(2024, 1, 20, tzinfo=dt.timezone.utc).timestamp() * 1000)
     cutoff = now_ms - 24 * 7 * 24 * 3600 * 1000
     return ev.filter(F.col("ts_ms") >= cutoff)

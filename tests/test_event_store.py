@@ -154,3 +154,19 @@ def test_merge_trim_tiebreak_deterministic(spark):
             for r in store.merge_trim(df.repartition(4)).collect()
         )
         assert kept == [7, 9]
+
+
+def test_retention_filter_24_week_cutoff(store, spark):
+    """SS3 predicate form: rows older than 24 weeks before `now` drop,
+    rows at or inside the boundary survive (inclusive >=)."""
+    now = datetime(2024, 1, 20, tzinfo=timezone.utc)
+    cutoff = now.timestamp() - 24 * 7 * 24 * 3600
+    rows = [
+        (1, datetime.fromtimestamp(cutoff - 1, tz=timezone.utc)),        # just outside
+        (2, datetime.fromtimestamp(cutoff, tz=timezone.utc)),            # exactly on
+        (3, datetime.fromtimestamp(cutoff + 3600, tz=timezone.utc)),     # inside
+        (4, now),                                                        # now itself
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = store.retention_filter(df, F.lit(now.replace(tzinfo=None)).cast("timestamp"))
+    assert sorted(r["event_id"] for r in out.collect()) == [2, 3, 4]
