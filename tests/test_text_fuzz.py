@@ -599,3 +599,77 @@ def test_range_join_fuzz_matches_naive(spark, pts, ivs, width, how):
     )
     got = {(r["pid"], r["iid"]) for r in out.collect()}
     assert got == expect, (pts, ivs, width, how)
+
+
+# ---------------------------------------------------------------------------
+# chunking + packing vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="ab", min_size=1, max_size=2), min_size=0, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 8),
+    st.integers(1, 8),
+)
+def test_chunk_documents_fuzz_matches_python(spark, texts, window, stride):
+    """chunk_documents' ceil-based chunk count and 1-based slice offsets
+    vs Python slicing: exact chunk text, index, and word counts — incl.
+    empty docs (one ''-chunk) and the short final chunk."""
+    from bharatmlstack_spark.operators.chunking import chunk_documents
+
+    if stride > window:
+        window, stride = stride, window
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, window=window, stride=stride)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_words"])
+        for r in out.collect()
+    }
+
+    expect = {}
+    for i, t in rows:
+        wsr = re.split(r"\s+", t.strip())
+        n = len(wsr)
+        n_chunks = 1 + -(-max(n - window, 0) // stride)
+        for c in range(n_chunks):
+            piece = wsr[c * stride : c * stride + window]
+            expect[(i, c)] = (" ".join(piece), len(piece) if piece else 1)
+    # n_words of an empty slice: split('') -> [''] -> size 1 (matches the
+    # Spark re-split of the empty chunk_text)
+    assert got == expect, (texts, window, stride)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.sets(st.integers(0, 40), min_size=1, max_size=16),
+    st.data(),
+    st.integers(1, 20),
+    st.integers(1, 4),
+)
+def test_pack_sequences_fuzz_matches_python(spark, ids, data, budget, n_shards):
+    """pack_sequences' sharded running cumsum vs Python: bin index and
+    tokens_before per doc, for arbitrary token lengths (> budget too)."""
+    from bharatmlstack_spark.operators.chunking import pack_sequences
+
+    rows = [(i, data.draw(st.integers(1, 30))) for i in sorted(ids)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=budget, n_shards=n_shards)
+    got = {
+        r["doc_id"]: (r["shard"], r["bin"], r["tokens_before"])
+        for r in out.collect()
+    }
+
+    expect = {}
+    shards = {}
+    for i, tok in rows:  # already id-ascending
+        s = i % n_shards
+        before = shards.get(s, 0)
+        expect[i] = (s, before // budget, before)
+        shards[s] = before + tok
+    assert got == expect, (rows, budget, n_shards)
