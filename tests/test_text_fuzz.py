@@ -673,3 +673,54 @@ def test_pack_sequences_fuzz_matches_python(spark, ids, data, budget, n_shards):
         expect[i] = (s, before // budget, before)
         shards[s] = before + tok
     assert got == expect, (rows, budget, n_shards)
+
+
+# ---------------------------------------------------------------------------
+# ISO-week ring math vs Python isocalendar (year boundaries, week 53)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1999, 12, 20),
+            max_value=__import__("datetime").datetime(2030, 1, 12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_week_index_and_start_fuzz_match_python(spark, dts):
+    """week_index (ISO week-of-year % 24) vs datetime.isocalendar, and
+    week_start (date_trunc week) vs the Monday of the ISO week — across
+    year boundaries and ISO week-53 years (1998/2004/2009/2015/2020/2026),
+    where weekofyear conventions classically diverge."""
+    import datetime as dt
+
+    from bharatmlstack_spark.operators.event_store import week_index, week_start
+
+    # pin the boundary dates hypothesis might not draw
+    dts = list(dts) + [
+        dt.datetime(2020, 12, 31, 23, 59, 59),  # ISO week 53 of 2020
+        dt.datetime(2021, 1, 1),                # still ISO week 53 of 2020
+        dt.datetime(2016, 1, 3),                # ISO week 53 of 2015
+        dt.datetime(2024, 12, 30),              # ISO week 1 of 2025
+        dt.datetime(2000, 1, 1),                # ISO week 52 of 1999
+    ]
+    rows = [(i, d) for i, d in enumerate(dts)]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    out = {
+        r["i"]: (r["wi"], r["ws"])
+        for r in df.select(
+            "i",
+            week_index(F.col("ts")).alias("wi"),
+            week_start(F.col("ts")).alias("ws"),
+        ).collect()
+    }
+    for i, d in rows:
+        iso_week = d.isocalendar()[1]
+        monday = dt.datetime.combine(
+            (d.date() - dt.timedelta(days=d.weekday())), dt.time()
+        )
+        assert out[i] == (iso_week % 24, monday), (d, out[i], iso_week, monday)
