@@ -1,0 +1,111 @@
+"""End-to-end demo: a corpus arriving as a STREAM -> live dedup + ANN index.
+
+The streaming half of the corpus toolkit (reference analog: skye's
+realtime indexer consumers, skye/internal/consumers/handler/indexer/):
+documents arrive in micro-batches and the pipeline maintains, incrementally,
+
+  1. an exact-duplicate filter (fingerprint state, anti-join per batch)
+  2. a NEAR-duplicate pair log (MinHash-LSH: append-only band index,
+     each batch probes the accumulated index, exact-Jaccard verified)
+  3. a searchable IVF ANN index over the embedding stream (frozen coarse
+     quantizer, cell-partitioned appends) — queried at the end
+
+All three are append-only or bucket-scoped: a batch pays for ITS data,
+never a corpus rewrite — the property that matters when the corpus is
+100 TB and the stream never stops. Deterministic under at-least-once
+redelivery (the demo replays the whole topic a second time to prove it).
+
+    python examples/streaming_index_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark import get_spark
+from bharatmlstack_spark.operators.lsh import IvfIndex
+from bharatmlstack_spark.streaming.ingest import (
+    read_streamed_ivf_index,
+    stream_ann_ivf_sink,
+    stream_dedup_sink,
+    stream_neardup_minhash_sink,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("streaming-index-demo")
+    work = tempfile.mkdtemp(prefix="stream_demo_")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # simulate a topic: 3 parquet files consumed one per micro-batch
+    topic = f"{work}/topic"
+    docs.unionAll(docs.limit(20)).repartition(3).write.parquet(topic)  # 20 dup deliveries
+    doc_schema = "doc_id bigint, text string"
+
+    def topic_stream():
+        return (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+
+    # 1. exact-dup filter: fingerprint state, batch anti-joins the past
+    print("== 1. streaming exact dedup (fingerprint state) ==")
+    q = stream_dedup_sink(
+        topic_stream(), f"{work}/exact_state", f"{work}/exact_out",
+        f"{work}/ck_exact", spark, id_col="doc_id", content_col="text",
+        trigger_once=True,
+    )
+    q.awaitTermination(300)
+    kept = spark.read.parquet(f"{work}/exact_out")
+    print(f"unique docs kept: {kept.count()} of {docs.count() + 20} delivered")
+
+    # 2. near-dup pairs: append-only band index, probe per batch, replay
+    print("== 2. streaming near-dup (MinHash-LSH band index), with a full replay ==")
+    for ck in ("ck_near1", "ck_near2"):  # second pass: full redelivery
+        q = stream_neardup_minhash_sink(
+            topic_stream(), f"{work}/near_state", f"{work}/near_pairs",
+            f"{work}/{ck}", spark, id_col="doc_id", text_col="text",
+            threshold=0.8, trigger_once=True,
+        )
+        q.awaitTermination(300)
+    pairs = spark.read.parquet(f"{work}/near_pairs").dropDuplicates(["id_a", "id_b"])
+    print(f"near-dup pairs (jaccard >= 0.8), deduped after replay: {pairs.count()}")
+
+    # 3. streamed IVF index over embeddings; search it at the end
+    print("== 3. stream-built IVF ANN index ==")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cands = emb.filter(F.col("vec_id") >= 5)
+    ivf = IvfIndex(n_cells=8).fit(cands, sample_size=256, iters=2)  # frozen quantizer
+    etopic = f"{work}/etopic"
+    cands.select("vec_id", "embedding").repartition(3).write.parquet(etopic)
+    estream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(etopic)
+    )
+    q = stream_ann_ivf_sink(estream, ivf, f"{work}/ivf_index", f"{work}/ck_ivf", spark,
+                            trigger_once=True)
+    q.awaitTermination(300)
+    index = read_streamed_ivf_index(spark, f"{work}/ivf_index", id_col="vec_id")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    hits = ivf.search(index, queries, k=5, nprobe=4, metric="DOT")
+    print("top-5 neighbors per query from the streamed index:")
+    hits.orderBy("query_id", "rank").show()
+
+    shutil.rmtree(work, ignore_errors=True)
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,3 +31,10 @@ def test_feature_pipeline_demo(spark, monkeypatch, capsys):
 def test_tokenizer_demo(spark, monkeypatch, capsys):
     out = _run("tokenizer_demo", spark, monkeypatch, capsys)
     assert "chars/token" in out
+
+
+def test_streaming_index_demo(spark, monkeypatch, capsys):
+    out = _run("streaming_index_demo", spark, monkeypatch, capsys)
+    assert "unique docs kept: 500 of 520" in out
+    assert "deduped after replay" in out
+    assert "stream-built IVF" in out
