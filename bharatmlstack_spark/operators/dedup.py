@@ -305,7 +305,12 @@ def band_signatures(
     equal slices, each hashed to one long — the LSH bucket keys. Pure
     map-side; shared by the batch pipeline (self-join) and the streaming
     index (append + probe), so both produce IDENTICAL candidate sets for
-    the same corpus regardless of batching."""
+    the same corpus regardless of batching.
+
+    Signature length must be divisible by ``bands``: the slice width is
+    ``len // bands``, so a remainder would leave the trailing signature
+    slots out of every band (quietly weakening recall). Every caller
+    here uses 64 hashes with 16 bands."""
     sig_len_expr = F.size(F.col(sig_col))
     return signatures.select(
         F.col(id_col).alias("id"),
