@@ -11,6 +11,7 @@ import re
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bharatmlstack_spark.functions import text as TX
@@ -724,3 +725,43 @@ def test_week_index_and_start_fuzz_match_python(spark, dts):
             (d.date() - dt.timedelta(days=d.weekday())), dt.time()
         )
         assert out[i] == (iso_week % 24, monday), (d, out[i], iso_week, monday)
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization vs a sequential Python replay
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(  # (user, ts) with deliberate ts collisions (small domain)
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(1, 40),
+)
+def test_sessionize_fuzz_matches_python(spark, evs, gap):
+    """lag + running-sum sessionization vs Python: per user, events sorted
+    by (ts, event_id), a session break wherever the gap exceeds the
+    threshold — equal-timestamp events (the tiebreak path) always share a
+    session."""
+    rows = [(i, u, ts) for i, (u, ts) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_ms long")
+
+    w_ord = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    brk = F.col("ts_ms") - F.lag("ts_ms").over(w_ord)
+    is_new = F.when(brk.isNull() | (brk > gap), 1).otherwise(0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.withColumn("sid", F.sum(is_new).over(w_run))
+    got = {r["event_id"]: r["sid"] for r in out.collect()}
+
+    expect = {}
+    by_user = {}
+    for i, u, ts in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        last, sid = by_user.get(u, (None, 0))
+        if last is None or ts - last > gap:
+            sid += 1
+        by_user[u] = (ts, sid)
+        expect[i] = sid
+    assert got == expect, (evs, gap)
