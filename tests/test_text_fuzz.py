@@ -765,3 +765,34 @@ def test_sessionize_fuzz_matches_python(spark, evs, gap):
         by_user[u] = (ts, sid)
         expect[i] = sid
     assert got == expect, (evs, gap)
+
+
+# ---------------------------------------------------------------------------
+# exact percentile interpolation vs numpy linear
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=1, max_size=5),
+)
+def test_percentile_interpolation_matches_numpy_linear(spark, values, probs):
+    """F.percentile (the exact kernel behind A4/W3 and the profile
+    suite) implements the same linear interpolation as
+    numpy.percentile(method='linear') / DuckDB percentile_cont — pinned
+    on arbitrary values and probabilities, not just fixture data."""
+    import numpy as np
+
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    got = df.agg(
+        F.percentile(F.col("v"), F.array(*[F.lit(p) for p in probs])).alias("ps")
+    ).collect()[0]["ps"]
+    want = np.percentile(np.array(values, dtype=np.float64), [p * 100 for p in probs],
+                         method="linear")
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12, abs=1e-9), (values, probs)
