@@ -755,6 +755,7 @@ def stream_neardup_minhash_sink(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    state_buckets: int = 16,
     trigger_once: bool = False,
 ):
     """Streaming NEAR-duplicate detection: MinHash-LSH with an
@@ -776,12 +777,24 @@ def stream_neardup_minhash_sink(
     emissions equals the one-shot batch LSH pair set over the full
     corpus — the registered ``stream_dedup_minhash`` row replays a
     3-batch topic TWICE (full redelivery) and checks the deduped pair
-    readout against the batch row's exact-Jaccard oracle. At 100 TB:
-    each batch pays one probe join of (batch x bands) keys against the
-    index — bucket/partition the index by band_hash and the probe prunes
-    to matching buckets; the index grows by docs x bands longs per
-    batch, never rewritten (contrast CDC's in-place state: dedup state
-    is append-only by nature).
+    readout against the batch row's exact-Jaccard oracle.
+
+    100 TB cost model — both state stores are HASH-BUCKET PARTITIONED
+    (``state_buckets`` dirs, the FeatureStore/CDC layout pattern), so a
+    micro-batch reads O(its own buckets), never the full state:
+
+    - band index: partitioned on pmod(band_hash, buckets). The probe
+      collects the batch's ≤ ``state_buckets`` distinct band buckets
+      driver-side and partition-prunes the stored index to those dirs —
+      sound because a colliding pair shares band_hash, hence bucket.
+    - shingle store: partitioned on pmod(xxhash64(id), buckets). The
+      exact-Jaccard verify prunes to the buckets of the CANDIDATE ids
+      (both derivations use the same expression as the writer).
+
+    The index grows by docs x bands longs per batch, never rewritten
+    (contrast CDC's in-place state: dedup state is append-only by
+    nature). A pre-bucketing state (no ``__kb`` partition column) is
+    read unpruned — correctness never depends on the layout.
 
     Crash/redelivery contract (all three state writes are appends, not
     atomic together): SETS append before BANDS, so every doc the band
@@ -802,16 +815,26 @@ def stream_neardup_minhash_sink(
     bands_path = f"{state_dir}/bands"
     sets_path = f"{state_dir}/sets"
 
+    def _set_bucket(c) -> Column:
+        # the ONE derivation shared by the sets writer and the verify
+        # probe — they must agree or pruning would drop true sets
+        return F.pmod(F.xxhash64(c), F.lit(state_buckets))
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sets_new = batch_df.select(
             F.col(id_col).alias("id"),
             hashed_word_shingles(text_col, shingle_n).alias("sh"),
+            _set_bucket(F.col(id_col)).alias("__kb"),
         ).persist()
         try:
             sigs = minhash_signatures_from_hashes(sets_new, "id", "sh", num_hashes)
-            bands_new = band_signatures(sigs, bands).persist()
+            bands_new = (
+                band_signatures(sigs, bands)
+                .withColumn("__kb", F.pmod("band_hash", F.lit(state_buckets)))
+                .persist()
+            )
             try:
                 a, b = bands_new.alias("a"), bands_new.alias("b")
                 intra = (
@@ -824,10 +847,19 @@ def stream_neardup_minhash_sink(
                 cands = intra
                 have_state = hadoop_path_exists(spark, bands_path)
                 if have_state:
-                    old = spark.read.parquet(bands_path).alias("o")
+                    # partition-prune the stored index to the batch's band
+                    # buckets (<= state_buckets values, driver metadata) —
+                    # a colliding pair shares band_hash, hence bucket
+                    old = spark.read.parquet(bands_path)
+                    if "__kb" in old.columns:
+                        probe_kb = [
+                            r[0]
+                            for r in bands_new.select("__kb").distinct().collect()
+                        ]
+                        old = old.filter(F.col("__kb").isin(probe_kb))
                     cross = (
                         bands_new.alias("n")
-                        .join(old, on=["band_idx", "band_hash"])
+                        .join(old.alias("o"), on=["band_idx", "band_hash"])
                         .filter(F.col("n.id") != F.col("o.id"))
                         .select(
                             F.least("n.id", "o.id").alias("id_a"),
@@ -835,11 +867,37 @@ def stream_neardup_minhash_sink(
                         )
                     )
                     cands = cands.unionByName(cross)
-                cands = cands.dropDuplicates(["id_a", "id_b"])
+                # both consumers (bucket collect + verify join) reuse the
+                # computed candidate set instead of re-running the probe
+                cands = cands.dropDuplicates(["id_a", "id_b"]).persist()
 
-                sets_all = sets_new
+                # __kb drops before the union: a read-back partition column
+                # comes back as INT while the in-memory one is BIGINT, and
+                # the verify join never needs it
+                sets_all = sets_new.drop("__kb")
                 if have_state:
-                    sets_all = sets_all.unionByName(spark.read.parquet(sets_path))
+                    # prune the shingle store to the CANDIDATE ids' buckets
+                    stored = spark.read.parquet(sets_path)
+                    if "__kb" in stored.columns:
+                        need_kb = [
+                            r[0]
+                            for r in cands.select(
+                                F.explode(
+                                    F.array(
+                                        _set_bucket(F.col("id_a")),
+                                        _set_bucket(F.col("id_b")),
+                                    )
+                                ).alias("kb")
+                            )
+                            .distinct()
+                            .collect()
+                        ]
+                        stored = (
+                            stored.filter(F.col("__kb").isin(need_kb))
+                            if need_kb
+                            else stored.limit(0)
+                        )
+                    sets_all = sets_all.unionByName(stored.drop("__kb"))
                 sa = sets_all.select(
                     F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
                 )
@@ -859,13 +917,26 @@ def stream_neardup_minhash_sink(
                     )
                     .filter(F.col("jaccard") >= threshold)
                 )
-                pairs.write.mode("append").parquet(out_path)
+                try:
+                    pairs.write.mode("append").parquet(out_path)
+                finally:
+                    cands.unpersist()
                 # sets BEFORE bands: every doc reachable through the band
                 # index must have a shingle set for the verify join (a
                 # crash between the appends then redelivers the batch,
                 # which only duplicates rows — see docstring)
-                sets_new.write.mode("append").parquet(sets_path)
-                bands_new.write.mode("append").parquet(bands_path)
+                (
+                    sets_new.repartition("__kb")
+                    .write.mode("append")
+                    .partitionBy("__kb")
+                    .parquet(sets_path)
+                )
+                (
+                    bands_new.repartition("__kb")
+                    .write.mode("append")
+                    .partitionBy("__kb")
+                    .parquet(bands_path)
+                )
             finally:
                 bands_new.unpersist()
         finally:
