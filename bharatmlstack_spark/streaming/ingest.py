@@ -755,7 +755,7 @@ def stream_neardup_minhash_sink(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.8,
-    state_buckets: int = 16,
+    state_buckets: int | None = None,
     trigger_once: bool = False,
 ):
     """Streaming NEAR-duplicate detection: MinHash-LSH with an
@@ -779,22 +779,31 @@ def stream_neardup_minhash_sink(
     3-batch topic TWICE (full redelivery) and checks the deduped pair
     readout against the batch row's exact-Jaccard oracle.
 
-    100 TB cost model — both state stores are HASH-BUCKET PARTITIONED
-    (``state_buckets`` dirs, the FeatureStore/CDC layout pattern), so a
-    micro-batch reads O(its own buckets), never the full state:
+    100 TB cost model: the index grows by docs x bands longs per batch,
+    never rewritten (contrast CDC's in-place state: dedup state is
+    append-only by nature). ``state_buckets`` opts into HASH-BUCKET
+    PARTITIONED state (the FeatureStore/CDC layout pattern) so a
+    micro-batch partition-prunes instead of scanning the full state:
 
-    - band index: partitioned on pmod(band_hash, buckets). The probe
-      collects the batch's ≤ ``state_buckets`` distinct band buckets
-      driver-side and partition-prunes the stored index to those dirs —
+    - band index: partitioned on pmod(band_hash, buckets); the probe
+      collects the batch's distinct band buckets driver-side (bounded
+      by ``state_buckets``) and prunes the stored index to those dirs —
       sound because a colliding pair shares band_hash, hence bucket.
-    - shingle store: partitioned on pmod(xxhash64(id), buckets). The
-      exact-Jaccard verify prunes to the buckets of the CANDIDATE ids
-      (both derivations use the same expression as the writer).
+    - shingle store: partitioned on pmod(xxhash64(id), buckets); the
+      exact-Jaccard verify prunes to the CANDIDATE ids' buckets (the
+      same derivation expression as the writer).
 
-    The index grows by docs x bands longs per batch, never rewritten
-    (contrast CDC's in-place state: dedup state is append-only by
-    nature). A pre-bucketing state (no ``__kb`` partition column) is
-    read unpruned — correctness never depends on the layout.
+    Pruning bites only in the production regime — batch ≪ accumulated
+    state with buckets sized so a batch touches a small fraction (e.g.
+    10^4-doc batches into a 10^9-doc index at 4096 buckets). At
+    harness scales every batch touches every bucket, so the default is
+    the FLAT layout (measured faster there: partitioned appends +
+    per-batch bucket collects cost more than the unprunable scans they
+    replace — see SCALE.md's 10x rows). Set ``state_buckets`` when the
+    batch-to-index ratio is real; a flat pre-existing state (no
+    ``__kb`` partition column) is read unpruned either way —
+    correctness never depends on the layout
+    (tests/test_streaming.py pins bucketed == flat pair sets).
 
     Crash/redelivery contract (all three state writes are appends, not
     atomic together): SETS append before BANDS, so every doc the band
@@ -815,10 +824,18 @@ def stream_neardup_minhash_sink(
     bands_path = f"{state_dir}/bands"
     sets_path = f"{state_dir}/sets"
 
+    bucketed = state_buckets is not None
+
     def _set_bucket(c) -> Column:
         # the ONE derivation shared by the sets writer and the verify
         # probe — they must agree or pruning would drop true sets
         return F.pmod(F.xxhash64(c), F.lit(state_buckets))
+
+    def _write_state(df: DataFrame, path: str) -> None:
+        if bucketed:
+            df.repartition("__kb").write.mode("append").partitionBy("__kb").parquet(path)
+        else:
+            df.write.mode("append").parquet(path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -826,15 +843,16 @@ def stream_neardup_minhash_sink(
         sets_new = batch_df.select(
             F.col(id_col).alias("id"),
             hashed_word_shingles(text_col, shingle_n).alias("sh"),
-            _set_bucket(F.col(id_col)).alias("__kb"),
+            *([_set_bucket(F.col(id_col)).alias("__kb")] if bucketed else []),
         ).persist()
         try:
             sigs = minhash_signatures_from_hashes(sets_new, "id", "sh", num_hashes)
-            bands_new = (
-                band_signatures(sigs, bands)
-                .withColumn("__kb", F.pmod("band_hash", F.lit(state_buckets)))
-                .persist()
-            )
+            bands_new = band_signatures(sigs, bands)
+            if bucketed:
+                bands_new = bands_new.withColumn(
+                    "__kb", F.pmod("band_hash", F.lit(state_buckets))
+                )
+            bands_new = bands_new.persist()
             try:
                 a, b = bands_new.alias("a"), bands_new.alias("b")
                 intra = (
@@ -847,11 +865,12 @@ def stream_neardup_minhash_sink(
                 cands = intra
                 have_state = hadoop_path_exists(spark, bands_path)
                 if have_state:
-                    # partition-prune the stored index to the batch's band
-                    # buckets (<= state_buckets values, driver metadata) —
-                    # a colliding pair shares band_hash, hence bucket
+                    # bucketed mode: partition-prune the stored index to
+                    # the batch's band buckets (<= state_buckets values,
+                    # driver metadata) — a colliding pair shares
+                    # band_hash, hence bucket
                     old = spark.read.parquet(bands_path)
-                    if "__kb" in old.columns:
+                    if bucketed and "__kb" in old.columns:
                         probe_kb = [
                             r[0]
                             for r in bands_new.select("__kb").distinct().collect()
@@ -867,18 +886,20 @@ def stream_neardup_minhash_sink(
                         )
                     )
                     cands = cands.unionByName(cross)
-                # both consumers (bucket collect + verify join) reuse the
-                # computed candidate set instead of re-running the probe
-                cands = cands.dropDuplicates(["id_a", "id_b"]).persist()
+                cands = cands.dropDuplicates(["id_a", "id_b"])
+                if bucketed:
+                    # both consumers (bucket collect + verify join) reuse
+                    # the computed candidate set instead of re-probing
+                    cands = cands.persist()
 
                 # __kb drops before the union: a read-back partition column
                 # comes back as INT while the in-memory one is BIGINT, and
                 # the verify join never needs it
-                sets_all = sets_new.drop("__kb")
+                sets_all = sets_new.drop("__kb") if bucketed else sets_new
                 if have_state:
-                    # prune the shingle store to the CANDIDATE ids' buckets
                     stored = spark.read.parquet(sets_path)
-                    if "__kb" in stored.columns:
+                    if bucketed and "__kb" in stored.columns:
+                        # prune the shingle store to the CANDIDATE buckets
                         need_kb = [
                             r[0]
                             for r in cands.select(
@@ -920,23 +941,14 @@ def stream_neardup_minhash_sink(
                 try:
                     pairs.write.mode("append").parquet(out_path)
                 finally:
-                    cands.unpersist()
+                    if bucketed:
+                        cands.unpersist()
                 # sets BEFORE bands: every doc reachable through the band
                 # index must have a shingle set for the verify join (a
                 # crash between the appends then redelivers the batch,
                 # which only duplicates rows — see docstring)
-                (
-                    sets_new.repartition("__kb")
-                    .write.mode("append")
-                    .partitionBy("__kb")
-                    .parquet(sets_path)
-                )
-                (
-                    bands_new.repartition("__kb")
-                    .write.mode("append")
-                    .partitionBy("__kb")
-                    .parquet(bands_path)
-                )
+                _write_state(sets_new, sets_path)
+                _write_state(bands_new, bands_path)
             finally:
                 bands_new.unpersist()
         finally:

@@ -779,3 +779,47 @@ def test_stream_ann_ivf_sink_matches_batch_index(spark, tmp_path):
         for r in idx.search(idx.index(emb), queries, k=5, nprobe=2).collect()
     ]
     assert got == want and len(got) == 5
+
+
+def test_stream_neardup_minhash_bucketed_state_equals_flat(spark, tmp_path):
+    """state_buckets opts into hash-bucket-partitioned state (the 100 TB
+    probe-pruning layout): same topic, same batches — the bucketed run's
+    deduped pair set and jaccard values must equal the default flat
+    run's, and the state dirs must actually be partitioned."""
+    import os
+
+    from bharatmlstack_spark.streaming.ingest import stream_neardup_minhash_sink
+
+    docs = _neardup_docs()
+
+    def run(tag, **kw):
+        src = str(tmp_path / f"{tag}_src")
+        state, out = str(tmp_path / f"{tag}_state"), str(tmp_path / f"{tag}_out")
+        _write_json_batch(src, [docs[0], docs[3]])
+        s = spark.readStream.schema("doc_id long, text string").json(src)
+        stream_neardup_minhash_sink(
+            s, state, out, str(tmp_path / f"{tag}_ck"), spark,
+            id_col="doc_id", text_col="text", trigger_once=True, **kw,
+        ).awaitTermination(120)
+        _write_json_batch(src, [docs[1], docs[2]])
+        s2 = spark.readStream.schema("doc_id long, text string").json(src)
+        stream_neardup_minhash_sink(
+            s2, state, out, str(tmp_path / f"{tag}_ck"), spark,
+            id_col="doc_id", text_col="text", trigger_once=True, **kw,
+        ).awaitTermination(120)
+        rows = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in spark.read.parquet(out)
+            .dropDuplicates(["id_a", "id_b"])
+            .collect()
+        }
+        return rows, state
+
+    flat, flat_state = run("flat")
+    buck, buck_state = run("buck", state_buckets=8)
+    assert buck == flat and set(flat) == {(1, 2), (1, 3), (2, 3)}
+    # layout really differs: bucketed state has __kb= partition dirs
+    assert any(d.startswith("__kb=") for d in os.listdir(f"{buck_state}/bands"))
+    assert not any(
+        d.startswith("__kb=") for d in os.listdir(f"{flat_state}/bands")
+    )
