@@ -120,9 +120,35 @@ def build(spark, src: str, out: str) -> None:
         big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def _semdedup_prescribed(n_cells: int):
+    """SemDeDup at its PRESCRIBED parameterization (n_cells ~ n/10^4,
+    per the operator docstring): cells scale WITH the corpus so per-cell
+    size — and the within-cell pair count per vector — stays constant.
+    The staged row times the fixed-16-cell form (a recall fixture); this
+    row is the 100 TB costing, like raising table buckets with volume."""
+
+    def run(spark, sf_dir: str):
+        from bharatmlstack_spark.operators.dedup import (
+            embedding_semantic_dedup_pairs,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        return embedding_semantic_dedup_pairs(
+            e, id_col="vec_id", threshold=0.99, n_cells=n_cells
+        )
+
+    return run
+
+
+def time_queries(spark, sf_dir: str, scaled: bool = False) -> dict[str, float]:
     qs = all_queries()
     todo = [(n, qs[n]) for n in QUERIES] + _staged()
+    # parameter scales with the data (16 cells at sf0.1, 160 at sf1)
+    todo.append(
+        ("semantic_dedup_ivf (cells~n)", _semdedup_prescribed(160 if scaled else 16))
+    )
     out = {}
     for name, fn in todo:
         t0 = time.time()
@@ -141,7 +167,7 @@ def main() -> None:
     build(spark, src, out_dir)
     print(f"built in {time.time()-t0:.1f}s", file=sys.stderr)
     small = time_queries(spark, src)
-    big = time_queries(spark, out_dir)
+    big = time_queries(spark, out_dir, scaled=True)
     ratios = {k: round(big[k] / small[k], 2) for k in small}
     print(json.dumps({"sf0.1": small, "sf1": big, "ratio": ratios}, indent=2))
     if not keep:
