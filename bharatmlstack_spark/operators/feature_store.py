@@ -20,7 +20,10 @@ a broadcast hash join plays the role of the batched point lookup.
 
 At 100 TB scale: the feature table is the big side (keys are the request —
 small), so the plan broadcasts the deduped key set and the scan prunes to
-requested FG columns only; no full-table shuffle.
+requested FG columns only; no full-table shuffle. The broadcast is
+two-step because BroadcastHashJoin cannot build the preserved side of a
+LEFT OUTER join: table INNER JOIN broadcast(keys) first (big side
+streams), then keys LEFT JOIN broadcast(that request-sized result).
 """
 
 from __future__ import annotations
@@ -572,11 +575,13 @@ class FeatureStore:
         oracle queries); defaults to the entity's store-0 table.
 
         ``broadcast_keys``: the request side broadcasts by default (the
-        batched-point-lookup shape — the feature table never shuffles).
-        Pass False when the "request" is itself table-sized (a 100M-key
-        backfill): the hint drops and AQE picks a sort-merge join; with
-        the bucketed layout (writers.write_feature_table) the join stays
-        pruned. Same rows either way (tested).
+        batched-point-lookup shape — the feature table never shuffles;
+        see the module docstring for why the broadcast is the two-step
+        inner-then-assemble shape). Pass False when the "request" is
+        itself table-sized (a 100M-key backfill): plain left joins, AQE
+        picks a sort-merge join; with the bucketed layout
+        (writers.write_feature_table) the join stays pruned. Same rows
+        either way (tested).
         """
         entity = self.registry.entity(entity_label)
         selectors = self._resolve(entity, selections)  # P1 validation
@@ -626,9 +631,17 @@ class FeatureStore:
                 BUCKET_COL, _bucket_expr(entity.key_columns, next(iter(bucketed_nbs)))
             )
 
-        # J1: left join per store — request keys are small; broadcast them
-        # so the big feature tables never shuffle
-        joined = F.broadcast(uniq) if broadcast_keys else uniq
+        # J1: per-store lookup. A LEFT-OUTER BroadcastHashJoin can only
+        # build its RIGHT side — Spark silently drops a broadcast hint on
+        # the preserved key side ("build left for left outer join" is
+        # unsupported) and the fallback SHUFFLES the feature table. The
+        # shape that keeps the big side shuffle-free is two-step: stream
+        # the table past the broadcast key set with an INNER join
+        # (build-right IS supported there; equivalent because uniq is
+        # key-distinct, so the inner join is exactly "table rows whose PK
+        # was requested"), then left-join the request-sized slim result
+        # back as a broadcast build-right.
+        joined = uniq
         for sid, sels in by_store.items():
             table = store_tables[sid]
             # P4: expired rows are absent (negative-cache semantics at
@@ -646,7 +659,13 @@ class FeatureStore:
             table = table.select(
                 *join_keys, *[c for c in needed if c in table.columns]
             )
-            joined = joined.join(table, on=join_keys, how="left")
+            if broadcast_keys:
+                slim = table.join(
+                    F.broadcast(uniq.select(*join_keys)), on=join_keys, how="inner"
+                )
+                joined = joined.join(F.broadcast(slim), on=join_keys, how="left")
+            else:
+                joined = joined.join(table, on=join_keys, how="left")
         if bucketed:
             joined = joined.drop(BUCKET_COL)
 

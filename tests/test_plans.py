@@ -48,6 +48,30 @@ def test_feature_retrieve_no_sort_one_prune(spark, sf_dir, qs):
     assert any("c_custkey" in s for s in read_schemas(df))
 
 
+def test_feature_retrieve_broadcasts_with_autobroadcast_off(spark, sf_dir, qs):
+    """The 100 TB hot-path invariant: retrieve's lookup joins must come
+    from the HINT, not from size-based auto-broadcast (at real scale the
+    feature table is far over any threshold). BroadcastHashJoin cannot
+    build the preserved side of a LEFT OUTER join — a keys-side hint
+    there is silently dropped and the big table would shuffle — so
+    retrieve streams the table past broadcast(keys) with an INNER join
+    and assembles via a broadcast-right left join. With auto-broadcast
+    disabled, only hinted broadcasts survive: any SortMergeJoin or
+    ShuffledHashJoin here means the shape regressed."""
+    from bharatmlstack_spark.plans import explain_formatted
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = qs["feature_retrieve"](spark, sf_dir)
+        plan = explain_formatted(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin Inner BuildRight" in plan
+    assert "BroadcastHashJoin LeftOuter BuildRight" in plan
+
+
 def test_events_range_is_take_ordered(spark, sf_dir, qs):
     from bharatmlstack_spark.plans import explain_formatted
 
