@@ -22,8 +22,9 @@ At 100 TB scale: the feature table is the big side (keys are the request —
 small), so the plan broadcasts the deduped key set and the scan prunes to
 requested FG columns only; no full-table shuffle. The broadcast is
 two-step because BroadcastHashJoin cannot build the preserved side of a
-LEFT OUTER join: table INNER JOIN broadcast(keys) first (big side
-streams), then keys LEFT JOIN broadcast(that request-sized result).
+LEFT OUTER join: table LEFT SEMI JOIN broadcast(raw keys) first (big
+side streams; semi needs no probe dedup), then
+dedup(keys) LEFT JOIN broadcast(that request-sized result).
 """
 
 from __future__ import annotations
@@ -636,11 +637,17 @@ class FeatureStore:
         # the preserved key side ("build left for left outer join" is
         # unsupported) and the fallback SHUFFLES the feature table. The
         # shape that keeps the big side shuffle-free is two-step: stream
-        # the table past the broadcast key set with an INNER join
-        # (build-right IS supported there; equivalent because uniq is
-        # key-distinct, so the inner join is exactly "table rows whose PK
-        # was requested"), then left-join the request-sized slim result
-        # back as a broadcast build-right.
+        # the table past the broadcast RAW key frame with a LEFT-SEMI
+        # join (build-right IS supported there, and semi output never
+        # duplicates on duplicate probe keys — so the probe needs no
+        # dedup, keeping the plan's single key-dedup on the assemble
+        # side), then left-join the request-sized slim result back as a
+        # broadcast build-right.
+        probe = keys
+        if bucketed:
+            probe = probe.withColumn(
+                BUCKET_COL, _bucket_expr(entity.key_columns, next(iter(bucketed_nbs)))
+            )
         joined = uniq
         for sid, sels in by_store.items():
             table = store_tables[sid]
@@ -661,7 +668,7 @@ class FeatureStore:
             )
             if broadcast_keys:
                 slim = table.join(
-                    F.broadcast(uniq.select(*join_keys)), on=join_keys, how="inner"
+                    F.broadcast(probe.select(*join_keys)), on=join_keys, how="left_semi"
                 )
                 joined = joined.join(F.broadcast(slim), on=join_keys, how="left")
             else:

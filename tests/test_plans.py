@@ -54,10 +54,11 @@ def test_feature_retrieve_broadcasts_with_autobroadcast_off(spark, sf_dir, qs):
     feature table is far over any threshold). BroadcastHashJoin cannot
     build the preserved side of a LEFT OUTER join — a keys-side hint
     there is silently dropped and the big table would shuffle — so
-    retrieve streams the table past broadcast(keys) with an INNER join
-    and assembles via a broadcast-right left join. With auto-broadcast
-    disabled, only hinted broadcasts survive: any SortMergeJoin or
-    ShuffledHashJoin here means the shape regressed."""
+    retrieve streams the table past the broadcast RAW key frame with a
+    LEFT-SEMI join (no dedup needed: semi never duplicates on duplicate
+    probe keys) and assembles via a broadcast-right left join. With
+    auto-broadcast disabled, only hinted broadcasts survive: any
+    SortMergeJoin or ShuffledHashJoin here means the shape regressed."""
     from bharatmlstack_spark.plans import explain_formatted
 
     thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -68,7 +69,7 @@ def test_feature_retrieve_broadcasts_with_autobroadcast_off(spark, sf_dir, qs):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    assert "BroadcastHashJoin Inner BuildRight" in plan
+    assert "BroadcastHashJoin LeftSemi BuildRight" in plan
     assert "BroadcastHashJoin LeftOuter BuildRight" in plan
 
 
