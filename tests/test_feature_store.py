@@ -72,6 +72,26 @@ def test_retrieve_duplicate_keys_fan_out(fs, spark, table):
     assert sorted(vals) == [3, 3, 4]
 
 
+def test_retrieve_duplicate_keys_distinct_without_fanout(fs, spark, table):
+    """The semi-probe invariant: the RAW request frame (duplicates and
+    all) probes the table with a LEFT-SEMI join, which never duplicates
+    matched rows — with keep_request_order=False the output is exactly
+    one row per DISTINCT requested key. A rewrite that probes with an
+    undeduped INNER join (or assembles on the raw frame) duplicates
+    rows and fails here."""
+    keys = spark.createDataFrame([(3,), (3,), (3,), (4,), (99999,)], ["user_id"])
+    out = fs.retrieve(
+        "user",
+        {"demo_int32": ["age"]},
+        keys,
+        feature_table=table,
+        now=_now(),
+        keep_request_order=False,
+    )
+    vals = sorted(r["user_id"] for r in out.collect())
+    assert vals == [3, 4, 99999]  # distinct keys only; missing key kept
+
+
 def test_retrieve_unknown_feature_errors(fs, spark, table):
     keys = spark.createDataFrame([(1,)], ["user_id"])
     with pytest.raises(KeyError):
