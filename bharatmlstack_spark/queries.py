@@ -750,98 +750,37 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Round-8 window (first 50): the 4 NEW rows (stream_dedup_minhash — the
-# streaming near-dup sink's verification row; stream_cdc_gc — tombstone
-# GC + stale-rejection after GC; bpe_learn_until_vocab — convergence-mode
-# BPE values; stream_ann_ivf_dot — stream-built IVF index search) and
-# ALL 46 queries whose newest green is r05 — exactly 50, which restores
+# Round-9 window (first 50): the 4 rows NEW this round (bm25_topk /
+# bigram_pmi / char_entropy_quality / semantic_dedup_ivf — staged through
+# r08 with DuckDB-twin pytests replicating the driver comparison, now
+# registered at the prescribed n_cells ~ n/10^4 costing for SemDeDup)
+# plus ALL 46 queries whose newest green is r06 — exactly 50, keeping
 # the freshness contract: after this round no query's latest green is
-# older than r06. 51+: first the rows whose implementation was touched
-# this round but whose VALUES are verified identical locally
-# (pagerank_copurchase — basket-expansion edge build + single-aggregate
-# seed, cell-exact vs DuckDB at sf0.01; stream_cdc_apply — its sink
-# gained the meta-recovery guard, values unchanged), then the
-# r06-attested block (they hit the 3-round boundary NEXT round — round 9
-# must front-load them), then the r07-attested remainder.
-# Round-9 rotation guidance: front-load (a) any NEW rows — four are
-# already STAGED with verified DuckDB twins in queries_text.R9_ORACLES
-# (bm25_topk / bigram_pmi / char_entropy_quality / semantic_dedup_ivf:
-# wrap each *_q function with @query(name, oracle=R9_ORACLES[name]);
-# tests/test_retrieval.py runs the driver's exact comparison on them
-# today), (b) rows whose values/oracle changed, then (c) the 46 r06-era
-# greens (ann_ivf_dot .. woe_binning block below). 4 staged + 46
-# r06-era = exactly 50.
-# SATURATION NOTE (round 10+): once the 4 staged rows register, the
-# registry holds 150 queries — exactly the 50-row window x 3-round
-# freshness budget. The steady-state rotation is then forced: r10 = the
-# 50 r07-era greens, r11 = the 50 r08-era, r12 = the 50 r09-era, and so
-# on. There is ZERO slack for further registrations: a 151st row would
-# push some query past the 3-round boundary permanently. New operators
-# beyond 150 must either (a) replace a retired redundant row
-# one-for-one, or (b) ship in the staged tier (DuckDB-twin pytest that
-# replicates the driver comparison, like test_retrieval.py) and say so
-# honestly — do NOT register them.
+# older than r07. pagerank_copurchase LEADS the r06 block: its
+# implementation was rewritten in r07 (conservation semantics) and r08
+# (basket-expansion edge build, single-aggregate seed) without a driver
+# re-attestation since r06 — this round's window closes that debt.
+#
+# SATURATION (now in effect): the registry holds 150 queries — exactly
+# the 50-row window x 3-round freshness budget. The steady-state
+# rotation is forced: r10 = the 50 r07-era greens (pre-ordered below,
+# stream_cdc_apply at the head), r11 = the 50 r08-era, r12 = this
+# round's 50, and so on. There is ZERO slack: a 151st registration
+# would push some query past the 3-round boundary permanently. A new
+# operator must either (a) retire one row from RETIREMENT_CANDIDATES
+# below one-for-one (unregister the retired row — keep its function and
+# a DuckDB-twin pytest as the staged tier so coverage remains executable
+# and honest), or (b) itself ship in the staged tier (pytest replicating
+# the driver comparison, like tests/test_retrieval.py did for the four
+# rows registered this round) and say so in README/SURVEY.
 QUERY_PRIORITY: list[str] = [
-    # new this round (r08)
-    "stream_dedup_minhash",
-    "stream_cdc_gc",
-    "bpe_learn_until_vocab",
-    "stream_ann_ivf_dot",
-    # last green r05: the r05-era block (hits the 3-round boundary)
-    "bpe_merge_step",
-    "cohort_retention",
-    "copurchase_pairs",
-    "corpus_filter_chain",
-    "corpus_mix_sample",
-    "doc_fingerprint",
-    "dot_score_ids",
-    "event_transition_matrix",
-    "events_limit_clamp",
-    "feature_schema_evolution",
-    "fuzzy_name_match",
-    "grouping_sets_orders",
-    "key_skew_report",
-    "key_string_join",
-    "knn_euclidean",
-    "lang_id_heuristic",
-    "multimodal_decode_audio_feature",
-    "multimodal_decode_image",
-    "multimodal_decode_rgb",
-    "multimodal_decode_stats",
-    "norm_min_max",
-    "norm_percentile_5_95",
-    "pair_expansion",
-    "percentile_rank",
-    "pii_redact",
-    "pipeline_inference",
-    "q3_shipping_priority",
-    "quality_score",
-    "request_validation_matrix",
-    "rpn_score",
-    "salted_dim_join",
-    "salted_hot_key_agg",
-    "segment_except",
-    "segment_intersect",
-    "shard_manifest",
-    "slate_expansion",
-    "span_dedup_exact",
-    "stratified_sample",
-    "stream_dedup_watermark",
-    "temporal_split",
-    "topk_orders",
-    "train_test_split",
-    "uint64_decimal_sum",
-    "unigram_lm_quality",
-    "user_week_density",
-    "zorder_cells",
-    # ---- window boundary (driver verifies the first 50) ----
-    # touched this round, values identical (re-verified locally)
+    # new this round (r09) — the staged tier graduates
+    "bm25_topk",
+    "bigram_pmi",
+    "char_entropy_quality",
+    "semantic_dedup_ivf",
+    # last green r06 (46 rows); pagerank first — two rounds of rewrites
     "pagerank_copurchase",
-    "stream_cdc_apply",
-    # simhash vote packing (dedup.py): fingerprints pinned bit-identical
-    # by test_simhash_packed_votes_match_unpacked_reference + oracle pass
-    "dedup_simhash",
-    # last green r06 (round-9 front-runners)
     "ann_ivf_dot",
     "ann_lsh_dot",
     "bpe_tokenize_apply",
@@ -887,8 +826,12 @@ QUERY_PRIORITY: list[str] = [
     "time_decay_user_value",
     "value_zscore_outliers",
     "woe_binning",
+    # ---- window boundary (driver verifies the first 50) ----
+    # ROUND-10 WINDOW (pre-planned, zero slack): exactly the 50 r07-era
+    # greens. stream_cdc_apply LEADS — touched in r08 (its sink gained
+    # the meta-recovery guard) with last green r07.
+    "stream_cdc_apply",
     "asof_feature_join",
-    # last green r07
     "bpe_vocab_learn",
     "cdc_apply",
     "cube_orders_status",
@@ -896,6 +839,7 @@ QUERY_PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "distinct_users_by_type",
     "event_wire_roundtrip",
     "events_funnel",
@@ -936,6 +880,77 @@ QUERY_PRIORITY: list[str] = [
     "stateful_topk_stream",
     "stream_attribution_join",
     "table_profile",
+    # ROUND-11 WINDOW (pre-planned): the 50 r08-era greens.
+    "bpe_learn_until_vocab",
+    "bpe_merge_step",
+    "cohort_retention",
+    "copurchase_pairs",
+    "corpus_filter_chain",
+    "corpus_mix_sample",
+    "doc_fingerprint",
+    "dot_score_ids",
+    "event_transition_matrix",
+    "events_limit_clamp",
+    "feature_schema_evolution",
+    "fuzzy_name_match",
+    "grouping_sets_orders",
+    "key_skew_report",
+    "key_string_join",
+    "knn_euclidean",
+    "lang_id_heuristic",
+    "multimodal_decode_audio_feature",
+    "multimodal_decode_image",
+    "multimodal_decode_rgb",
+    "multimodal_decode_stats",
+    "norm_min_max",
+    "norm_percentile_5_95",
+    "pair_expansion",
+    "percentile_rank",
+    "pii_redact",
+    "pipeline_inference",
+    "q3_shipping_priority",
+    "quality_score",
+    "request_validation_matrix",
+    "rpn_score",
+    "salted_dim_join",
+    "salted_hot_key_agg",
+    "segment_except",
+    "segment_intersect",
+    "shard_manifest",
+    "slate_expansion",
+    "span_dedup_exact",
+    "stratified_sample",
+    "stream_ann_ivf_dot",
+    "stream_cdc_gc",
+    "stream_dedup_minhash",
+    "stream_dedup_watermark",
+    "temporal_split",
+    "topk_orders",
+    "train_test_split",
+    "uint64_decimal_sum",
+    "unigram_lm_quality",
+    "user_week_density",
+    "zorder_cells",
+]
+
+# Ordered retirement list (round 10+): rows whose SURVEY §2 / pipeline
+# family is attested by at least one OTHER registered green row, so
+# unregistering them loses no coverage. Retire strictly in this order,
+# one per new registration; a retired row keeps its function + a
+# DuckDB-twin pytest (staged tier) so it stays executable and verified
+# locally. Each entry names the surviving sibling(s) that keep the
+# family attested.
+RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
+    ("rpn_literal_div", "RPN F1-F8: rpn_score (hypothesis-fuzzed) + rpn_bool_compare"),
+    ("rpn_bool_compare", "RPN F1-F8: rpn_score"),
+    ("segment_except", "O1 set ops: segment_intersect"),
+    ("multimodal_decode_rgb", "decode family: multimodal_decode_image/_stats/_png"),
+    ("knn_dot", "J6/J7: knn_euclidean + dot_score_ids"),
+    ("salted_dim_join", "skew salting: salted_hot_key_agg"),
+    ("sketch_union_distinct", "sketches: sketch_distinct_users + sketch_percentile_value"),
+    ("cube_orders_status", "grouping lattices: grouping_sets_orders + rollup_lineitem"),
+    ("distinct_users_by_type", "exact distinct aggs: sketch_distinct_users's exact twin + events family"),
+    ("events_value_histogram", "bucketed aggs: events_weekly_buckets + quantile_binning"),
 ]
 
 

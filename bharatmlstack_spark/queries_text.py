@@ -1359,14 +1359,11 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-9 registration candidates (NOT registered: the round-8 driver
-# window is exactly the 4 new rows + the 46 r05-era rotations, and a row
-# registered outside the verified window would count as never-verified).
-# Round 9: wrap each with @query(name, oracle=R9_ORACLES[name]) and
-# front-load the names in QUERY_PRIORITY (queries.py) — the r06-era
-# rotation leaves exactly 4 free slots. Verified today by the DuckDB-twin
-# pytest in tests/test_retrieval.py (same value comparison the driver
-# runs).
+# Registered in round 9 (staged through round 8 with DuckDB-twin pytests
+# in tests/test_retrieval.py running the driver's exact comparison).
+# These four fill the registry to 150 = the 50-row window x 3-round
+# freshness budget; see the saturation note + retirement list in
+# queries.py before registering anything further.
 # ---------------------------------------------------------------------------
 
 _BM25_TERMS = ["spark", "table", "query", "join"]
@@ -1447,6 +1444,7 @@ GROUP BY cc.doc_id
 }
 
 
+@query("bm25_topk", oracle=R9_ORACLES["bm25_topk"])
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a fixed query-term bag — lexical retrieval
     for query-based corpus curation. The corpus never shuffles: only the
@@ -1459,6 +1457,7 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
 
 
+@query("bigram_pmi", oracle=R9_ORACLES["bigram_pmi"])
 def bigram_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-bigram collocations by PMI (count >= 5) — the
     phrase-candidate miner feeding tokenizer/vocab construction. One
@@ -1470,6 +1469,7 @@ def bigram_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocation_pmi(docs, min_count=5, k=50)
 
 
+@query("char_entropy_quality", oracle=R9_ORACLES["char_entropy_quality"])
 def char_entropy_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-distribution Shannon entropy (natural
     log) — the gibberish/binary-junk quality signal. Pure array HOFs,
@@ -1499,11 +1499,19 @@ FROM pairs WHERE ROUND(cosine, 6) >= 0.99
 """
 
 
+@query("semantic_dedup_ivf", oracle=R9_ORACLES["semantic_dedup_ivf"])
 def semantic_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-pruned semantic dedup, arXiv:2303.09540): IVF
     cells -> within-cell cosine >= 0.99, on the same injected-duplicate
     corpus as dedup_embedding_cosine (its LSH-pruned sibling; the
     brute-force cross join survives only as the DuckDB oracle).
+
+    n_cells follows the operator's PRESCRIBED costing, n_cells ~ n/10^4
+    (cells stay ~10^4 vectors, sum(|cell|^2) stays executor-sized),
+    derived from one cheap driver-side count — not a hardcoded cell
+    count. tools/scale_experiment.py keeps the cautionary pair: a fixed
+    16 cells superlinearly degrades at 10x data (11.0x) where the
+    prescribed 16->160 holds 4.5x.
 
     Why an exact oracle can gate a cluster-pruned query on this corpus:
     the only pairs at rounded cosine >= 0.99 are the injected EXACT
@@ -1512,12 +1520,18 @@ def semantic_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly 1, no boundary-straddle miss. The random base embeddings
     sit far below the threshold. Re-pin if the corpus generator
     changes (tests/test_retrieval.py pins IVF == brute force today)."""
+    import math
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     dup = e.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
+    corpus_e = e.unionAll(dup)
+    # bounded driver scalar, same class as the centroid fit; the floor
+    # keeps tiny fixtures from collapsing to one all-pairs cell
+    n_cells = max(16, math.ceil(corpus_e.count() / 10_000))
     out = DD.embedding_semantic_dedup_pairs(
-        e.unionAll(dup), id_col="vec_id", threshold=-2.0
+        corpus_e, id_col="vec_id", threshold=-2.0, n_cells=n_cells
     )
     return (
         out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
