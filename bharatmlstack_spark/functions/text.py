@@ -79,9 +79,9 @@ def char_entropy(col: Column | str) -> Column:
     entropy(ch) * ln(2) (DuckDB's entropy aggregate is log2-based)."""
     c = F.col(col) if isinstance(col, str) else col
     cs = F.split(F.coalesce(c, F.lit("")), "")
-    # split('') yields a trailing '' element on non-empty input in
-    # neither engine when splitting by the empty pattern — Spark's
-    # split(x, '') returns exactly the characters; guard len anyway
+    # neither Spark nor DuckDB emits a trailing empty element when
+    # splitting by the empty pattern — Spark's split(x, '') returns
+    # exactly the characters; the n > 0 guard covers empty/NULL input
     n = F.length(F.coalesce(c, F.lit(""))).cast("double")
     distinct = F.array_distinct(cs)
     probs = F.transform(

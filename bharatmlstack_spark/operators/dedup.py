@@ -309,14 +309,31 @@ def band_signatures(
 
     Signature length must be divisible by ``bands``: the slice width is
     ``len // bands``, so a remainder would leave the trailing signature
-    slots out of every band (quietly weakening recall). Every caller
+    slots out of every band (quietly weakening recall). Enforced at
+    runtime (assert_true, one cheap mod per row) so a mis-parameterized
+    caller fails loudly instead of losing recall quietly. Every caller
     here uses 64 hashes with 16 bands."""
     sig_len_expr = F.size(F.col(sig_col))
+    divisible = F.assert_true(
+        sig_len_expr % bands == 0,
+        F.concat(
+            F.lit("band_signatures: signature length "),
+            sig_len_expr.cast("string"),
+            F.lit(
+                f" is not divisible by bands={bands} — the trailing "
+                "signature slots would be silently excluded from every band"
+            ),
+        ),
+    )
+    # assert_true yields NULL when the contract holds; folding it into the
+    # generator's upper bound means it survives column pruning (a bare
+    # guard column would be dropped under count()-style plans)
+    last_band = F.when(divisible.isNull(), F.lit(bands - 1))
     return signatures.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
+                F.sequence(F.lit(0), last_band),
                 lambda b: F.xxhash64(
                     F.concat_ws(
                         ",",

@@ -4181,6 +4181,12 @@ def stream_cdc_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # actions on the tombstone-only slice, driver-side metadata)
     tombs = spark.read.parquet(state).filter(F.col("__op") == "D")
     n_tombs = tombs.count()
+    if n_tombs == 0:
+        # .collect()[0][0] below would raise an opaque IndexError
+        raise RuntimeError(
+            "stream_cdc_gc: change topic yielded no tombstones ('D' rows) — "
+            "no GC watermark can be derived; the fixture must carry deletes"
+        )
     watermark = (
         tombs.select("__last_seq")
         .orderBy("__last_seq")

@@ -743,6 +743,96 @@ def compact_cdc_state(
     return removed
 
 
+def _neardup_root_layout(spark: SparkSession, path: str) -> str | None:
+    """Physical layout of one append-only near-dup state root: ``None``
+    (absent/empty), ``'flat'`` (data files at top level), ``'bucketed'``
+    (``__kb=`` partition dirs), or ``'mixed'`` — the damage state this
+    probe exists to catch: ``spark.read.parquet`` over a root holding
+    BOTH returns only the partitioned rows, silently dropping every
+    flat-era doc from the band index and shingle store."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    has_kb = has_flat = False
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, sidecars
+        if st.isDirectory() and name.startswith("__kb="):
+            has_kb = True
+        else:
+            has_flat = True
+    if has_kb and has_flat:
+        return "mixed"
+    return "bucketed" if has_kb else ("flat" if has_flat else None)
+
+
+def _hadoop_rename(spark: SparkSession, src: str, dst: str) -> None:
+    jvm = spark._jvm
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise RuntimeError(f"rename {src} -> {dst} failed")
+
+
+def _ensure_neardup_root(
+    spark: SparkSession, path: str, kb_expr, want_bucketed: bool
+) -> None:
+    """Reconcile one near-dup state root with the REQUESTED layout before
+    the first append of a run — appending the other layout into it would
+    be the silent-loss mixed state (see _neardup_root_layout).
+
+    flat root + bucketed requested: MIGRATE (one-time bounded rewrite:
+    stage the partitioned copy at ``path + '__migrating'``, swap via
+    delete + rename; a crash leaves either the intact original plus a
+    partial/complete stage — partial stages are discarded, complete ones
+    (``_SUCCESS``) are adopted — never a mixed root). bucketed root +
+    flat requested: raise; degrading is refused the same way
+    _resolve_state_layout refuses for CDC state."""
+    from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
+
+    tmp = path + "__migrating"
+    layout = _neardup_root_layout(spark, path)
+    if hadoop_path_exists(spark, tmp):
+        if hadoop_path_exists(spark, tmp + "/_SUCCESS"):
+            # complete staged copy: finish the crashed swap
+            if layout is not None:
+                hadoop_delete_path(spark, path)
+            _hadoop_rename(spark, tmp, path)
+            layout = "bucketed"
+        else:
+            hadoop_delete_path(spark, tmp)  # partial write; original intact
+    if layout == "mixed":
+        raise RuntimeError(
+            f"near-dup state root {path} holds BOTH flat files and __kb= "
+            "partition dirs — reads would silently drop the flat rows. "
+            "This root predates the layout guard; repair by re-seeding "
+            "the state (replay the topic) or manually folding the flat "
+            "files into the partitioned layout."
+        )
+    if want_bucketed and layout == "flat":
+        flat = spark.read.parquet(path)
+        (
+            flat.withColumn("__kb", kb_expr(flat))
+            .repartition("__kb")
+            .write.mode("overwrite")
+            .partitionBy("__kb")
+            .parquet(tmp)
+        )
+        hadoop_delete_path(spark, path)
+        _hadoop_rename(spark, tmp, path)
+    elif not want_bucketed and layout == "bucketed":
+        raise RuntimeError(
+            f"near-dup state root {path} is bucket-partitioned but this "
+            "run requested the flat layout (state_buckets=None) — flat "
+            "appends would create the silent-loss mixed root. Pass the "
+            "state_buckets the state was created with (recorded in the "
+            "state dir's meta sidecar)."
+        )
+
+
 def stream_neardup_minhash_sink(
     stream_df: DataFrame,
     state_dir: str,
@@ -800,10 +890,19 @@ def stream_neardup_minhash_sink(
     the FLAT layout (measured faster there: partitioned appends +
     per-batch bucket collects cost more than the unprunable scans they
     replace — see SCALE.md's 10x rows). Set ``state_buckets`` when the
-    batch-to-index ratio is real; a flat pre-existing state (no
-    ``__kb`` partition column) is read unpruned either way —
-    correctness never depends on the layout
-    (tests/test_streaming.py pins bucketed == flat pair sets).
+    batch-to-index ratio is real (tests/test_streaming.py pins
+    bucketed == flat pair sets).
+
+    LAYOUT CONTRACT (enforced before a run's first append; mixing
+    layouts in one root would make ``spark.read.parquet`` silently drop
+    the flat rows): switching a FLAT state to bucketed triggers a
+    one-time staged migration of both roots to the partitioned layout;
+    running flat against a BUCKETED state raises (refuse-to-degrade,
+    the _resolve_state_layout stance); the bucket count is recorded in
+    the state dir's meta sidecar on first bucketed write and a later
+    run passing a DIFFERENT count raises — writer and probe derive
+    pmod(·, buckets) with the run's count, so a changed count would
+    prune true candidates against dirs hashed with the old one.
 
     Crash/redelivery contract (all three state writes are appends, not
     atomic together): SETS append before BANDS, so every doc the band
@@ -837,9 +936,51 @@ def stream_neardup_minhash_sink(
         else:
             df.write.mode("append").parquet(path)
 
+    _layout_ok: list[bool] = []  # once per run; the layout can't change under us
+
+    def _ensure_layout() -> None:
+        if _layout_ok:
+            return
+        from bharatmlstack_spark.operators.feature_store import (
+            read_table_meta,
+            write_table_meta,
+        )
+
+        meta = read_table_meta(spark, state_dir)
+        recorded = int(meta["n_buckets"]) if meta and "n_buckets" in meta else None
+        if bucketed and recorded is not None and recorded != state_buckets:
+            raise RuntimeError(
+                f"near-dup state {state_dir} was created with "
+                f"state_buckets={recorded} but this run passed "
+                f"{state_buckets} — the probe's pmod pruning would miss "
+                "true candidates against dirs hashed with the old count. "
+                f"Pass state_buckets={recorded}."
+            )
+        if not bucketed and recorded is not None:
+            raise RuntimeError(
+                f"near-dup state {state_dir} is recorded as bucketed "
+                f"(state_buckets={recorded}) but this run passed None — "
+                f"refusing to degrade the layout. Pass state_buckets={recorded}."
+            )
+        _ensure_neardup_root(
+            spark,
+            bands_path,
+            lambda df: F.pmod(F.col("band_hash"), F.lit(state_buckets)),
+            bucketed,
+        )
+        _ensure_neardup_root(
+            spark, sets_path, lambda df: _set_bucket(F.col("id")), bucketed
+        )
+        if bucketed and recorded is None:
+            # AFTER both roots reconciled, BEFORE any bucketed append: a
+            # crash in between just re-runs this (idempotent) next start
+            write_table_meta(spark, state_dir, state_buckets)
+        _layout_ok.append(True)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _ensure_layout()
         sets_new = batch_df.select(
             F.col(id_col).alias("id"),
             hashed_word_shingles(text_col, shingle_n).alias("sh"),

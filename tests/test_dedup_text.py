@@ -202,3 +202,19 @@ def test_exact_dedup_keep_max(docs):
     out = DD.exact_dedup(docs, on=["text"], id_col="doc_id", keep="max")
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [2, 3, 101, 102]  # 1 collapsed into its copy 101
+
+
+def test_band_signatures_rejects_indivisible_bands(spark):
+    """Signature length not divisible by bands would silently exclude the
+    trailing slots from every band (recall loss); the runtime assert
+    makes the mis-parameterization fail loudly instead."""
+    import pytest
+
+    from bharatmlstack_spark.operators.dedup import band_signatures
+
+    sigs = spark.createDataFrame(
+        [(1, list(range(64)))], "id long, signature array<long>"
+    )
+    assert band_signatures(sigs, bands=16).count() == 16  # contract holds
+    with pytest.raises(Exception, match="not divisible by bands=10"):
+        band_signatures(sigs, bands=10).count()

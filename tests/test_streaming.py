@@ -823,3 +823,85 @@ def test_stream_neardup_minhash_bucketed_state_equals_flat(spark, tmp_path):
     assert not any(
         d.startswith("__kb=") for d in os.listdir(f"{flat_state}/bands")
     )
+
+
+def test_stream_neardup_flat_to_bucketed_migrates_state(spark, tmp_path):
+    """Enabling state_buckets on a pre-existing FLAT near-dup state must
+    MIGRATE it to the partitioned layout, not append __kb= dirs beside
+    the flat files (spark.read.parquet over such a mixed root silently
+    returns only the partitioned rows — flat-era docs would vanish from
+    the band index and cross-era pairs would be missed)."""
+    import os
+
+    from bharatmlstack_spark.streaming.ingest import stream_neardup_minhash_sink
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "mg_src")
+    state, out = str(tmp_path / "mg_state"), str(tmp_path / "mg_out")
+
+    def run(ck, **kw):
+        s = spark.readStream.schema("doc_id long, text string").json(src)
+        stream_neardup_minhash_sink(
+            s, state, out, str(tmp_path / ck), spark,
+            id_col="doc_id", text_col="text", trigger_once=True, **kw,
+        ).awaitTermination(120)
+
+    # batch 1 under the FLAT layout: doc 1 (pair-bearing) + doc 4
+    _write_json_batch(src, [docs[0], docs[3]])
+    run("mg_ck1")
+    assert not any(
+        d.startswith("__kb=") for d in os.listdir(f"{state}/bands")
+    )
+
+    # a crashed earlier migration left a PARTIAL stage (no _SUCCESS):
+    # it must be discarded, the intact flat original migrated instead
+    os.makedirs(f"{state}/bands__migrating", exist_ok=True)
+    with open(f"{state}/bands__migrating/part-junk.parquet", "w") as f:
+        f.write("partial")
+
+    # batch 2 switches to bucketed: state migrates, then appends
+    _write_json_batch(src, [docs[1], docs[2]])
+    run("mg_ck2", state_buckets=8)
+
+    # cross-era pairs (1,2) and (1,3) prove doc 1's flat-era bands and
+    # shingle set survived the switch; pre-guard this was {(2, 3)} only
+    assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
+    bands_ls = os.listdir(f"{state}/bands")
+    assert any(d.startswith("__kb=") for d in bands_ls)
+    assert not any(d.endswith(".parquet") for d in bands_ls)  # no mixing
+    assert not os.path.exists(f"{state}/bands__migrating")
+    sets_ls = os.listdir(f"{state}/sets")
+    assert any(d.startswith("__kb=") for d in sets_ls)
+    assert not any(d.endswith(".parquet") for d in sets_ls)
+
+
+def test_stream_neardup_bucketed_state_refuses_degrade_and_recount(spark, tmp_path):
+    """A bucketed near-dup state refuses (a) a flat run — flat appends
+    would create the silent-loss mixed root — and (b) a DIFFERENT bucket
+    count — pmod pruning with the new count against dirs hashed with the
+    old one would drop true candidates."""
+    from bharatmlstack_spark.streaming.ingest import stream_neardup_minhash_sink
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "rd_src")
+    state, out = str(tmp_path / "rd_state"), str(tmp_path / "rd_out")
+
+    def run(ck, **kw):
+        s = spark.readStream.schema("doc_id long, text string").json(src)
+        stream_neardup_minhash_sink(
+            s, state, out, str(tmp_path / ck), spark,
+            id_col="doc_id", text_col="text", trigger_once=True, **kw,
+        ).awaitTermination(120)
+
+    _write_json_batch(src, [docs[0], docs[3]])
+    run("rd_ck1", state_buckets=8)
+
+    _write_json_batch(src, [docs[1], docs[2]])
+    with pytest.raises(Exception, match="refusing to degrade"):
+        run("rd_ck2")
+    with pytest.raises(Exception, match="state_buckets=8"):
+        run("rd_ck3", state_buckets=4)
+
+    # the correct count still works after the refused attempts
+    run("rd_ck4", state_buckets=8)
+    assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
