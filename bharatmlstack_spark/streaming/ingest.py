@@ -743,6 +743,25 @@ def compact_cdc_state(
     return removed
 
 
+def _list_kb_dirs(spark: SparkSession, path: str) -> dict[int, str]:
+    """{bucket: dir_path} for the ``__kb=`` partition dirs under one state
+    root — one FS listStatus call, O(existing buckets) driver metadata,
+    used to build targeted-path pruned reads (reading the root instead
+    would trigger an O(all buckets) distributed file-discovery job per
+    micro-batch)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: dict[int, str] = {}
+    if not fs.exists(jpath):
+        return out
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("__kb="):
+            out[int(name.split("=", 1)[1])] = f"{path}/{name}"
+    return out
+
+
 def _neardup_root_layout(spark: SparkSession, path: str) -> str | None:
     """Physical layout of one append-only near-dup state root: ``None``
     (absent/empty), ``'flat'`` (data files at top level), ``'bucketed'``
@@ -847,6 +866,7 @@ def stream_neardup_minhash_sink(
     threshold: float = 0.8,
     state_buckets: int | None = None,
     trigger_once: bool = False,
+    phase_log: list | None = None,
 ):
     """Streaming NEAR-duplicate detection: MinHash-LSH with an
     APPEND-ONLY band index, the incremental form of
@@ -889,9 +909,15 @@ def stream_neardup_minhash_sink(
     harness scales every batch touches every bucket, so the default is
     the FLAT layout (measured faster there: partitioned appends +
     per-batch bucket collects cost more than the unprunable scans they
-    replace — see SCALE.md's 10x rows). Set ``state_buckets`` when the
-    batch-to-index ratio is real (tests/test_streaming.py pins
-    bucketed == flat pair sets).
+    replace — see SCALE.md's 10x rows). Measured regime rule
+    (tools/neardup_state_experiment.py, SCALE.md r09 table): the
+    index-size-dependent probe+verify cost is 2.4x/3.9x/5.2x cheaper
+    bucketed at 100k/1M/3M indexed docs (flat grows linearly, bucketed
+    stays bound by touched buckets), against a constant ~one-file-per-
+    touched-dir append tax that batch size amortizes — so prefer FLAT
+    below ~10^6 indexed docs or for replay-style bulk loads, BUCKETED
+    when batch ≪ index with production-sized batches
+    (tests/test_streaming.py pins bucketed == flat pair sets).
 
     LAYOUT CONTRACT (enforced before a run's first append; mixing
     layouts in one root would make ``spark.read.parquet`` silently drop
@@ -913,7 +939,13 @@ def stream_neardup_minhash_sink(
     duplicated shingle sets yield byte-identical jaccard values, so a
     reader deduping on (id_a, id_b) — which the registered row's
     readout does — sees exactly the one-shot pair set. Assumes each doc
-    id arrives once (a corpus build, not a changelog)."""
+    id arrives once (a corpus build, not a changelog).
+
+    ``phase_log`` (measurement only): pass a list and each micro-batch
+    appends {sign_s, probe_s, verify_s, append_s, total_s} — phase
+    boundaries are forced with count() actions, so instrumented runs
+    are NOT wall-clock-identical to production runs; used by
+    tools/neardup_state_experiment.py to attribute layout costs."""
     from bharatmlstack_spark.operators.dedup import (
         band_signatures,
         hashed_word_shingles,
@@ -978,9 +1010,17 @@ def stream_neardup_minhash_sink(
         _layout_ok.append(True)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
         if batch_df.isEmpty():
             return
         _ensure_layout()
+        # phase_log instrumentation (tools/neardup_state_experiment.py):
+        # forces a count() at each phase boundary so the phases time
+        # separately — measurement mode only, never the production path
+        instrument = phase_log is not None
+        ph: dict[str, float] = {}
+        t0 = _time.perf_counter()
         sets_new = batch_df.select(
             F.col(id_col).alias("id"),
             hashed_word_shingles(text_col, shingle_n).alias("sh"),
@@ -995,6 +1035,9 @@ def stream_neardup_minhash_sink(
                 )
             bands_new = bands_new.persist()
             try:
+                if instrument:
+                    bands_new.count()
+                    ph["sign_s"] = round(_time.perf_counter() - t0, 3)
                 a, b = bands_new.alias("a"), bands_new.alias("b")
                 intra = (
                     a.join(b, on=["band_idx", "band_hash"])
@@ -1005,18 +1048,30 @@ def stream_neardup_minhash_sink(
                 )
                 cands = intra
                 have_state = hadoop_path_exists(spark, bands_path)
-                if have_state:
-                    # bucketed mode: partition-prune the stored index to
-                    # the batch's band buckets (<= state_buckets values,
-                    # driver metadata) — a colliding pair shares
-                    # band_hash, hence bucket
+                old = None
+                if have_state and bucketed:
+                    # bucketed mode: prune the stored index to the batch's
+                    # band buckets — a colliding pair shares band_hash,
+                    # hence bucket — by reading the TOUCHED partition dirs
+                    # directly (basePath keeps __kb a partition column).
+                    # Reading the root and filtering isin() would list
+                    # every bucket dir first: at state_buckets=4096 the
+                    # O(buckets) discovery job dwarfs the probe itself
+                    # (measured in tools/neardup_state_experiment.py);
+                    # targeted paths make listing + read both O(touched).
+                    existing = _list_kb_dirs(spark, bands_path)
+                    probe_kb = [
+                        r[0]
+                        for r in bands_new.select("__kb").distinct().collect()
+                    ]
+                    paths = [existing[b] for b in probe_kb if b in existing]
+                    if paths:
+                        old = spark.read.option("basePath", bands_path).parquet(
+                            *paths
+                        )
+                elif have_state:
                     old = spark.read.parquet(bands_path)
-                    if bucketed and "__kb" in old.columns:
-                        probe_kb = [
-                            r[0]
-                            for r in bands_new.select("__kb").distinct().collect()
-                        ]
-                        old = old.filter(F.col("__kb").isin(probe_kb))
+                if old is not None:
                     cross = (
                         bands_new.alias("n")
                         .join(old.alias("o"), on=["band_idx", "band_hash"])
@@ -1028,38 +1083,47 @@ def stream_neardup_minhash_sink(
                     )
                     cands = cands.unionByName(cross)
                 cands = cands.dropDuplicates(["id_a", "id_b"])
-                if bucketed:
+                if bucketed or instrument:
                     # both consumers (bucket collect + verify join) reuse
                     # the computed candidate set instead of re-probing
                     cands = cands.persist()
+                if instrument:
+                    t = _time.perf_counter()
+                    cands.count()
+                    ph["probe_s"] = round(_time.perf_counter() - t, 3)
 
                 # __kb drops before the union: a read-back partition column
                 # comes back as INT while the in-memory one is BIGINT, and
                 # the verify join never needs it
                 sets_all = sets_new.drop("__kb") if bucketed else sets_new
-                if have_state:
-                    stored = spark.read.parquet(sets_path)
-                    if bucketed and "__kb" in stored.columns:
-                        # prune the shingle store to the CANDIDATE buckets
-                        need_kb = [
-                            r[0]
-                            for r in cands.select(
-                                F.explode(
-                                    F.array(
-                                        _set_bucket(F.col("id_a")),
-                                        _set_bucket(F.col("id_b")),
-                                    )
-                                ).alias("kb")
-                            )
-                            .distinct()
-                            .collect()
-                        ]
-                        stored = (
-                            stored.filter(F.col("__kb").isin(need_kb))
-                            if need_kb
-                            else stored.limit(0)
+                if have_state and bucketed:
+                    # prune the shingle store to the CANDIDATE ids'
+                    # buckets — candidates ≪ corpus, so this is the
+                    # prune that stays effective even when a large batch
+                    # touches every BAND bucket. Same targeted-path read
+                    # as the band probe: listing is O(needed dirs).
+                    need_kb = [
+                        r[0]
+                        for r in cands.select(
+                            F.explode(
+                                F.array(
+                                    _set_bucket(F.col("id_a")),
+                                    _set_bucket(F.col("id_b")),
+                                )
+                            ).alias("kb")
                         )
-                    sets_all = sets_all.unionByName(stored.drop("__kb"))
+                        .distinct()
+                        .collect()
+                    ]
+                    existing_sets = _list_kb_dirs(spark, sets_path)
+                    paths = [existing_sets[b] for b in need_kb if b in existing_sets]
+                    if paths:
+                        stored = spark.read.option("basePath", sets_path).parquet(
+                            *paths
+                        )
+                        sets_all = sets_all.unionByName(stored.drop("__kb"))
+                elif have_state:
+                    sets_all = sets_all.unionByName(spark.read.parquet(sets_path))
                 sa = sets_all.select(
                     F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
                 )
@@ -1080,16 +1144,26 @@ def stream_neardup_minhash_sink(
                     .filter(F.col("jaccard") >= threshold)
                 )
                 try:
+                    if instrument:
+                        t = _time.perf_counter()
                     pairs.write.mode("append").parquet(out_path)
+                    if instrument:
+                        ph["verify_s"] = round(_time.perf_counter() - t, 3)
                 finally:
-                    if bucketed:
+                    if bucketed or instrument:
                         cands.unpersist()
                 # sets BEFORE bands: every doc reachable through the band
                 # index must have a shingle set for the verify join (a
                 # crash between the appends then redelivers the batch,
                 # which only duplicates rows — see docstring)
+                if instrument:
+                    t = _time.perf_counter()
                 _write_state(sets_new, sets_path)
                 _write_state(bands_new, bands_path)
+                if instrument:
+                    ph["append_s"] = round(_time.perf_counter() - t, 3)
+                    ph["total_s"] = round(_time.perf_counter() - t0, 3)
+                    phase_log.append(ph)
             finally:
                 bands_new.unpersist()
         finally:
