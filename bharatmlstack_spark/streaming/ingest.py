@@ -865,6 +865,7 @@ def stream_neardup_minhash_sink(
     shingle_n: int = 3,
     threshold: float = 0.8,
     state_buckets: int | None = None,
+    bucket_bands: bool = False,
     trigger_once: bool = False,
     phase_log: list | None = None,
 ):
@@ -895,13 +896,21 @@ def stream_neardup_minhash_sink(
     PARTITIONED state (the FeatureStore/CDC layout pattern) so a
     micro-batch partition-prunes instead of scanning the full state:
 
-    - band index: partitioned on pmod(band_hash, buckets); the probe
-      collects the batch's distinct band buckets driver-side (bounded
-      by ``state_buckets``) and prunes the stored index to those dirs —
-      sound because a colliding pair shares band_hash, hence bucket.
     - shingle store: partitioned on pmod(xxhash64(id), buckets); the
       exact-Jaccard verify prunes to the CANDIDATE ids' buckets (the
-      same derivation expression as the writer).
+      same derivation expression as the writer). Candidates ≪ corpus
+      at ANY batch size, so this prune — of the FAT side, the full
+      hashed shingle sets — is the one that always bites.
+    - band index: FLAT by default even under ``state_buckets`` (the
+      HYBRID layout): band pruning only bites when batch_docs x bands
+      < buckets (tiny batches), while its append writes one file per
+      touched dir — at production batch sizes that is all tax and no
+      prune. ``bucket_bands=True`` additionally partitions the band
+      index on pmod(band_hash, buckets); the probe then collects the
+      batch's distinct band buckets driver-side and reads only those
+      dirs — sound because a colliding pair shares band_hash, hence
+      bucket. Use it for micro-batch regimes (point-ish lookups
+      against a huge index) where batch x bands ≪ buckets.
 
     Pruning bites only in the production regime — batch ≪ accumulated
     state with buckets sized so a batch touches a small fraction (e.g.
@@ -910,25 +919,28 @@ def stream_neardup_minhash_sink(
     the FLAT layout (measured faster there: partitioned appends +
     per-batch bucket collects cost more than the unprunable scans they
     replace — see SCALE.md's 10x rows). Measured regime rule
-    (tools/neardup_state_experiment.py, SCALE.md r09 table): the
-    index-size-dependent probe+verify cost is 2.4x/3.9x/5.2x cheaper
-    bucketed at 100k/1M/3M indexed docs (flat grows linearly, bucketed
-    stays bound by touched buckets), against a constant ~one-file-per-
-    touched-dir append tax that batch size amortizes — so prefer FLAT
-    below ~10^6 indexed docs or for replay-style bulk loads, BUCKETED
-    when batch ≪ index with production-sized batches
-    (tests/test_streaming.py pins bucketed == flat pair sets).
+    (tools/neardup_state_experiment.py, SCALE.md r09 tables): prefer
+    FLAT for replay-style bulk loads (batch ~= index); the default
+    bucketed form (HYBRID — sets partitioned, bands flat) wins once
+    batch ≪ index (1.15x e2e at a 1M-doc index, verify prune 6.4x,
+    growing with the index); ``bucket_bands=True`` has the best read
+    side (probe+verify 2.4x/3.9x/5.2x cheaper than flat at 100k/1M/3M
+    docs, bound by touched buckets) but pays ~one file per touched
+    band dir per append — it wins e2e only past ~3M docs at tiny
+    batches or in point-lookup regimes (tests/test_streaming.py pins
+    all three layouts pair-identical).
 
     LAYOUT CONTRACT (enforced before a run's first append; mixing
     layouts in one root would make ``spark.read.parquet`` silently drop
     the flat rows): switching a FLAT state to bucketed triggers a
-    one-time staged migration of both roots to the partitioned layout;
-    running flat against a BUCKETED state raises (refuse-to-degrade,
-    the _resolve_state_layout stance); the bucket count is recorded in
-    the state dir's meta sidecar on first bucketed write and a later
-    run passing a DIFFERENT count raises — writer and probe derive
-    pmod(·, buckets) with the run's count, so a changed count would
-    prune true candidates against dirs hashed with the old one.
+    one-time staged migration of each to-be-partitioned root; running
+    flat against a BUCKETED state raises (refuse-to-degrade, the
+    _resolve_state_layout stance); the bucket count AND the
+    ``bucket_bands`` flag are recorded in the state dir's meta sidecar
+    on first bucketed write, and a later run passing a DIFFERENT value
+    of either raises — writer and probe derive pmod(·, buckets) with
+    the run's count, so a changed count would prune true candidates
+    against dirs hashed with the old one.
 
     Crash/redelivery contract (all three state writes are appends, not
     atomic together): SETS append before BANDS, so every doc the band
@@ -956,14 +968,15 @@ def stream_neardup_minhash_sink(
     sets_path = f"{state_dir}/sets"
 
     bucketed = state_buckets is not None
+    bands_bucketed = bucketed and bucket_bands
 
     def _set_bucket(c) -> Column:
         # the ONE derivation shared by the sets writer and the verify
         # probe — they must agree or pruning would drop true sets
         return F.pmod(F.xxhash64(c), F.lit(state_buckets))
 
-    def _write_state(df: DataFrame, path: str) -> None:
-        if bucketed:
+    def _write_state(df: DataFrame, path: str, is_bucketed: bool) -> None:
+        if is_bucketed:
             df.repartition("__kb").write.mode("append").partitionBy("__kb").parquet(path)
         else:
             df.write.mode("append").parquet(path)
@@ -973,13 +986,19 @@ def stream_neardup_minhash_sink(
     def _ensure_layout() -> None:
         if _layout_ok:
             return
+        import json as _json
+        import os as _os
+
         from bharatmlstack_spark.operators.feature_store import (
+            TABLE_META_FILE,
+            hadoop_write_text,
             read_table_meta,
-            write_table_meta,
         )
 
         meta = read_table_meta(spark, state_dir)
         recorded = int(meta["n_buckets"]) if meta and "n_buckets" in meta else None
+        # sidecars from before the hybrid mode bucketed both roots
+        rec_bands = bool(meta.get("bucket_bands", True)) if meta else None
         if bucketed and recorded is not None and recorded != state_buckets:
             raise RuntimeError(
                 f"near-dup state {state_dir} was created with "
@@ -987,6 +1006,14 @@ def stream_neardup_minhash_sink(
                 f"{state_buckets} — the probe's pmod pruning would miss "
                 "true candidates against dirs hashed with the old count. "
                 f"Pass state_buckets={recorded}."
+            )
+        if bucketed and recorded is not None and rec_bands != bucket_bands:
+            raise RuntimeError(
+                f"near-dup state {state_dir} was created with "
+                f"bucket_bands={rec_bands} but this run passed "
+                f"{bucket_bands} — the band index's physical layout "
+                f"cannot change under an append-only state. Pass "
+                f"bucket_bands={rec_bands}."
             )
         if not bucketed and recorded is not None:
             raise RuntimeError(
@@ -998,7 +1025,7 @@ def stream_neardup_minhash_sink(
             spark,
             bands_path,
             lambda df: F.pmod(F.col("band_hash"), F.lit(state_buckets)),
-            bucketed,
+            bands_bucketed,
         )
         _ensure_neardup_root(
             spark, sets_path, lambda df: _set_bucket(F.col("id")), bucketed
@@ -1006,7 +1033,13 @@ def stream_neardup_minhash_sink(
         if bucketed and recorded is None:
             # AFTER both roots reconciled, BEFORE any bucketed append: a
             # crash in between just re-runs this (idempotent) next start
-            write_table_meta(spark, state_dir, state_buckets)
+            hadoop_write_text(
+                spark,
+                _os.path.join(state_dir, TABLE_META_FILE),
+                _json.dumps(
+                    {"n_buckets": state_buckets, "bucket_bands": bucket_bands}
+                ),
+            )
         _layout_ok.append(True)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -1029,7 +1062,7 @@ def stream_neardup_minhash_sink(
         try:
             sigs = minhash_signatures_from_hashes(sets_new, "id", "sh", num_hashes)
             bands_new = band_signatures(sigs, bands)
-            if bucketed:
+            if bands_bucketed:
                 bands_new = bands_new.withColumn(
                     "__kb", F.pmod("band_hash", F.lit(state_buckets))
                 )
@@ -1049,7 +1082,7 @@ def stream_neardup_minhash_sink(
                 cands = intra
                 have_state = hadoop_path_exists(spark, bands_path)
                 old = None
-                if have_state and bucketed:
+                if have_state and bands_bucketed:
                     # bucketed mode: prune the stored index to the batch's
                     # band buckets — a colliding pair shares band_hash,
                     # hence bucket — by reading the TOUCHED partition dirs
@@ -1158,8 +1191,8 @@ def stream_neardup_minhash_sink(
                 # which only duplicates rows — see docstring)
                 if instrument:
                     t = _time.perf_counter()
-                _write_state(sets_new, sets_path)
-                _write_state(bands_new, bands_path)
+                _write_state(sets_new, sets_path, bucketed)
+                _write_state(bands_new, bands_path, bands_bucketed)
                 if instrument:
                     ph["append_s"] = round(_time.perf_counter() - t, 3)
                     ph["total_s"] = round(_time.perf_counter() - t0, 3)

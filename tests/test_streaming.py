@@ -816,13 +816,26 @@ def test_stream_neardup_minhash_bucketed_state_equals_flat(spark, tmp_path):
         return rows, state
 
     flat, flat_state = run("flat")
-    buck, buck_state = run("buck", state_buckets=8)
-    assert buck == flat and set(flat) == {(1, 2), (1, 3), (2, 3)}
-    # layout really differs: bucketed state has __kb= partition dirs
-    assert any(d.startswith("__kb=") for d in os.listdir(f"{buck_state}/bands"))
+    # default bucketed = HYBRID: fat shingle store partitioned, thin
+    # band index flat (band pruning only bites when batch x bands <
+    # buckets; its per-dir append tax never amortizes at small batches)
+    hyb, hyb_state = run("hyb", state_buckets=8)
+    # bucket_bands=True additionally partitions the band index
+    buck, buck_state = run("buck", state_buckets=8, bucket_bands=True)
+    assert hyb == flat and buck == flat and set(flat) == {(1, 2), (1, 3), (2, 3)}
+    # layouts really differ
     assert not any(
         d.startswith("__kb=") for d in os.listdir(f"{flat_state}/bands")
     )
+    assert not any(
+        d.startswith("__kb=") for d in os.listdir(f"{flat_state}/sets")
+    )
+    assert any(d.startswith("__kb=") for d in os.listdir(f"{hyb_state}/sets"))
+    assert not any(
+        d.startswith("__kb=") for d in os.listdir(f"{hyb_state}/bands")
+    )
+    assert any(d.startswith("__kb=") for d in os.listdir(f"{buck_state}/bands"))
+    assert any(d.startswith("__kb=") for d in os.listdir(f"{buck_state}/sets"))
 
 
 def test_stream_neardup_flat_to_bucketed_migrates_state(spark, tmp_path):
@@ -859,9 +872,9 @@ def test_stream_neardup_flat_to_bucketed_migrates_state(spark, tmp_path):
     with open(f"{state}/bands__migrating/part-junk.parquet", "w") as f:
         f.write("partial")
 
-    # batch 2 switches to bucketed: state migrates, then appends
+    # batch 2 switches to fully-bucketed: both roots migrate, then append
     _write_json_batch(src, [docs[1], docs[2]])
-    run("mg_ck2", state_buckets=8)
+    run("mg_ck2", state_buckets=8, bucket_bands=True)
 
     # cross-era pairs (1,2) and (1,3) prove doc 1's flat-era bands and
     # shingle set survived the switch; pre-guard this was {(2, 3)} only
@@ -901,7 +914,11 @@ def test_stream_neardup_bucketed_state_refuses_degrade_and_recount(spark, tmp_pa
         run("rd_ck2")
     with pytest.raises(Exception, match="state_buckets=8"):
         run("rd_ck3", state_buckets=4)
+    # band-layout flag is sticky too: the state was created hybrid
+    # (bucket_bands=False), a fully-bucketed run must refuse
+    with pytest.raises(Exception, match="bucket_bands=False"):
+        run("rd_ck3b", state_buckets=8, bucket_bands=True)
 
-    # the correct count still works after the refused attempts
+    # the correct parameters still work after the refused attempts
     run("rd_ck4", state_buckets=8)
     assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}

@@ -22,6 +22,11 @@ probing a large pre-accumulated index. This tool builds that regime:
    (state writes — where the bucketed layout PAYS, one file per
    touched dir, amortized by batch size in production).
 
+Three layouts run: FLAT (both roots flat), HYBRID (the bucketed
+default: fat shingle store partitioned, thin band index flat — the
+verify prune with almost no append tax), and FULL (bucket_bands=True:
+both roots partitioned — band pruning too, maximal append tax).
+
 Pair readouts are asserted equal across layouts (the correctness pin,
 same as tests/test_streaming.py).
 
@@ -49,14 +54,16 @@ from pyspark.sql import functions as F
 from bharatmlstack_spark import get_spark
 
 VOCAB = 20_000
-WORDS_PER_DOC = 12
+# ~real-corpus document size: the shingle store (the verify side) is the
+# FAT state root, ~words hashes per doc; 12-word docs undersell it ~8x
+WORDS_PER_DOC = 100
 NUM_HASHES = 64
 BANDS = 16
 SHINGLE_N = 3
 
 
-def _with_text(df):
-    """Deterministic 12-word text from a `seed` column — a dup doc copies
+def _with_text(df, words: int = WORDS_PER_DOC):
+    """Deterministic `words`-word text from a `seed` column — a dup doc copies
     an index doc's seed (identical text, distinct doc_id)."""
     word = lambda j: F.concat(  # noqa: E731
         F.lit("w"),
@@ -66,11 +73,13 @@ def _with_text(df):
     )
     return df.select(
         "doc_id",
-        F.concat_ws(" ", *[word(j) for j in range(WORDS_PER_DOC)]).alias("text"),
+        F.concat_ws(" ", *[word(j) for j in range(words)]).alias("text"),
     )
 
 
-def seed_state(spark, state: str, n_index: int, buckets: int | None) -> float:
+def seed_state(
+    spark, state: str, n_index: int, buckets: int | None, bucket_bands: bool
+) -> float:
     """Write the accumulated state the sink would have built for the
     index corpus (same shingle/signature/band derivations, same bucket
     expressions), so the experiment starts at batch ≪ index without
@@ -105,7 +114,7 @@ def seed_state(spark, state: str, n_index: int, buckets: int | None) -> float:
         sets_back.select("id", "sh"), "id", "sh", NUM_HASHES
     )
     bands = band_signatures(sigs, BANDS)
-    if buckets:
+    if buckets and bucket_bands:
         (
             bands.withColumn("__kb", F.pmod("band_hash", F.lit(buckets)))
             .repartition("__kb")
@@ -141,6 +150,7 @@ def run_layout(
     n_batches: int,
     batch_size: int,
     buckets: int | None,
+    bucket_bands: bool = False,
 ):
     from bharatmlstack_spark.streaming.ingest import stream_neardup_minhash_sink
 
@@ -149,7 +159,7 @@ def run_layout(
     out = f"{work}/{tag}_out"
     ck = f"{work}/{tag}_ck"
 
-    seed_s = seed_state(spark, state, n_index, buckets)
+    seed_s = seed_state(spark, state, n_index, buckets, bucket_bands)
 
     def deliver(phase_log=None) -> float:
         stream = spark.readStream.schema("doc_id long, text string").parquet(topic)
@@ -158,7 +168,8 @@ def run_layout(
             stream, state, out, ck, spark,
             id_col="doc_id", text_col="text",
             num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
-            trigger_once=True, state_buckets=buckets, phase_log=phase_log,
+            trigger_once=True, state_buckets=buckets,
+            bucket_bands=bucket_bands, phase_log=phase_log,
         )
         q.awaitTermination(1800)
         return round(time.perf_counter() - t0, 3)
@@ -217,13 +228,19 @@ def main() -> None:
             spark, work, "flat", n_index, n_batches, batch_size, None
         )
         print(f"flat: {flat}", file=sys.stderr)
-        buck, buck_pairs = run_layout(
-            spark, work, "buck", n_index, n_batches, batch_size, buckets
+        hyb, hyb_pairs = run_layout(
+            spark, work, "hyb", n_index, n_batches, batch_size, buckets
         )
-        print(f"bucketed: {buck}", file=sys.stderr)
-        assert flat_pairs == buck_pairs, "layouts disagree on the pair set"
-        read_flat = flat["phase_mean"]["probe_s"] + flat["phase_mean"]["verify_s"]
-        read_buck = buck["phase_mean"]["probe_s"] + buck["phase_mean"]["verify_s"]
+        print(f"hybrid: {hyb}", file=sys.stderr)
+        buck, buck_pairs = run_layout(
+            spark, work, "buck", n_index, n_batches, batch_size, buckets,
+            bucket_bands=True,
+        )
+        print(f"full-bucketed: {buck}", file=sys.stderr)
+        assert flat_pairs == hyb_pairs == buck_pairs, "layouts disagree on the pair set"
+        def read_side(r):
+            return r["phase_mean"]["probe_s"] + r["phase_mean"]["verify_s"]
+
         print(
             json.dumps(
                 {
@@ -232,12 +249,19 @@ def main() -> None:
                     "n_batches": n_batches,
                     "state_buckets": buckets,
                     "flat": flat,
-                    "bucketed": buck,
-                    "e2e_speedup_bucketed_over_flat": round(
+                    "hybrid": hyb,
+                    "full_bucketed": buck,
+                    "e2e_speedup_hybrid_over_flat": round(
+                        flat["batch_mean_s"] / hyb["batch_mean_s"], 2
+                    ),
+                    "e2e_speedup_full_over_flat": round(
                         flat["batch_mean_s"] / buck["batch_mean_s"], 2
                     ),
-                    "probe_verify_speedup_bucketed_over_flat": round(
-                        read_flat / read_buck, 2
+                    "probe_verify_speedup_hybrid_over_flat": round(
+                        read_side(flat) / read_side(hyb), 2
+                    ),
+                    "probe_verify_speedup_full_over_flat": round(
+                        read_side(flat) / read_side(buck), 2
                     ),
                 }
             )

@@ -75,25 +75,15 @@ QUERIES = [
     "stream_cdc_gc",
     # round-8b: the packed-vote SimHash + banded hamming join family
     "dedup_simhash",
+    # round-9 registrations (staged through r08): the registered
+    # semantic_dedup_ivf derives n_cells ~ n/10^4 with a floor of 16,
+    # which at these fixture sizes resolves to 16 — the explicit
+    # (cells~n) row below is the parameterization demo at 16 -> 160
+    "bm25_topk",
+    "bigram_pmi",
+    "char_entropy_quality",
+    "semantic_dedup_ivf",
 ]
-
-# round-9 registration candidates (queries_text.R9_ORACLES): not in the
-# registry yet, timed from their staged *_q callables so the scale rows
-# exist BEFORE the driver rows land
-def _staged():
-    from bharatmlstack_spark.queries_text import (
-        bigram_pmi_q,
-        bm25_topk_q,
-        char_entropy_quality_q,
-        semantic_dedup_ivf_q,
-    )
-
-    return [
-        ("bm25_topk (staged r9)", bm25_topk_q),
-        ("bigram_pmi (staged r9)", bigram_pmi_q),
-        ("char_entropy_quality (staged r9)", char_entropy_quality_q),
-        ("semantic_dedup_ivf (staged r9)", semantic_dedup_ivf_q),
-    ]
 
 
 def build(spark, src: str, out: str) -> None:
@@ -144,7 +134,7 @@ def _semdedup_prescribed(n_cells: int):
 
 def time_queries(spark, sf_dir: str, scaled: bool = False) -> dict[str, float]:
     qs = all_queries()
-    todo = [(n, qs[n]) for n in QUERIES] + _staged()
+    todo = [(n, qs[n]) for n in QUERIES]
     # parameter scales with the data (16 cells at sf0.1, 160 at sf1)
     todo.append(
         ("semantic_dedup_ivf (cells~n)", _semdedup_prescribed(160 if scaled else 16))
