@@ -82,6 +82,31 @@ def hadoop_read_text(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+def hadoop_list_partition_dirs(
+    spark: SparkSession, path: str, col: str
+) -> dict[int, str]:
+    """{partition_value: dir_path} for one table root's ``col=`` partition
+    dirs — one FS listStatus call, O(existing dirs) driver metadata. Used
+    to build TARGETED pruned reads (explicit dir paths + basePath):
+    reading the root and filtering ``isin(values)`` lists EVERY partition
+    dir first — at thousands of buckets that O(all dirs) file-discovery
+    job dwarfs the pruned scan itself (measured for the near-dup state in
+    tools/neardup_state_experiment.py; the same economics apply to any
+    bucket-partitioned table on an object store)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: dict[int, str] = {}
+    if not fs.exists(jpath):
+        return out
+    prefix = f"{col}="
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            out[int(name[len(prefix):])] = f"{path}/{name}"
+    return out
+
+
 def hadoop_delete_path(spark: SparkSession, path: str) -> bool:
     """Recursive delete through the Hadoop FS API (HDFS/S3/GCS-safe) —
     used to drop bucket directories a key-delete fully emptied (dynamic

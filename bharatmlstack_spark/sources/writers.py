@@ -46,10 +46,26 @@ def write_feature_table(
 
 def read_feature_table_for_keys(spark, path: str, keys_df: DataFrame, key_cols: list[str], n_buckets: int = 64) -> DataFrame:
     """Prune the bucketed table to only the buckets the request keys hash
-    into (collected driver-side — the request is small by definition)."""
+    into (collected driver-side — the request is small by definition).
+
+    Targeted-path read: one driver-side listStatus of the root, then read
+    ONLY the wanted ``key_bucket=`` dirs (basePath keeps the partition
+    column). Reading the root and filtering ``isin(wanted)`` would list
+    every bucket dir before pruning — O(n_buckets) file discovery per
+    lookup, the hot-path cost the near-dup experiment measured
+    (hadoop_list_partition_dirs docstring)."""
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_list_partition_dirs,
+    )
+
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
     wanted = [r[0] for r in keys_df.select(bucket.alias("b")).distinct().collect()]
-    return spark.read.parquet(path).filter(F.col("key_bucket").isin(wanted))
+    existing = hadoop_list_partition_dirs(spark, path, "key_bucket")
+    paths = [existing[b] for b in wanted if b in existing]
+    if not paths:
+        # no wanted bucket exists: preserve the schema, return no rows
+        return spark.read.parquet(path).limit(0)
+    return spark.read.option("basePath", path).parquet(*paths)
 
 
 def write_event_table(df: DataFrame, path: str, ts_col: str = "ts") -> None:

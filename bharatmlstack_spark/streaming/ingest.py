@@ -745,21 +745,12 @@ def compact_cdc_state(
 
 def _list_kb_dirs(spark: SparkSession, path: str) -> dict[int, str]:
     """{bucket: dir_path} for the ``__kb=`` partition dirs under one state
-    root — one FS listStatus call, O(existing buckets) driver metadata,
-    used to build targeted-path pruned reads (reading the root instead
-    would trigger an O(all buckets) distributed file-discovery job per
-    micro-batch)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out: dict[int, str] = {}
-    if not fs.exists(jpath):
-        return out
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("__kb="):
-            out[int(name.split("=", 1)[1])] = f"{path}/{name}"
-    return out
+    root — targeted-path pruned reads; see hadoop_list_partition_dirs."""
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_list_partition_dirs,
+    )
+
+    return hadoop_list_partition_dirs(spark, path, "__kb")
 
 
 def _neardup_root_layout(spark: SparkSession, path: str) -> str | None:
