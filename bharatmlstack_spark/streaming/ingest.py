@@ -572,13 +572,23 @@ def stream_cdc_sink(
         return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from bharatmlstack_spark.operators.feature_store import (
+            hadoop_list_partition_dirs,
+        )
+
         if batch_df.isEmpty():
             return
-        state = spark.read.parquet(state_path)
-        n_buckets = _resolve_state_layout(spark, state_path, state.columns)
+        # one driver-side listStatus stands in for reading the root:
+        # physical layout detection AND the pruned read's dir paths —
+        # reading the root + isin(touched) would list every bucket dir
+        # per micro-batch (hadoop_list_partition_dirs docstring)
+        kb_dirs = hadoop_list_partition_dirs(spark, state_path, "__kb")
+        n_buckets = _resolve_state_layout(
+            spark, state_path, ["__kb"] if kb_dirs else []
+        )
         # an empty-seeded bucketed state is a flat zero-row bootstrap
-        # file without the partition column (see seed_cdc_state)
-        bootstrap = n_buckets is not None and "__kb" not in state.columns
+        # file without the partition dirs (see seed_cdc_state)
+        bootstrap = n_buckets is not None and not kb_dirs
         if n_buckets is not None and not bootstrap:
             touched = sorted(
                 r[0]
@@ -588,8 +598,26 @@ def stream_cdc_sink(
             )
             # partition pruning: only the touched bucket dirs are read —
             # keys outside them cannot collide with the batch's keys
-            # (same hash, same bucket)
-            state = state.filter(F.col("__kb").isin(touched)).drop("__kb")
+            # (same hash, same bucket). A touched bucket with no dir yet
+            # simply has no existing rows.
+            paths = [kb_dirs[b] for b in touched if b in kb_dirs]
+            if paths:
+                state = (
+                    spark.read.option("basePath", state_path)
+                    .parquet(*paths)
+                    .drop("__kb")
+                )
+            else:
+                # schema-preserving empty existing side
+                any_dir = next(iter(kb_dirs.values()))
+                state = (
+                    spark.read.option("basePath", state_path)
+                    .parquet(any_dir)
+                    .limit(0)
+                    .drop("__kb")
+                )
+        else:
+            state = spark.read.parquet(state_path)
         payload = [
             c for c in batch_df.columns if c not in (*key_cols, seq_col, op_col)
         ]
