@@ -306,7 +306,26 @@ class FeatureStore:
 
         path = self._table_path(entity_label, store_id)
         exists = hadoop_path_exists(self.spark, path)
-        existing = self.spark.read.parquet(path) if exists else None
+        # one driver-side listStatus gives the physical layout AND the
+        # dirs for targeted pruned reads; reading the root + isin would
+        # list every bucket dir first (hadoop_list_partition_dirs)
+        kb_dirs = (
+            hadoop_list_partition_dirs(self.spark, path, BUCKET_COL)
+            if exists
+            else {}
+        )
+        legacy = exists and not kb_dirs
+        # schema probe: ONE bucket dir suffices (schema is uniform across
+        # dirs by the narrow-width stickiness below); legacy flat tables
+        # read the root (single dir — nothing saved by probing)
+        if not exists:
+            probe = None
+        elif legacy:
+            probe = self.spark.read.parquet(path)
+        else:
+            probe = self.spark.read.option("basePath", path).parquet(
+                next(iter(kb_dirs.values()))
+            )
 
         # F9 narrow storage: fp16/fp8 FG columns write as bit-pattern
         # integers (2x/4x denser than FLOAT; ref perm_storage_datablock_v2
@@ -314,7 +333,7 @@ class FeatureStore:
         # narrow and float files under one table would break parquet schema
         # merge across partition dirs.
         out = self._encode_narrow(
-            entity, out, dict(existing.dtypes) if existing is not None else None
+            entity, out, dict(probe.dtypes) if probe is not None else None
         )
 
         # physical layout: hash-bucket partition column (writers.py layout);
@@ -334,11 +353,10 @@ class FeatureStore:
             )
             write_table_meta(self.spark, path, nb)
             return
-        legacy = BUCKET_COL not in existing.columns
         if legacy:
             # pre-bucketed table: migrate to the partitioned layout on this
             # write (one full rewrite, then scoped forever after)
-            existing = existing.withColumn(
+            existing = probe.withColumn(
                 BUCKET_COL, _bucket_expr(entity.key_columns, nb)
             )
             touched = None
@@ -349,7 +367,15 @@ class FeatureStore:
                 r[0] for r in out.select(BUCKET_COL).distinct().collect()
             )
             # partition pruning: only touched bucket dirs are read
-            existing = existing.filter(F.col(BUCKET_COL).isin(touched))
+            # (targeted paths; a touched bucket with no dir yet simply
+            # has no existing rows)
+            paths = [kb_dirs[b] for b in touched if b in kb_dirs]
+            if paths:
+                existing = self.spark.read.option("basePath", path).parquet(
+                    *paths
+                )
+            else:
+                existing = probe.limit(0)  # schema-preserving empty side
 
         merged = self._merge_columnwise(existing, out, entity)
 
@@ -512,11 +538,12 @@ class FeatureStore:
         path = self._table_path(entity_label, store_id)
         if not hadoop_path_exists(self.spark, path):
             return 0
-        existing = self.spark.read.parquet(path)
+        kb_dirs = hadoop_list_partition_dirs(self.spark, path, BUCKET_COL)
         kdf = keys.select(*entity.key_columns).dropDuplicates(entity.key_columns)
 
-        if BUCKET_COL not in existing.columns:
+        if not kb_dirs:
             # legacy pre-bucketed table: one full anti-join rewrite
+            existing = self.spark.read.parquet(path)
             kside = F.broadcast(kdf) if broadcast_keys else kdf
             remaining = existing.join(
                 kside, on=entity.key_columns, how="left_anti"
@@ -538,7 +565,12 @@ class FeatureStore:
         nb = self._effective_n_buckets(path)
         kdf = kdf.withColumn(BUCKET_COL, _bucket_expr(entity.key_columns, nb))
         touched = sorted(r[0] for r in kdf.select(BUCKET_COL).distinct().collect())
-        scoped = existing.filter(F.col(BUCKET_COL).isin(touched))
+        # targeted pruned read of the touched dirs only (a touched bucket
+        # with no dir holds nothing to delete)
+        paths = [kb_dirs[b] for b in touched if b in kb_dirs]
+        if not paths:
+            return 0
+        scoped = self.spark.read.option("basePath", path).parquet(*paths)
         kside = kdf.drop(BUCKET_COL)
         if broadcast_keys:
             kside = F.broadcast(kside)
