@@ -1273,6 +1273,135 @@ def stream_ann_ivf_sink(
     return writer.start()
 
 
+def stream_semantic_dedup_sink(
+    stream_df: DataFrame,
+    ivf,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    spark: SparkSession,
+    threshold: float = 0.99,
+    trigger_once: bool = False,
+):
+    """Streaming SemDeDup (arXiv:2303.09540 made incremental): the
+    embedding sibling of ``stream_neardup_minhash_sink``, sharing its
+    state with ``stream_ann_ivf_sink`` — ONE cell-partitioned index
+    serves both ANN search and semantic dedup. Per micro-batch:
+
+    1. assign the batch's vectors to cells with the FROZEN coarse
+       quantizer (``ivf``: a fit IvfIndex — one Arrow GEMM, map-side);
+    2. candidates = intra-batch same-cell pairs UNION batch-vs-
+       accumulated-index same-cell pairs. The index is partitioned on
+       ``cell``, so the cross probe reads ONLY the batch's cells —
+       targeted partition dirs (hadoop_list_partition_dirs), never the
+       root: listing and scan both O(batch's cells), the same
+       economics measured for the near-dup band probe;
+    3. pairs at cosine >= threshold append to ``out_path``;
+    4. the batch's assignments append to the index (exactly
+       stream_ann_ivf_sink's write — the two sinks are
+       interchangeable writers of the same state).
+
+    Union of emissions == the one-shot batch SemDeDup under the SAME
+    frozen quantizer: assignment is deterministic, cosine symmetric, so
+    a within-cell pair is found exactly when its LATER vector arrives.
+    A pair straddling a cell boundary is the method's documented recall
+    trade (operators/dedup.embedding_semantic_dedup_pairs) — identical
+    vectors always share a cell, so exact duplicates are never missed.
+    At-least-once redelivery appends byte-identical (id, cell) rows and
+    re-emits the same pairs — readers dedup output on (id_a, id_b) and
+    the index on the vector id (read_streamed_ivf_index). Assumes each
+    vector id arrives once (corpus build, not a changelog).
+
+    STAGED TIER (not driver-registered: the 150-query registry is
+    saturated — see queries.py's rotation note); the DuckDB-twin pytest
+    in tests/test_streaming.py runs the driver's comparison shape:
+    streamed pair readout == batch same-cell pair set under the same
+    quantizer, across batches and under full redelivery."""
+    from bharatmlstack_spark.functions.vector import cosine_similarity
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_list_partition_dirs,
+    )
+
+    id_col, emb_col = ivf.id_col, ivf.emb_col
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = ivf.index(batch_df).persist()
+        try:
+            a = assigned.select(
+                F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"), "cell"
+            )
+            b = assigned.select(
+                F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"), "cell"
+            )
+            cands = (
+                a.join(b, on="cell")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "emb_a", "emb_b")
+            )
+            cell_dirs = hadoop_list_partition_dirs(spark, index_path, "cell")
+            touched = [
+                r[0] for r in assigned.select("cell").distinct().collect()
+            ]
+            paths = [cell_dirs[c] for c in touched if c in cell_dirs]
+            if paths:
+                old = (
+                    spark.read.option("basePath", index_path)
+                    .parquet(*paths)
+                    .select(
+                        F.col(id_col).alias("id_o"),
+                        F.col(emb_col).alias("emb_o"),
+                        "cell",
+                    )
+                )
+                cross = (
+                    assigned.join(old, on="cell")
+                    .filter(F.col(id_col) != F.col("id_o"))
+                    .select(
+                        F.least(id_col, "id_o").alias("id_a"),
+                        F.greatest(id_col, "id_o").alias("id_b"),
+                        # emb columns follow the id normalization
+                        F.when(
+                            F.col(id_col) < F.col("id_o"), F.col(emb_col)
+                        )
+                        .otherwise(F.col("emb_o"))
+                        .alias("emb_a"),
+                        F.when(
+                            F.col(id_col) < F.col("id_o"), F.col("emb_o")
+                        )
+                        .otherwise(F.col(emb_col))
+                        .alias("emb_b"),
+                    )
+                )
+                cands = cands.unionByName(cross)
+            pairs = (
+                cands.withColumn("cosine", cosine_similarity("emb_a", "emb_b"))
+                .filter(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            pairs.write.mode("append").parquet(out_path)
+            # index append AFTER the pair write: either order is
+            # crash-safe (a doc's state is self-contained, unlike the
+            # near-dup sets/bands dependency) — a crash anywhere simply
+            # redelivers the batch, which only duplicates rows
+            (
+                assigned.write.mode("append")
+                .partitionBy("cell")
+                .parquet(index_path)
+            )
+        finally:
+            assigned.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_streamed_ivf_index(
     spark: SparkSession, index_path: str, id_col: str = "vec_id"
 ) -> DataFrame:

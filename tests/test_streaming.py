@@ -922,3 +922,87 @@ def test_stream_neardup_bucketed_state_refuses_degrade_and_recount(spark, tmp_pa
     # the correct parameters still work after the refused attempts
     run("rd_ck4", state_buckets=8)
     assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_stream_semantic_dedup_matches_batch_cells(spark, tmp_path):
+    """Streaming SemDeDup (staged tier): the union of per-batch emissions
+    equals the one-shot batch same-cell pair set under the SAME frozen
+    quantizer — intra-batch pairs via the cell self-join, cross-batch
+    pairs via the targeted-dir probe of the accumulated cell-partitioned
+    index — and full redelivery only duplicates rows."""
+    import numpy as np
+
+    from bharatmlstack_spark.functions.vector import cosine_similarity
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+    from bharatmlstack_spark.streaming.ingest import (
+        read_streamed_ivf_index,
+        stream_semantic_dedup_sink,
+    )
+
+    rng = np.random.default_rng(11)
+    schema = "vec_id long, embedding array<float>"
+    base = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    dups = [(100 + i, base[i][1]) for i in range(6)]  # exact copies
+    batch1 = base[:20] + dups[:2]  # dups of 0,1 arrive WITH their originals
+    batch2 = base[20:] + dups[2:]  # dups of 2..5 arrive a batch LATER
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    idx = IvfIndex(n_cells=4).fit(
+        spark.createDataFrame(base, schema), sample_size=64, iters=3
+    )
+
+    topic = str(tmp_path / "sd_topic")
+    index_path, out = str(tmp_path / "sd_index"), str(tmp_path / "sd_out")
+
+    def run(ck):
+        stream = spark.readStream.schema(schema).parquet(topic)
+        q = stream_semantic_dedup_sink(
+            stream, idx, index_path, out, str(tmp_path / ck), spark,
+            threshold=0.99, trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(topic)
+    run("sd_ck")
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(topic)
+    run("sd_ck")  # same checkpoint: only the new file is a batch
+
+    def readout():
+        return {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(out)
+            .dropDuplicates(["id_a", "id_b"])
+            .collect()
+        }
+
+    got = readout()
+
+    # one-shot batch form under the SAME frozen quantizer
+    cells = idx.index(full)
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "cell"
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity("emb_a", "emb_b"))
+        .filter(F.col("cosine") >= 0.99)
+        .collect()
+    }
+    assert got == want
+    assert {(i, 100 + i) for i in range(6)} <= got  # every injected dup found
+
+    # full redelivery under a fresh checkpoint: re-emits, never invents;
+    # the shared index state stays search-identical after id-dedup
+    n_index_rows = spark.read.parquet(index_path).count()
+    run("sd_ck2")
+    assert readout() == got
+    assert spark.read.parquet(index_path).count() == 2 * n_index_rows
+    assert read_streamed_ivf_index(spark, index_path).count() == n_index_rows
