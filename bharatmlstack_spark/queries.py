@@ -384,18 +384,28 @@ def rpn_bool_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("entity_id", hot.alias("hot"), both.alias("hot_and_taxed"))
 
 
-@query(
-    "rpn_literal_div",
-    oracle=f"""
+# Oracles for RETIRED rows (see RETIRED below): unregistered from the
+# driver gate, still run against DuckDB by the staged-tier pytest
+# (tests/test_staged_retired.py) with the driver's exact comparison.
+RETIRED_ORACLES: dict[str, str] = {}
+
+RETIRED_ORACLES["rpn_literal_div"] = f"""
 WITH {_MATRIX_SQL.strip()}
 SELECT entity_id, price / qty AS unit_price
 FROM score_matrix
 WHERE qty > 0
-""",
-)
+"""
+
+
 def rpn_literal_div(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 division with the reference's divide-by-zero error domain — the
-    fixture has qty > 0 everywhere, pre-filtered to keep parity."""
+    fixture has qty > 0 everywhere, pre-filtered to keep parity.
+
+    RETIRED from the driver registry in r09 (first entry of the pinned
+    retirement order): the F1-F8 family stays driver-attested by
+    rpn_score (hypothesis-fuzzed) + rpn_bool_compare; the freed slot
+    pulls stream_dedup_minhash (sink reworked in r09) into the r10
+    window. Still verified every pytest run against its DuckDB oracle."""
     m = _matrix(spark, sf_dir).filter(F.col("qty") > 0)
     col = rpn_to_column("price qty /", set(m.columns))
     return m.select("entity_id", col.alias("unit_price"))
@@ -761,18 +771,25 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # (basket-expansion edge build, single-aggregate seed) without a driver
 # re-attestation since r06 — this round's window closes that debt.
 #
-# SATURATION (now in effect): the registry holds 150 queries — exactly
-# the 50-row window x 3-round freshness budget. The steady-state
-# rotation is forced: r10 = the 50 r07-era greens (pre-ordered below,
-# stream_cdc_apply at the head), r11 = the 50 r08-era, r12 = this
-# round's 50, and so on. There is ZERO slack: a 151st registration
-# would push some query past the 3-round boundary permanently. A new
-# operator must either (a) retire one row from RETIREMENT_CANDIDATES
-# below one-for-one (unregister the retired row — keep its function and
-# a DuckDB-twin pytest as the staged tier so coverage remains executable
-# and honest), or (b) itself ship in the staged tier (pytest replicating
-# the driver comparison, like tests/test_retrieval.py did for the four
-# rows registered this round) and say so in README/SURVEY.
+# SATURATION + the first executed retirement: at 150 registered the
+# rotation had ZERO slack (50-row window x 3-round freshness budget),
+# so a mid-cycle implementation change to a row outside the current
+# window accrued un-attested rounds with no way to pull it forward —
+# exactly what happened to stream_dedup_minhash (last green r08, sink
+# reworked in r09: hybrid state layout default + flat-switch
+# enforcement). The pinned retirement order exists for this: r09
+# retires rpn_literal_div (head of the list — F1-F8 stays attested by
+# the hypothesis-fuzzed rpn_score + rpn_bool_compare), dropping the
+# registry to 149 and freeing one r10 slot for stream_dedup_minhash.
+# Steady state: r10 = 49 r07-era greens + stream_dedup_minhash,
+# r11 = the 49 remaining r08-era greens (one slack slot for whatever
+# r10 touches), r12 = this round's 50. A new operator must either
+# (a) retire one row from RETIREMENT_CANDIDATES below one-for-one
+# (unregister it — keep its function and a DuckDB-twin pytest as the
+# staged tier, tests/test_staged_retired.py, so coverage remains
+# executable and honest), or (b) itself ship in the staged tier
+# (pytest replicating the driver comparison, like tests/
+# test_retrieval.py did for the four rows registered this round).
 QUERY_PRIORITY: list[str] = [
     # new this round (r09) — the staged tier graduates
     "bm25_topk",
@@ -827,10 +844,17 @@ QUERY_PRIORITY: list[str] = [
     "value_zscore_outliers",
     "woe_binning",
     # ---- window boundary (driver verifies the first 50) ----
-    # ROUND-10 WINDOW (pre-planned, zero slack): exactly the 50 r07-era
-    # greens. stream_cdc_apply LEADS — touched in r08 (its sink gained
-    # the meta-recovery guard) with last green r07.
+    # ROUND-10 WINDOW (pre-planned): the 49 r07-era greens + one pulled
+    # forward. stream_cdc_apply LEADS — touched in r08 (meta-recovery
+    # guard) AND r09 (targeted-path pruned state reads) with last green
+    # r07. stream_dedup_minhash follows — last green r08, sink reworked
+    # in r09 (hybrid layout default, flat-switch enforcement); it rides
+    # the slot freed by retiring rpn_literal_div instead of waiting for
+    # r11 with two rounds of un-attested changes. incremental_
+    # materialize_orders also changed in r09 (FeatureStore targeted
+    # reads) and is already in this block.
     "stream_cdc_apply",
+    "stream_dedup_minhash",
     "asof_feature_join",
     "bpe_vocab_learn",
     "cdc_apply",
@@ -872,7 +896,6 @@ QUERY_PRIORITY: list[str] = [
     "rolling_7d_user_value",
     "rollup_lineitem",
     "rpn_bool_compare",
-    "rpn_literal_div",
     "sketch_distinct_users",
     "sketch_percentile_value",
     "sketch_union_distinct",
@@ -880,7 +903,9 @@ QUERY_PRIORITY: list[str] = [
     "stateful_topk_stream",
     "stream_attribution_join",
     "table_profile",
-    # ROUND-11 WINDOW (pre-planned): the 50 r08-era greens.
+    # ROUND-11 WINDOW (pre-planned): the 49 remaining r08-era greens
+    # (stream_dedup_minhash moved up to r10), leaving ONE slack slot
+    # for whatever r10's changes touch outside its window.
     "bpe_learn_until_vocab",
     "bpe_merge_step",
     "cohort_retention",
@@ -922,7 +947,6 @@ QUERY_PRIORITY: list[str] = [
     "stratified_sample",
     "stream_ann_ivf_dot",
     "stream_cdc_gc",
-    "stream_dedup_minhash",
     "stream_dedup_watermark",
     "temporal_split",
     "topk_orders",
@@ -940,8 +964,18 @@ QUERY_PRIORITY: list[str] = [
 # DuckDB-twin pytest (staged tier) so it stays executable and verified
 # locally. Each entry names the surviving sibling(s) that keep the
 # family attested.
+# Executed retirements: (row, round, why). Each keeps its function and
+# a DuckDB-twin pytest in tests/test_staged_retired.py.
+RETIRED: list[tuple[str, str, str]] = [
+    (
+        "rpn_literal_div",
+        "r09",
+        "freed an r10 slot to pull stream_dedup_minhash (sink reworked "
+        "r09) forward; F1-F8 stays attested by rpn_score + rpn_bool_compare",
+    ),
+]
+
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
-    ("rpn_literal_div", "RPN F1-F8: rpn_score (hypothesis-fuzzed) + rpn_bool_compare"),
     ("rpn_bool_compare", "RPN F1-F8: rpn_score"),
     ("segment_except", "O1 set ops: segment_intersect"),
     ("multimodal_decode_rgb", "decode family: multimodal_decode_image/_stats/_png"),
