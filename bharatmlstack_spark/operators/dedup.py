@@ -453,28 +453,54 @@ def simhash(
     (fields at shifts 0/21/42; a field saturates only past 2^21 tokens
     per doc, guarded below), shrinking the aggregation to
     ceil(bits/3)+1 longs with plain shift-and-mask expressions instead
-    of ``bits`` branchy when/otherwise sums."""
+    of ``bits`` branchy when/otherwise sums.
+
+    Entirely MAP-SIDE (like minhash_signatures): the per-token hashes
+    live in an in-row array and each packed sum is an ``F.aggregate``
+    long fold over it — no explode, no groupBy. To be precise about
+    what this buys: the previous explode+groupBy form already combined
+    map-side (partial aggregation), so its exchange was per-DOC, not
+    per-token — wall-clock at sf0.1 is unchanged. What the fold
+    removes is structural: the per-token row materialization and
+    hash-table probes inside the aggregate, and the exchange + stage
+    boundary entirely — fingerprinting is now ONE whole-stage-codegen
+    projection (0 Exchanges in the executed plan), so the only shuffle
+    in the SimHash pipeline is the band bucket join, and the
+    fingerprint stage fuses with whatever scan/filter precedes it.
+    Integer adds commute, so the fold is bit-identical to the exploded
+    sum (pinned against an independent per-bit reference in
+    tests/test_dedup_text.py). NULL text drops the doc from the
+    output, matching the explode form's behavior."""
     _FIELD = 21  # 3 packed counters per long; safe below 2**21 tokens/doc
     n_packed = (bits + 2) // 3
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokenize(text_col), lambda w: F.xxhash64(w)).alias("__wh"),
+    ).filter(F.col("__wh").isNotNull())
 
-    def packed(j: int) -> Column:
+    def packed(h: Column, j: int) -> Column:
         # bits 3j, 3j+1, 3j+2 of h -> 21-bit fields 0, 1, 2 of sum j
-        c = F.shiftrightunsigned("h", 3 * j).bitwiseAND(F.lit(1))
+        c = F.shiftrightunsigned(h, 3 * j).bitwiseAND(F.lit(1))
         for k in (1, 2):
             b = 3 * j + k
             if b < bits:
                 c = c + F.shiftleft(
-                    F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("long"),
+                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long"),
                     _FIELD * k,
                 )
         return c
 
-    votes = toks.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        *[F.sum(packed(j)).alias(f"p{j}") for j in range(n_packed)],
+    def fold(j: int) -> Column:
+        return F.aggregate(
+            "__wh",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + packed(h, j),
+        )
+
+    votes = base.select(
+        "id",
+        F.size("__wh").cast("long").alias("__cnt"),
+        *[fold(j).alias(f"p{j}") for j in range(n_packed)],
     )
     mask = F.lit((1 << _FIELD) - 1)
     fp = F.lit(0).cast("long")

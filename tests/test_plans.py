@@ -141,6 +141,18 @@ def test_chunking_is_map_side_only(spark, sf_dir, qs):
     assert shuffle_count(df) == 0  # generate/explode pipeline, no exchange
 
 
+def test_simhash_fingerprint_is_map_side_only(spark, sf_dir):
+    """SimHash fingerprinting is an in-row array fold (r09 rewrite of
+    the explode+groupBy form): one whole-stage-codegen projection, zero
+    exchanges — the only shuffle in the SimHash pipeline is the band
+    bucket join downstream. An Exchange appearing here means the
+    fingerprint stage regressed to an aggregate."""
+    from bharatmlstack_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert shuffle_count(simhash(docs, id_col="doc_id")) == 0
+
+
 def test_salted_join_matches_plain(spark):
     big = spark.createDataFrame(
         [(k, i) for i in range(200) for k in ("hot" if i % 4 else "cold",)],
