@@ -491,6 +491,40 @@ def test_simhash_banding_fuzz_matches_python_popcount(spark, base, flips):
     assert got == expect, fps
 
 
+@settings(max_examples=15, deadline=None)
+@given(_texts)
+def test_simhash_fold_matches_python_vote_counter(spark, texts):
+    """The r09 map-side fold (packed 21-bit ones-counters folded over the
+    in-row token-hash array) must equal an independent Python per-bit
+    vote counter fed the SAME token hashes. Shares only tokenize +
+    xxhash64 with the implementation — the packing, folding, and
+    majority-threshold logic are recomputed bit-by-bit in Python."""
+    from bharatmlstack_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    hashes = {
+        r["doc_id"]: [h & _U64 for h in r["wh"]]
+        for r in docs.select(
+            "doc_id",
+            F.transform(DD.tokenize("text"), lambda w: F.xxhash64(w)).alias("wh"),
+        ).collect()
+    }
+    got = {r["id"]: r["simhash"] for r in DD.simhash(docs, id_col="doc_id").collect()}
+    assert set(got) == set(hashes)
+    for d, whs in hashes.items():
+        n = len(whs)
+        fp = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in whs)
+            if 2 * ones > n:
+                fp |= 1 << b
+        if fp >= 1 << 63:  # Spark longs are signed
+            fp -= 1 << 64
+        assert got[d] == fp, (d, texts[d])
+
+
 # ---------------------------------------------------------------------------
 # as-of join vs a pure-Python point-in-time lookup
 # ---------------------------------------------------------------------------
