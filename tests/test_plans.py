@@ -141,6 +141,17 @@ def test_chunking_is_map_side_only(spark, sf_dir, qs):
     assert shuffle_count(df) == 0  # generate/explode pipeline, no exchange
 
 
+def test_minhash_signatures_are_map_side_only(spark, sf_dir):
+    """minhash_signatures' docstring claims the signature stage is pure
+    scan bandwidth (in-row hashed shingles + array_min folds, no
+    explode/groupBy); pin it like the simhash fold below so the claim
+    can't silently rot."""
+    from bharatmlstack_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert shuffle_count(minhash_signatures(docs, id_col="doc_id")) == 0
+
+
 def test_simhash_fingerprint_is_map_side_only(spark, sf_dir):
     """SimHash fingerprinting is an in-row array fold (r09 rewrite of
     the explode+groupBy form): one whole-stage-codegen projection, zero
