@@ -1312,8 +1312,10 @@ def stream_semantic_dedup_sink(
     the index on the vector id (read_streamed_ivf_index). Assumes each
     vector id arrives once (corpus build, not a changelog).
 
-    STAGED TIER (not driver-registered: the 150-query registry is
-    saturated — see queries.py's rotation note); the DuckDB-twin pytest
+    STAGED TIER (not driver-registered: the 50-row x 3-round rotation
+    budget is saturated — see queries.py's rotation note; registering
+    this would need a retirement from RETIREMENT_CANDIDATES); the
+    DuckDB-twin pytest
     in tests/test_streaming.py runs the driver's comparison shape:
     streamed pair readout == batch same-cell pair set under the same
     quantizer, across batches and under full redelivery."""
