@@ -69,6 +69,65 @@ def user_registry() -> SchemaRegistry:
     return reg
 
 
+def user_tags_registry() -> SchemaRegistry:
+    """Registry variant with a STRING_VECTOR feature group — the reference's
+    DataTypeStringVector (data_type.go:39), Pascal-encoded string vectors in
+    PSDB v2 blocks (perm_storage_datablock_v2.go:576-626): fixed vector
+    length, per-element booked string length, error (not truncate) on
+    overflow. Tag-lists are the canonical feature of this shape."""
+    reg = SchemaRegistry()
+    reg.register(
+        Entity(
+            label="user",
+            key_columns=["user_id"],
+            feature_groups={
+                "demo_tags": FeatureGroup(
+                    "demo_tags", 6, DataType.STRING_VECTOR,
+                    {1: [
+                        Feature(
+                            "tags", 0, default="none",
+                            string_length=12, vector_length=3,
+                        ),
+                    ]},
+                ),
+            },
+        )
+    )
+    return reg
+
+
+def user_tag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-vector fixture: deterministic 3-tag lists from customer
+    (segment / seg<k%5> / nat<nationkey>), same TTL pattern as fixture 1
+    so both engines agree on expiry."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    tags = F.array(
+        F.col("c_mktsegment"),
+        F.concat(F.lit("seg"), (k % 5).cast("string")),
+        F.concat(F.lit("nat"), F.col("c_nationkey").cast("string")),
+    )
+    return c.select(
+        k.alias("user_id"),
+        tags.alias("demo_tags__tags"),
+        F.lit(1).alias("schema_version"),
+        F.when(k % 10 == 0, F.lit(PAST_TS)).otherwise(F.lit(FUTURE_TS))
+        .cast("timestamp").alias("expires_at"),
+    )
+
+
+USER_TAG_FEATURES_CTE = f"""user_tag_features AS (
+  SELECT
+    c_custkey AS user_id,
+    [c_mktsegment,
+     'seg' || CAST(c_custkey % 5 AS VARCHAR),
+     'nat' || CAST(c_nationkey AS VARCHAR)] AS demo_tags__tags,
+    1 AS schema_version,
+    CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '{PAST_TS}' ELSE TIMESTAMP '{FUTURE_TS}' END AS expires_at
+  FROM customer
+)"""
+
+
 def user_narrow_registry() -> SchemaRegistry:
     """Registry variant declaring the float FGs at NARROW storage widths —
     demo_fp as FP16 (SMALLINT bit patterns on disk) and demo_vec as

@@ -103,7 +103,14 @@ def hadoop_list_partition_dirs(
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(prefix):
-            out[int(name[len(prefix):])] = f"{path}/{name}"
+            # a stray non-numeric dir (key_bucket=__HIVE_DEFAULT_PARTITION__
+            # from a null key, or a foreign dir sharing the prefix) must not
+            # break every targeted read — skip it, don't raise
+            try:
+                value = int(name[len(prefix):])
+            except ValueError:
+                continue
+            out[value] = f"{path}/{name}"
     return out
 
 
@@ -277,6 +284,7 @@ class FeatureStore:
         # declared width — the reference's wire containers carry small ints
         # as int64/float64 and downcast on parse (SURVEY §1.2).
         df = self._validate_persist_schema(entity, df)
+        df = self._enforce_lengths(entity, df)
 
         ttl = max(
             (fg.ttl_seconds for fg in entity.feature_groups.values()), default=0
@@ -878,6 +886,60 @@ class FeatureStore:
                 # coerce to the nullable variant (same values, same files)
                 target = ArrayType(expected.elementType, containsNull=True)
             out = out.withColumn(name, F.col(name).cast(target))
+        return out
+
+    @staticmethod
+    def _enforce_lengths(entity: Entity, df: DataFrame) -> DataFrame:
+        """Serialize-time length contracts, the reference's PSDB booking
+        rules (perm_storage_datablock_v2.go:332-343 scalar strings,
+        :595-626 string vectors — an element longer than the booked
+        string_length, or a vector whose size differs from the declared
+        vector_length, is an ERROR, never truncated or padded).
+
+        Data-dependent, so enforced executor-side via conditional
+        raise_error — the check stays inside whole-stage codegen; a clean
+        batch pays one branch per guarded column, no extra pass."""
+        cols = set(df.columns)
+        out = df
+        for fg in entity.feature_groups.values():
+            for feat in fg.version_features():
+                name = fg.column_name(feat.label)
+                if name not in cols:
+                    continue
+                col = F.col(name)
+                checks: list[tuple[Column, str]] = []
+                if fg.data_type.is_vector and feat.vector_length > 0:
+                    checks.append(
+                        (
+                            col.isNotNull() & (F.size(col) != feat.vector_length),
+                            f"persist: {name} vector size != declared "
+                            f"vector_length {feat.vector_length}",
+                        )
+                    )
+                if feat.string_length > 0 and fg.data_type.element == DataType.STRING:
+                    n = feat.string_length
+                    if fg.data_type.is_vector:
+                        # factory closure: a default-arg lambda would make
+                        # PySpark hand the HOF a 2-parameter function
+                        def _too_long(bound_n: int):
+                            return lambda x: x.isNotNull() & (F.length(x) > bound_n)
+
+                        cond = col.isNotNull() & F.exists(col, _too_long(n))
+                    else:
+                        cond = col.isNotNull() & (F.length(col) > n)
+                    checks.append(
+                        (
+                            cond,
+                            f"persist: {name} exceeds booked string_length {n}",
+                        )
+                    )
+                for cond, msg in checks:
+                    out = out.withColumn(
+                        name,
+                        F.when(cond, F.raise_error(F.lit(msg))).otherwise(
+                            F.col(name)
+                        ),
+                    )
         return out
 
     @staticmethod

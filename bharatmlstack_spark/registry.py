@@ -6,7 +6,8 @@ Re-expresses the reference's registry-managed data model (SURVEY.md §1):
   (ref: online-feature-store/internal/config/models.go:27-47)
 - FeatureGroup: homogeneous-typed named features, active version, TTL,
   per-feature defaults (models.go:49-78)
-- 29 data types: 15 scalar + 14 vector
+- 30 data types: 15 scalar + 15 vector (including StringVector, Pascal-
+  encoded in the reference's PSDB blocks)
   (ref: online-feature-store/internal/types/data_type.go:9-41)
 - versioned schemas reconciled on read with default fallback
   (ref: internal/handler/feature/retrieve.go:833-858)
@@ -28,7 +29,7 @@ from pyspark.sql import types as T
 
 
 class DataType(str, Enum):
-    """The reference's 29-value type system (data_type.go:9-41)."""
+    """The reference's 30-value type system (data_type.go:9-41)."""
 
     FP8E5M2 = "FP8E5M2"
     FP8E4M3 = "FP8E4M3"
@@ -58,6 +59,10 @@ class DataType(str, Enum):
     UINT16_VECTOR = "Uint16Vector"
     UINT32_VECTOR = "Uint32Vector"
     UINT64_VECTOR = "Uint64Vector"
+    # DataTypeStringVector (data_type.go:39): vectors of Pascal-encoded
+    # strings in the reference's PSDB v2 blocks
+    # (perm_storage_datablock_v2.go:576-626); ArrayType(StringType) here
+    STRING_VECTOR = "StringVector"
     BOOL_VECTOR = "BoolVector"
 
     @property
@@ -155,7 +160,7 @@ class Feature:
     label: str
     sequence: int
     default: Any = None
-    string_length: int = 0  # max chars for STRING features
+    string_length: int = 0  # max chars for STRING (+ per StringVector element)
     vector_length: int = 0  # fixed length for *Vector features
 
 

@@ -486,7 +486,12 @@ def test_narrow_storage_persist_retrieve_roundtrip(spark, tmp_path):
     fsn = FeatureStore(
         spark, fixtures.user_narrow_registry(), str(tmp_path / "narrow"), n_buckets=4
     )
-    vals = [(1, 1234.567, [0.1, 0.9]), (2, -0.0625, [0.5, 0.25])]
+    # vectors at the declared vector_length=8 — persist enforces the exact
+    # size the reference books (perm_storage_datablock_v2.go:616-618)
+    vals = [
+        (1, 1234.567, [0.1, 0.9, 1.5, -2.0, 0.0, 3.25, -0.125, 7.0]),
+        (2, -0.0625, [0.5, 0.25, -1.0, 2.5, 0.75, -3.5, 4.0, 0.01]),
+    ]
     fsn.persist(
         "user",
         spark.createDataFrame(
@@ -512,7 +517,7 @@ def test_narrow_storage_persist_retrieve_roundtrip(spark, tmp_path):
     # upsert keeps the narrow width and latest value wins
     fsn.persist(
         "user",
-        spark.createDataFrame([(1, 42.42, [1.0, 2.0])],
+        spark.createDataFrame([(1, 42.42, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0])],
                               ["user_id", "demo_fp__acct_bal", "demo_vec__taste_vec"]),
     )
     assert dict(fsn.load("user").dtypes)["demo_fp__acct_bal"] == "smallint"
@@ -695,3 +700,107 @@ def test_delete_all_then_persist_roundtrip(spark, tmp_path):
     )
     rows = {(r["user_id"], r["demo_int32__age"]) for r in fsd.load("user").collect()}
     assert rows == {(7, 70)}
+
+
+# ---------------------------------------------------------------------------
+# STRING_VECTOR (DataTypeStringVector, data_type.go:39) — the 30th data type
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fs_tags(spark, tmp_path):
+    return FeatureStore(
+        spark, fixtures.user_tags_registry(), str(tmp_path / "tagstore"), n_buckets=4
+    )
+
+
+def test_string_vector_persist_retrieve_roundtrip(fs_tags, spark):
+    """array<string> through real bucketed storage: element order and
+    values survive; misses fill the scalar default broadcast to
+    vector_length (P3 via array_repeat)."""
+    batch = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["x", "y", "z"])],
+        "user_id long, demo_tags__tags array<string>",
+    )
+    fs_tags.persist("user", batch)
+    keys = spark.createDataFrame([(1,), (2,), (404,)], ["user_id"])
+    out = {
+        r["user_id"]: r["demo_tags__tags"]
+        for r in fs_tags.retrieve("user", {"demo_tags": ["tags"]}, keys).collect()
+    }
+    assert out[1] == ["a", "b", "c"]
+    assert out[2] == ["x", "y", "z"]
+    assert out[404] == ["none", "none", "none"]  # default fill
+
+
+def test_string_vector_decoded_joins_with_colon(fs_tags, spark):
+    """F13 for string vectors: strings.Join(values, ":") parity
+    (deserialized_psdb_v2.go HelperVectorFeature*ToConcatenatedString)."""
+    batch = spark.createDataFrame(
+        [(1, ["red", "big", "new"])],
+        "user_id long, demo_tags__tags array<string>",
+    )
+    fs_tags.persist("user", batch)
+    keys = spark.createDataFrame([(1,), (9,)], ["user_id"])
+    out = {
+        r["user_id"]: r["demo_tags__tags"]
+        for r in fs_tags.retrieve_decoded(
+            "user", {"demo_tags": ["tags"]}, keys
+        ).collect()
+    }
+    assert out[1] == "red:big:new"
+    assert out[9] == "none:none:none"
+
+
+def test_string_vector_element_overflow_errors(fs_tags, spark):
+    """perm_storage_datablock_v2.go:621-623: an element longer than the
+    booked string_length is an ERROR at serialize, never truncated."""
+    bad = spark.createDataFrame(
+        [(1, ["ok", "way-too-long-for-the-booked-size", "ok"])],
+        "user_id long, demo_tags__tags array<string>",
+    )
+    with pytest.raises(Exception, match="string_length"):
+        fs_tags.persist("user", bad)
+
+
+def test_string_vector_size_mismatch_errors(fs_tags, spark):
+    """perm_storage_datablock_v2.go:616-618: vector length must equal the
+    declared vector_length exactly."""
+    bad = spark.createDataFrame(
+        [(1, ["only", "two"])],
+        "user_id long, demo_tags__tags array<string>",
+    )
+    with pytest.raises(Exception, match="vector_length"):
+        fs_tags.persist("user", bad)
+
+
+def test_scalar_string_overflow_errors(spark, tmp_path):
+    """Scalar strings enforce the same booked length
+    (perm_storage_datablock_v2.go:342-343)."""
+    fs2 = FeatureStore(
+        spark, fixtures.user_registry(), str(tmp_path / "strstore"), n_buckets=4
+    )
+    bad = spark.createDataFrame(
+        [(1, "this-location-name-exceeds-sixteen-chars")],
+        "user_id long, demo_str__location string",
+    )
+    with pytest.raises(Exception, match="string_length"):
+        fs2.persist("user", bad)
+
+
+def test_string_vector_registry_json_roundtrip():
+    """STRING_VECTOR survives the registry's JSON (de)serialization and
+    maps to ArrayType(StringType)."""
+    from pyspark.sql import types as T
+
+    from bharatmlstack_spark.registry import SchemaRegistry
+
+    reg = fixtures.user_tags_registry()
+    reg2 = SchemaRegistry.from_json(reg.to_json())
+    fg = reg2.entity("user").fg("demo_tags")
+    assert fg.data_type is DataType.STRING_VECTOR
+    assert fg.data_type.spark_type == T.ArrayType(T.StringType(), containsNull=False)
+    assert fg.data_type.element is DataType.STRING
+    assert not fg.data_type.is_narrow_float
+    f = fg.feature("tags")
+    assert (f.string_length, f.vector_length) == (12, 3)

@@ -35,9 +35,12 @@ def test_type_mapping_vectors():
     assert DataType.FP16_VECTOR.element == DataType.FP16
 
 
-def test_all_29_types_present():
-    assert len(DataType) == 29
-    assert sum(1 for d in DataType if d.is_vector) == 14
+def test_all_30_types_present():
+    """30 = 15 scalar + 15 vector, including StringVector — the full
+    data_type.go:9-41 enumeration (SURVEY §1.2 count corrected in r10)."""
+    assert len(DataType) == 30
+    assert sum(1 for d in DataType if d.is_vector) == 15
+    assert DataType.STRING_VECTOR.value == "StringVector"
 
 
 def test_json_round_trip():
