@@ -365,29 +365,33 @@ def rpn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("entity_id", col.alias("score"))
 
 
-@query(
-    "rpn_bool_compare",
-    oracle=f"""
-WITH {_MATRIX_SQL.strip()}
-SELECT entity_id,
-       CAST(CAST(ctr > 0.05 AS INT) AS DOUBLE) AS hot,
-       CAST(CAST(ctr > 0.05 AND cvr > 0.05 AS INT) AS DOUBLE) AS hot_and_taxed
-FROM score_matrix
-""",
-)
 def rpn_bool_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/F5: comparisons produce 1.0/0.0; & requires 0/1 operands
-    (fp32_ops.rs:110-206)."""
+    (fp32_ops.rs:110-206).
+
+    RETIRED from the driver registry in r10 (second entry of the pinned
+    retirement order): F1-F8 stays driver-attested by the
+    hypothesis-fuzzed rpn_score; the freed slot registers
+    feature_retrieve_string_vector (the STRING_VECTOR type-system close).
+    Still verified every pytest run against its DuckDB oracle."""
     m = _matrix(spark, sf_dir)
     hot = rpn_to_column("ctr 0.05 >", set(m.columns))
     both = rpn_to_column("ctr 0.05 > cvr 0.05 > &", set(m.columns))
     return m.select("entity_id", hot.alias("hot"), both.alias("hot_and_taxed"))
 
 
-# Oracles for RETIRED rows (see RETIRED below): unregistered from the
-# driver gate, still run against DuckDB by the staged-tier pytest
-# (tests/test_staged_retired.py) with the driver's exact comparison.
-RETIRED_ORACLES: dict[str, str] = {}
+# Oracles for RETIRED rows (see RETIRED below): the canonical dict lives
+# in query_registry (import-order-neutral); re-exported here for the
+# staged-tier pytest (tests/test_staged_retired.py).
+from bharatmlstack_spark.query_registry import RETIRED_ORACLES  # noqa: E402
+
+RETIRED_ORACLES["rpn_bool_compare"] = f"""
+WITH {_MATRIX_SQL.strip()}
+SELECT entity_id,
+       CAST(CAST(ctr > 0.05 AS INT) AS DOUBLE) AS hot,
+       CAST(CAST(ctr > 0.05 AND cvr > 0.05 AS INT) AS DOUBLE) AS hot_and_taxed
+FROM score_matrix
+"""
 
 RETIRED_ORACLES["rpn_literal_div"] = f"""
 WITH {_MATRIX_SQL.strip()}
@@ -750,6 +754,11 @@ import bharatmlstack_spark.queries_joins  # noqa: E402,F401
 import bharatmlstack_spark.queries_text  # noqa: E402,F401
 import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 
+# retired rows defined in sibling modules, surfaced here so the staged
+# tier (tests/test_staged_retired.py) resolves every RETIRED name off
+# this module uniformly
+from bharatmlstack_spark.queries_joins import segment_except  # noqa: E402,F401
+
 
 # ---------------------------------------------------------------------------
 # Registry ordering. The round driver truncates its correctness run to the
@@ -760,43 +769,146 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Round-9 window (first 50): the 4 rows NEW this round (bm25_topk /
-# bigram_pmi / char_entropy_quality / semantic_dedup_ivf — staged through
-# r08 with DuckDB-twin pytests replicating the driver comparison, now
-# registered at the prescribed n_cells ~ n/10^4 costing for SemDeDup)
-# plus ALL 46 queries whose newest green is r06 — exactly 50, keeping
-# the freshness contract: after this round no query's latest green is
-# older than r07. pagerank_copurchase LEADS the r06 block: its
-# implementation was rewritten in r07 (conservation semantics) and r08
-# (basket-expansion edge build, single-aggregate seed) without a driver
-# re-attestation since r06 — this round's window closes that debt.
+# Rotation state as of ROUND 10 (2026-08-15). Registry = 149: 150 peak,
+# minus three executed retirements (rpn_literal_div r09; rpn_bool_compare
+# + segment_except r10), plus two r10 registrations riding those slots
+# (feature_retrieve_string_vector — the STRING_VECTOR type-system close —
+# and stream_semantic_dedup_sink — the r09 staged streaming SemDeDup row).
+# Windows: r10 = first 50 below (r07-era greens + the two pulled-forward
+# reworked sinks + the new string-vector row); r11 = the next 49
+# (stream_semantic_dedup_sink's driver green lands there) + one slack;
+# r12 = the 50 r09-era greens. Freshness contract: after each round no
+# registered query's newest green is older than two rounds back.
 #
-# SATURATION + the first executed retirement: at 150 registered the
-# rotation had ZERO slack (50-row window x 3-round freshness budget),
-# so a mid-cycle implementation change to a row outside the current
-# window accrued un-attested rounds with no way to pull it forward —
-# exactly what happened to stream_dedup_minhash (last green r08, sink
-# reworked in r09: hybrid state layout default + flat-switch
-# enforcement). The pinned retirement order exists for this: r09
-# retires rpn_literal_div (head of the list — F1-F8 stays attested by
-# the hypothesis-fuzzed rpn_score + rpn_bool_compare), dropping the
-# registry to 149 and freeing one r10 slot for stream_dedup_minhash.
-# Steady state: r10 = 49 r07-era greens + stream_dedup_minhash,
-# r11 = the 49 remaining r08-era greens (one slack slot for whatever
-# r10 touches), r12 = this round's 50. A new operator must either
+# Retirement protocol (pinned r09): a new operator must either
 # (a) retire one row from RETIREMENT_CANDIDATES below one-for-one
 # (unregister it — keep its function and a DuckDB-twin pytest as the
 # staged tier, tests/test_staged_retired.py, so coverage remains
 # executable and honest), or (b) itself ship in the staged tier
 # (pytest replicating the driver comparison, like tests/
-# test_retrieval.py did for the four rows registered this round).
+# test_retrieval.py did for the four rows registered in r09).
 QUERY_PRIORITY: list[str] = [
-    # new this round (r09) — the staged tier graduates
+    # ROUND-10 WINDOW (first 50 — the driver verifies exactly these):
+    # executed as pre-planned in r09 (no reshuffling). stream_cdc_apply
+    # LEADS (sink touched r08 + r09 on an r07 attestation);
+    # stream_dedup_minhash second (hybrid state layout landed r09);
+    # feature_retrieve_string_vector is NEW this round (STRING_VECTOR —
+    # the 30th reference data type — registered via the pinned
+    # retirement of rpn_bool_compare); then the remaining r07-era
+    # greens, including dedup_simhash (r09 fingerprint fold) and
+    # incremental_materialize_orders (r09 targeted reads).
+    "stream_cdc_apply",
+    "stream_dedup_minhash",
+    "feature_retrieve_string_vector",
+    "asof_feature_join",
+    "bpe_vocab_learn",
+    "cdc_apply",
+    "cube_orders_status",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_users_by_type",
+    "event_wire_roundtrip",
+    "events_funnel",
+    "events_interarrival",
+    "events_merge_trim",
+    "events_retention_window",
+    "events_sessionize",
+    "events_union_types",
+    "events_value_histogram",
+    "feature_drift_psi",
+    "feature_hash_cross",
+    "feature_stats",
+    "filter_candidates",
+    "incremental_dedup_stream",
+    "incremental_materialize_orders",
+    "knn_dot",
+    "last_write_wins",
+    "min_cost_supplier",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "pairwise_inference",
+    "parts_never_ordered",
+    "percentile_by_group",
+    "pq_ann_topk",
+    "props_json_extract",
+    "q18_large_orders",
+    "q5_region_revenue",
+    "range_join_sessions",
+    "rolling_7d_user_value",
+    "rollup_lineitem",
+    "sketch_distinct_users",
+    "sketch_percentile_value",
+    "sketch_union_distinct",
+    "skye_stream_aggregate",
+    "stateful_topk_stream",
+    "stream_attribution_join",
+    "table_profile",
+    # ---- window boundary (driver verifies the first 50) ----
+    # ROUND-11 WINDOW: stream_semantic_dedup_sink LEADS — registered
+    # r10 on the segment_except retirement slot; its driver green is
+    # due r11 (the staged DuckDB-twin pytest keeps running the driver
+    # comparison meanwhile — two retirements in one round was the
+    # planned-churn case the r09 verdict allowed). Then the 48
+    # remaining r08-era greens + ONE slack slot for whatever r10
+    # touches outside its window.
+    "stream_semantic_dedup_sink",
+    "bpe_learn_until_vocab",
+    "bpe_merge_step",
+    "cohort_retention",
+    "copurchase_pairs",
+    "corpus_filter_chain",
+    "corpus_mix_sample",
+    "doc_fingerprint",
+    "dot_score_ids",
+    "event_transition_matrix",
+    "events_limit_clamp",
+    "feature_schema_evolution",
+    "fuzzy_name_match",
+    "grouping_sets_orders",
+    "key_skew_report",
+    "key_string_join",
+    "knn_euclidean",
+    "lang_id_heuristic",
+    "multimodal_decode_audio_feature",
+    "multimodal_decode_image",
+    "multimodal_decode_rgb",
+    "multimodal_decode_stats",
+    "norm_min_max",
+    "norm_percentile_5_95",
+    "pair_expansion",
+    "percentile_rank",
+    "pii_redact",
+    "pipeline_inference",
+    "q3_shipping_priority",
+    "quality_score",
+    "request_validation_matrix",
+    "rpn_score",
+    "salted_dim_join",
+    "salted_hot_key_agg",
+    "segment_intersect",
+    "shard_manifest",
+    "slate_expansion",
+    "span_dedup_exact",
+    "stratified_sample",
+    "stream_ann_ivf_dot",
+    "stream_cdc_gc",
+    "stream_dedup_watermark",
+    "temporal_split",
+    "topk_orders",
+    "train_test_split",
+    "uint64_decimal_sum",
+    "unigram_lm_quality",
+    "user_week_density",
+    "zorder_cells",
+    # ROUND-12 WINDOW (pre-planned): the 50 r09-era greens.
     "bm25_topk",
     "bigram_pmi",
     "char_entropy_quality",
     "semantic_dedup_ivf",
-    # last green r06 (46 rows); pagerank first — two rounds of rewrites
     "pagerank_copurchase",
     "ann_ivf_dot",
     "ann_lsh_dot",
@@ -843,118 +955,6 @@ QUERY_PRIORITY: list[str] = [
     "time_decay_user_value",
     "value_zscore_outliers",
     "woe_binning",
-    # ---- window boundary (driver verifies the first 50) ----
-    # ROUND-10 WINDOW (pre-planned): the 49 r07-era greens + one pulled
-    # forward. stream_cdc_apply LEADS — touched in r08 (meta-recovery
-    # guard) AND r09 (targeted-path pruned state reads) with last green
-    # r07. stream_dedup_minhash follows — last green r08, sink reworked
-    # in r09 (hybrid layout default, flat-switch enforcement); it rides
-    # the slot freed by retiring rpn_literal_div instead of waiting for
-    # r11 with two rounds of un-attested changes. incremental_
-    # materialize_orders also changed in r09 (FeatureStore targeted
-    # reads) and is already in this block.
-    "stream_cdc_apply",
-    "stream_dedup_minhash",
-    "asof_feature_join",
-    "bpe_vocab_learn",
-    "cdc_apply",
-    "cube_orders_status",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_users_by_type",
-    "event_wire_roundtrip",
-    "events_funnel",
-    "events_interarrival",
-    "events_merge_trim",
-    "events_retention_window",
-    "events_sessionize",
-    "events_union_types",
-    "events_value_histogram",
-    "feature_drift_psi",
-    "feature_hash_cross",
-    "feature_stats",
-    "filter_candidates",
-    "incremental_dedup_stream",
-    "incremental_materialize_orders",
-    "knn_dot",
-    "last_write_wins",
-    "min_cost_supplier",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "pairwise_inference",
-    "parts_never_ordered",
-    "percentile_by_group",
-    "pq_ann_topk",
-    "props_json_extract",
-    "q18_large_orders",
-    "q5_region_revenue",
-    "range_join_sessions",
-    "rolling_7d_user_value",
-    "rollup_lineitem",
-    "rpn_bool_compare",
-    "sketch_distinct_users",
-    "sketch_percentile_value",
-    "sketch_union_distinct",
-    "skye_stream_aggregate",
-    "stateful_topk_stream",
-    "stream_attribution_join",
-    "table_profile",
-    # ROUND-11 WINDOW (pre-planned): the 49 remaining r08-era greens
-    # (stream_dedup_minhash moved up to r10), leaving ONE slack slot
-    # for whatever r10's changes touch outside its window.
-    "bpe_learn_until_vocab",
-    "bpe_merge_step",
-    "cohort_retention",
-    "copurchase_pairs",
-    "corpus_filter_chain",
-    "corpus_mix_sample",
-    "doc_fingerprint",
-    "dot_score_ids",
-    "event_transition_matrix",
-    "events_limit_clamp",
-    "feature_schema_evolution",
-    "fuzzy_name_match",
-    "grouping_sets_orders",
-    "key_skew_report",
-    "key_string_join",
-    "knn_euclidean",
-    "lang_id_heuristic",
-    "multimodal_decode_audio_feature",
-    "multimodal_decode_image",
-    "multimodal_decode_rgb",
-    "multimodal_decode_stats",
-    "norm_min_max",
-    "norm_percentile_5_95",
-    "pair_expansion",
-    "percentile_rank",
-    "pii_redact",
-    "pipeline_inference",
-    "q3_shipping_priority",
-    "quality_score",
-    "request_validation_matrix",
-    "rpn_score",
-    "salted_dim_join",
-    "salted_hot_key_agg",
-    "segment_except",
-    "segment_intersect",
-    "shard_manifest",
-    "slate_expansion",
-    "span_dedup_exact",
-    "stratified_sample",
-    "stream_ann_ivf_dot",
-    "stream_cdc_gc",
-    "stream_dedup_watermark",
-    "temporal_split",
-    "topk_orders",
-    "train_test_split",
-    "uint64_decimal_sum",
-    "unigram_lm_quality",
-    "user_week_density",
-    "zorder_cells",
 ]
 
 # Ordered retirement list (round 10+): rows whose SURVEY §2 / pipeline
@@ -973,11 +973,23 @@ RETIRED: list[tuple[str, str, str]] = [
         "freed an r10 slot to pull stream_dedup_minhash (sink reworked "
         "r09) forward; F1-F8 stays attested by rpn_score + rpn_bool_compare",
     ),
+    (
+        "rpn_bool_compare",
+        "r10",
+        "freed the slot that registers feature_retrieve_string_vector "
+        "(STRING_VECTOR, the last reference data type); F1-F8 stays "
+        "attested by the hypothesis-fuzzed rpn_score",
+    ),
+    (
+        "segment_except",
+        "r10",
+        "freed the slot that registers stream_semantic_dedup_sink (the "
+        "r09 staged streaming SemDeDup row); O1 set ops stay attested by "
+        "segment_intersect",
+    ),
 ]
 
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
-    ("rpn_bool_compare", "RPN F1-F8: rpn_score"),
-    ("segment_except", "O1 set ops: segment_intersect"),
     ("multimodal_decode_rgb", "decode family: multimodal_decode_image/_stats/_png"),
     ("knn_dot", "J6/J7: knn_euclidean + dot_score_ids"),
     ("salted_dim_join", "skew salting: salted_hot_key_agg"),

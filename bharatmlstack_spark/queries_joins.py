@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bharatmlstack_spark.query_registry import defer_unpersist, query, scratch_dir
+from bharatmlstack_spark.query_registry import (
+    RETIRED_ORACLES,
+    defer_unpersist,
+    query,
+    scratch_dir,
+)
 from bharatmlstack_spark.pipeline import (
     ExpressionComponent,
     FeatureComponent,
@@ -360,18 +365,23 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "segment_except",
-    oracle="""
+RETIRED_ORACLES["segment_except"] = """
 SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
 EXCEPT
 SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
-""",
-)
+"""
+
+
 def segment_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O3 row-level: set difference (the reference's ordered-set
     Difference on metadata — utils/set_operations.go — generalized to
-    rows)."""
+    rows).
+
+    RETIRED from the driver registry in r10 (per the pinned retirement
+    order): O1 set ops stay driver-attested by segment_intersect; the
+    freed slot registers stream_semantic_dedup_sink (the r09 staged
+    streaming SemDeDup row). Still verified every pytest run against its
+    DuckDB oracle."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     big = (
         _t(spark, sf_dir, "orders")
@@ -1075,6 +1085,67 @@ def feature_retrieve_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("demo_fp__acct_bal").alias("bal_fp16"),
         F.element_at("demo_vec__taste_vec", 1).alias("taste0_fp8"),
+    )
+
+
+def _string_vector_oracle() -> str:
+    from bharatmlstack_spark.fixtures import (
+        FIXED_NOW,
+        REQUEST_KEYS_CTE,
+        USER_TAG_FEATURES_CTE,
+    )
+
+    return f"""
+WITH {USER_TAG_FEATURES_CTE},
+live_tags AS (SELECT * FROM user_tag_features WHERE expires_at > TIMESTAMP '{FIXED_NOW}'),
+{REQUEST_KEYS_CTE}
+SELECT k.user_id,
+       COALESCE(f.demo_tags__tags[1], 'none') AS tag_0,
+       COALESCE(f.demo_tags__tags[3], 'none') AS tag_2,
+       array_to_string(COALESCE(f.demo_tags__tags, ['none','none','none']), ':') AS tags_str
+FROM request_keys k LEFT JOIN live_tags f USING (user_id)
+"""
+
+
+@query("feature_retrieve_string_vector", oracle=_string_vector_oracle())
+def feature_retrieve_string_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING_VECTOR end-to-end THROUGH real array<string> storage — the
+    reference's DataTypeStringVector (data_type.go:39), Pascal-encoded
+    string vectors in PSDB v2 blocks (perm_storage_datablock_v2.go:576-626;
+    TestSerializeStringVectorV2 is the semantics anchor: fixed vector
+    length, per-element booked string length, error on overflow — enforced
+    at persist by FeatureStore._enforce_lengths). The fixture persists
+    3-tag lists into a bucketed table, then ONE retrieve covers: raw
+    element access (tag_0/tag_2), default fill on misses/expired
+    (['none','none','none'] via array_repeat of the scalar default), and
+    F13 decoded stringification (':' join — strings.Join(values, ":"),
+    deserialized_psdb_v2.go)."""
+
+    from bharatmlstack_spark import fixtures
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+
+    fs = FeatureStore(
+        spark,
+        fixtures.user_tags_registry(),
+        base_path=scratch_dir("bmls_strvec_"),
+        n_buckets=8,
+    )
+    fs.persist("user", fixtures.user_tag_features(spark, sf_dir))
+    keys = fixtures.request_keys(spark, sf_dir)
+    out = fs.retrieve_decoded(
+        "user",
+        {"demo_tags": ["tags"]},
+        keys,
+        now=F.lit(fixtures.FIXED_NOW).cast("timestamp"),
+    )
+    # the decoded string is the full ordered vector; element columns split
+    # it back out (tags contain no ':', the reference's join separator)
+    parts = F.split(F.col("demo_tags__tags"), ":")
+    return out.select(
+        "user_id",
+        F.element_at(parts, 1).alias("tag_0"),
+        F.element_at(parts, 3).alias("tag_2"),
+        F.col("demo_tags__tags").alias("tags_str"),
     )
 
 

@@ -1537,3 +1537,59 @@ def semantic_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.99)
     )
+
+
+@query("stream_semantic_dedup_sink", oracle=R9_ORACLES["semantic_dedup_ivf"])
+def stream_semantic_dedup_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SemDeDup (registered r10 on the segment_except retirement
+    slot; staged tier since r09): the same injected-duplicate corpus as
+    semantic_dedup_ivf arrives as a 3-file topic that REPLAYS in full
+    under a fresh checkpoint (at-least-once redelivery). Each micro-batch
+    is cell-assigned with the FROZEN coarse quantizer, probed against the
+    accumulated cell-partitioned index via targeted partition dirs (O(the
+    batch's cells) listing and scan), and appended — the state is SHARED
+    with stream_ann_ivf_sink. The emission union equals the one-shot batch
+    SemDeDup under the same quantizer (deterministic assignment, symmetric
+    cosine), so the SAME brute-force DuckDB twin gates it: the only pairs
+    at rounded cosine >= 0.99 are the injected exact copies, and identical
+    vectors always share a cell — recall exactly 1 on this corpus.
+    See streaming/ingest.stream_semantic_dedup_sink."""
+    import math
+
+    from bharatmlstack_spark.streaming.ingest import (
+        stream_semantic_dedup_sink,
+    )
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus_e = e.unionAll(dup)
+    n_cells = max(16, math.ceil(corpus_e.count() / 10_000))
+    idx = IvfIndex(n_cells=n_cells, id_col="vec_id").fit(
+        corpus_e, sample_size=512, iters=3
+    )
+
+    work = scratch_dir("bmls_semstream_")
+    topic = f"{work}/topic"
+    index_path, out_path = f"{work}/index", f"{work}/pairs"
+    corpus_e.repartition(3).write.parquet(topic)
+    schema = "vec_id bigint, embedding array<float>"
+    for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_semantic_dedup_sink(
+            stream, idx, index_path, out_path, f"{work}/{replay}", spark,
+            threshold=0.99, trigger_once=True,
+        )
+        q.awaitTermination(300)
+
+    pairs = spark.read.parquet(out_path).dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+    )

@@ -13,6 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Oracles for RETIRED rows (queries.RETIRED): unregistered from the
+# driver gate, still run against DuckDB by the staged-tier pytest
+# (tests/test_staged_retired.py) with the driver's exact comparison.
+# Lives here (not queries.py) so every queries_* module can register
+# retired oracles without circular imports.
+RETIRED_ORACLES: dict[str, str] = {}
+
 # DataFrames persisted by a query whose cache must outlive the call (the
 # caller materializes the returned plan AFTER the function returns, so the
 # query itself can't try/finally-unpersist). Each registered query drains
