@@ -79,16 +79,26 @@ BENCH_QUERIES = [
 
 
 def _timed_draws(fn, spark, sf_dir: str, repeats: int):
-    """All draws for one query, or None on error (recorded by caller).
-    Consecutive draws of the SAME query: the median is the warm
-    steady-state cost, which is what cross-round comparisons re-measure."""
+    """All draws for one query. Consecutive draws of the SAME query: the
+    median is the warm steady-state cost, which is what cross-round
+    comparisons re-measure. An exception on a LATER repeat keeps the
+    draws already completed (partial isolation — a flaky third draw must
+    not discard two good timings); only a first-draw failure leaves the
+    caller with nothing to report."""
     draws: list[float] = []
     rows = 0
+    err: Exception | None = None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).count()
+        try:
+            rows = fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001 — keep completed draws
+            err = e
+            break
         draws.append(round(time.perf_counter() - t0, 3))
-    return draws, rows
+    if not draws and err is not None:
+        raise err
+    return draws, rows, err
 
 
 def _bench_set(names_fns, spark, sf_dir: str, repeats: int):
@@ -99,7 +109,7 @@ def _bench_set(names_fns, spark, sf_dir: str, repeats: int):
         # discarding every timing already measured (round 3's bench crash
         # lost the whole artifact)
         try:
-            draws, rows = _timed_draws(fn, spark, sf_dir, repeats)
+            draws, rows, err = _timed_draws(fn, spark, sf_dir, repeats)
         except Exception as e:  # noqa: BLE001 — record and keep benching
             medians[name] = -1.0
             print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
@@ -110,6 +120,15 @@ def _bench_set(names_fns, spark, sf_dir: str, repeats: int):
             "median": medians[name],
             "max": max(draws),
         }
+        if err is not None:
+            # a later draw failed: the median reflects fewer repeats —
+            # mark the row partial instead of silently under-sampling
+            spread[name]["partial"] = len(draws)
+            print(
+                f"# {name}: partial ({len(draws)}/{repeats} draws) — "
+                f"{type(err).__name__}: {err}",
+                file=sys.stderr,
+            )
         print(
             f"# {name}: {medians[name]:.3f}s (min {min(draws):.3f} / "
             f"max {max(draws):.3f}, n={len(draws)}) rows={rows}",
@@ -142,26 +161,37 @@ def main() -> None:
     )
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                # per-query value = median of `repeats` draws (same key
-                # shape as every prior round's artifact)
-                "queries": timings,
-                "query_spread": query_spread,
-                # separate key: product totals must not shift the headline
-                # metric's comparability across rounds
-                "product_queries": product,
-                "product_spread": product_spread,
-                "product_total": round(sum(v for v in product.values() if v >= 0), 3),
-                "repeats": repeats,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            # per-query value = median of `repeats` draws (same key
+            # shape as every prior round's artifact)
+            "queries": timings,
+            "query_spread": query_spread,
+            # separate key: product totals must not shift the headline
+            # metric's comparability across rounds
+            "product_queries": product,
+            "product_spread": product_spread,
+            "product_total": round(sum(v for v in product.values() if v >= 0), 3),
+            "repeats": repeats,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(payload)
+    # the driver's recorded tail truncates at 2,000 chars (the r09
+    # artifact shipped with parsed: null) — ALSO write the full line to a
+    # committed twin so the number of record survives the tail cap
+    out_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out_file, "w") as f:
+            f.write(payload + "\n")
+    except OSError as e:  # read-only checkout: stdout line still stands
+        print(f"# BENCH_LOCAL.json not written: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

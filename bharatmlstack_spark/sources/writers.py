@@ -61,9 +61,16 @@ def read_feature_table_for_keys(spark, path: str, keys_df: DataFrame, key_cols: 
     bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
     wanted = [r[0] for r in keys_df.select(bucket.alias("b")).distinct().collect()]
     existing = hadoop_list_partition_dirs(spark, path, "key_bucket")
+    if not existing:
+        # no key_bucket= partition dirs at all: a flat table that stores
+        # key_bucket as a data column (externally written or hand-migrated).
+        # Fall back to the isin-filter read — correct rows instead of a
+        # silently-empty frame (the filter still prunes via row-group stats).
+        return spark.read.parquet(path).filter(F.col("key_bucket").isin(wanted))
     paths = [existing[b] for b in wanted if b in existing]
     if not paths:
-        # no wanted bucket exists: preserve the schema, return no rows
+        # partitioned table, but none of the wanted buckets exist yet:
+        # preserve the schema, return no rows
         return spark.read.parquet(path).limit(0)
     return spark.read.option("basePath", path).parquet(*paths)
 
