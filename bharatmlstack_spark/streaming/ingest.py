@@ -816,7 +816,12 @@ def _hadoop_rename(spark: SparkSession, src: str, dst: str) -> None:
 
 
 def _ensure_neardup_root(
-    spark: SparkSession, path: str, kb_expr, want_bucketed: bool
+    spark: SparkSession,
+    path: str,
+    kb_expr,
+    want_bucketed: bool,
+    repair_hint: str = "pass the state_buckets the state was created with "
+    "(recorded in the state dir's meta sidecar)",
 ) -> None:
     """Reconcile one near-dup state root with the REQUESTED layout before
     the first append of a run — appending the other layout into it would
@@ -862,12 +867,14 @@ def _ensure_neardup_root(
         hadoop_delete_path(spark, path)
         _hadoop_rename(spark, tmp, path)
     elif not want_bucketed and layout == "bucketed":
+        # the flag that controls each root differs (state_buckets for the
+        # shingle store, bucket_bands for the band index) — the caller
+        # passes the matching repair guidance so the message never points
+        # at the wrong knob
         raise RuntimeError(
             f"near-dup state root {path} is bucket-partitioned but this "
-            "run requested the flat layout (state_buckets=None) — flat "
-            "appends would create the silent-loss mixed root. Pass the "
-            "state_buckets the state was created with (recorded in the "
-            "state dir's meta sidecar)."
+            "run requested the flat layout — flat appends would create "
+            f"the silent-loss mixed root. Repair: {repair_hint}."
         )
 
 
@@ -1045,9 +1052,17 @@ def stream_neardup_minhash_sink(
             bands_path,
             lambda df: F.pmod(F.col("band_hash"), F.lit(state_buckets)),
             bands_bucketed,
+            repair_hint="pass bucket_bands=True (this root is the band "
+            "index; its layout is controlled by bucket_bands, not "
+            "state_buckets)",
         )
         _ensure_neardup_root(
-            spark, sets_path, lambda df: _set_bucket(F.col("id")), bucketed
+            spark,
+            sets_path,
+            lambda df: _set_bucket(F.col("id")),
+            bucketed,
+            repair_hint="pass the state_buckets the state was created "
+            "with (recorded in the state dir's meta sidecar)",
         )
         if bucketed and recorded is None:
             # AFTER both roots reconciled, BEFORE any bucketed append: a
@@ -1312,13 +1327,13 @@ def stream_semantic_dedup_sink(
     the index on the vector id (read_streamed_ivf_index). Assumes each
     vector id arrives once (corpus build, not a changelog).
 
-    STAGED TIER (not driver-registered: the 50-row x 3-round rotation
-    budget is saturated — see queries.py's rotation note; registering
-    this would need a retirement from RETIREMENT_CANDIDATES); the
-    DuckDB-twin pytest
-    in tests/test_streaming.py runs the driver's comparison shape:
-    streamed pair readout == batch same-cell pair set under the same
-    quantizer, across batches and under full redelivery."""
+    REGISTERED r10 as driver row ``stream_semantic_dedup_sink``
+    (queries_text.py), riding the segment_except retirement slot per the
+    pinned protocol (staged tier r09 while the rotation was saturated);
+    the DuckDB-twin pytest in tests/test_streaming.py additionally runs
+    the driver's comparison shape: streamed pair readout == batch
+    same-cell pair set under the same quantizer, across batches and
+    under full redelivery."""
     from bharatmlstack_spark.functions.vector import cosine_similarity
     from bharatmlstack_spark.operators.feature_store import (
         hadoop_list_partition_dirs,
@@ -1405,12 +1420,174 @@ def stream_semantic_dedup_sink(
 
 
 def read_streamed_ivf_index(
-    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    dedup: bool = True,
 ) -> DataFrame:
     """The streamed index as a searchable frame: duplicate deliveries
     collapse on the vector id (same frozen-quantizer assignment on every
-    delivery, so any copy is identical)."""
-    return spark.read.parquet(index_path).dropDuplicates([id_col])
+    delivery, so any copy is identical).
+
+    ``dedup=True`` is the always-correct default but pays a full-index
+    shuffle PER READ; after ``compact_streamed_index`` has run (the
+    once-not-per-read form of the same dedup), pass ``dedup=False`` on
+    the hot search path — new appends since the last compaction are
+    then visible as duplicates, which IVF search tolerates (identical
+    rows score identically; dedup the top-k on id if exact-k matters)."""
+    df = spark.read.parquet(index_path)
+    return df.dropDuplicates([id_col]) if dedup else df
+
+
+def _compact_dedup_state(
+    spark: SparkSession,
+    path: str,
+    dedup_cols: list[str],
+    partition_col: str | None,
+) -> int:
+    """Shared core of the streamed-state compactors: physically drop
+    redelivery-duplicate rows (byte-identical by construction — every
+    sink appends deterministic functions of the delivered record).
+
+    Two-phase so steady state (no redeliveries) costs ONE column-pruned
+    aggregation and zero writes:
+
+    1. detect — per-partition ``count(*) - count_distinct(dedup cols)``
+       (one scan reading only the dedup columns; map-side partial agg);
+    2. rewrite — ONLY the partition dirs holding duplicates, via
+       targeted paths + dynamic partition overwrite (the dedup key
+       determines its partition, so dedup is partition-local and
+       untouched dirs never rewrite). Dedup never empties a non-empty
+       dir, so no emptied-dir sweep is needed (unlike compact_cdc_state
+       whose tombstone GC can drain a bucket).
+
+    Flat (unpartitioned) states fall back to a full staged rewrite —
+    correct at any size, but the partitioned layouts are the 100 TB
+    path. Returns rows removed."""
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_delete_path,
+        hadoop_list_partition_dirs,
+    )
+
+    if not hadoop_path_exists(spark, path):
+        return 0
+    dirs = (
+        hadoop_list_partition_dirs(spark, path, partition_col)
+        if partition_col is not None
+        else {}
+    )
+    state = spark.read.parquet(path)
+    if dirs:
+        per_part = (
+            state.groupBy(partition_col)
+            .agg(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(*[F.col(c) for c in dedup_cols])
+                ).alias("__dups")
+            )
+            .filter(F.col("__dups") > 0)
+        )
+        touched = [r[0] for r in per_part.select(partition_col).collect()]
+        if not touched:
+            return 0
+        paths = [dirs[p] for p in touched if p in dirs]
+        scoped = spark.read.option("basePath", path).parquet(*paths)
+        before = scoped.count()
+        keep = scoped.dropDuplicates(dedup_cols)
+        tmp = path + "__compacting"
+        (
+            keep.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
+        staged = spark.read.parquet(tmp)
+        removed = before - staged.count()
+        (
+            staged.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+        hadoop_delete_path(spark, tmp)
+        return removed
+    before = state.count()
+    keep = state.dropDuplicates(dedup_cols)
+    removed = before - keep.count()
+    if not removed:
+        return 0
+    tmp = path + "__compacting"
+    keep.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    hadoop_delete_path(spark, tmp)
+    return removed
+
+
+def compact_streamed_index(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> int:
+    """Compaction for the cell-partitioned streamed IVF/SemDeDup index
+    (the state stream_ann_ivf_sink and stream_semantic_dedup_sink share):
+    at-least-once redelivery appends byte-identical (id, cell) rows
+    forever, and every reader pays a full-index dropDuplicates shuffle
+    (read_streamed_ivf_index). This is the once-not-per-read form —
+    the compact_cdc_state analog for the append-only states: dedup-on-id
+    rewrite of ONLY the cell dirs that hold duplicates (assignment is
+    deterministic, so an id's copies all live in one cell dir), O(touched)
+    like the sinks' probe reads. After it runs, readers may pass
+    ``dedup=False``. Reference anchor: skye's indexer reset/rebuild jobs
+    (skye/internal/consumers/handler/indexer/) — the stored index is
+    periodically rebuilt to shed accumulated writes. Returns rows removed.
+    Run at maintenance cadence (after a redelivery event or N batches),
+    never per micro-batch."""
+    return _compact_dedup_state(spark, index_path, [id_col], "cell")
+
+
+def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
+    """Compaction for the streaming near-dup (MinHash) state — the same
+    redelivery-duplicate reclaim as compact_streamed_index, applied to
+    both roots the sink maintains (stream_neardup_minhash_sink):
+
+    - ``sets`` (shingle store; hybrid default: ``__kb=`` partitioned on
+      the doc id): dedup key = id — one row per doc;
+    - ``bands`` (band index; flat in the hybrid default, ``__kb=``
+      partitioned when bucket_bands=True): dedup key =
+      (id, band_idx) — signatures are deterministic, so copies are
+      byte-identical.
+
+    Layout comes from the state's meta sidecar exactly as the sink
+    resolves it; partitioned roots rewrite only duplicate-holding dirs
+    (the dedup keys determine their bucket). Returns
+    {"sets_removed": n, "bands_removed": m}."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_read_text,
+    )
+
+    sets_path = f"{state_dir}/sets"
+    bands_path = f"{state_dir}/bands"
+    meta_txt = hadoop_read_text(spark, _os.path.join(state_dir, TABLE_META_FILE))
+    bucketed = bands_bucketed = False
+    if meta_txt is not None:
+        meta = _json.loads(meta_txt)
+        bucketed = meta.get("n_buckets") is not None
+        bands_bucketed = bool(meta.get("bucket_bands", False))
+    return {
+        "sets_removed": _compact_dedup_state(
+            spark, sets_path, ["id"], "__kb" if bucketed else None
+        ),
+        "bands_removed": _compact_dedup_state(
+            spark,
+            bands_path,
+            ["id", "band_idx"],
+            "__kb" if bands_bucketed else None,
+        ),
+    }
 
 
 def windowed_event_counts(

@@ -1006,3 +1006,108 @@ def test_stream_semantic_dedup_matches_batch_cells(spark, tmp_path):
     assert readout() == got
     assert spark.read.parquet(index_path).count() == 2 * n_index_rows
     assert read_streamed_ivf_index(spark, index_path).count() == n_index_rows
+
+
+def test_compact_streamed_index_once_not_per_read(spark, tmp_path):
+    """compact_streamed_index physically drops redelivery duplicates from
+    the cell-partitioned IVF state: the search-visible frame is identical
+    pre/post, a post-compaction dedup=False read equals the dedup=True
+    read, and a second compaction is a zero-write no-op (detection pass
+    only)."""
+    import numpy as np
+
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+    from bharatmlstack_spark.streaming.ingest import (
+        compact_streamed_index,
+        read_streamed_ivf_index,
+        stream_ann_ivf_sink,
+    )
+
+    rng = np.random.default_rng(7)
+    schema = "vec_id long, embedding array<float>"
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, schema)
+    idx = IvfIndex(n_cells=4).fit(df, sample_size=64, iters=3)
+
+    topic = str(tmp_path / "ci_topic")
+    index_path = str(tmp_path / "ci_index")
+    df.repartition(2).write.parquet(topic)
+    for ck in ("ci_ck1", "ci_ck2"):  # second pass = full redelivery
+        stream = spark.readStream.schema(schema).parquet(topic)
+        q = stream_ann_ivf_sink(
+            stream, idx, index_path, str(tmp_path / ck), spark,
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    def searchable():
+        return {
+            (r.vec_id, r.cell)
+            for r in read_streamed_ivf_index(spark, index_path).collect()
+        }
+
+    before = searchable()
+    assert spark.read.parquet(index_path).count() == 2 * len(before)
+
+    removed = compact_streamed_index(spark, index_path)
+    assert removed == len(before)
+    assert spark.read.parquet(index_path).count() == len(before)
+    assert searchable() == before
+    # post-compaction the hot path may skip the per-read dedup shuffle
+    assert {
+        (r.vec_id, r.cell)
+        for r in read_streamed_ivf_index(
+            spark, index_path, dedup=False
+        ).collect()
+    } == before
+    # steady state: detection finds nothing, no rewrite
+    assert compact_streamed_index(spark, index_path) == 0
+
+
+def test_compact_neardup_state_preserves_pairs_and_layout(spark, tmp_path):
+    """compact_neardup_state reclaims redelivery duplicates from BOTH
+    near-dup roots (hybrid default: sets __kb-partitioned, bands flat)
+    without changing the sink's behavior: a later batch still finds its
+    cross-batch pairs, and the sets root keeps its partitioned layout."""
+    from bharatmlstack_spark.streaming.ingest import (
+        compact_neardup_state,
+        stream_neardup_minhash_sink,
+    )
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "cn_src")
+    state, out = str(tmp_path / "cn_state"), str(tmp_path / "cn_out")
+    _write_json_batch(src, [docs[0], docs[3]])
+
+    def run(ck):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = stream_neardup_minhash_sink(
+            stream, state, out, str(tmp_path / ck), spark,
+            id_col="doc_id", text_col="text", trigger_once=True,
+            state_buckets=8,
+        )
+        q.awaitTermination(120)
+
+    run("cn_ck1")
+    run("cn_ck2")  # fresh checkpoint: full redelivery duplicates the state
+
+    sets_before = spark.read.parquet(f"{state}/sets").count()
+    stats = compact_neardup_state(spark, state)
+    assert stats["sets_removed"] == sets_before // 2
+    assert stats["bands_removed"] > 0
+    assert spark.read.parquet(f"{state}/sets").count() == sets_before // 2
+    # layout preserved: the sets root is still __kb= partitioned
+    assert any(
+        p.name.startswith("__kb=")
+        for p in (tmp_path / "cn_state" / "sets").iterdir()
+    )
+    # steady state no-op
+    stats2 = compact_neardup_state(spark, state)
+    assert stats2 == {"sets_removed": 0, "bands_removed": 0}
+
+    # the compacted state still serves the probe: docs 2+3 arrive later,
+    # all three pairs (intra + cross) are found
+    _write_json_batch(src, [docs[1], docs[2]])
+    run("cn_ck2")  # same src dir, new files only under a reused name is
+    # a fresh checkpoint again -> replays everything; dedup readout below
+    assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
