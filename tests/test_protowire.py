@@ -304,3 +304,45 @@ def test_event_request_codec_roundtrip_fuzz(user_id, clicks, orders):
                 default = "" if k == "string" else 0
                 want = w.get(name) or default
                 assert g[name] == want, (kind, name, w)
+
+
+def test_spark_decode_string_vector_round_trip(spark, tmp_path):
+    """STRING_VECTOR over the wire: the Values message nests string
+    vectors as vector=[{string_values: [...]}] (persist.proto Values
+    field 9 wrapping field 7) — decode -> persist -> retrieve_decoded
+    returns the ':'-joined tags."""
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+    from bharatmlstack_spark.streaming.ingest import decode_persist_queries
+
+    fg_schemas = [("demo_tags", ["tags"])]
+    data = [
+        {
+            "key_values": ["1"],
+            "feature_values": [{"vector": [{"string_values": ["red", "seg1", "nat4"]}]}],
+        },
+        {
+            "key_values": ["2"],
+            "feature_values": [{"vector": [{"string_values": ["blue", "seg2", "nat9"]}]}],
+        },
+    ]
+    wire = pw.encode_query("user", ["user_id"], fg_schemas, data)
+    q = pw.decode_query(wire)
+    assert q["data"][0]["feature_values"][0]["vector"][0]["string_values"] == [
+        "red", "seg1", "nat4",
+    ]
+
+    payloads = spark.createDataFrame([(wire,)], "value binary")
+    reg = fixtures.user_tags_registry()
+    decoded = decode_persist_queries(
+        payloads, reg, "user", key_types={"user_id": "bigint"}
+    )
+    fs = FeatureStore(spark, reg, str(tmp_path / "pbtags"), n_buckets=4)
+    fs.persist("user", decoded)
+    keys = spark.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    out = {
+        r["user_id"]: r["demo_tags__tags"]
+        for r in fs.retrieve_decoded("user", {"demo_tags": ["tags"]}, keys).collect()
+    }
+    assert out[1] == "red:seg1:nat4"
+    assert out[2] == "blue:seg2:nat9"
+    assert out[3] == "none:none:none"  # default fill for the miss
