@@ -976,8 +976,11 @@ def stream_neardup_minhash_sink(
     only DUPLICATES rows (pairs in the output, copies in sets/bands);
     duplicated shingle sets yield byte-identical jaccard values, so a
     reader deduping on (id_a, id_b) — which the registered row's
-    readout does — sees exactly the one-shot pair set. Assumes each doc
-    id arrives once (a corpus build, not a changelog).
+    readout does — sees exactly the one-shot pair set; run
+    ``compact_neardup_state`` at maintenance cadence to physically
+    reclaim the accumulated copies (detect-then-rewrite-touched-dirs,
+    measured in SCALE.md). Assumes each doc id arrives once (a corpus
+    build, not a changelog).
 
     ``phase_log`` (measurement only): pass a list and each micro-batch
     appends {sign_s, probe_s, verify_s, append_s, total_s} — phase
@@ -1266,9 +1269,12 @@ def stream_ann_ivf_sink(
     size. Assignment is deterministic for a frozen quantizer, so
     at-least-once redelivery appends byte-identical (id, cell) rows —
     readers dedup on the vector id (read_streamed_ivf_index) and see
-    exactly the batch-built index. Assumes each vector id arrives once
-    (corpus build; for an UPDATED embedding, route through the CDC sink
-    and rebuild the cell, or version the id)."""
+    exactly the batch-built index; run ``compact_streamed_index`` at
+    maintenance cadence to reclaim accumulated duplicates so readers can
+    skip the per-read dedup shuffle (dedup=False; measured in SCALE.md).
+    Assumes each vector id arrives once (corpus build; for an UPDATED
+    embedding, route through the CDC sink and rebuild the cell, or
+    version the id)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1324,8 +1330,10 @@ def stream_semantic_dedup_sink(
     vectors always share a cell, so exact duplicates are never missed.
     At-least-once redelivery appends byte-identical (id, cell) rows and
     re-emits the same pairs — readers dedup output on (id_a, id_b) and
-    the index on the vector id (read_streamed_ivf_index). Assumes each
-    vector id arrives once (corpus build, not a changelog).
+    the index on the vector id (read_streamed_ivf_index);
+    ``compact_streamed_index`` reclaims the accumulated duplicates once
+    instead of per read. Assumes each vector id arrives once (corpus
+    build, not a changelog).
 
     REGISTERED r10 as driver row ``stream_semantic_dedup_sink``
     (queries_text.py), riding the segment_except retirement slot per the
