@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from bharatmlstack_spark import get_spark
 from bharatmlstack_spark.operators.lsh import IvfIndex
 from bharatmlstack_spark.streaming.ingest import (
+    compact_streamed_index,
     read_streamed_ivf_index,
     stream_ann_ivf_sink,
     stream_dedup_sink,
@@ -95,7 +96,23 @@ def main() -> None:
     q = stream_ann_ivf_sink(estream, ivf, f"{work}/ivf_index", f"{work}/ck_ivf", spark,
                             trigger_once=True)
     q.awaitTermination(300)
-    index = read_streamed_ivf_index(spark, f"{work}/ivf_index", id_col="vec_id")
+    # replay the whole topic under a fresh checkpoint: at-least-once
+    # redelivery doubles every index row...
+    estream2 = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(etopic)
+    )
+    q2 = stream_ann_ivf_sink(estream2, ivf, f"{work}/ivf_index",
+                             f"{work}/ck_ivf_replay", spark, trigger_once=True)
+    q2.awaitTermination(300)
+    # ...and the maintenance-cadence compactor reclaims the copies once,
+    # so the search path can skip the per-read dedup shuffle (dedup=False)
+    removed = compact_streamed_index(spark, f"{work}/ivf_index")
+    print(f"compacted {removed} redelivery-duplicate index rows")
+    index = read_streamed_ivf_index(
+        spark, f"{work}/ivf_index", id_col="vec_id", dedup=False
+    )
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
     )

@@ -38,3 +38,5 @@ def test_streaming_index_demo(spark, monkeypatch, capsys):
     assert "unique docs kept: 500 of 520" in out
     assert "deduped after replay" in out
     assert "stream-built IVF" in out
+    # the replayed IVF topic doubled every row; compaction reclaims them
+    assert "compacted 495 redelivery-duplicate index rows" in out
