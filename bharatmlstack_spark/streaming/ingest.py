@@ -1486,16 +1486,7 @@ def _compact_dedup_state(
     )
     state = spark.read.parquet(path)
     if dirs:
-        per_part = (
-            state.groupBy(partition_col)
-            .agg(
-                (
-                    F.count(F.lit(1))
-                    - F.count_distinct(*[F.col(c) for c in dedup_cols])
-                ).alias("__dups")
-            )
-            .filter(F.col("__dups") > 0)
-        )
+        per_part = _detect_duplicate_partitions(state, dedup_cols, partition_col)
         touched = [r[0] for r in per_part.select(partition_col).collect()]
         if not touched:
             return 0
@@ -1531,6 +1522,26 @@ def _compact_dedup_state(
     spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
     hadoop_delete_path(spark, tmp)
     return removed
+
+
+def _detect_duplicate_partitions(
+    state: DataFrame, dedup_cols: list[str], partition_col: str
+) -> DataFrame:
+    """The compactors' detection pass as a plan: per-partition
+    ``count(*) - count_distinct(dedup cols) > 0``. Reads ONLY the dedup
+    columns (the fat payload — embeddings, shingle sets — is pruned at
+    the scan; plan-pinned in tests/test_plans.py) with map-side partial
+    aggregation, so the steady-state no-op costs one thin scan."""
+    return (
+        state.groupBy(partition_col)
+        .agg(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(c) for c in dedup_cols])
+            ).alias("__dups")
+        )
+        .filter(F.col("__dups") > 0)
+    )
 
 
 def compact_streamed_index(

@@ -503,3 +503,36 @@ def test_bpe_until_vocab_lineage_bounded(spark, sf_dir):
     _w3, m3 = _bpe_learn_words(spark, sf_dir)
     anchor = [(r["step"], r["token"], r["cnt"]) for m in m3 for r in m.collect()]
     assert [m for m in merges[:3]] == anchor
+
+
+def test_compaction_detection_prunes_payload_columns(spark, tmp_path):
+    """The streamed-state compactors' detection pass must read ONLY the
+    dedup key + partition column — at 100 TB the index payload
+    (embeddings, shingle sets) dominates the bytes, and a detection scan
+    that reads it would make the steady-state no-op cost a full-state
+    read instead of a thin column scan."""
+    from bharatmlstack_spark.streaming.ingest import _detect_duplicate_partitions
+
+    path = str(tmp_path / "cellstate")
+    (
+        spark.range(200)
+        .selectExpr(
+            "id AS vec_id",
+            "array_repeat(CAST(id AS FLOAT), 64) AS embedding",
+            "CAST(pmod(id, 8) AS INT) AS cell",
+        )
+        .write.partitionBy("cell")
+        .parquet(path)
+    )
+    det = _detect_duplicate_partitions(
+        spark.read.parquet(path), ["vec_id"], "cell"
+    )
+    schemas = read_schemas(det)
+    assert schemas, "no scan found in the detection plan"
+    for s in schemas:
+        assert "embedding" not in s, s  # payload pruned at the scan
+        assert "vec_id" in s
+    # distinct-aggregate shape: partial agg on (partition, key) then the
+    # final agg on the partition col — two exchanges, both carrying only
+    # the thin key columns (never the payload)
+    assert shuffle_count(det) <= 2
