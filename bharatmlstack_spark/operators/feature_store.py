@@ -918,15 +918,20 @@ class FeatureStore:
                     )
                 if feat.string_length > 0 and fg.data_type.element == DataType.STRING:
                     n = feat.string_length
+                    # octet_length, not length: the reference books BYTES
+                    # (Go len(str), perm_storage_datablock_v2.go:341) — a
+                    # 4-char emoji string occupies 16 booked bytes
                     if fg.data_type.is_vector:
                         # factory closure: a default-arg lambda would make
                         # PySpark hand the HOF a 2-parameter function
                         def _too_long(bound_n: int):
-                            return lambda x: x.isNotNull() & (F.length(x) > bound_n)
+                            return lambda x: x.isNotNull() & (
+                                F.octet_length(x) > bound_n
+                            )
 
                         cond = col.isNotNull() & F.exists(col, _too_long(n))
                     else:
-                        cond = col.isNotNull() & (F.length(col) > n)
+                        cond = col.isNotNull() & (F.octet_length(col) > n)
                     checks.append(
                         (
                             cond,

@@ -804,3 +804,28 @@ def test_string_vector_registry_json_roundtrip():
     assert not fg.data_type.is_narrow_float
     f = fg.feature("tags")
     assert (f.string_length, f.vector_length) == (12, 3)
+
+
+def test_string_length_books_bytes_not_chars(fs_tags, spark):
+    """The reference books BYTE length (Go len(str),
+    perm_storage_datablock_v2.go:341): a 4-char string of 4-byte
+    codepoints occupies 16 booked bytes and must overflow a 12-byte
+    booking, even though its char count fits."""
+    four_chars_sixteen_bytes = "\U0001F600" * 4  # 4 chars, 16 utf-8 bytes
+    bad = spark.createDataFrame(
+        [(1, [four_chars_sixteen_bytes, "ok", "ok"])],
+        "user_id long, demo_tags__tags array<string>",
+    )
+    with pytest.raises(Exception, match="string_length"):
+        fs_tags.persist("user", bad)
+    # 3 chars = 12 bytes: exactly at the booking, accepted
+    ok = spark.createDataFrame(
+        [(1, ["\U0001F600" * 3, "ok", "ok"])],
+        "user_id long, demo_tags__tags array<string>",
+    )
+    fs_tags.persist("user", ok)
+    got = fs_tags.retrieve(
+        "user", {"demo_tags": ["tags"]},
+        spark.createDataFrame([(1,)], ["user_id"]),
+    ).collect()[0]["demo_tags__tags"]
+    assert got == ["\U0001F600" * 3, "ok", "ok"]
