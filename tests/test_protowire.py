@@ -346,3 +346,23 @@ def test_spark_decode_string_vector_round_trip(spark, tmp_path):
     assert out[1] == "red:seg1:nat4"
     assert out[2] == "blue:seg2:nat9"
     assert out[3] == "none:none:none"  # default fill for the miss
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# arbitrary unicode (no surrogates — invalid utf-8), incl. multibyte
+_STR = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(vecs=st.lists(st.lists(_STR, min_size=1, max_size=5), min_size=1, max_size=4))
+def test_fuzz_string_vector_wire_roundtrip(vecs):
+    """Values{vector=[{string_values}]} survives encode->decode for
+    arbitrary unicode content — the StringVector wire path (utf-8 byte
+    lengths on the wire, codepoints at the API)."""
+    payload = {"vector": [{"string_values": v} for v in vecs]}
+    out = pw.decode_values(pw.encode_values(payload))
+    assert [x.get("string_values", []) for x in out["vector"]] == vecs
