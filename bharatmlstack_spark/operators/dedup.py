@@ -433,6 +433,75 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def minhash_lsh_cross_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """CROSS-corpus near-dup: (id_a from A) x (id_b from B) pairs ONLY —
+    dedupe an incoming corpus B against a reference corpus A (the fuzzy
+    form of decontamination: a B doc with any hit is dropped or flagged)
+    without paying for A-internal or B-internal pairs.
+
+    Same signature/banding derivations as minhash_lsh_dedup_pairs, so a
+    corpus banded once serves both the self-dedup and any number of
+    cross-dedups. The band bucket join is A-bands ⋈ B-bands — within-
+    corpus collisions never materialize by construction, which at
+    |B| ≪ |A| (a daily crawl against a 100 TB reference) makes the
+    candidate set proportional to B's collisions, not A². Verification
+    is candidate-local exact Jaccard over the hashed shingle sets, like
+    the self-join form. Ids may repeat across corpora (they are
+    different documents); pair identity is (id_a, id_b) with the sides
+    kept distinct."""
+    from pyspark import StorageLevel
+
+    sess = df_a.sparkSession
+    par = sess.sparkContext.defaultParallelism
+
+    def _sets(df: DataFrame) -> DataFrame:
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        return defer_unpersist(
+            df.select(
+                F.col(id_col).alias("id"),
+                hashed_word_shingles(text_col, shingle_n).alias("sh"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    sets_a, sets_b = _sets(df_a), _sets(df_b)
+    bands_a = band_signatures(
+        minhash_signatures_from_hashes(sets_a, "id", "sh", num_hashes), bands
+    ).select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    bands_b = band_signatures(
+        minhash_signatures_from_hashes(sets_b, "id", "sh", num_hashes), bands
+    ).select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    cands = (
+        bands_a.join(bands_b, on=["band_idx", "band_hash"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sets_a.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_b.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

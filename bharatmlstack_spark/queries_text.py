@@ -1593,3 +1593,78 @@ def stream_semantic_dedup_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.99)
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED TIER (r10): registration candidates for a future window — rotation
+# protocol (b): pytest replicates the driver comparison until a retirement
+# frees a slot (tests/test_cross_dedup.py; the r09 rows in R9_ORACLES
+# graduated exactly this way).
+# ---------------------------------------------------------------------------
+
+STAGED_ORACLES: dict[str, str] = {}
+
+STAGED_ORACLES["dedup_cross_corpus"] = """
+WITH corpus_a AS (SELECT doc_id, text FROM documents),
+corpus_b AS (
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' zz9' AS text FROM documents WHERE doc_id % 25 = 0
+),
+wl_a AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus_a),
+wl_b AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus_b),
+sh_a AS (
+  SELECT doc_id, unnest(list_distinct(
+    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN generate_series(1, len(ws) - 2)]
+  )) AS shingle FROM wl_a WHERE len(ws) >= 3
+),
+sh_b AS (
+  SELECT doc_id, unnest(list_distinct(
+    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN generate_series(1, len(ws) - 2)]
+  )) AS shingle FROM wl_b WHERE len(ws) >= 3
+),
+sizes_a AS (SELECT doc_id, COUNT(*) AS set_size FROM sh_a GROUP BY doc_id),
+sizes_b AS (SELECT doc_id, COUNT(*) AS set_size FROM sh_b GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh_a a JOIN sh_b b USING (shingle)
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes_a sa ON sa.doc_id = id_a
+JOIN sizes_b sb ON sb.doc_id = id_b
+WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
+"""
+
+
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash-LSH dedup — dedupe an INCOMING corpus (exact
+    copies + ' zz9' near-copies of every 25th document, the standard
+    fixture shapes) against the full documents table as the REFERENCE
+    corpus, returning only cross pairs (operators/dedup.
+    minhash_lsh_cross_pairs). The fuzzy decontamination shape: at
+    threshold 0.8 every qualifying pair has J >= ~0.9, where 64x16
+    banding recall is effectively 1 (same corpus assumption the
+    registered dedup_minhash_lsh row documents), so the exact DuckDB
+    cross-Jaccard twin gates it.
+
+    STAGED TIER (r10): rotation saturated after this round's two
+    registrations; graduates when a RETIREMENT_CANDIDATES slot frees."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    every25 = docs.filter(F.col("doc_id") % 25 == 0)
+    incoming = every25.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    ).unionAll(
+        every25.select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+    )
+    out = DD.minhash_lsh_cross_pairs(
+        docs, incoming, id_col="doc_id", text_col="text", threshold=0.8
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
