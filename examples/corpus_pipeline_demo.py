@@ -96,6 +96,19 @@ def main() -> None:
     clean = tagged.join(contaminated, on="doc_id", how="left_anti")
     print(f"== 5. decontaminate: dropped {tagged.count() - clean.count()} train docs ==")
 
+    # 5b. the FUZZY form at corpus scale: cross-dedup the train side
+    # against the test split as a reference corpus — A-bands join
+    # B-bands, so within-corpus pairs never materialize and the
+    # candidate set scales with the incoming side's collisions
+    fuzzy_hits = DD.minhash_lsh_cross_pairs(
+        clean.filter(F.col("split") == "test"),
+        clean.filter(F.col("split") == "train"),
+        id_col="doc_id", text_col="text", threshold=0.8,
+    ).select(F.col("id_b").alias("doc_id")).distinct()
+    n_fuzzy = fuzzy_hits.count()
+    clean = clean.join(fuzzy_hits, on="doc_id", how="left_anti")
+    print(f"== 5b. fuzzy cross-dedup vs test: dropped {n_fuzzy} more ==")
+
     # 6. chunk + pack the train side into 512-token sequences
     train = clean.filter(F.col("split") == "train")
     chunks = chunk_documents(train, window=50, stride=40)
