@@ -83,6 +83,11 @@ QUERIES = [
     "bigram_pmi",
     "char_entropy_quality",
     "semantic_dedup_ivf",
+    # round-10 registrations: string-vector retrieve through a real
+    # persisted bucketed table, and the streaming SemDeDup sink (3-file
+    # topic x 2 replays per run, shared cell-partitioned index)
+    "feature_retrieve_string_vector",
+    "stream_semantic_dedup_sink",
 ]
 
 
@@ -132,12 +137,73 @@ def _semdedup_prescribed(n_cells: int):
     return run
 
 
+def _stream_semdedup_prescribed(n_cells: int):
+    """The streaming SemDeDup sink at the PRESCRIBED cell count — the
+    same 3-file-topic x 2-replay shape as the registered row, but with
+    cells scaling with the corpus (16 -> 160 at 10x) instead of the
+    registered derivation whose floor binds at fixture sizes. Within-cell
+    pair work per vector stays constant; the registered floor-bound form
+    is the cautionary sibling, exactly like the batch pair above."""
+
+    def run(spark, sf_dir: str):
+        import tempfile
+
+        from bharatmlstack_spark.operators.lsh import IvfIndex
+        from bharatmlstack_spark.streaming.ingest import (
+            stream_semantic_dedup_sink,
+        )
+        from pyspark.sql import functions as FF
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        dup = e.filter(FF.col("vec_id") % 50 == 0).select(
+            (FF.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+        corpus_e = e.unionAll(dup)
+        idx = IvfIndex(n_cells=n_cells, id_col="vec_id").fit(
+            corpus_e, sample_size=512, iters=3
+        )
+        work = tempfile.mkdtemp(prefix="bmls_semstream_scale_")
+        corpus_e.repartition(3).write.parquet(f"{work}/topic")
+        schema = "vec_id bigint, embedding array<float>"
+        for replay in ("ckpt1", "ckpt2"):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/topic")
+            )
+            q = stream_semantic_dedup_sink(
+                stream, idx, f"{work}/index", f"{work}/pairs",
+                f"{work}/{replay}", spark, threshold=0.99, trigger_once=True,
+            )
+            q.awaitTermination(600)
+        out = (
+            spark.read.parquet(f"{work}/pairs")
+            .dropDuplicates(["id_a", "id_b"])
+            .filter(FF.round("cosine", 6) >= 0.99)
+        )
+        import atexit
+        import shutil
+
+        atexit.register(lambda w=work: shutil.rmtree(w, ignore_errors=True))
+        return out
+
+    return run
+
+
 def time_queries(spark, sf_dir: str, scaled: bool = False) -> dict[str, float]:
     qs = all_queries()
     todo = [(n, qs[n]) for n in QUERIES]
     # parameter scales with the data (16 cells at sf0.1, 160 at sf1)
     todo.append(
         ("semantic_dedup_ivf (cells~n)", _semdedup_prescribed(160 if scaled else 16))
+    )
+    todo.append(
+        (
+            "stream_semantic_dedup_sink (cells~n)",
+            _stream_semdedup_prescribed(160 if scaled else 16),
+        )
     )
     out = {}
     for name, fn in todo:
