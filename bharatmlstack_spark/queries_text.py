@@ -1586,7 +1586,14 @@ def stream_semantic_dedup_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, idx, index_path, out_path, f"{work}/{replay}", spark,
             threshold=0.99, trigger_once=True,
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # fail loud-and-early: proceeding on a timeout would read a
+            # partially-written pairs dir and surface as a confusing
+            # driver-gate row diff instead of this message
+            raise TimeoutError(
+                "stream_semantic_dedup_sink streaming query did not "
+                f"finish within 300s (replay {replay})"
+            )
 
     pairs = spark.read.parquet(out_path).dropDuplicates(["id_a", "id_b"])
     return (

@@ -66,7 +66,18 @@ def read_feature_table_for_keys(spark, path: str, keys_df: DataFrame, key_cols: 
         # key_bucket as a data column (externally written or hand-migrated).
         # Fall back to the isin-filter read — correct rows instead of a
         # silently-empty frame (the filter still prunes via row-group stats).
-        return spark.read.parquet(path).filter(F.col("key_bucket").isin(wanted))
+        flat = spark.read.parquet(path)
+        if "key_bucket" not in flat.columns:
+            # not a feature-table layout at all (write_feature_table always
+            # produces partition dirs or, post-migration, the data column) —
+            # raise a targeted error instead of an unrelated
+            # AnalysisException from the filter below
+            raise ValueError(
+                f"feature table {path} has neither key_bucket= partition "
+                "dirs nor a key_bucket data column — not a layout "
+                "write_feature_table produces; cannot prune a keyed read"
+            )
+        return flat.filter(F.col("key_bucket").isin(wanted))
     paths = [existing[b] for b in wanted if b in existing]
     if not paths:
         # partitioned table, but none of the wanted buckets exist yet:

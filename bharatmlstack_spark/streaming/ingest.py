@@ -878,6 +878,27 @@ def _ensure_neardup_root(
         )
 
 
+def _resolve_neardup_layout(meta: dict | None) -> tuple[int | None, bool]:
+    """The ONE meta-sidecar layout resolution shared by the sink
+    (stream_neardup_minhash_sink._ensure_layout) and
+    compact_neardup_state — writer and compactor MUST agree on the
+    legacy default or the compactor could rewrite a ``__kb=``-partitioned
+    band root flat (destroying the layout the sink then refuses to run
+    against). Returns ``(n_buckets, bands_bucketed)``:
+
+    - no sidecar, or no ``n_buckets`` key (e.g. a flat state whose
+      sidecar holds only maintenance counters): flat everything
+      -> ``(None, False)``;
+    - ``n_buckets`` present, ``bucket_bands`` present: as recorded;
+    - ``n_buckets`` present, ``bucket_bands`` ABSENT: a legacy sidecar
+      from before the hybrid mode, which bucketed BOTH roots
+      -> ``(n_buckets, True)``.
+    """
+    if not meta or meta.get("n_buckets") is None:
+        return None, False
+    return int(meta["n_buckets"]), bool(meta.get("bucket_bands", True))
+
+
 def stream_neardup_minhash_sink(
     stream_df: DataFrame,
     state_dir: str,
@@ -1025,9 +1046,9 @@ def stream_neardup_minhash_sink(
         )
 
         meta = read_table_meta(spark, state_dir)
-        recorded = int(meta["n_buckets"]) if meta and "n_buckets" in meta else None
-        # sidecars from before the hybrid mode bucketed both roots
-        rec_bands = bool(meta.get("bucket_bands", True)) if meta else None
+        # shared resolution (legacy pre-hybrid sidecars bucketed both
+        # roots) — compact_neardup_state resolves with the SAME helper
+        recorded, rec_bands = _resolve_neardup_layout(meta)
         if bucketed and recorded is not None and recorded != state_buckets:
             raise RuntimeError(
                 f"near-dup state {state_dir} was created with "
@@ -1491,6 +1512,13 @@ def _compact_dedup_state(
         if not touched:
             return 0
         paths = [dirs[p] for p in touched if p in dirs]
+        if not paths:
+            # every duplicate-holding partition lives in a dir the
+            # listing skipped (e.g. a null key's __HIVE_DEFAULT_PARTITION__
+            # — hadoop_list_partition_dirs keeps numeric dirs only):
+            # nothing targetable to rewrite, leave the state as-is
+            # (compaction is advisory; readers' dedup stays correct)
+            return 0
         scoped = spark.read.option("basePath", path).parquet(*paths)
         before = scoped.count()
         keep = scoped.dropDuplicates(dedup_cols)
@@ -1576,26 +1604,21 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
       (id, band_idx) — signatures are deterministic, so copies are
       byte-identical.
 
-    Layout comes from the state's meta sidecar exactly as the sink
-    resolves it; partitioned roots rewrite only duplicate-holding dirs
-    (the dedup keys determine their bucket). Returns
-    {"sets_removed": n, "bands_removed": m}."""
-    import json as _json
-    import os as _os
-
-    from bharatmlstack_spark.operators.feature_store import (
-        TABLE_META_FILE,
-        hadoop_read_text,
-    )
+    Layout comes from the state's meta sidecar resolved with THE SAME
+    helper the sink uses (_resolve_neardup_layout — in particular the
+    legacy pre-hybrid default: a sidecar recording n_buckets but no
+    bucket_bands key means BOTH roots are bucketed, so the compactor
+    must rewrite the band root partitioned, never flat); partitioned
+    roots rewrite only duplicate-holding dirs (the dedup keys determine
+    their bucket). Returns {"sets_removed": n, "bands_removed": m}."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
 
     sets_path = f"{state_dir}/sets"
     bands_path = f"{state_dir}/bands"
-    meta_txt = hadoop_read_text(spark, _os.path.join(state_dir, TABLE_META_FILE))
-    bucketed = bands_bucketed = False
-    if meta_txt is not None:
-        meta = _json.loads(meta_txt)
-        bucketed = meta.get("n_buckets") is not None
-        bands_bucketed = bool(meta.get("bucket_bands", False))
+    recorded, bands_bucketed = _resolve_neardup_layout(
+        read_table_meta(spark, state_dir)
+    )
+    bucketed = recorded is not None
     return {
         "sets_removed": _compact_dedup_state(
             spark, sets_path, ["id"], "__kb" if bucketed else None

@@ -280,6 +280,22 @@ def test_bucketed_feature_layout_prunes(spark, tmp_path):
     assert pruned.count() < 1000
 
 
+def test_keyed_read_rejects_non_feature_layout(spark, tmp_path):
+    """A plain parquet table (no key_bucket= dirs AND no key_bucket data
+    column) is not a feature-table layout: the keyed read raises a
+    targeted error instead of an unrelated AnalysisException from the
+    flat-fallback filter."""
+    import pytest
+
+    from bharatmlstack_spark.sources.writers import read_feature_table_for_keys
+
+    path = str(tmp_path / "not_a_feature_table")
+    spark.range(0, 10).select(F.col("id").alias("user_id")).write.parquet(path)
+    keys = spark.createDataFrame([(5,)], ["user_id"])
+    with pytest.raises(ValueError, match="key_bucket"):
+        read_feature_table_for_keys(spark, path, keys, ["user_id"], n_buckets=16)
+
+
 def test_week_partitioned_events_prune(spark, tmp_path):
     from datetime import datetime
 

@@ -1111,3 +1111,99 @@ def test_compact_neardup_state_preserves_pairs_and_layout(spark, tmp_path):
     run("cn_ck2")  # same src dir, new files only under a reused name is
     # a fresh checkpoint again -> replays everything; dedup readout below
     assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_compact_neardup_state_legacy_sidecar_keeps_band_layout(
+    spark, tmp_path
+):
+    """A LEGACY sidecar (n_buckets recorded, no bucket_bands key — the
+    pre-hybrid era bucketed BOTH roots) must compact the band root
+    PARTITIONED: sink and compactor resolve the layout with the same
+    helper, so the compactor can never rewrite a __kb= band root flat
+    (which would strand the state — the sink refuses mixed layouts)."""
+    import json
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text,
+    )
+    from bharatmlstack_spark.streaming.ingest import (
+        compact_neardup_state,
+        stream_neardup_minhash_sink,
+    )
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "lg_src")
+    state, out = str(tmp_path / "lg_state"), str(tmp_path / "lg_out")
+    _write_json_batch(src, [docs[0], docs[3]])
+
+    def run(ck):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = stream_neardup_minhash_sink(
+            stream, state, out, str(tmp_path / ck), spark,
+            id_col="doc_id", text_col="text", trigger_once=True,
+            state_buckets=8, bucket_bands=True,
+        )
+        q.awaitTermination(120)
+
+    run("lg_ck1")
+    run("lg_ck2")  # full redelivery: duplicates in both roots
+
+    # rewrite the sidecar to the legacy form: n_buckets only
+    hadoop_write_text(
+        spark, f"{state}/{TABLE_META_FILE}", json.dumps({"n_buckets": 8})
+    )
+    stats = compact_neardup_state(spark, state)
+    assert stats["sets_removed"] > 0 and stats["bands_removed"] > 0
+    # the band root is STILL __kb= partitioned — the compactor resolved
+    # the legacy sidecar as both-roots-bucketed, exactly like the sink
+    assert any(
+        p.name.startswith("__kb=")
+        for p in (tmp_path / "lg_state" / "bands").iterdir()
+    )
+    # and the sink still accepts the state (no mixed-layout refusal)
+    _write_json_batch(src, [docs[1], docs[2]])
+    run("lg_ck2")
+    assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_compact_streamed_index_rewrites_only_duplicate_dirs(
+    spark, tmp_path
+):
+    """Dynamic partition overwrite discipline: cell dirs WITHOUT
+    duplicates keep their exact files (paths and mtimes) through a
+    compaction that rewrites a sibling dir — a regression to static
+    overwrite (the option dropped or misspelled) would delete every
+    untouched partition dir, which row counts alone cannot catch."""
+    import os
+
+    from bharatmlstack_spark.streaming.ingest import compact_streamed_index
+
+    schema = "vec_id long, embedding array<float>, cell int"
+    rows = [(i, [float(i), 0.0], i % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, schema)
+    index_path = str(tmp_path / "pd_index")
+    df.repartition("cell").write.partitionBy("cell").parquet(index_path)
+    # redeliver ONLY cell 0's rows (a partial redelivery)
+    dup = df.filter("cell = 0")
+    dup.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        index_path
+    )
+
+    def dir_state(cell):
+        d = tmp_path / "pd_index" / f"cell={cell}"
+        return sorted(
+            (f.name, os.stat(f).st_mtime_ns)
+            for f in d.iterdir()
+            if f.name.endswith(".parquet")
+        )
+
+    untouched_before = {c: dir_state(c) for c in (1, 2, 3)}
+    removed = compact_streamed_index(spark, index_path)
+    assert removed == dup.count()
+    # the clean cell dirs' files survived byte-untouched
+    assert {c: dir_state(c) for c in (1, 2, 3)} == untouched_before
+    # and the duplicate-holding dir is deduped
+    got = spark.read.parquet(index_path)
+    assert got.count() == 40
+    assert got.filter("cell = 0").count() == 10

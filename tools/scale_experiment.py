@@ -177,7 +177,11 @@ def _stream_semdedup_prescribed(n_cells: int):
                 stream, idx, f"{work}/index", f"{work}/pairs",
                 f"{work}/{replay}", spark, threshold=0.99, trigger_once=True,
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                raise TimeoutError(
+                    "stream_semantic_dedup_sink streaming query did not "
+                    f"finish within 600s (replay {replay})"
+                )
         out = (
             spark.read.parquet(f"{work}/pairs")
             .dropDuplicates(["id_a", "id_b"])
