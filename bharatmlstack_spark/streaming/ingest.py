@@ -1090,13 +1090,17 @@ def stream_neardup_minhash_sink(
         )
         if bucketed and recorded is None:
             # AFTER both roots reconciled, BEFORE any bucketed append: a
-            # crash in between just re-runs this (idempotent) next start
+            # crash in between just re-runs this (idempotent) next start.
+            # Merge-write: a flat-era sidecar may already hold maintenance
+            # counters (_update_maintenance_meta) that must survive
+            merged = dict(meta or {})
+            merged.update(
+                {"n_buckets": state_buckets, "bucket_bands": bucket_bands}
+            )
             hadoop_write_text(
                 spark,
                 _os.path.join(state_dir, TABLE_META_FILE),
-                _json.dumps(
-                    {"n_buckets": state_buckets, "bucket_bands": bucket_bands}
-                ),
+                _json.dumps(merged),
             )
         _layout_ok.append(True)
 
@@ -1251,6 +1255,9 @@ def stream_neardup_minhash_sink(
                     t = _time.perf_counter()
                 _write_state(sets_new, sets_path, bucketed)
                 _write_state(bands_new, bands_path, bands_bucketed)
+                # maintenance bookkeeping (maintenance_due reads these):
+                # batch counter + redelivery detection via batch ids
+                _update_maintenance_meta(spark, state_dir, batch_id)
                 if instrument:
                     ph["append_s"] = round(_time.perf_counter() - t, 3)
                     ph["total_s"] = round(_time.perf_counter() - t0, 3)
@@ -1306,6 +1313,9 @@ def stream_ann_ivf_sink(
             .partitionBy("cell")
             .parquet(index_path)
         )
+        # maintenance bookkeeping (maintenance_due reads these): batch
+        # counter + redelivery detection via non-monotonic batch ids
+        _update_maintenance_meta(spark, index_path, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
@@ -1437,6 +1447,9 @@ def stream_semantic_dedup_sink(
                 .partitionBy("cell")
                 .parquet(index_path)
             )
+            # shared-state bookkeeping: same sidecar stream_ann_ivf_sink
+            # maintains (one index, interchangeable writers)
+            _update_maintenance_meta(spark, index_path, batch_id)
         finally:
             assigned.unpersist()
 
@@ -1587,9 +1600,12 @@ def compact_streamed_index(
     ``dedup=False``. Reference anchor: skye's indexer reset/rebuild jobs
     (skye/internal/consumers/handler/indexer/) — the stored index is
     periodically rebuilt to shed accumulated writes. Returns rows removed.
-    Run at maintenance cadence (after a redelivery event or N batches),
-    never per micro-batch."""
-    return _compact_dedup_state(spark, index_path, [id_col], "cell")
+    Run at maintenance cadence (after a redelivery event or N batches —
+    ``maintenance_due`` / ``maybe_compact_streamed_index`` decide that
+    from the sidecar the sinks maintain), never per micro-batch."""
+    removed = _compact_dedup_state(spark, index_path, [id_col], "cell")
+    _reset_maintenance_meta(spark, index_path)
+    return removed
 
 
 def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
@@ -1619,7 +1635,7 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
         read_table_meta(spark, state_dir)
     )
     bucketed = recorded is not None
-    return {
+    stats = {
         "sets_removed": _compact_dedup_state(
             spark, sets_path, ["id"], "__kb" if bucketed else None
         ),
@@ -1629,6 +1645,266 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
             ["id", "band_idx"],
             "__kb" if bands_bucketed else None,
         ),
+    }
+    _reset_maintenance_meta(spark, state_dir)
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# Maintenance cadence + refit for the streamed states
+# ---------------------------------------------------------------------------
+
+# Meta-sidecar keys the sinks maintain per micro-batch so a user never
+# has to invent the compaction cadence ("after a redelivery event or N
+# batches") — the compactors reset them after a successful pass.
+MAINT_COUNTER_KEY = "batches_since_compact"
+MAINT_REDELIVERY_KEY = "redelivery_suspected"
+MAINT_LAST_BATCH_KEY = "last_batch_id"
+
+QUANTIZER_DIR_SUFFIX = "__quantizer"
+
+
+def _update_maintenance_meta(
+    spark: SparkSession, root: str, batch_id: int | None = None
+) -> None:
+    """Per-micro-batch maintenance bookkeeping in the state root's meta
+    sidecar (driver-side, one small-file rewrite — negligible next to the
+    batch's parquet append): bump ``batches_since_compact``; when the
+    delivered ``batch_id`` is not strictly increasing, flag
+    ``redelivery_suspected`` — a restarted checkpoint re-numbers batches
+    from an earlier id, which is exactly the event that accumulates the
+    byte-identical duplicate rows the compactors reclaim. Read-modify-
+    write, so layout keys (n_buckets, bucket_bands, n_cells) survive.
+    Single-writer assumption: same as the sinks' own (one streaming query
+    appends to a state root at a time)."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text,
+        read_table_meta,
+    )
+
+    meta = read_table_meta(spark, root) or {}
+    meta[MAINT_COUNTER_KEY] = int(meta.get(MAINT_COUNTER_KEY, 0)) + 1
+    if batch_id is not None:
+        last = meta.get(MAINT_LAST_BATCH_KEY)
+        if last is not None and int(batch_id) <= int(last):
+            meta[MAINT_REDELIVERY_KEY] = True
+        meta[MAINT_LAST_BATCH_KEY] = max(
+            int(batch_id), int(last) if last is not None else int(batch_id)
+        )
+    hadoop_write_text(
+        spark, _os.path.join(root, TABLE_META_FILE), _json.dumps(meta)
+    )
+
+
+def _reset_maintenance_meta(spark: SparkSession, root: str) -> None:
+    """After a successful compaction/refit: zero the batch counter and
+    clear the redelivery flag (layout keys untouched)."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text,
+        read_table_meta,
+    )
+
+    meta = read_table_meta(spark, root)
+    if meta is None:
+        return
+    meta[MAINT_COUNTER_KEY] = 0
+    meta.pop(MAINT_REDELIVERY_KEY, None)
+    hadoop_write_text(
+        spark, _os.path.join(root, TABLE_META_FILE), _json.dumps(meta)
+    )
+
+
+def maintenance_due(
+    spark: SparkSession, root: str, every_n_batches: int = 64
+) -> bool:
+    """The cadence policy the compactor docstrings promise ("after a
+    redelivery event or N batches"), decided from the sidecar the sinks
+    maintain: due when a redelivery was observed (duplicates are then
+    KNOWN to exist) or every ``every_n_batches`` appends (bounds the
+    small-file count and the dedup=True readers' shuffle width between
+    passes). One sidecar read — call it per micro-batch or from a cron
+    job; it never scans the state."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    meta = read_table_meta(spark, root) or {}
+    if meta.get(MAINT_REDELIVERY_KEY):
+        return True
+    return int(meta.get(MAINT_COUNTER_KEY, 0)) >= every_n_batches
+
+
+def maybe_compact_streamed_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    every_n_batches: int = 64,
+) -> int | None:
+    """compact_streamed_index gated by maintenance_due — the
+    policy-plus-mechanism form a pipeline calls after each batch (or on
+    a timer) instead of inventing its own cadence. Returns rows removed,
+    or None when maintenance wasn't due (the sidecar read is the only
+    cost of a not-due call)."""
+    if not maintenance_due(spark, index_path, every_n_batches):
+        return None
+    return compact_streamed_index(spark, index_path, id_col)
+
+
+def maybe_compact_neardup_state(
+    spark: SparkSession, state_dir: str, every_n_batches: int = 64
+) -> dict | None:
+    """compact_neardup_state gated by maintenance_due (see
+    maybe_compact_streamed_index)."""
+    if not maintenance_due(spark, state_dir, every_n_batches):
+        return None
+    return compact_neardup_state(spark, state_dir)
+
+
+def save_streamed_index_quantizer(
+    spark: SparkSession, index_path: str, ivf
+) -> None:
+    """Persist the coarse quantizer beside its index (a
+    ``<index>__quantizer`` parquet of (cell, centroid) rows — a sibling
+    dir, so an index-root rewrite never clobbers it): the sinks take a
+    fit IvfIndex object, and a RESTARTED pipeline must assign with the
+    SAME centroids or probes would read the wrong cells. n_cells x dim
+    doubles — driver-small at any realistic n_cells."""
+    rows = [
+        (int(c), [float(x) for x in cent])
+        for c, cent in enumerate(ivf.centroids)
+    ]
+    df = spark.createDataFrame(rows, "cell int, centroid array<double>")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        index_path + QUANTIZER_DIR_SUFFIX
+    )
+
+
+def load_streamed_index_quantizer(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """The read half of save_streamed_index_quantizer: rebuild the fit
+    IvfIndex a restarted sink (or a search) assigns with."""
+    import numpy as np
+
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+
+    rows = (
+        spark.read.parquet(index_path + QUANTIZER_DIR_SUFFIX)
+        .orderBy("cell")
+        .collect()
+    )
+    ivf = IvfIndex(n_cells=len(rows), id_col=id_col, emb_col=emb_col)
+    ivf.centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    return ivf
+
+
+def refit_streamed_index(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    target_cell_rows: int = 10_000,
+    min_cells: int = 16,
+    sample_size: int = 4096,
+    iters: int = 5,
+) -> dict:
+    """Re-bucket the streamed IVF/SemDeDup state as the accumulated
+    stream grows — the re-fit half of skye's indexer reset/rebuild jobs
+    (skye/internal/consumers/handler/indexer/), completing what
+    compact_streamed_index leaves open: compaction reclaims duplicate
+    rows but keeps the BOOTSTRAP quantizer, so per-cell population — and
+    with it every probe's scan and SemDeDup's within-cell pair work,
+    which grows as sum(|cell|^2) — rises linearly with the stream
+    (SCALE.md's fixed-cells row shows the superlinear cost at 10x).
+
+    Run at reset cadence (orders of magnitude rarer than compaction —
+    when the accumulated count has outgrown the fitted n_cells by ~2x+):
+
+    1. read the accumulated index, dedup on id (the refit subsumes a
+       compaction pass);
+    2. re-derive ``n_cells = max(min_cells, ceil(n / target_cell_rows))``
+       from the ACCUMULATED count — the same prescription the batch
+       SemDeDup row derives from its input (cells ~ n, cell population
+       pinned at ~target_cell_rows regardless of stream growth);
+    3. re-fit the coarse quantizer on the accumulated vectors
+       (IvfIndex.fit — deterministic hash-ordered sample, ≤ sample_size
+       driver rows) and re-assign every vector (one Arrow GEMM pass);
+    4. staged swap, exactly FeatureStore.compact's discipline: write the
+       re-assigned state cell-partitioned to ``<index>__refitting``, read
+       it back, overwrite the live root, drop the stage. A crash before
+       the final overwrite leaves the live root untouched;
+    5. persist the NEW quantizer (save_streamed_index_quantizer) and a
+       fresh meta sidecar (n_cells + zeroed maintenance counters).
+
+    Search/dedup equivalence (pytest-pinned): assignments change, but
+    identical vectors still share a cell under ANY quantizer, so exact-
+    duplicate recall stays 1; ANN search against the refit index returns
+    the same top-k for the fixture corpus. Callers must hand subsequent
+    sink runs the RETURNED quantizer (or load_streamed_index_quantizer):
+    appending with the old one against the re-bucketed state would
+    mis-route probes. Returns {"ivf", "n", "rows_removed",
+    "n_cells_before", "n_cells_after"}."""
+    import json as _json
+    import math as _math
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_delete_path,
+        hadoop_list_partition_dirs,
+        hadoop_write_text,
+    )
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+
+    n_cells_before = len(hadoop_list_partition_dirs(spark, index_path, "cell"))
+    raw = spark.read.parquet(index_path)
+    total = raw.count()
+    acc = raw.select(id_col, emb_col).dropDuplicates([id_col])
+    n = acc.count()
+    n_cells = max(min_cells, _math.ceil(n / target_cell_rows))
+    ivf = IvfIndex(n_cells=n_cells, id_col=id_col, emb_col=emb_col).fit(
+        acc, sample_size=sample_size, iters=iters
+    )
+    tmp = index_path + "__refitting"
+    (
+        ivf.index(acc)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    (
+        spark.read.parquet(tmp)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_path)
+    )
+    hadoop_delete_path(spark, tmp)
+    save_streamed_index_quantizer(spark, index_path, ivf)
+    # the root overwrite dropped the old sidecar with it: write a fresh
+    # one — counters zeroed (the refit subsumed the compaction), fitted
+    # cell count recorded for the next due-for-refit decision
+    hadoop_write_text(
+        spark,
+        _os.path.join(index_path, TABLE_META_FILE),
+        _json.dumps({"n_cells": n_cells, MAINT_COUNTER_KEY: 0}),
+    )
+    return {
+        "ivf": ivf,
+        "n": n,
+        "rows_removed": total - n,
+        "n_cells_before": n_cells_before,
+        "n_cells_after": n_cells,
     }
 
 

@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 from bharatmlstack_spark import get_spark
 from bharatmlstack_spark.operators.lsh import IvfIndex
 from bharatmlstack_spark.streaming.ingest import (
-    compact_streamed_index,
+    maintenance_due,
+    maybe_compact_streamed_index,
     read_streamed_ivf_index,
+    refit_streamed_index,
     stream_ann_ivf_sink,
     stream_dedup_sink,
     stream_neardup_minhash_sink,
@@ -106,10 +108,17 @@ def main() -> None:
     q2 = stream_ann_ivf_sink(estream2, ivf, f"{work}/ivf_index",
                              f"{work}/ck_ivf_replay", spark, trigger_once=True)
     q2.awaitTermination(300)
-    # ...and the maintenance-cadence compactor reclaims the copies once,
-    # so the search path can skip the per-read dedup shuffle (dedup=False)
-    removed = compact_streamed_index(spark, f"{work}/ivf_index")
-    print(f"compacted {removed} redelivery-duplicate index rows")
+    # ...and the maintenance-cadence POLICY decides compaction for you:
+    # the replay's restarted batch ids flag redelivery_suspected in the
+    # index's meta sidecar, so maintenance is due even far below the
+    # batch-count threshold — no hand-invented cadence
+    assert maintenance_due(spark, f"{work}/ivf_index", every_n_batches=1000)
+    removed = maybe_compact_streamed_index(
+        spark, f"{work}/ivf_index", every_n_batches=1000
+    )
+    print(f"maintenance due (redelivery observed): compacted {removed} rows")
+    # the pass reset the counters: the next call is a sidecar-read no-op
+    assert maybe_compact_streamed_index(spark, f"{work}/ivf_index") is None
     index = read_streamed_ivf_index(
         spark, f"{work}/ivf_index", id_col="vec_id", dedup=False
     )
@@ -119,6 +128,27 @@ def main() -> None:
     hits = ivf.search(index, queries, k=5, nprobe=4, metric="DOT")
     print("top-5 neighbors per query from the streamed index:")
     hits.orderBy("query_id", "rank").show()
+
+    # 4. the stream has outgrown the bootstrap quantizer: refit — derive
+    # n_cells from the ACCUMULATED count, re-fit + re-assign, staged swap
+    # (the skye indexer reset-job analog; compaction alone never
+    # re-buckets, so per-cell population would grow with the stream)
+    print("== 4. refit: re-bucket the index the stream outgrew ==")
+    stats = refit_streamed_index(
+        spark, f"{work}/ivf_index", target_cell_rows=16, min_cells=8
+    )
+    print(
+        f"refit {stats['n']} vectors: {stats['n_cells_before']} -> "
+        f"{stats['n_cells_after']} cells "
+        f"(+{stats['rows_removed']} dup rows reclaimed)"
+    )
+    ivf2 = stats["ivf"]  # subsequent appends/searches use the NEW quantizer
+    hits2 = ivf2.search(
+        read_streamed_ivf_index(spark, f"{work}/ivf_index", dedup=False),
+        queries, k=5, nprobe=4, metric="DOT",
+    )
+    print("same queries against the re-bucketed index:")
+    hits2.orderBy("query_id", "rank").show()
 
     shutil.rmtree(work, ignore_errors=True)
     print("done.")

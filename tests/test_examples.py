@@ -38,5 +38,8 @@ def test_streaming_index_demo(spark, monkeypatch, capsys):
     assert "unique docs kept: 500 of 520" in out
     assert "deduped after replay" in out
     assert "stream-built IVF" in out
-    # the replayed IVF topic doubled every row; compaction reclaims them
-    assert "compacted 495 redelivery-duplicate index rows" in out
+    # the replayed IVF topic doubled every row; the cadence policy sees
+    # the redelivery (restarted batch ids) and compaction reclaims them
+    assert "maintenance due (redelivery observed): compacted 495 rows" in out
+    # the refit re-derives n_cells from the accumulated count (495/16)
+    assert "refit 495 vectors: 8 -> 31 cells" in out

@@ -1207,3 +1207,197 @@ def test_compact_streamed_index_rewrites_only_duplicate_dirs(
     got = spark.read.parquet(index_path)
     assert got.count() == 40
     assert got.filter("cell = 0").count() == 10
+
+
+def _stream_ivf_corpus(spark, n=60, dim=8, seed=11):
+    """Embedding corpus with injected exact duplicates (every 5th id
+    copied at +1000) — identical vectors share a cell under ANY
+    quantizer, so dedup recall must be 1 before AND after a refit."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    rows += [(i + 1000, e) for i, e in rows if i % 5 == 0]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_refit_streamed_index_rebuckets_and_preserves_search(spark, tmp_path):
+    """refit_streamed_index: n_cells re-derived from the ACCUMULATED
+    count, every vector re-assigned under a freshly fit quantizer, staged
+    swap, duplicates reclaimed — with search content preserved: the
+    all-cells (exact) top-k is identical pre/post, exact-duplicate pairs
+    still share a cell, and the sink keeps appending against the NEW
+    quantizer."""
+    from bharatmlstack_spark.streaming.ingest import (
+        load_streamed_index_quantizer,
+        read_streamed_ivf_index,
+        refit_streamed_index,
+        stream_ann_ivf_sink,
+    )
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+
+    df = _stream_ivf_corpus(spark)
+    n = df.count()
+    # deliberately-too-small bootstrap quantizer: the frozen-forever case
+    idx = IvfIndex(n_cells=2).fit(df, sample_size=64, iters=3)
+    topic = str(tmp_path / "rf_topic")
+    index_path = str(tmp_path / "rf_index")
+    df.repartition(2).write.parquet(topic)
+    schema = "vec_id long, embedding array<float>"
+    for ck in ("rf_ck1", "rf_ck2"):  # second pass = full redelivery
+        stream = spark.readStream.schema(schema).parquet(topic)
+        q = stream_ann_ivf_sink(
+            stream, idx, index_path, str(tmp_path / ck), spark,
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    queries = df.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+
+    def exact_topk(ivf, nprobe):
+        # nprobe == n_cells probes every cell: brute-force-equivalent,
+        # so the result is a pure function of the index CONTENT
+        index = read_streamed_ivf_index(spark, index_path)
+        return {
+            (r.query_id, r.vec_id, r.rank)
+            for r in ivf.search(
+                index, queries, k=3, nprobe=nprobe, metric="DOT"
+            ).collect()
+        }
+
+    before = exact_topk(idx, nprobe=2)
+    stats = refit_streamed_index(
+        spark, index_path, target_cell_rows=8, min_cells=4
+    )
+    ivf2 = stats["ivf"]
+    # re-derivation: ~n/8 cells, far above the bootstrap 2
+    assert stats["n"] == n
+    assert stats["n_cells_after"] == max(4, -(-n // 8))
+    assert stats["n_cells_before"] == 2
+    # the refit subsumed compaction: redelivery copies physically gone
+    assert stats["rows_removed"] == n
+    raw = spark.read.parquet(index_path)
+    assert raw.count() == n
+    # content-preserving: exact (all-cells) search identical pre/post
+    assert exact_topk(ivf2, nprobe=stats["n_cells_after"]) == before
+    # exact duplicates still share a cell (recall 1 under any quantizer)
+    pairs = (
+        raw.alias("a")
+        .join(raw.alias("b"), F.col("a.vec_id") + 1000 == F.col("b.vec_id"))
+        .select(F.col("a.cell").alias("ca"), F.col("b.cell").alias("cb"))
+        .collect()
+    )
+    assert pairs and all(r.ca == r.cb for r in pairs)
+    # the persisted quantizer round-trips to the returned one
+    loaded = load_streamed_index_quantizer(spark, index_path)
+    import numpy as np
+
+    assert np.allclose(loaded.centroids, ivf2.centroids)
+    # the sink continues against the refit state with the NEW quantizer
+    extra = spark.createDataFrame(
+        [(9000, [float(i) for i in range(8)])], schema
+    )
+    topic2 = str(tmp_path / "rf_topic2")
+    extra.write.parquet(topic2)
+    stream = spark.readStream.schema(schema).parquet(topic2)
+    q = stream_ann_ivf_sink(
+        stream, ivf2, index_path, str(tmp_path / "rf_ck3"), spark,
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(index_path).count() == n + 1
+
+
+def test_maintenance_cadence_policy(spark, tmp_path):
+    """The sinks maintain batch counters + redelivery detection in the
+    state's meta sidecar; maintenance_due/maybe_compact_* turn the
+    docstrings' prescribed cadence ("after a redelivery event or N
+    batches") into code a pipeline calls without inventing policy."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.streaming.ingest import (
+        MAINT_COUNTER_KEY,
+        MAINT_REDELIVERY_KEY,
+        maintenance_due,
+        maybe_compact_streamed_index,
+        stream_ann_ivf_sink,
+    )
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+
+    df = _stream_ivf_corpus(spark, n=20)
+    idx = IvfIndex(n_cells=2).fit(df, sample_size=64, iters=2)
+    topic = str(tmp_path / "mc_topic")
+    index_path = str(tmp_path / "mc_index")
+    df.repartition(3).write.parquet(topic)
+    schema = "vec_id long, embedding array<float>"
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_ann_ivf_sink(
+            stream, idx, index_path, str(tmp_path / ck), spark,
+            trigger_once=True,
+        )
+        q.awaitTermination(120)
+
+    run("mc_ck1")  # 3 files -> 3 micro-batches
+    meta = read_table_meta(spark, index_path)
+    assert meta[MAINT_COUNTER_KEY] == 3
+    assert MAINT_REDELIVERY_KEY not in meta
+    assert not maintenance_due(spark, index_path, every_n_batches=5)
+    assert maintenance_due(spark, index_path, every_n_batches=3)
+    # not due -> sidecar-read no-op; due -> compacts (0 dups yet) + resets
+    assert maybe_compact_streamed_index(spark, index_path, every_n_batches=5) is None
+    assert maybe_compact_streamed_index(spark, index_path, every_n_batches=3) == 0
+    assert read_table_meta(spark, index_path)[MAINT_COUNTER_KEY] == 0
+
+    # full redelivery under a fresh checkpoint: batch ids restart, the
+    # sink flags it, and maintenance is due regardless of the threshold
+    run("mc_ck2")
+    assert read_table_meta(spark, index_path)[MAINT_REDELIVERY_KEY] is True
+    assert maintenance_due(spark, index_path, every_n_batches=10**6)
+    removed = maybe_compact_streamed_index(
+        spark, index_path, every_n_batches=10**6
+    )
+    assert removed == df.count()  # the whole replay reclaimed
+    meta = read_table_meta(spark, index_path)
+    assert meta[MAINT_COUNTER_KEY] == 0
+    assert MAINT_REDELIVERY_KEY not in meta
+
+
+def test_maintenance_counter_coexists_with_neardup_layout_keys(
+    spark, tmp_path
+):
+    """The near-dup sink's sidecar carries BOTH the layout contract
+    (n_buckets/bucket_bands) and the maintenance counters — each write
+    path preserves the other's keys."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.streaming.ingest import (
+        MAINT_COUNTER_KEY,
+        compact_neardup_state,
+        stream_neardup_minhash_sink,
+    )
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "mx_src")
+    state, out = str(tmp_path / "mx_state"), str(tmp_path / "mx_out")
+    _write_json_batch(src, [docs[0], docs[3]])
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_neardup_minhash_sink(
+        stream, state, out, str(tmp_path / "mx_ck"), spark,
+        id_col="doc_id", text_col="text", trigger_once=True,
+        state_buckets=8,
+    )
+    q.awaitTermination(120)
+    meta = read_table_meta(spark, state)
+    assert meta["n_buckets"] == 8 and meta["bucket_bands"] is False
+    assert meta[MAINT_COUNTER_KEY] >= 1
+    compact_neardup_state(spark, state)
+    meta = read_table_meta(spark, state)
+    assert meta["n_buckets"] == 8  # layout survived the counter reset
+    assert meta[MAINT_COUNTER_KEY] == 0
