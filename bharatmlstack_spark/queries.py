@@ -757,7 +757,10 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # retired rows defined in sibling modules, surfaced here so the staged
 # tier (tests/test_staged_retired.py) resolves every RETIRED name off
 # this module uniformly
-from bharatmlstack_spark.queries_joins import segment_except  # noqa: E402,F401
+from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
+    multimodal_decode_rgb,
+    segment_except,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -769,16 +772,20 @@ from bharatmlstack_spark.queries_joins import segment_except  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Rotation state as of ROUND 10 (2026-08-15). Registry = 149: 150 peak,
-# minus three executed retirements (rpn_literal_div r09; rpn_bool_compare
-# + segment_except r10), plus two r10 registrations riding those slots
-# (feature_retrieve_string_vector — the STRING_VECTOR type-system close —
-# and stream_semantic_dedup_sink — the r09 staged streaming SemDeDup row).
-# Windows: r10 = first 50 below (r07-era greens + the two pulled-forward
-# reworked sinks + the new string-vector row); r11 = the next 49
-# (stream_semantic_dedup_sink's driver green lands there) + one slack;
-# r12 = the 50 r09-era greens. Freshness contract: after each round no
-# registered query's newest green is older than two rounds back.
+# Rotation state as of ROUND 11 (2026-08-15). Registry = 149: 150 peak,
+# minus four executed retirements (rpn_literal_div r09; rpn_bool_compare
+# + segment_except r10; multimodal_decode_rgb r11), plus three
+# registrations riding those slots (feature_retrieve_string_vector +
+# stream_semantic_dedup_sink r10; dedup_cross_corpus r11 — the staged
+# cross-corpus decontamination row graduated).
+# Windows: r11 = first 50 below (stream_semantic_dedup_sink's first-ever
+# driver green + the new dedup_cross_corpus + the r08-era greens, with
+# the slack slot re-attesting stream_dedup_minhash, whose sink gained
+# the r11 maintenance-cadence sidecar); r12 = the next 50 (the r09-era
+# greens, pre-planned since r10 — r11's registrations did NOT reshuffle
+# it); r13 = the 49 r10-era greens at the tail. Freshness contract:
+# after each round no registered query's newest green is older than two
+# rounds back.
 #
 # Retirement protocol (pinned r09): a new operator must either
 # (a) retire one row from RETIREMENT_CANDIDATES below one-for-one
@@ -788,74 +795,21 @@ from bharatmlstack_spark.queries_joins import segment_except  # noqa: E402,F401
 # (pytest replicating the driver comparison, like tests/
 # test_retrieval.py did for the four rows registered in r09).
 QUERY_PRIORITY: list[str] = [
-    # ROUND-10 WINDOW (first 50 — the driver verifies exactly these):
-    # executed as pre-planned in r09 (no reshuffling). stream_cdc_apply
-    # LEADS (sink touched r08 + r09 on an r07 attestation);
-    # stream_dedup_minhash second (hybrid state layout landed r09);
-    # feature_retrieve_string_vector is NEW this round (STRING_VECTOR —
-    # the 30th reference data type — registered via the pinned
-    # retirement of rpn_bool_compare); then the remaining r07-era
-    # greens, including dedup_simhash (r09 fingerprint fold) and
-    # incremental_materialize_orders (r09 targeted reads).
-    "stream_cdc_apply",
-    "stream_dedup_minhash",
-    "feature_retrieve_string_vector",
-    "asof_feature_join",
-    "bpe_vocab_learn",
-    "cdc_apply",
-    "cube_orders_status",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_users_by_type",
-    "event_wire_roundtrip",
-    "events_funnel",
-    "events_interarrival",
-    "events_merge_trim",
-    "events_retention_window",
-    "events_sessionize",
-    "events_union_types",
-    "events_value_histogram",
-    "feature_drift_psi",
-    "feature_hash_cross",
-    "feature_stats",
-    "filter_candidates",
-    "incremental_dedup_stream",
-    "incremental_materialize_orders",
-    "knn_dot",
-    "last_write_wins",
-    "min_cost_supplier",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "pairwise_inference",
-    "parts_never_ordered",
-    "percentile_by_group",
-    "pq_ann_topk",
-    "props_json_extract",
-    "q18_large_orders",
-    "q5_region_revenue",
-    "range_join_sessions",
-    "rolling_7d_user_value",
-    "rollup_lineitem",
-    "sketch_distinct_users",
-    "sketch_percentile_value",
-    "sketch_union_distinct",
-    "skye_stream_aggregate",
-    "stateful_topk_stream",
-    "stream_attribution_join",
-    "table_profile",
-    # ---- window boundary (driver verifies the first 50) ----
-    # ROUND-11 WINDOW: stream_semantic_dedup_sink LEADS — registered
-    # r10 on the segment_except retirement slot; its driver green is
-    # due r11 (the staged DuckDB-twin pytest keeps running the driver
-    # comparison meanwhile — two retirements in one round was the
-    # planned-churn case the r09 verdict allowed). Then the 48
-    # remaining r08-era greens + ONE slack slot for whatever r10
-    # touches outside its window.
+    # ROUND-11 WINDOW (first 50 — the driver verifies exactly these):
+    # executed as pre-planned in r10. stream_semantic_dedup_sink LEADS
+    # (registered r10 on the segment_except retirement slot — the only
+    # registered query without a driver green until this round);
+    # dedup_cross_corpus is NEW this round (cross-corpus MinHash-LSH
+    # decontamination, registered via the pinned retirement of
+    # multimodal_decode_rgb, the candidates-list head);
+    # stream_dedup_minhash takes the slack slot (r10 green, but its
+    # sink gained the maintenance-cadence sidecar bookkeeping in r11 —
+    # implementation changed since last green, so it re-attests); then
+    # the 47 remaining r08-era greens (stream_ann_ivf_dot's sink also
+    # changed in r11 and is already among them).
     "stream_semantic_dedup_sink",
+    "dedup_cross_corpus",
+    "stream_dedup_minhash",
     "bpe_learn_until_vocab",
     "bpe_merge_step",
     "cohort_retention",
@@ -875,7 +829,6 @@ QUERY_PRIORITY: list[str] = [
     "lang_id_heuristic",
     "multimodal_decode_audio_feature",
     "multimodal_decode_image",
-    "multimodal_decode_rgb",
     "multimodal_decode_stats",
     "norm_min_max",
     "norm_percentile_5_95",
@@ -904,7 +857,9 @@ QUERY_PRIORITY: list[str] = [
     "unigram_lm_quality",
     "user_week_density",
     "zorder_cells",
-    # ROUND-12 WINDOW (pre-planned): the 50 r09-era greens.
+    # ---- window boundary (driver verifies the first 50) ----
+    # ROUND-12 WINDOW (pre-planned since r10, unshuffled): the 50
+    # r09-era greens.
     "bm25_topk",
     "bigram_pmi",
     "char_entropy_quality",
@@ -955,6 +910,57 @@ QUERY_PRIORITY: list[str] = [
     "time_decay_user_value",
     "value_zscore_outliers",
     "woe_binning",
+    # ROUND-13 WINDOW (pre-planned): the 49 r10-era greens
+    # (stream_dedup_minhash moved to the r11 slack slot above).
+    "stream_cdc_apply",
+    "feature_retrieve_string_vector",
+    "asof_feature_join",
+    "bpe_vocab_learn",
+    "cdc_apply",
+    "cube_orders_status",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_users_by_type",
+    "event_wire_roundtrip",
+    "events_funnel",
+    "events_interarrival",
+    "events_merge_trim",
+    "events_retention_window",
+    "events_sessionize",
+    "events_union_types",
+    "events_value_histogram",
+    "feature_drift_psi",
+    "feature_hash_cross",
+    "feature_stats",
+    "filter_candidates",
+    "incremental_dedup_stream",
+    "incremental_materialize_orders",
+    "knn_dot",
+    "last_write_wins",
+    "min_cost_supplier",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "pairwise_inference",
+    "parts_never_ordered",
+    "percentile_by_group",
+    "pq_ann_topk",
+    "props_json_extract",
+    "q18_large_orders",
+    "q5_region_revenue",
+    "range_join_sessions",
+    "rolling_7d_user_value",
+    "rollup_lineitem",
+    "sketch_distinct_users",
+    "sketch_percentile_value",
+    "sketch_union_distinct",
+    "skye_stream_aggregate",
+    "stateful_topk_stream",
+    "stream_attribution_join",
+    "table_profile",
 ]
 
 # Ordered retirement list (round 10+): rows whose SURVEY §2 / pipeline
@@ -987,10 +993,16 @@ RETIRED: list[tuple[str, str, str]] = [
         "r09 staged streaming SemDeDup row); O1 set ops stay attested by "
         "segment_intersect",
     ),
+    (
+        "multimodal_decode_rgb",
+        "r11",
+        "freed the slot that registers dedup_cross_corpus (cross-corpus "
+        "MinHash-LSH decontamination, staged since r10); the decode "
+        "family stays attested by multimodal_decode_image/_stats/_png",
+    ),
 ]
 
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
-    ("multimodal_decode_rgb", "decode family: multimodal_decode_image/_stats/_png"),
     ("knn_dot", "J6/J7: knn_euclidean + dot_score_ids"),
     ("salted_dim_join", "skew salting: salted_hot_key_agg"),
     ("sketch_union_distinct", "sketches: sketch_distinct_users + sketch_percentile_value"),

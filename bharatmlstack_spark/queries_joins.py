@@ -2714,9 +2714,7 @@ def events_limit_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_decode_rgb",
-    oracle="""
+RETIRED_ORACLES["multimodal_decode_rgb"] = """
 WITH m AS (
   SELECT i AS media_id, 6 + (i % 4) * 2 AS w, 4 + (i % 5) * 2 AS h
   FROM (SELECT UNNEST(generate_series(0, 23)) AS i)
@@ -2746,8 +2744,9 @@ SELECT media_id, 'image' AS modality, 203 AS n_bytes,
            / sqrt(CAST(list_sum(list_transform(hist, x -> x * x)) AS DOUBLE))
          AS REAL) AS DOUBLE), 6) AS f2
 FROM hst
-""",
-)
+"""
+
+
 def multimodal_decode_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 3-channel path of the real image codec: binary P6 (PPM) color
     images decoded to (h, w, 3) pixel grids, nearest-neighbor resampled to
@@ -2755,7 +2754,14 @@ def multimodal_decode_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 192 pixel bytes), then strict-decoded again into the mod-8 byte
     histogram. The oracle rebuilds every resized (y, x, channel) byte
     arithmetically — channel interleaving survives two encode/decode
-    passes bit-exact."""
+    passes bit-exact.
+
+    RETIRED from the driver registry in r11 (head of the pinned
+    retirement order): the decode family stays driver-attested by
+    multimodal_decode_image/_stats/_png, and the freed slot registers
+    dedup_cross_corpus (the fuzzy-decontamination primitive, staged
+    since r10). Still verified every pytest run against its DuckDB
+    oracle (tests/test_staged_retired.py)."""
     from bharatmlstack_spark.operators.multimodal import (
         extract_features,
         resize_images,

@@ -1603,15 +1603,16 @@ def stream_semantic_dedup_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED TIER (r10): registration candidates for a future window — rotation
+# STAGED TIER: registration candidates for a future window — rotation
 # protocol (b): pytest replicates the driver comparison until a retirement
-# frees a slot (tests/test_cross_dedup.py; the r09 rows in R9_ORACLES
-# graduated exactly this way).
+# frees a slot (tests/test_cross_dedup.py graduated dedup_cross_corpus
+# exactly this way in r11; the r09 rows in R9_ORACLES before it). Empty
+# since r11 — new staged rows register their oracle here.
 # ---------------------------------------------------------------------------
 
 STAGED_ORACLES: dict[str, str] = {}
 
-STAGED_ORACLES["dedup_cross_corpus"] = """
+_CROSS_CORPUS_ORACLE = """
 WITH corpus_a AS (SELECT doc_id, text FROM documents),
 corpus_b AS (
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
@@ -1646,6 +1647,7 @@ WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
 """
 
 
+@query("dedup_cross_corpus", oracle=_CROSS_CORPUS_ORACLE)
 def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus MinHash-LSH dedup — dedupe an INCOMING corpus (exact
     copies + ' zz9' near-copies of every 25th document, the standard
@@ -1657,8 +1659,11 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered dedup_minhash_lsh row documents), so the exact DuckDB
     cross-Jaccard twin gates it.
 
-    STAGED TIER (r10): rotation saturated after this round's two
-    registrations; graduates when a RETIREMENT_CANDIDATES slot frees."""
+    REGISTERED r11 on the multimodal_decode_rgb retirement slot (staged
+    tier r10 while the rotation was saturated — tests/test_cross_dedup.py
+    ran the driver comparison meanwhile and still does). Reference
+    anchor: skye's reset/delta ingestion (skye/internal/consumers/) —
+    a new corpus delta deduped against the standing reference corpus."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )

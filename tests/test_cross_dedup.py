@@ -1,16 +1,18 @@
-"""Cross-corpus MinHash-LSH dedup vs its DuckDB brute-force twin — the
-staged tier for queries_text.dedup_cross_corpus (rotation protocol (b):
-the driver's exact comparison runs here until a retirement slot frees;
-the r09 rows in R9_ORACLES graduated the same way)."""
+"""Cross-corpus MinHash-LSH dedup vs its DuckDB brute-force twin.
+Originally the staged tier for queries_text.dedup_cross_corpus
+(rotation protocol (b)); the row GRADUATED to the driver registry in
+r11 on the multimodal_decode_rgb retirement slot — this test keeps
+running the driver's exact comparison locally, now against the
+registered oracle."""
 
 import os
 
 import duckdb
 import pytest
-from pyspark.sql import functions as F
 
 from bharatmlstack_spark.operators.dedup import minhash_lsh_cross_pairs
-from bharatmlstack_spark.queries_text import STAGED_ORACLES, dedup_cross_corpus
+from bharatmlstack_spark.query_registry import ORACLES
+from bharatmlstack_spark.queries_text import dedup_cross_corpus
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -42,7 +44,7 @@ def test_cross_corpus_matches_brute_force_oracle(spark, con):
     values, vs the exact cross-Jaccard DuckDB twin."""
     out = dedup_cross_corpus(spark, SF_DIR)
     got = _rows(out)
-    ref = _oracle_rows(con, STAGED_ORACLES["dedup_cross_corpus"], out.columns)
+    ref = _oracle_rows(con, ORACLES["dedup_cross_corpus"], out.columns)
     assert len(got) > 0  # vacuous-pass guard
     assert got == ref
 
