@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "bpe_tokenize_apply",
     "multimodal_decode_png",
     "pagerank_copurchase",
+    # round-11 addition (prior names/order unchanged for comparability):
+    # the graduated cross-corpus decontamination row
+    "dedup_cross_corpus",
 ]
 
 

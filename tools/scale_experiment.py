@@ -88,6 +88,11 @@ QUERIES = [
     # topic x 2 replays per run, shared cell-partitioned index)
     "feature_retrieve_string_vector",
     "stream_semantic_dedup_sink",
+    # round-11 registration: cross-corpus MinHash-LSH decontamination —
+    # incoming-corpus size scales with documents (every 25th doc x 2),
+    # reference corpus = the full table; candidates must stay ∝ the
+    # incoming side's collisions, never A x B
+    "dedup_cross_corpus",
 ]
 
 
