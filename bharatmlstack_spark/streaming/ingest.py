@@ -1650,6 +1650,129 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
     return stats
 
 
+def rebucket_neardup_state(
+    spark: SparkSession,
+    state_dir: str,
+    new_buckets: int,
+    bucket_bands: bool | None = None,
+) -> dict:
+    """Re-bucket the streaming near-dup state as the corpus outgrows its
+    bucket count — the sets/bands sibling of ``refit_streamed_index``
+    (together they complete the skye indexer reset-job analog,
+    skye/internal/consumers/handler/indexer/, for BOTH streamed-state
+    families). The layout contract deliberately freezes ``state_buckets``
+    at creation (the probe and writer must derive pmod with the same
+    count), so a state bucketed for a 10M-doc corpus keeps those buckets
+    at 1B docs — per-bucket size, and with it every targeted-dir read,
+    grows linearly. This offline migration rewrites BOTH roots under a
+    new count via the staged swap the runtime migration already uses:
+
+    - sets: ``__kb = pmod(xxhash64(id), new_buckets)`` (the sink's exact
+      derivation), rewritten partitioned; dedup on id folded in (rows
+      are byte-identical redelivery copies, so this is free correctness
+      — one rewrite instead of rebucket-then-compact);
+    - bands: same under ``pmod(band_hash, new_buckets)`` when the band
+      index is bucketed (``bucket_bands``; default: keep the recorded
+      layout), dedup on (id, band_idx); a flat band root stays untouched
+      (nothing to re-bucket — run compact_neardup_state for dedup);
+    - sidecar: records ``new_buckets`` (+ the band layout) and zeroes
+      the maintenance counters, so the NEXT sink run must pass
+      ``state_buckets=new_buckets`` — passing the old count raises,
+      exactly the refuse-to-mis-hash contract, now pointing at the new
+      truth.
+
+    A flat state (no sidecar ``n_buckets``) is migrated INTO the
+    bucketed layout — the bulk form of the sink's one-time runtime
+    migration, for when a long-running flat state crosses into the
+    batch ≪ index regime where bucketing wins (SCALE.md's measured
+    rule). Run at reset cadence, offline (not concurrently with the
+    sink — same single-writer assumption as the appends). Returns
+    {"old_buckets", "new_buckets", "sets_rows", "bands_rows",
+    "rows_removed"}."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_delete_path,
+        hadoop_write_text,
+        read_table_meta,
+    )
+
+    sets_path = f"{state_dir}/sets"
+    bands_path = f"{state_dir}/bands"
+    meta = read_table_meta(spark, state_dir) or {}
+    recorded, bands_bucketed = _resolve_neardup_layout(meta)
+    if bucket_bands is None:
+        bucket_bands = bands_bucketed
+
+    removed = 0
+
+    def _rewrite(path: str, kb, dedup_cols: list[str]) -> int:
+        nonlocal removed
+        df = spark.read.parquet(path)
+        if "__kb" in df.columns:
+            df = df.drop("__kb")
+        before = df.count()
+        keep = df.dropDuplicates(dedup_cols)
+        tmp = path + "__rebucketing"
+        (
+            keep.withColumn("__kb", kb(keep))
+            .repartition("__kb")
+            .write.mode("overwrite")
+            .partitionBy("__kb")
+            .parquet(tmp)
+        )
+        staged = spark.read.parquet(tmp)
+        n = staged.count()
+        removed += before - n
+        (
+            staged.repartition("__kb")
+            .write.mode("overwrite")
+            .partitionBy("__kb")
+            .parquet(path)
+        )
+        hadoop_delete_path(spark, tmp)
+        return n
+
+    sets_rows = _rewrite(
+        sets_path,
+        lambda df: F.pmod(F.xxhash64(F.col("id")), F.lit(new_buckets)),
+        ["id"],
+    )
+    if bucket_bands:
+        bands_rows = _rewrite(
+            bands_path,
+            lambda df: F.pmod(F.col("band_hash"), F.lit(new_buckets)),
+            ["id", "band_idx"],
+        )
+    else:
+        bands_rows = (
+            spark.read.parquet(bands_path).count()
+            if hadoop_path_exists(spark, bands_path)
+            else 0
+        )
+    merged = dict(meta)
+    merged.update(
+        {
+            "n_buckets": new_buckets,
+            "bucket_bands": bucket_bands,
+            MAINT_COUNTER_KEY: 0,
+        }
+    )
+    merged.pop(MAINT_REDELIVERY_KEY, None)
+    hadoop_write_text(
+        spark, _os.path.join(state_dir, TABLE_META_FILE), _json.dumps(merged)
+    )
+    return {
+        "old_buckets": recorded,
+        "new_buckets": new_buckets,
+        "sets_rows": sets_rows,
+        "bands_rows": bands_rows,
+        "rows_removed": removed,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Maintenance cadence + refit for the streamed states
 # ---------------------------------------------------------------------------

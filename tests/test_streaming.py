@@ -1167,6 +1167,105 @@ def test_compact_neardup_state_legacy_sidecar_keeps_band_layout(
     assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_rebucket_neardup_state_grows_buckets(spark, tmp_path):
+    """rebucket_neardup_state: the sets/bands sibling of the IVF refit —
+    both roots rewritten under a new bucket count (dedup folded in), the
+    sidecar re-recorded so the OLD count now raises and the NEW count
+    continues, and the sink still finds its cross-batch pairs against
+    the migrated state."""
+    import pytest
+
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.streaming.ingest import (
+        rebucket_neardup_state,
+        stream_neardup_minhash_sink,
+    )
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "rb_src")
+    state, out = str(tmp_path / "rb_state"), str(tmp_path / "rb_out")
+    _write_json_batch(src, [docs[0], docs[3]])
+
+    def run(ck, buckets):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = stream_neardup_minhash_sink(
+            stream, state, out, str(tmp_path / ck), spark,
+            id_col="doc_id", text_col="text", trigger_once=True,
+            state_buckets=buckets,
+        )
+        q.awaitTermination(120)
+
+    run("rb_ck1", 4)
+    run("rb_ck2", 4)  # full redelivery: duplicates to fold into the rewrite
+
+    sets_distinct = spark.read.parquet(f"{state}/sets").dropDuplicates(["id"]).count()
+    stats = rebucket_neardup_state(spark, state, 16)
+    assert stats["old_buckets"] == 4 and stats["new_buckets"] == 16
+    assert stats["sets_rows"] == sets_distinct  # dedup folded in
+    assert stats["rows_removed"] > 0
+    meta = read_table_meta(spark, state)
+    assert meta["n_buckets"] == 16
+    # every row landed in its NEW derivation's bucket dir
+    sets = spark.read.parquet(f"{state}/sets")
+    assert sets.filter(
+        F.col("__kb") != F.pmod(F.xxhash64("id"), F.lit(16))
+    ).count() == 0
+
+    # the old count is refused (it would mis-hash probes)...
+    with pytest.raises(Exception, match="state_buckets"):
+        run("rb_ck_old", 4)
+    # ...and the new count continues: later docs find all cross pairs
+    _write_json_batch(src, [docs[1], docs[2]])
+    run("rb_ck3", 16)
+    assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_rebucket_neardup_state_migrates_flat_and_buckets_bands(
+    spark, tmp_path
+):
+    """A FLAT state (created without state_buckets) migrates into the
+    bucketed layout in bulk — including the band root when
+    bucket_bands=True — and the sink picks the new layout up from the
+    sidecar."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.streaming.ingest import (
+        rebucket_neardup_state,
+        stream_neardup_minhash_sink,
+    )
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "rf2_src")
+    state, out = str(tmp_path / "rf2_state"), str(tmp_path / "rf2_out")
+    _write_json_batch(src, [docs[0], docs[3]])
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_neardup_minhash_sink(
+        stream, state, out, str(tmp_path / "rf2_ck1"), spark,
+        id_col="doc_id", text_col="text", trigger_once=True,
+    )  # flat layout: no state_buckets
+    q.awaitTermination(120)
+
+    stats = rebucket_neardup_state(spark, state, 8, bucket_bands=True)
+    assert stats["old_buckets"] is None and stats["new_buckets"] == 8
+    meta = read_table_meta(spark, state)
+    assert meta["n_buckets"] == 8 and meta["bucket_bands"] is True
+    # BOTH roots are now __kb= partitioned
+    for root in ("sets", "bands"):
+        assert any(
+            p.name.startswith("__kb=")
+            for p in (tmp_path / "rf2_state" / root).iterdir()
+        ), root
+
+    _write_json_batch(src, [docs[1], docs[2]])
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_neardup_minhash_sink(
+        stream, state, out, str(tmp_path / "rf2_ck2"), spark,
+        id_col="doc_id", text_col="text", trigger_once=True,
+        state_buckets=8, bucket_bands=True,
+    )
+    q.awaitTermination(120)
+    assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_compact_streamed_index_rewrites_only_duplicate_dirs(
     spark, tmp_path
 ):
