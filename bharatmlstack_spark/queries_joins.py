@@ -26,6 +26,7 @@ from bharatmlstack_spark.pipeline import (
 )
 from bharatmlstack_spark.functions.expressions import ExpressionEngine
 from bharatmlstack_spark.sources.events import load_events_ms, load_events_raw
+from bharatmlstack_spark.streaming.ingest import await_stream
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -598,7 +599,7 @@ def stream_ann_ivf_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, idx, index_path, f"{work}/{replay}", spark,
             trigger_once=True,
         )
-        q.awaitTermination(300)
+        await_stream(q, 300)
 
     indexed = read_streamed_ivf_index(spark, index_path, id_col="vec_id")
     ann = idx.search(
@@ -1374,7 +1375,7 @@ def stream_persist_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = feature_upsert_sink(
         decoded, fs, "user", f"{work}/ckpt", trigger_once=True
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     keys = fixtures.request_keys(spark, sf_dir)
     out = fs.retrieve(
@@ -1504,7 +1505,7 @@ def order_stream_merge_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         decoded, store, f"{work}/state", f"{work}/ckpt", spark,
         trigger_once=True,
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     return spark.read.parquet(f"{work}/state").select(
         "user_id",
@@ -1565,7 +1566,7 @@ def stateful_topk_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     emitted = spark.read.parquet(out_path).dropDuplicates(
         ["user_id", "ts_ms", "event_id"]
@@ -1721,7 +1722,7 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     return spark.read.parquet(f"{work}/out").select(
         "user_id",
@@ -1789,7 +1790,7 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, state, out, f"{work}/ckpt", spark,
             content_col="text", id_col="doc_id", trigger_once=True,
         )
-        q.awaitTermination(300)
+        await_stream(q, 300)
 
     day1.coalesce(1).write.parquet(topic)
     _run_available()
@@ -1861,7 +1862,7 @@ def stream_weekly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q, 300)
 
     bulk.coalesce(1).write.parquet(topic)
     _run_available()  # batch 1: bulk; sets watermark = max(ts) - 1h
@@ -1952,7 +1953,7 @@ def skye_stream_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = parse_embedding_payloads(stream, reg, "candidate")
     q = skye_aggregator_sink(parsed, fs, "candidate", f"{work}/ckpt", trigger_once=True)
-    q.awaitTermination(300)
+    await_stream(q, 300)
 
     return fs.load("candidate").select(
         F.col("candidate_id").cast("bigint").alias("candidate_id"),
@@ -3233,7 +3234,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
     return spark.read.parquet(out_path).select("event_id", "user_id", "ts_ms")
 
 
@@ -4144,7 +4145,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_cols=["user_id"], seq_col="seq", op_col="op",
             trigger_once=True,
         )
-        q.awaitTermination(300)
+        await_stream(q, 300)
 
     st = spark.read.parquet(state)
     return st.filter(F.col("__op") != "D").select(
@@ -4248,7 +4249,7 @@ def stream_cdc_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_cols=["user_id"], seq_col="seq", op_col="op",
             trigger_once=True,
         )
-        q.awaitTermination(300)
+        await_stream(q, 300)
 
     deliver(topic, "ck_apply")
 

@@ -1773,6 +1773,16 @@ def rebucket_neardup_state(
     }
 
 
+def await_stream(query, timeout_s: int, what: str = "streaming query") -> None:
+    """``awaitTermination`` that FAILS LOUDLY on timeout: the bare call
+    returns False and lets the caller read a partially-written sink dir,
+    which surfaces downstream as a confusing row diff (or a silently
+    short result) instead of the actual problem. Every harness that
+    replays a bounded topic awaits through this."""
+    if not query.awaitTermination(timeout_s):
+        raise TimeoutError(f"{what} did not finish within {timeout_s}s")
+
+
 # ---------------------------------------------------------------------------
 # Maintenance cadence + refit for the streamed states
 # ---------------------------------------------------------------------------

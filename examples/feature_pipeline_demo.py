@@ -41,6 +41,7 @@ from bharatmlstack_spark.pipeline import (
     ScoringComponent,
 )
 from bharatmlstack_spark.functions.expressions import ExpressionEngine
+from bharatmlstack_spark.streaming.ingest import await_stream
 
 
 def main() -> None:
@@ -153,7 +154,7 @@ def main() -> None:
         stream, f"{cdc_dir}/state", f"{cdc_dir}/ckpt", spark,
         key_cols=["user_id"], trigger_once=True,
     )
-    q.awaitTermination(120)
+    await_stream(q, 120)
     gc = compact_cdc_state(spark, f"{cdc_dir}/state", watermark_seq=12)
     print(f"streaming CDC applied (update/delete/insert), {gc} tombstone(s) GC'd:")
     spark.read.parquet(f"{cdc_dir}/state").filter(

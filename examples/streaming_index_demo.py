@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from bharatmlstack_spark import get_spark
 from bharatmlstack_spark.operators.lsh import IvfIndex
 from bharatmlstack_spark.streaming.ingest import (
+    await_stream,
     maintenance_due,
     maybe_compact_streamed_index,
     read_streamed_ivf_index,
@@ -67,7 +68,7 @@ def main() -> None:
         f"{work}/ck_exact", spark, id_col="doc_id", content_col="text",
         trigger_once=True,
     )
-    q.awaitTermination(300)
+    await_stream(q, 300)
     kept = spark.read.parquet(f"{work}/exact_out")
     print(f"unique docs kept: {kept.count()} of {docs.count() + 20} delivered")
 
@@ -79,7 +80,7 @@ def main() -> None:
             f"{work}/{ck}", spark, id_col="doc_id", text_col="text",
             threshold=0.8, trigger_once=True,
         )
-        q.awaitTermination(300)
+        await_stream(q, 300)
     pairs = spark.read.parquet(f"{work}/near_pairs").dropDuplicates(["id_a", "id_b"])
     print(f"near-dup pairs (jaccard >= 0.8), deduped after replay: {pairs.count()}")
 
@@ -97,7 +98,7 @@ def main() -> None:
     )
     q = stream_ann_ivf_sink(estream, ivf, f"{work}/ivf_index", f"{work}/ck_ivf", spark,
                             trigger_once=True)
-    q.awaitTermination(300)
+    await_stream(q, 300)
     # replay the whole topic under a fresh checkpoint: at-least-once
     # redelivery doubles every index row...
     estream2 = (
@@ -107,7 +108,7 @@ def main() -> None:
     )
     q2 = stream_ann_ivf_sink(estream2, ivf, f"{work}/ivf_index",
                              f"{work}/ck_ivf_replay", spark, trigger_once=True)
-    q2.awaitTermination(300)
+    await_stream(q2, 300)
     # ...and the maintenance-cadence POLICY decides compaction for you:
     # the replay's restarted batch ids flag redelivery_suspected in the
     # index's meta sidecar, so maintenance is due even far below the

@@ -52,6 +52,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from bharatmlstack_spark import get_spark
+from bharatmlstack_spark.streaming.ingest import await_stream
 
 VOCAB = 20_000
 # ~real-corpus document size: the shingle store (the verify side) is the
@@ -171,7 +172,7 @@ def run_layout(
             trigger_once=True, state_buckets=buckets,
             bucket_bands=bucket_bands, phase_log=phase_log,
         )
-        q.awaitTermination(1800)
+        await_stream(q, 1800)
         return round(time.perf_counter() - t0, 3)
 
     # K end-to-end batches, then K instrumented ones (phase boundaries

@@ -155,6 +155,7 @@ def _stream_semdedup_prescribed(n_cells: int):
 
         from bharatmlstack_spark.operators.lsh import IvfIndex
         from bharatmlstack_spark.streaming.ingest import (
+            await_stream,
             stream_semantic_dedup_sink,
         )
         from pyspark.sql import functions as FF
@@ -182,11 +183,9 @@ def _stream_semdedup_prescribed(n_cells: int):
                 stream, idx, f"{work}/index", f"{work}/pairs",
                 f"{work}/{replay}", spark, threshold=0.99, trigger_once=True,
             )
-            if not q.awaitTermination(600):
-                raise TimeoutError(
-                    "stream_semantic_dedup_sink streaming query did not "
-                    f"finish within 600s (replay {replay})"
-                )
+            await_stream(
+                q, 600, f"stream_semantic_dedup_sink (replay {replay})"
+            )
         out = (
             spark.read.parquet(f"{work}/pairs")
             .dropDuplicates(["id_a", "id_b"])

@@ -51,6 +51,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from bharatmlstack_spark import get_spark
+from bharatmlstack_spark.streaming.ingest import await_stream
 
 DIM_DEFAULT = 64
 
@@ -160,7 +161,7 @@ def main() -> None:
                 stream, ivf, index_path, out, ck, spark,
                 threshold=0.99, trigger_once=True,
             )
-            q.awaitTermination(1800)
+            await_stream(q, 1800)
             batch_times.append(round(time.perf_counter() - t0, 3))
 
             # standalone probe read forms against the NOW-accumulated
