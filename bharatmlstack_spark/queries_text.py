@@ -1608,11 +1608,95 @@ def stream_semantic_dedup_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # STAGED TIER: registration candidates for a future window — rotation
 # protocol (b): pytest replicates the driver comparison until a retirement
 # frees a slot (tests/test_cross_dedup.py graduated dedup_cross_corpus
-# exactly this way in r11; the r09 rows in R9_ORACLES before it). Empty
-# since r11 — new staged rows register their oracle here.
+# exactly this way in r11; the r09 rows in R9_ORACLES before it).
 # ---------------------------------------------------------------------------
 
 STAGED_ORACLES: dict[str, str] = {}
+
+STAGED_ORACLES["ann_refit_search"] = """
+WITH ecorpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))) AS cosine
+  FROM q CROSS JOIN ecorpus c
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS score, rank
+FROM ranked WHERE rank <= 2
+"""
+
+
+def ann_refit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search THROUGH a refit streamed index: the accumulated
+    cell-partitioned state (bootstrap quantizer n_cells=2, plus one full
+    redelivery copy of every row) is re-bucketed by
+    refit_streamed_index, then searched at nprobe=1 with the RETURNED
+    quantizer for the corpus's injected exact-duplicate queries. The
+    brute-force DuckDB twin gates three claims at once:
+
+    - refit preserved content (every id, its embedding intact);
+    - refit physically deduped the redelivery copies (a duplicated
+      index would return the self-match twice in the top-2 and
+      hash-mismatch);
+    - exact-duplicate recall is 1 at ONE probed cell even after
+      re-bucketing — identical vectors (the query IS a corpus member,
+      its copy at +10000) assign to the same cell under any quantizer,
+      and the probe's argmin matches the assignment's, so brute-force
+      top-2 == the probed cell's top-2 (both hits at cosine 1.0, ties
+      id-ascending in both engines; rank 3 sits far below on this
+      corpus — the semantic_dedup_ivf margin argument).
+
+    STAGED TIER (r11): the rotation's one slack slot re-attested
+    stream_dedup_minhash this round; graduates when a
+    RETIREMENT_CANDIDATES slot frees (head: knn_dot)."""
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+    from bharatmlstack_spark.streaming.ingest import (
+        read_streamed_ivf_index,
+        refit_streamed_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus_e = e.unionAll(dup)
+    idx0 = IvfIndex(n_cells=2, id_col="vec_id").fit(
+        corpus_e, sample_size=512, iters=3
+    )
+    work = scratch_dir("bmls_refitsearch_")
+    index_path = f"{work}/index"
+    assigned = idx0.index(corpus_e)
+    for _ in range(2):  # second append = one full redelivery
+        assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+    stats = refit_streamed_index(
+        spark, index_path, target_cell_rows=256, min_cells=8
+    )
+    index = read_streamed_ivf_index(spark, index_path, dedup=False)
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_embedding"),
+    )
+    out = stats["ivf"].search(index, queries, k=2, nprobe=1, metric="COSINE")
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
 
 _CROSS_CORPUS_ORACLE = """
 WITH corpus_a AS (SELECT doc_id, text FROM documents),
