@@ -1049,6 +1049,24 @@ def stream_neardup_minhash_sink(
         # shared resolution (legacy pre-hybrid sidecars bucketed both
         # roots) — compact_neardup_state resolves with the SAME helper
         recorded, rec_bands = _resolve_neardup_layout(meta)
+        # signature-parameter contract (r11): the band index is only
+        # meaningful under the derivations that built it — a run with a
+        # different num_hashes/bands/shingle_n would append band hashes
+        # from a DIFFERENT signature space into the same root, silently
+        # losing every cross-run pair. Recorded on first write, enforced
+        # ever after (same stance as the bucket-count guard).
+        sig = {"num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n}
+        if meta:
+            for k, v in sig.items():
+                if k in meta and int(meta[k]) != v:
+                    raise RuntimeError(
+                        f"near-dup state {state_dir} was built with "
+                        f"{k}={meta[k]} but this run passed {v} — bands "
+                        "from different signature parameters never "
+                        "collide, so every cross-run pair would be "
+                        f"silently lost. Pass {k}={meta[k]} (or rebuild "
+                        "the state)."
+                    )
         if bucketed and recorded is not None and recorded != state_buckets:
             raise RuntimeError(
                 f"near-dup state {state_dir} was created with "
@@ -1088,15 +1106,20 @@ def stream_neardup_minhash_sink(
             repair_hint="pass the state_buckets the state was created "
             "with (recorded in the state dir's meta sidecar)",
         )
-        if bucketed and recorded is None:
-            # AFTER both roots reconciled, BEFORE any bucketed append: a
-            # crash in between just re-runs this (idempotent) next start.
+        need_sig = meta is None or any(k not in meta for k in sig)
+        if (bucketed and recorded is None) or need_sig:
+            # AFTER both roots reconciled, BEFORE any append: a crash in
+            # between just re-runs this (idempotent) next start.
             # Merge-write: a flat-era sidecar may already hold maintenance
-            # counters (_update_maintenance_meta) that must survive
+            # counters (_update_maintenance_meta) that must survive.
+            # Signature params are recorded for EVERY layout (flat too) —
+            # cross_dedup_against_state derives the probe side from them
             merged = dict(meta or {})
-            merged.update(
-                {"n_buckets": state_buckets, "bucket_bands": bucket_bands}
-            )
+            merged.update(sig)
+            if bucketed and recorded is None:
+                merged.update(
+                    {"n_buckets": state_buckets, "bucket_bands": bucket_bands}
+                )
             hadoop_write_text(
                 spark,
                 _os.path.join(state_dir, TABLE_META_FILE),
@@ -1771,6 +1794,151 @@ def rebucket_neardup_state(
         "bands_rows": bands_rows,
         "rows_removed": removed,
     }
+
+
+def cross_dedup_against_state(
+    spark: SparkSession,
+    state_dir: str,
+    incoming_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Fuzzy decontamination against a PERSISTED reference index: probe
+    an incoming corpus's bands into the near-dup state a
+    ``stream_neardup_minhash_sink`` run accumulated, paying ONLY for the
+    incoming side — the operational form of
+    ``operators.dedup.minhash_lsh_cross_pairs``, whose both-sides form
+    re-shingles and re-signs corpus A on every call. At 100 TB the
+    reference corpus is banded ONCE (by the sink, incrementally, as it
+    ingests) and every daily delta probes it here:
+
+    - signature parameters come from the state's meta sidecar (recorded
+      by the sink, enforced against drift) — the probe CANNOT be built
+      in a different signature space than the index;
+    - the band probe reads only the incoming side's band-hash buckets
+      when the state has ``bucket_bands=True`` (targeted ``__kb=`` dirs,
+      the sink's own probe economics), the flat root otherwise;
+    - exact-Jaccard verification prunes the shingle store to the
+      CANDIDATE ids' buckets when the state is bucketed — candidates ≪
+      corpus at any delta size;
+    - redelivery copies in the state are byte-identical, so candidate
+      dedup on (id_a, id_b) and a set-store dedup on id inside the
+      pruned scope yield exactly the compacted state's answer.
+
+    Returns (id_a = reference doc, id_b = incoming doc, jaccard >=
+    threshold) — pair-identical to minhash_lsh_cross_pairs(reference,
+    incoming) under the same parameters (pytest-pinned). Incoming ids
+    may collide with reference ids; sides stay distinct."""
+    from bharatmlstack_spark.operators.dedup import (
+        band_signatures,
+        hashed_word_shingles,
+        minhash_signatures_from_hashes,
+    )
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    sets_path = f"{state_dir}/sets"
+    bands_path = f"{state_dir}/bands"
+    meta = read_table_meta(spark, state_dir) or {}
+    missing = [k for k in ("num_hashes", "bands", "shingle_n") if k not in meta]
+    if missing:
+        raise RuntimeError(
+            f"near-dup state {state_dir} records no signature parameters "
+            f"({missing} absent from the meta sidecar — a pre-r11 state): "
+            "run the sink once (it records them idempotently) or rebuild."
+        )
+    num_hashes, bands_n, shingle_n = (
+        int(meta["num_hashes"]),
+        int(meta["bands"]),
+        int(meta["shingle_n"]),
+    )
+    recorded, bands_bucketed = _resolve_neardup_layout(meta)
+    bucketed = recorded is not None
+
+    empty = spark.createDataFrame(
+        [], "id_a long, id_b long, jaccard double"
+    )
+    if not hadoop_path_exists(spark, bands_path):
+        return empty  # nothing indexed yet: no cross pairs by definition
+
+    from bharatmlstack_spark.query_registry import defer_unpersist
+
+    sets_b = defer_unpersist(
+        incoming_df.select(
+            F.col(id_col).alias("id"),
+            hashed_word_shingles(text_col, shingle_n).alias("sh"),
+        ).persist()
+    )
+    bands_b = band_signatures(
+        minhash_signatures_from_hashes(sets_b, "id", "sh", num_hashes),
+        bands_n,
+    ).select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    if bands_bucketed:
+        need = [
+            r[0]
+            for r in bands_b.select(
+                F.pmod(F.col("band_hash"), F.lit(recorded)).alias("kb")
+            )
+            .distinct()
+            .collect()
+        ]
+        dirs = _list_kb_dirs(spark, bands_path)
+        paths = [dirs[b] for b in need if b in dirs]
+        if not paths:
+            return empty
+        bands_a = (
+            spark.read.option("basePath", bands_path)
+            .parquet(*paths)
+            .drop("__kb")
+        )
+    else:
+        bands_a = spark.read.parquet(bands_path)
+    bands_a = bands_a.select(
+        F.col("id").alias("id_a"), "band_idx", "band_hash"
+    )
+    cands = defer_unpersist(
+        bands_a.join(bands_b, on=["band_idx", "band_hash"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])  # multi-band + redelivery copies
+        .persist()
+    )
+    if bucketed:
+        need_kb = [
+            r[0]
+            for r in cands.select(
+                F.pmod(F.xxhash64(F.col("id_a")), F.lit(recorded)).alias("kb")
+            )
+            .distinct()
+            .collect()
+        ]
+        dirs = _list_kb_dirs(spark, sets_path)
+        paths = [dirs[b] for b in need_kb if b in dirs]
+        stored = (
+            spark.read.option("basePath", sets_path).parquet(*paths).drop("__kb")
+            if paths
+            else spark.read.parquet(sets_path).limit(0).drop("__kb")
+        )
+    else:
+        stored = spark.read.parquet(sets_path)
+    a = (
+        stored.dropDuplicates(["id"])  # redelivery copies are byte-identical
+        .select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    )
+    b = sets_b.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    out = (
+        cands.join(a, on="id_a")
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
 
 
 def await_stream(query, timeout_s: int, what: str = "streaming query") -> None:

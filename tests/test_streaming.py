@@ -1266,6 +1266,131 @@ def test_rebucket_neardup_state_migrates_flat_and_buckets_bands(
     assert _neardup_pairs(spark, out) == {(1, 2), (1, 3), (2, 3)}
 
 
+@pytest.mark.parametrize(
+    "layout",
+    ["flat", "hybrid", "bucketed_bands"],
+)
+def test_cross_dedup_against_state_matches_both_sides_form(
+    spark, tmp_path, layout
+):
+    """Decontamination against the PERSISTED state: probing an incoming
+    corpus into a sink-built near-dup index returns exactly the pairs of
+    the both-sides operator (which re-bands the reference every call) —
+    under every state layout, and unchanged by a full redelivery of the
+    reference topic."""
+    from bharatmlstack_spark.operators.dedup import minhash_lsh_cross_pairs
+    from bharatmlstack_spark.streaming.ingest import (
+        cross_dedup_against_state,
+        stream_neardup_minhash_sink,
+    )
+
+    docs = _neardup_docs()
+    reference = [docs[0], docs[1]]  # ids 1, 2 (near-dups of each other)
+    incoming_rows = [  # near-dup of 1+2; unrelated
+        (103, docs[2]["text"]),
+        (104, docs[3]["text"]),
+    ]
+    incoming = spark.createDataFrame(incoming_rows, ["doc_id", "text"])
+    ref_df = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in reference], ["doc_id", "text"]
+    )
+
+    src = str(tmp_path / "xs_src")
+    state, out = str(tmp_path / "xs_state"), str(tmp_path / "xs_out")
+    _write_json_batch(src, reference)
+    kw = {
+        "flat": {},
+        "hybrid": {"state_buckets": 8},
+        "bucketed_bands": {"state_buckets": 8, "bucket_bands": True},
+    }[layout]
+
+    def run(ck):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = stream_neardup_minhash_sink(
+            stream, state, out, str(tmp_path / ck), spark,
+            id_col="doc_id", text_col="text", trigger_once=True, **kw,
+        )
+        q.awaitTermination(120)
+
+    run("xs_ck1")
+
+    def probe():
+        got = cross_dedup_against_state(spark, state, incoming)
+        return {
+            (r.id_a, r.id_b, round(r.jaccard, 6)) for r in got.collect()
+        }
+
+    expected = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in minhash_lsh_cross_pairs(
+            ref_df, incoming, threshold=0.8
+        ).collect()
+    }
+    assert expected  # the fixture must produce cross pairs
+    assert {(a, b) for a, b, _ in expected} == {(1, 103), (2, 103)}
+    assert probe() == expected
+    # full redelivery duplicates the state; the probe's answer is stable
+    run("xs_ck2")
+    assert probe() == expected
+
+
+def test_neardup_signature_params_are_a_contract(spark, tmp_path):
+    """The sidecar records num_hashes/bands/shingle_n on first write; a
+    sink run with different values raises (bands from different
+    signature spaces never collide — every cross-run pair would be
+    silently lost), and a state lacking them (pre-contract) makes the
+    cross probe fail loudly instead of probing a mismatched space."""
+    import json
+
+    import pytest
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text,
+        read_table_meta,
+    )
+    from bharatmlstack_spark.streaming.ingest import (
+        cross_dedup_against_state,
+        stream_neardup_minhash_sink,
+    )
+
+    docs = _neardup_docs()
+    src = str(tmp_path / "sg_src")
+    state, out = str(tmp_path / "sg_state"), str(tmp_path / "sg_out")
+    _write_json_batch(src, [docs[0], docs[1]])
+
+    def run(ck, **kw):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = stream_neardup_minhash_sink(
+            stream, state, out, str(tmp_path / ck), spark,
+            id_col="doc_id", text_col="text", trigger_once=True,
+            state_buckets=8, **kw,
+        )
+        q.awaitTermination(120)
+
+    run("sg_ck1")
+    meta = read_table_meta(spark, state)
+    assert (meta["num_hashes"], meta["bands"], meta["shingle_n"]) == (64, 16, 3)
+
+    with pytest.raises(Exception, match="num_hashes"):
+        run("sg_ck2", num_hashes=32)
+
+    # a pre-contract sidecar (layout keys only): the probe refuses
+    hadoop_write_text(
+        spark, f"{state}/{TABLE_META_FILE}",
+        json.dumps({"n_buckets": 8, "bucket_bands": False}),
+    )
+    incoming = spark.createDataFrame(
+        [(103, docs[2]["text"])], ["doc_id", "text"]
+    )
+    with pytest.raises(RuntimeError, match="signature parameters"):
+        cross_dedup_against_state(spark, state, incoming)
+    # ...and one sink run with the original params heals it idempotently
+    run("sg_ck3")
+    assert read_table_meta(spark, state)["num_hashes"] == 64
+    assert len(cross_dedup_against_state(spark, state, incoming).collect()) > 0
+
+
 def test_compact_streamed_index_rewrites_only_duplicate_dirs(
     spark, tmp_path
 ):
