@@ -33,6 +33,7 @@ from bharatmlstack_spark import get_spark
 from bharatmlstack_spark.operators.lsh import IvfIndex
 from bharatmlstack_spark.streaming.ingest import (
     await_stream,
+    cross_dedup_against_state,
     maintenance_due,
     maybe_compact_streamed_index,
     read_streamed_ivf_index,
@@ -83,6 +84,22 @@ def main() -> None:
         await_stream(q, 300)
     pairs = spark.read.parquet(f"{work}/near_pairs").dropDuplicates(["id_a", "id_b"])
     print(f"near-dup pairs (jaccard >= 0.8), deduped after replay: {pairs.count()}")
+
+    # 2b. the accumulated state doubles as a DECONTAMINATION reference:
+    # an incoming delta (here: near-copies of 3 indexed docs) probes the
+    # persisted bands/sets — the reference corpus is banded once, each
+    # delta pays only for itself; signature params come from the sidecar
+    incoming = docs.filter(F.col("doc_id") % 100 == 7).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    hits = cross_dedup_against_state(
+        spark, f"{work}/near_state", incoming, threshold=0.8
+    )
+    print(
+        f"decontamination probe: {incoming.count()} incoming docs, "
+        f"{hits.count()} flagged against the indexed corpus"
+    )
 
     # 3. streamed IVF index over embeddings; search it at the end
     print("== 3. stream-built IVF ANN index ==")
