@@ -2166,6 +2166,12 @@ def refit_streamed_index(
     )
     from bharatmlstack_spark.operators.lsh import IvfIndex
 
+    if not hadoop_path_exists(spark, index_path):
+        raise FileNotFoundError(
+            f"refit_streamed_index: no index at {index_path} — nothing "
+            "accumulated yet (run a sink first); refusing to fabricate "
+            "an empty state"
+        )
     n_cells_before = len(hadoop_list_partition_dirs(spark, index_path, "cell"))
     raw = spark.read.parquet(index_path)
     total = raw.count()

@@ -1625,3 +1625,82 @@ def test_maintenance_counter_coexists_with_neardup_layout_keys(
     meta = read_table_meta(spark, state)
     assert meta["n_buckets"] == 8  # layout survived the counter reset
     assert meta[MAINT_COUNTER_KEY] == 0
+    # the gated form: not due right after a reset, due at threshold 1
+    # once another batch lands
+    from bharatmlstack_spark.streaming.ingest import maybe_compact_neardup_state
+
+    assert maybe_compact_neardup_state(spark, state, every_n_batches=1) is None
+    _write_json_batch(src, [docs[1]])
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_neardup_minhash_sink(
+        stream, state, out, str(tmp_path / "mx_ck2"), spark,
+        id_col="doc_id", text_col="text", trigger_once=True,
+        state_buckets=8,
+    )
+    q.awaitTermination(120)
+    stats = maybe_compact_neardup_state(spark, state, every_n_batches=1)
+    assert stats is not None  # due again; the redelivered rows reclaimed
+    assert read_table_meta(spark, state)[MAINT_COUNTER_KEY] == 0
+
+
+def test_refit_streamed_index_requires_an_index(spark, tmp_path):
+    """Refit on a never-written path fails with a targeted error instead
+    of fabricating an empty state or an unrelated read failure."""
+    import pytest
+
+    from bharatmlstack_spark.streaming.ingest import refit_streamed_index
+
+    with pytest.raises(FileNotFoundError, match="nothing\naccumulated|nothing"):
+        refit_streamed_index(spark, str(tmp_path / "never_written"))
+
+
+def test_cross_dedup_against_state_randomized_equivalence(spark, tmp_path):
+    """Seeded random corpora: the state probe and the both-sides operator
+    agree pair-for-pair on inputs with no hand-placed structure — the
+    property the layout-parametrized fixture test can't vary."""
+    import random
+
+    from bharatmlstack_spark.operators.dedup import minhash_lsh_cross_pairs
+    from bharatmlstack_spark.streaming.ingest import (
+        cross_dedup_against_state,
+        stream_neardup_minhash_sink,
+    )
+
+    rng = random.Random(1311)
+    vocab = [f"w{i}" for i in range(40)]
+    ref_rows = [
+        (i, " ".join(rng.choices(vocab, k=12))) for i in range(1, 21)
+    ]
+    # incoming: mutated copies of some reference docs + fresh noise
+    inc_rows = [
+        (100 + i, text + (" zz9" if i % 2 else ""))
+        for i, (rid, text) in enumerate(ref_rows[:8])
+    ] + [(200 + i, " ".join(rng.choices(vocab, k=12))) for i in range(6)]
+    ref_df = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    inc_df = spark.createDataFrame(inc_rows, ["doc_id", "text"])
+
+    src = str(tmp_path / "rz_src")
+    state, out = str(tmp_path / "rz_state"), str(tmp_path / "rz_out")
+    _write_json_batch(src, [{"doc_id": i, "text": t} for i, t in ref_rows])
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_neardup_minhash_sink(
+        stream, state, out, str(tmp_path / "rz_ck"), spark,
+        id_col="doc_id", text_col="text", trigger_once=True,
+        state_buckets=8,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in cross_dedup_against_state(
+            spark, state, inc_df, threshold=0.8
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in minhash_lsh_cross_pairs(
+            ref_df, inc_df, threshold=0.8
+        ).collect()
+    }
+    assert want  # the exact copies guarantee pairs exist
+    assert got == want
