@@ -337,6 +337,17 @@ def test_minhash_signature_is_map_side(spark, sf_dir, qs):
     assert shuffle_count(sigs) == 0
 
 
+def test_cross_corpus_dedup_plan_shape(spark, sf_dir, qs):
+    """dedup_cross_corpus (registered r11): candidates must come from the
+    A-bands x B-bands EQUI-join — never a cross/nested-loop over either
+    corpus (within-corpus pairs not materializing is the operator's whole
+    cost model; the brute-force form survives only as the DuckDB twin)."""
+    df = qs["dedup_cross_corpus"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_lsh_no_corpus_wide_verify(spark, sf_dir, qs):
     """The LSH dedup plan joins candidates with shingle SETS (id-keyed
     joins), never the corpus-wide shingle self-join: no join keyed on the
