@@ -545,9 +545,13 @@ def _eucl_col(a: str, b: str, dim: int = _EMB_DIM) -> Column:
     return F.sqrt(out)
 
 
-@query(
-    "knn_dot",
-    oracle=f"""
+# RETIRED r12 (head of RETIREMENT_CANDIDATES since r10): freed the slot
+# that registers ann_refit_search (the stream->refit->search lifecycle
+# row, staged since r11); J6/W4/T3 stay driver-attested by knn_euclidean
+# + dot_score_ids (both r11-green). The oracle moves to RETIRED_ORACLES
+# and tests/test_staged_retired.py keeps running the driver's exact
+# comparison on every pytest run.
+RETIRED_ORACLES["knn_dot"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5)
 SELECT query_id, vec_id, label, score, rank FROM (
@@ -557,12 +561,13 @@ SELECT query_id, vec_id, label, score, rank FROM (
                             ORDER BY {_dot_sql('c.embedding', 'q.qe')} DESC, c.vec_id ASC) AS rank
   FROM c CROSS JOIN q
 ) WHERE rank <= 10
-""",
-)
+"""
+
+
 def knn_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6/W4/T3: exact KNN top-10 by dot product, queries broadcast
     (qdrant.go:351-412). Explicit 64-term fold keeps scores bit-identical
-    to the oracle."""
+    to the oracle. RETIRED r12 (staged tier — see RETIRED)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -772,20 +777,19 @@ from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Rotation state as of ROUND 11 (2026-08-15). Registry = 149: 150 peak,
-# minus four executed retirements (rpn_literal_div r09; rpn_bool_compare
-# + segment_except r10; multimodal_decode_rgb r11), plus three
-# registrations riding those slots (feature_retrieve_string_vector +
-# stream_semantic_dedup_sink r10; dedup_cross_corpus r11 — the staged
-# cross-corpus decontamination row graduated).
-# Windows: r11 = first 50 below (stream_semantic_dedup_sink's first-ever
-# driver green + the new dedup_cross_corpus + the r08-era greens, with
-# the slack slot re-attesting stream_dedup_minhash, whose sink gained
-# the r11 maintenance-cadence sidecar); r12 = the next 50 (the r09-era
-# greens, pre-planned since r10 — r11's registrations did NOT reshuffle
-# it); r13 = the 49 r10-era greens at the tail. Freshness contract:
-# after each round no registered query's newest green is older than two
-# rounds back.
+# Rotation state as of ROUND 12 (2026-08-15). Registry = 149: 151 peak,
+# minus five executed retirements (rpn_literal_div r09; rpn_bool_compare
+# + segment_except r10; multimodal_decode_rgb r11; knn_dot r12), plus
+# four registrations riding those slots (feature_retrieve_string_vector
+# + stream_semantic_dedup_sink r10; dedup_cross_corpus r11;
+# ann_refit_search r12 — the staged stream->refit->search lifecycle row
+# graduated).
+# Windows: r12 = first 50 below (the r09-era greens, pre-planned since
+# r10 and executed unshuffled — r11's and r12's registrations did NOT
+# perturb it); r13 = the next 49 (the r10-era greens, with the NEW
+# ann_refit_search leading on knn_dot's freed slot); r14 = the 50
+# r11-era greens at the tail. Freshness contract: after each round no
+# registered query's newest green is older than two rounds back.
 #
 # Retirement protocol (pinned r09): a new operator must either
 # (a) retire one row from RETIREMENT_CANDIDATES below one-for-one
@@ -795,71 +799,9 @@ from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
 # (pytest replicating the driver comparison, like tests/
 # test_retrieval.py did for the four rows registered in r09).
 QUERY_PRIORITY: list[str] = [
-    # ROUND-11 WINDOW (first 50 — the driver verifies exactly these):
-    # executed as pre-planned in r10. stream_semantic_dedup_sink LEADS
-    # (registered r10 on the segment_except retirement slot — the only
-    # registered query without a driver green until this round);
-    # dedup_cross_corpus is NEW this round (cross-corpus MinHash-LSH
-    # decontamination, registered via the pinned retirement of
-    # multimodal_decode_rgb, the candidates-list head);
-    # stream_dedup_minhash takes the slack slot (r10 green, but its
-    # sink gained the maintenance-cadence sidecar bookkeeping in r11 —
-    # implementation changed since last green, so it re-attests); then
-    # the 47 remaining r08-era greens (stream_ann_ivf_dot's sink also
-    # changed in r11 and is already among them).
-    "stream_semantic_dedup_sink",
-    "dedup_cross_corpus",
-    "stream_dedup_minhash",
-    "bpe_learn_until_vocab",
-    "bpe_merge_step",
-    "cohort_retention",
-    "copurchase_pairs",
-    "corpus_filter_chain",
-    "corpus_mix_sample",
-    "doc_fingerprint",
-    "dot_score_ids",
-    "event_transition_matrix",
-    "events_limit_clamp",
-    "feature_schema_evolution",
-    "fuzzy_name_match",
-    "grouping_sets_orders",
-    "key_skew_report",
-    "key_string_join",
-    "knn_euclidean",
-    "lang_id_heuristic",
-    "multimodal_decode_audio_feature",
-    "multimodal_decode_image",
-    "multimodal_decode_stats",
-    "norm_min_max",
-    "norm_percentile_5_95",
-    "pair_expansion",
-    "percentile_rank",
-    "pii_redact",
-    "pipeline_inference",
-    "q3_shipping_priority",
-    "quality_score",
-    "request_validation_matrix",
-    "rpn_score",
-    "salted_dim_join",
-    "salted_hot_key_agg",
-    "segment_intersect",
-    "shard_manifest",
-    "slate_expansion",
-    "span_dedup_exact",
-    "stratified_sample",
-    "stream_ann_ivf_dot",
-    "stream_cdc_gc",
-    "stream_dedup_watermark",
-    "temporal_split",
-    "topk_orders",
-    "train_test_split",
-    "uint64_decimal_sum",
-    "unigram_lm_quality",
-    "user_week_density",
-    "zorder_cells",
-    # ---- window boundary (driver verifies the first 50) ----
-    # ROUND-12 WINDOW (pre-planned since r10, unshuffled): the 50
-    # r09-era greens.
+    # ROUND-12 WINDOW (first 50 — the driver verifies exactly these):
+    # the 50 r09-era greens, executed exactly as pre-planned since r10,
+    # unshuffled.
     "bm25_topk",
     "bigram_pmi",
     "char_entropy_quality",
@@ -910,8 +852,14 @@ QUERY_PRIORITY: list[str] = [
     "time_decay_user_value",
     "value_zscore_outliers",
     "woe_binning",
-    # ROUND-13 WINDOW (pre-planned): the 49 r10-era greens
-    # (stream_dedup_minhash moved to the r11 slack slot above).
+    # ---- window boundary (driver verifies the first 50) ----
+    # ROUND-13 WINDOW (pre-planned): ann_refit_search LEADS (NEW r12 —
+    # ANN search through a refit streamed index, registered on the
+    # pinned knn_dot retirement slot after its staged r11 tier,
+    # tests/test_refit_staged.py), then the 48 remaining r10-era greens
+    # (stream_dedup_minhash moved to the r11 slack slot and is now in
+    # the r14 block below).
+    "ann_refit_search",
     "stream_cdc_apply",
     "feature_retrieve_string_vector",
     "asof_feature_join",
@@ -938,7 +886,6 @@ QUERY_PRIORITY: list[str] = [
     "filter_candidates",
     "incremental_dedup_stream",
     "incremental_materialize_orders",
-    "knn_dot",
     "last_write_wins",
     "min_cost_supplier",
     "multimodal_features",
@@ -961,6 +908,57 @@ QUERY_PRIORITY: list[str] = [
     "stateful_topk_stream",
     "stream_attribution_join",
     "table_profile",
+    # ROUND-14 WINDOW (pre-planned): the 50 r11-era greens.
+    "stream_semantic_dedup_sink",
+    "dedup_cross_corpus",
+    "stream_dedup_minhash",
+    "bpe_learn_until_vocab",
+    "bpe_merge_step",
+    "cohort_retention",
+    "copurchase_pairs",
+    "corpus_filter_chain",
+    "corpus_mix_sample",
+    "doc_fingerprint",
+    "dot_score_ids",
+    "event_transition_matrix",
+    "events_limit_clamp",
+    "feature_schema_evolution",
+    "fuzzy_name_match",
+    "grouping_sets_orders",
+    "key_skew_report",
+    "key_string_join",
+    "knn_euclidean",
+    "lang_id_heuristic",
+    "multimodal_decode_audio_feature",
+    "multimodal_decode_image",
+    "multimodal_decode_stats",
+    "norm_min_max",
+    "norm_percentile_5_95",
+    "pair_expansion",
+    "percentile_rank",
+    "pii_redact",
+    "pipeline_inference",
+    "q3_shipping_priority",
+    "quality_score",
+    "request_validation_matrix",
+    "rpn_score",
+    "salted_dim_join",
+    "salted_hot_key_agg",
+    "segment_intersect",
+    "shard_manifest",
+    "slate_expansion",
+    "span_dedup_exact",
+    "stratified_sample",
+    "stream_ann_ivf_dot",
+    "stream_cdc_gc",
+    "stream_dedup_watermark",
+    "temporal_split",
+    "topk_orders",
+    "train_test_split",
+    "uint64_decimal_sum",
+    "unigram_lm_quality",
+    "user_week_density",
+    "zorder_cells",
 ]
 
 # Ordered retirement list (round 10+): rows whose SURVEY §2 / pipeline
@@ -1000,10 +998,17 @@ RETIRED: list[tuple[str, str, str]] = [
         "MinHash-LSH decontamination, staged since r10); the decode "
         "family stays attested by multimodal_decode_image/_stats/_png",
     ),
+    (
+        "knn_dot",
+        "r12",
+        "freed the slot that registers ann_refit_search (ANN search "
+        "through a refit streamed index — the stream->refit->search "
+        "lifecycle row, staged r11); J6/W4/T3 stay attested by "
+        "knn_euclidean + dot_score_ids, both r11-green",
+    ),
 ]
 
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
-    ("knn_dot", "J6/J7: knn_euclidean + dot_score_ids"),
     ("salted_dim_join", "skew salting: salted_hot_key_agg"),
     ("sketch_union_distinct", "sketches: sketch_distinct_users + sketch_percentile_value"),
     ("cube_orders_status", "grouping lattices: grouping_sets_orders + rollup_lineitem"),

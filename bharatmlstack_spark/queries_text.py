@@ -1607,13 +1607,14 @@ def stream_semantic_dedup_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # STAGED TIER: registration candidates for a future window — rotation
 # protocol (b): pytest replicates the driver comparison until a retirement
-# frees a slot (tests/test_cross_dedup.py graduated dedup_cross_corpus
-# exactly this way in r11; the r09 rows in R9_ORACLES before it).
+# frees a slot (tests/test_refit_staged.py graduated ann_refit_search this
+# way in r12; tests/test_cross_dedup.py graduated dedup_cross_corpus in
+# r11; the r09 rows in R9_ORACLES before them). Currently empty.
 # ---------------------------------------------------------------------------
 
 STAGED_ORACLES: dict[str, str] = {}
 
-STAGED_ORACLES["ann_refit_search"] = """
+_ANN_REFIT_SEARCH_ORACLE = """
 WITH ecorpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
@@ -1641,6 +1642,7 @@ FROM ranked WHERE rank <= 2
 """
 
 
+@query("ann_refit_search", oracle=_ANN_REFIT_SEARCH_ORACLE)
 def ann_refit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN search THROUGH a refit streamed index: the accumulated
     cell-partitioned state (bootstrap quantizer n_cells=2, plus one full
@@ -1661,9 +1663,11 @@ def ann_refit_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       id-ascending in both engines; rank 3 sits far below on this
       corpus — the semantic_dedup_ivf margin argument).
 
-    STAGED TIER (r11): the rotation's one slack slot re-attested
-    stream_dedup_minhash this round; graduates when a
-    RETIREMENT_CANDIDATES slot frees (head: knn_dot)."""
+    REGISTERED r12 on the knn_dot retirement slot per the pinned
+    protocol (staged tier r11 while the rotation was saturated —
+    tests/test_refit_staged.py ran the driver comparison meanwhile and
+    still does). Reference anchor: skye's indexer reset/rebuild jobs
+    (skye/internal/consumers/handler/indexer/)."""
     from bharatmlstack_spark.operators.lsh import IvfIndex
     from bharatmlstack_spark.streaming.ingest import (
         read_streamed_ivf_index,

@@ -89,7 +89,9 @@ def test_topk_orders_take_ordered_no_global_sort(spark, sf_dir, qs):
 
 
 def test_knn_broadcasts_queries(spark, sf_dir, qs):
-    df = qs["knn_dot"](spark, sf_dir)
+    # knn_dot retired r12 (staged tier) — the plan shape under test is
+    # identical in its registered sibling knn_euclidean
+    df = qs["knn_euclidean"](spark, sf_dir)
     assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in str(
         df._jdf.queryExecution().executedPlan().toString()
     )

@@ -1,7 +1,9 @@
-"""ANN-search-through-a-refit-index vs its DuckDB brute-force twin — the
-staged tier for queries_text.ann_refit_search (rotation protocol (b):
-the driver's exact comparison runs here until a retirement slot frees;
-dedup_cross_corpus and the r09 retrieval rows graduated the same way).
+"""ANN-search-through-a-refit-index vs its DuckDB brute-force twin —
+the staged tier that graduated queries_text.ann_refit_search into the
+registry in r12 (rotation protocol (b): the driver's exact comparison
+ran here through r11 until the knn_dot retirement freed a slot;
+dedup_cross_corpus and the r09 retrieval rows graduated the same way —
+and like tests/test_cross_dedup.py this keeps running post-graduation).
 One run gates refit content preservation, redelivery dedup, and
 exact-duplicate recall at nprobe=1 — see the query docstring."""
 
@@ -10,7 +12,8 @@ import os
 import duckdb
 import pytest
 
-from bharatmlstack_spark.queries_text import STAGED_ORACLES, ann_refit_search
+from bharatmlstack_spark.query_registry import ORACLES
+from bharatmlstack_spark.queries_text import ann_refit_search
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -42,6 +45,6 @@ def test_ann_refit_search_matches_brute_force_oracle(spark, con):
     values, vs the exact brute-force cosine top-2 DuckDB twin."""
     out = ann_refit_search(spark, SF_DIR)
     got = _rows(out)
-    ref = _oracle_rows(con, STAGED_ORACLES["ann_refit_search"], out.columns)
+    ref = _oracle_rows(con, ORACLES["ann_refit_search"], out.columns)
     assert len(got) > 0  # vacuous-pass guard
     assert got == ref
