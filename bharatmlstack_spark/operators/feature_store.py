@@ -58,7 +58,13 @@ TABLE_META_FILE = "_bharatml_table_meta.json"
 
 
 def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Small-file write through the Hadoop FS API (works on HDFS/S3/GCS)."""
+    """Small-file write through the Hadoop FS API (works on HDFS/S3/GCS).
+
+    NOT crash-safe for REPLACING a file something depends on:
+    ``fs.create(path, True)`` truncates in place, so a crash mid-write
+    leaves a torn file. Sidecars (which carry the streamed states'
+    layout/signature contract and are rewritten every micro-batch) go
+    through hadoop_write_text_atomic instead."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -67,6 +73,38 @@ def hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+# staged half of an atomic small-file replace; read_table_meta knows how
+# to adopt an orphaned one after a crash
+TEXT_TMP_SUFFIX = ".__tmp"
+
+
+def hadoop_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Crash-safe small-file REPLACE: write the full content to
+    ``<path>.__tmp``, delete the target, rename the tmp over it. The
+    in-place truncate of hadoop_write_text exposes every reader to a
+    torn file for the duration of the write — fatal once the meta
+    sidecar became a per-micro-batch write carrying the layout contract
+    (a truncated JSON bricks every subsequent sink start). Crash
+    windows: mid-tmp-write leaves a torn tmp but the INTACT target
+    (readers unaffected; the next write overwrites the tmp); between
+    delete and rename leaves no target but a COMPLETE tmp, which
+    read_table_meta adopts (a torn tmp with a missing target cannot
+    occur — the tmp write strictly precedes the delete)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    jtmp = jvm.org.apache.hadoop.fs.Path(path + TEXT_TMP_SUFFIX)
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(jtmp, jpath):
+        raise RuntimeError(f"atomic text replace: rename over {path} failed")
 
 
 def hadoop_read_text(spark: SparkSession, path: str) -> str | None:
@@ -129,7 +167,7 @@ def hadoop_delete_path(spark: SparkSession, path: str) -> bool:
 def write_table_meta(spark: SparkSession, table_path: str, n_buckets: int) -> None:
     import json
 
-    hadoop_write_text(
+    hadoop_write_text_atomic(
         spark,
         os.path.join(table_path, TABLE_META_FILE),
         json.dumps({"n_buckets": n_buckets}),
@@ -139,7 +177,20 @@ def write_table_meta(spark: SparkSession, table_path: str, n_buckets: int) -> No
 def read_table_meta(spark: SparkSession, table_path: str) -> dict | None:
     import json
 
-    text = hadoop_read_text(spark, os.path.join(table_path, TABLE_META_FILE))
+    path = os.path.join(table_path, TABLE_META_FILE)
+    text = hadoop_read_text(spark, path)
+    if text is None:
+        # a crashed hadoop_write_text_atomic between its delete and
+        # rename: the target is gone but the COMPLETE staged tmp exists —
+        # finish the rename and read it (the only state that produces
+        # missing-target + present-tmp; see hadoop_write_text_atomic)
+        tmp = path + TEXT_TMP_SUFFIX
+        if hadoop_path_exists(spark, tmp):
+            jvm = spark._jvm
+            jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+            fs = jtmp.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.rename(jtmp, jvm.org.apache.hadoop.fs.Path(path))
+            text = hadoop_read_text(spark, path)
     return None if text is None else json.loads(text)
 
 

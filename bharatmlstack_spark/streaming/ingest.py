@@ -915,6 +915,8 @@ def stream_neardup_minhash_sink(
     bucket_bands: bool = False,
     trigger_once: bool = False,
     phase_log: list | None = None,
+    auto_maintain: bool = False,
+    maintain_every_n_batches: int = 64,
 ):
     """Streaming NEAR-duplicate detection: MinHash-LSH with an
     APPEND-ONLY band index, the incremental form of
@@ -1041,10 +1043,15 @@ def stream_neardup_minhash_sink(
 
         from bharatmlstack_spark.operators.feature_store import (
             TABLE_META_FILE,
-            hadoop_write_text,
+            hadoop_write_text_atomic,
             read_table_meta,
         )
 
+        # adopt a crashed rebucket_neardup_state commit BEFORE reading
+        # the sidecar — otherwise this run could validate against (and
+        # append under) the pre-rebucket bucket count while the roots
+        # are already hashed with the new one
+        _finish_rebucket_commit(spark, state_dir)
         meta = read_table_meta(spark, state_dir)
         # shared resolution (legacy pre-hybrid sidecars bucketed both
         # roots) — compact_neardup_state resolves with the SAME helper
@@ -1120,7 +1127,7 @@ def stream_neardup_minhash_sink(
                 merged.update(
                     {"n_buckets": state_buckets, "bucket_bands": bucket_bands}
                 )
-            hadoop_write_text(
+            hadoop_write_text_atomic(
                 spark,
                 _os.path.join(state_dir, TABLE_META_FILE),
                 _json.dumps(merged),
@@ -1278,9 +1285,26 @@ def stream_neardup_minhash_sink(
                     t = _time.perf_counter()
                 _write_state(sets_new, sets_path, bucketed)
                 _write_state(bands_new, bands_path, bands_bucketed)
-                # maintenance bookkeeping (maintenance_due reads these):
-                # batch counter + redelivery detection via batch ids
-                _update_maintenance_meta(spark, state_dir, batch_id)
+                # maintenance bookkeeping (maintenance_due / refit-class
+                # policies read these): batch counter + redelivery
+                # detection via batch ids + appended-docs count (cheap —
+                # sets_new is persisted)
+                _update_maintenance_meta(
+                    spark,
+                    state_dir,
+                    batch_id,
+                    rows_appended=sets_new.count(),
+                )
+                if auto_maintain:
+                    # opt-in in-loop compaction (documented single-writer
+                    # caveat: the sink IS the single writer, so running
+                    # maintenance inside its own foreachBatch is safe;
+                    # one sidecar read when not due)
+                    maybe_compact_neardup_state(
+                        spark,
+                        state_dir,
+                        every_n_batches=maintain_every_n_batches,
+                    )
                 if instrument:
                     ph["append_s"] = round(_time.perf_counter() - t, 3)
                     ph["total_s"] = round(_time.perf_counter() - t0, 3)
@@ -1305,6 +1329,8 @@ def stream_ann_ivf_sink(
     checkpoint_dir: str,
     spark: SparkSession,
     trigger_once: bool = False,
+    auto_maintain: bool = False,
+    maintain_every_n_batches: int = 64,
 ):
     """Streaming IVF embedding indexer — skye's realtime indexer
     (skye/internal/consumers/handler/indexer/) as a foreachBatch sink,
@@ -1322,23 +1348,50 @@ def stream_ann_ivf_sink(
     readers dedup on the vector id (read_streamed_ivf_index) and see
     exactly the batch-built index; run ``compact_streamed_index`` at
     maintenance cadence to reclaim accumulated duplicates so readers can
-    skip the per-read dedup shuffle (dedup=False; measured in SCALE.md).
-    Assumes each vector id arrives once (corpus build; for an UPDATED
-    embedding, route through the CDC sink and rebuild the cell, or
-    version the id)."""
+    skip the per-read dedup shuffle (dedup=False; measured in SCALE.md)
+    — or pass ``auto_maintain=True`` to run the due-check after every
+    append inside the sink's own loop (safe under the sink's
+    single-writer assumption). Assumes each vector id arrives once
+    (corpus build; for an UPDATED embedding, route through the CDC sink
+    and rebuild the cell, or version the id).
+
+    Quantizer contract (r12): sink start refuses an ``ivf`` whose
+    centroids disagree with the persisted ``__quantizer`` sidecar
+    (_ensure_quantizer_consistent) — appending with a STALE quantizer
+    after a refit_streamed_index would route new vectors into cells the
+    re-bucketed state no longer means, silently mis-routing every
+    subsequent probe; the same refuse-to-mis-hash stance the near-dup
+    sink takes on bucket counts. A fresh state persists the handed
+    quantizer, arming the guard for every restart."""
+    _ensure_quantizer_consistent(spark, index_path, ivf)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        n = batch_df.count()
         (
             ivf.index(batch_df)
             .write.mode("append")
             .partitionBy("cell")
             .parquet(index_path)
         )
-        # maintenance bookkeeping (maintenance_due reads these): batch
-        # counter + redelivery detection via non-monotonic batch ids
-        _update_maintenance_meta(spark, index_path, batch_id)
+        # maintenance bookkeeping (maintenance_due / refit_due read
+        # these): batch counter + redelivery detection via
+        # non-monotonic batch ids + appended rows + fitted cell count
+        _update_maintenance_meta(
+            spark,
+            index_path,
+            batch_id,
+            rows_appended=n,
+            extra={"n_cells": int(len(ivf.centroids))},
+        )
+        if auto_maintain:
+            maybe_compact_streamed_index(
+                spark,
+                index_path,
+                id_col=ivf.id_col,
+                every_n_batches=maintain_every_n_batches,
+            )
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
@@ -1357,6 +1410,8 @@ def stream_semantic_dedup_sink(
     spark: SparkSession,
     threshold: float = 0.99,
     trigger_once: bool = False,
+    auto_maintain: bool = False,
+    maintain_every_n_batches: int = 64,
 ):
     """Streaming SemDeDup (arXiv:2303.09540 made incremental): the
     embedding sibling of ``stream_neardup_minhash_sink``, sharing its
@@ -1395,12 +1450,19 @@ def stream_semantic_dedup_sink(
     the DuckDB-twin pytest in tests/test_streaming.py additionally runs
     the driver's comparison shape: streamed pair readout == batch
     same-cell pair set under the same quantizer, across batches and
-    under full redelivery."""
+    under full redelivery.
+
+    Quantizer contract + opt-in maintenance (r12): identical to
+    stream_ann_ivf_sink — start refuses a stale ``ivf`` vs the
+    persisted ``__quantizer`` (a fresh state persists the handed one),
+    and ``auto_maintain=True`` runs the compaction due-check after each
+    append."""
     from bharatmlstack_spark.functions.vector import cosine_similarity
     from bharatmlstack_spark.operators.feature_store import (
         hadoop_list_partition_dirs,
     )
 
+    _ensure_quantizer_consistent(spark, index_path, ivf)
     id_col, emb_col = ivf.id_col, ivf.emb_col
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -1471,8 +1533,22 @@ def stream_semantic_dedup_sink(
                 .parquet(index_path)
             )
             # shared-state bookkeeping: same sidecar stream_ann_ivf_sink
-            # maintains (one index, interchangeable writers)
-            _update_maintenance_meta(spark, index_path, batch_id)
+            # maintains (one index, interchangeable writers); row count
+            # is cheap — assigned is persisted
+            _update_maintenance_meta(
+                spark,
+                index_path,
+                batch_id,
+                rows_appended=assigned.count(),
+                extra={"n_cells": int(len(ivf.centroids))},
+            )
+            if auto_maintain:
+                maybe_compact_streamed_index(
+                    spark,
+                    index_path,
+                    id_col=id_col,
+                    every_n_batches=maintain_every_n_batches,
+                )
         finally:
             assigned.unpersist()
 
@@ -1500,6 +1576,7 @@ def read_streamed_ivf_index(
     the hot search path — new appends since the last compaction are
     then visible as duplicates, which IVF search tolerates (identical
     rows score identically; dedup the top-k on id if exact-k matters)."""
+    _finish_refit_commit(spark, index_path)  # adopt a crashed refit first
     df = spark.read.parquet(index_path)
     return df.dropDuplicates([id_col]) if dedup else df
 
@@ -1509,7 +1586,7 @@ def _compact_dedup_state(
     path: str,
     dedup_cols: list[str],
     partition_col: str | None,
-) -> int:
+) -> tuple[int, bool]:
     """Shared core of the streamed-state compactors: physically drop
     redelivery-duplicate rows (byte-identical by construction — every
     sink appends deterministic functions of the delivered record).
@@ -1528,14 +1605,18 @@ def _compact_dedup_state(
 
     Flat (unpartitioned) states fall back to a full staged rewrite —
     correct at any size, but the partitioned layouts are the 100 TB
-    path. Returns rows removed."""
+    path. Returns ``(rows_removed, bailed)``: ``bailed`` is True only
+    when duplicates are KNOWN to exist but live solely in dirs the
+    listing can't target (a null key's __HIVE_DEFAULT_PARTITION__) —
+    the callers then preserve the sidecar's redelivery flag instead of
+    consuming the signal for a reclaim that never happened."""
     from bharatmlstack_spark.operators.feature_store import (
         hadoop_delete_path,
         hadoop_list_partition_dirs,
     )
 
     if not hadoop_path_exists(spark, path):
-        return 0
+        return 0, False
     dirs = (
         hadoop_list_partition_dirs(spark, path, partition_col)
         if partition_col is not None
@@ -1546,15 +1627,16 @@ def _compact_dedup_state(
         per_part = _detect_duplicate_partitions(state, dedup_cols, partition_col)
         touched = [r[0] for r in per_part.select(partition_col).collect()]
         if not touched:
-            return 0
+            return 0, False
         paths = [dirs[p] for p in touched if p in dirs]
         if not paths:
             # every duplicate-holding partition lives in a dir the
             # listing skipped (e.g. a null key's __HIVE_DEFAULT_PARTITION__
             # — hadoop_list_partition_dirs keeps numeric dirs only):
             # nothing targetable to rewrite, leave the state as-is
-            # (compaction is advisory; readers' dedup stays correct)
-            return 0
+            # (compaction is advisory; readers' dedup stays correct) and
+            # REPORT the bail-out so the redelivery signal survives
+            return 0, True
         scoped = spark.read.option("basePath", path).parquet(*paths)
         before = scoped.count()
         keep = scoped.dropDuplicates(dedup_cols)
@@ -1575,17 +1657,17 @@ def _compact_dedup_state(
             .parquet(path)
         )
         hadoop_delete_path(spark, tmp)
-        return removed
+        return removed, False
     before = state.count()
     keep = state.dropDuplicates(dedup_cols)
     removed = before - keep.count()
     if not removed:
-        return 0
+        return 0, False
     tmp = path + "__compacting"
     keep.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
     hadoop_delete_path(spark, tmp)
-    return removed
+    return removed, False
 
 
 def _detect_duplicate_partitions(
@@ -1626,8 +1708,12 @@ def compact_streamed_index(
     Run at maintenance cadence (after a redelivery event or N batches —
     ``maintenance_due`` / ``maybe_compact_streamed_index`` decide that
     from the sidecar the sinks maintain), never per micro-batch."""
-    removed = _compact_dedup_state(spark, index_path, [id_col], "cell")
-    _reset_maintenance_meta(spark, index_path)
+    _finish_refit_commit(spark, index_path)  # adopt a crashed refit first
+    removed, bailed = _compact_dedup_state(spark, index_path, [id_col], "cell")
+    # a bail-out (duplicates exist but only in non-targetable dirs)
+    # reclaimed nothing: keep the redelivery flag so maintenance_due
+    # keeps reporting the duplicates honestly
+    _reset_maintenance_meta(spark, index_path, clear_redelivery=not bailed)
     return removed
 
 
@@ -1654,23 +1740,115 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
 
     sets_path = f"{state_dir}/sets"
     bands_path = f"{state_dir}/bands"
+    _finish_rebucket_commit(spark, state_dir)  # adopt a crashed rebucket
     recorded, bands_bucketed = _resolve_neardup_layout(
         read_table_meta(spark, state_dir)
     )
     bucketed = recorded is not None
-    stats = {
-        "sets_removed": _compact_dedup_state(
-            spark, sets_path, ["id"], "__kb" if bucketed else None
-        ),
-        "bands_removed": _compact_dedup_state(
-            spark,
-            bands_path,
-            ["id", "band_idx"],
-            "__kb" if bands_bucketed else None,
-        ),
-    }
-    _reset_maintenance_meta(spark, state_dir)
-    return stats
+    sets_removed, sets_bailed = _compact_dedup_state(
+        spark, sets_path, ["id"], "__kb" if bucketed else None
+    )
+    bands_removed, bands_bailed = _compact_dedup_state(
+        spark,
+        bands_path,
+        ["id", "band_idx"],
+        "__kb" if bands_bucketed else None,
+    )
+    # either root bailing out means known duplicates survived the pass:
+    # preserve the redelivery flag (see compact_streamed_index)
+    _reset_maintenance_meta(
+        spark, state_dir, clear_redelivery=not (sets_bailed or bands_bailed)
+    )
+    return {"sets_removed": sets_removed, "bands_removed": bands_removed}
+
+
+# commit markers for the reset jobs' staged swaps: written ATOMICALLY
+# after every stage is complete, deleted after adoption — their presence
+# IS the commit point, so a crash anywhere leaves either the intact old
+# state (pre-marker: stages are garbage, cleaned by the next reset run)
+# or a finishable commit (post-marker: _finish_*_commit re-runs the
+# adoption idempotently from any reader/writer entry point)
+REBUCKET_MARKER = "__rebucket_commit.json"
+REFIT_MARKER_SUFFIX = "__refit_commit.json"
+
+
+def _swap_staged_root(spark: SparkSession, stage: str, live: str) -> None:
+    """Adopt one complete staged root: delete the live dir, rename the
+    stage over it. Idempotent across crashes — a stage without _SUCCESS
+    is never adopted, a stage already renamed away is skipped, and a
+    crash between delete and rename re-runs into the rename branch."""
+    from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
+
+    if not hadoop_path_exists(spark, stage + "/_SUCCESS"):
+        return
+    if hadoop_path_exists(spark, live):
+        hadoop_delete_path(spark, live)
+    _hadoop_rename(spark, stage, live)
+
+
+def _finish_rebucket_commit(spark: SparkSession, state_dir: str) -> bool:
+    """(Re-)run a rebucket_neardup_state adoption whose commit marker
+    exists: swap any staged roots still present, install the marker's
+    sidecar, drop the marker. Called by the rebucket job itself AND by
+    every state entry point (sink layout check, compactor, cross-dedup
+    probe) so a crash mid-adoption can never leave roots hashed with
+    new_buckets while the sidecar records the old count — the silent
+    wrong-quarter-of-dirs probe. One FS existence check when no marker.
+    Returns True when a commit was finished."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_delete_path,
+        hadoop_read_text,
+        hadoop_write_text_atomic,
+    )
+
+    marker = f"{state_dir}/{REBUCKET_MARKER}"
+    text = hadoop_read_text(spark, marker)
+    if text is None:
+        return False
+    info = _json.loads(text)
+    if info.get("adopt_sets"):
+        _swap_staged_root(
+            spark, f"{state_dir}/sets__rebucketing", f"{state_dir}/sets"
+        )
+    if info.get("adopt_bands"):
+        _swap_staged_root(
+            spark, f"{state_dir}/bands__rebucketing", f"{state_dir}/bands"
+        )
+    hadoop_write_text_atomic(
+        spark,
+        _os.path.join(state_dir, TABLE_META_FILE),
+        _json.dumps(info["new_meta"]),
+    )
+    hadoop_delete_path(spark, marker)
+    return True
+
+
+def _finish_refit_commit(spark: SparkSession, index_path: str) -> bool:
+    """The refit_streamed_index analog of _finish_rebucket_commit: adopt
+    the staged re-assigned index AND its staged quantizer together (the
+    fresh sidecar rides inside the index stage, so the rename installs
+    root + sidecar as one move). Called by the refit job and by every
+    index entry point (sinks, readers, compactor); closes the crash
+    window where a re-bucketed root goes live while the persisted
+    quantizer still holds the old centroids — restarted sinks and
+    searches would silently mis-route probes."""
+    from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
+
+    marker = index_path + REFIT_MARKER_SUFFIX
+    if not hadoop_path_exists(spark, marker):
+        return False
+    _swap_staged_root(spark, index_path + "__refitting", index_path)
+    _swap_staged_root(
+        spark,
+        index_path + QUANTIZER_DIR_SUFFIX + "__refitting",
+        index_path + QUANTIZER_DIR_SUFFIX,
+    )
+    hadoop_delete_path(spark, marker)
+    return True
 
 
 def rebucket_neardup_state(
@@ -1704,6 +1882,18 @@ def rebucket_neardup_state(
       exactly the refuse-to-mis-hash contract, now pointing at the new
       truth.
 
+    Crash-safe via the marker commit (r12, mirroring
+    _ensure_neardup_root's __migrating discipline): both roots are
+    STAGED first (``<root>__rebucketing``), then a commit marker
+    holding the NEW sidecar is written atomically, then stages are
+    adopted (delete + rename) and the sidecar installed from the
+    marker. Pre-marker crashes leave the old state intact (stages are
+    garbage, cleaned on the next run); post-marker crashes are finished
+    by _finish_rebucket_commit from ANY state entry point — the sink's
+    layout check, the compactor, the cross-dedup probe, or the next
+    rebucket — so roots hashed with new_buckets can never serve probes
+    pruned with the old sidecar count.
+
     A flat state (no sidecar ``n_buckets``) is migrated INTO the
     bucketed layout — the bulk form of the sink's one-time runtime
     migration, for when a long-running flat state crosses into the
@@ -1713,17 +1903,21 @@ def rebucket_neardup_state(
     {"old_buckets", "new_buckets", "sets_rows", "bands_rows",
     "rows_removed"}."""
     import json as _json
-    import os as _os
 
     from bharatmlstack_spark.operators.feature_store import (
-        TABLE_META_FILE,
         hadoop_delete_path,
-        hadoop_write_text,
+        hadoop_write_text_atomic,
         read_table_meta,
     )
 
     sets_path = f"{state_dir}/sets"
     bands_path = f"{state_dir}/bands"
+    # finish a crashed predecessor's adoption, then clear any orphaned
+    # pre-commit stages (theirs, or a pre-marker crash of our own past)
+    _finish_rebucket_commit(spark, state_dir)
+    for orphan in (sets_path + "__rebucketing", bands_path + "__rebucketing"):
+        if hadoop_path_exists(spark, orphan):
+            hadoop_delete_path(spark, orphan)
     meta = read_table_meta(spark, state_dir) or {}
     recorded, bands_bucketed = _resolve_neardup_layout(meta)
     if bucket_bands is None:
@@ -1731,7 +1925,9 @@ def rebucket_neardup_state(
 
     removed = 0
 
-    def _rewrite(path: str, kb, dedup_cols: list[str]) -> int:
+    def _stage(path: str, kb, dedup_cols: list[str]) -> int:
+        """Write the re-bucketed copy to <path>__rebucketing (never
+        touching the live root) and return its row count."""
         nonlocal removed
         df = spark.read.parquet(path)
         if "__kb" in df.columns:
@@ -1746,25 +1942,17 @@ def rebucket_neardup_state(
             .partitionBy("__kb")
             .parquet(tmp)
         )
-        staged = spark.read.parquet(tmp)
-        n = staged.count()
+        n = spark.read.parquet(tmp).count()
         removed += before - n
-        (
-            staged.repartition("__kb")
-            .write.mode("overwrite")
-            .partitionBy("__kb")
-            .parquet(path)
-        )
-        hadoop_delete_path(spark, tmp)
         return n
 
-    sets_rows = _rewrite(
+    sets_rows = _stage(
         sets_path,
         lambda df: F.pmod(F.xxhash64(F.col("id")), F.lit(new_buckets)),
         ["id"],
     )
     if bucket_bands:
-        bands_rows = _rewrite(
+        bands_rows = _stage(
             bands_path,
             lambda df: F.pmod(F.col("band_hash"), F.lit(new_buckets)),
             ["id", "band_idx"],
@@ -1784,9 +1972,20 @@ def rebucket_neardup_state(
         }
     )
     merged.pop(MAINT_REDELIVERY_KEY, None)
-    hadoop_write_text(
-        spark, _os.path.join(state_dir, TABLE_META_FILE), _json.dumps(merged)
+    # COMMIT POINT: stages complete -> atomic marker carrying the new
+    # sidecar -> adopt (swaps + sidecar install + marker delete)
+    hadoop_write_text_atomic(
+        spark,
+        f"{state_dir}/{REBUCKET_MARKER}",
+        _json.dumps(
+            {
+                "new_meta": merged,
+                "adopt_sets": True,
+                "adopt_bands": bool(bucket_bands),
+            }
+        ),
     )
+    _finish_rebucket_commit(spark, state_dir)
     return {
         "old_buckets": recorded,
         "new_buckets": new_buckets,
@@ -1839,6 +2038,7 @@ def cross_dedup_against_state(
 
     sets_path = f"{state_dir}/sets"
     bands_path = f"{state_dir}/bands"
+    _finish_rebucket_commit(spark, state_dir)  # adopt a crashed rebucket
     meta = read_table_meta(spark, state_dir) or {}
     missing = [k for k in ("num_hashes", "bands", "shingle_n") if k not in meta]
     if missing:
@@ -1855,8 +2055,27 @@ def cross_dedup_against_state(
     recorded, bands_bucketed = _resolve_neardup_layout(meta)
     bucketed = recorded is not None
 
+    # the empty frame's id types must match the non-empty path's (id_a
+    # inherits the STORED sets' id type, id_b the incoming's) or the
+    # schema would differ depending on whether any bucket matched —
+    # breaking downstream unions only in the empty case
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    in_id_type = incoming_df.schema[id_col].dataType
+    stored_id_type = (
+        spark.read.parquet(sets_path).schema["id"].dataType
+        if hadoop_path_exists(spark, sets_path)
+        else in_id_type
+    )
     empty = spark.createDataFrame(
-        [], "id_a long, id_b long, jaccard double"
+        [],
+        StructType(
+            [
+                StructField("id_a", stored_id_type),
+                StructField("id_b", in_id_type),
+                StructField("jaccard", DoubleType()),
+            ]
+        ),
     )
     if not hadoop_path_exists(spark, bands_path):
         return empty  # nothing indexed yet: no cross pairs by definition
@@ -1961,12 +2180,20 @@ def await_stream(query, timeout_s: int, what: str = "streaming query") -> None:
 MAINT_COUNTER_KEY = "batches_since_compact"
 MAINT_REDELIVERY_KEY = "redelivery_suspected"
 MAINT_LAST_BATCH_KEY = "last_batch_id"
+# lifetime rows appended by the sinks (redelivery copies included — an
+# upper bound on distinct rows, which is the safe side for a "has the
+# stream outgrown its fitted layout" decision); refit_due reads it
+MAINT_ROWS_KEY = "rows_appended"
 
 QUANTIZER_DIR_SUFFIX = "__quantizer"
 
 
 def _update_maintenance_meta(
-    spark: SparkSession, root: str, batch_id: int | None = None
+    spark: SparkSession,
+    root: str,
+    batch_id: int | None = None,
+    rows_appended: int | None = None,
+    extra: dict | None = None,
 ) -> None:
     """Per-micro-batch maintenance bookkeeping in the state root's meta
     sidecar (driver-side, one small-file rewrite — negligible next to the
@@ -1974,16 +2201,21 @@ def _update_maintenance_meta(
     delivered ``batch_id`` is not strictly increasing, flag
     ``redelivery_suspected`` — a restarted checkpoint re-numbers batches
     from an earlier id, which is exactly the event that accumulates the
-    byte-identical duplicate rows the compactors reclaim. Read-modify-
-    write, so layout keys (n_buckets, bucket_bands, n_cells) survive.
-    Single-writer assumption: same as the sinks' own (one streaming query
-    appends to a state root at a time)."""
+    byte-identical duplicate rows the compactors reclaim; accumulate
+    ``rows_appended`` when the caller passes the batch's row count (the
+    refit_due policy reads it). Read-modify-write, so layout keys
+    (n_buckets, bucket_bands, n_cells) survive; ATOMIC replace
+    (hadoop_write_text_atomic) — this file carries the layout/signature
+    contract and is rewritten every micro-batch, so an in-place truncate
+    would expose every crash to a torn JSON that bricks the next sink
+    start. Single-writer assumption: same as the sinks' own (one
+    streaming query appends to a state root at a time)."""
     import json as _json
     import os as _os
 
     from bharatmlstack_spark.operators.feature_store import (
         TABLE_META_FILE,
-        hadoop_write_text,
+        hadoop_write_text_atomic,
         read_table_meta,
     )
 
@@ -1996,20 +2228,39 @@ def _update_maintenance_meta(
         meta[MAINT_LAST_BATCH_KEY] = max(
             int(batch_id), int(last) if last is not None else int(batch_id)
         )
-    hadoop_write_text(
+    if rows_appended:
+        meta[MAINT_ROWS_KEY] = int(meta.get(MAINT_ROWS_KEY, 0)) + int(
+            rows_appended
+        )
+    if extra:
+        # layout facts the writing sink knows (e.g. the IVF sinks'
+        # fitted n_cells) — consistent by construction: the quantizer
+        # guard refuses a sink whose quantizer (hence n_cells) disagrees
+        # with the persisted state
+        meta.update(extra)
+    hadoop_write_text_atomic(
         spark, _os.path.join(root, TABLE_META_FILE), _json.dumps(meta)
     )
 
 
-def _reset_maintenance_meta(spark: SparkSession, root: str) -> None:
+def _reset_maintenance_meta(
+    spark: SparkSession, root: str, clear_redelivery: bool = True
+) -> None:
     """After a successful compaction/refit: zero the batch counter and
-    clear the redelivery flag (layout keys untouched)."""
+    clear the redelivery flag (layout keys untouched).
+
+    ``clear_redelivery=False`` preserves the known-duplicates signal for
+    a compaction pass that could NOT reclaim (the _compact_dedup_state
+    bail-out: every duplicate lives in a non-targetable partition dir) —
+    maintenance_due then stays true, honestly reporting that duplicates
+    persist; each subsequent maybe_* call re-pays only the thin detect
+    scan."""
     import json as _json
     import os as _os
 
     from bharatmlstack_spark.operators.feature_store import (
         TABLE_META_FILE,
-        hadoop_write_text,
+        hadoop_write_text_atomic,
         read_table_meta,
     )
 
@@ -2017,8 +2268,9 @@ def _reset_maintenance_meta(spark: SparkSession, root: str) -> None:
     if meta is None:
         return
     meta[MAINT_COUNTER_KEY] = 0
-    meta.pop(MAINT_REDELIVERY_KEY, None)
-    hadoop_write_text(
+    if clear_redelivery:
+        meta.pop(MAINT_REDELIVERY_KEY, None)
+    hadoop_write_text_atomic(
         spark, _os.path.join(root, TABLE_META_FILE), _json.dumps(meta)
     )
 
@@ -2076,14 +2328,16 @@ def save_streamed_index_quantizer(
     fit IvfIndex object, and a RESTARTED pipeline must assign with the
     SAME centroids or probes would read the wrong cells. n_cells x dim
     doubles — driver-small at any realistic n_cells."""
+    _write_quantizer(spark, index_path + QUANTIZER_DIR_SUFFIX, ivf)
+
+
+def _write_quantizer(spark: SparkSession, out_dir: str, ivf) -> None:
     rows = [
         (int(c), [float(x) for x in cent])
         for c, cent in enumerate(ivf.centroids)
     ]
     df = spark.createDataFrame(rows, "cell int, centroid array<double>")
-    df.coalesce(1).write.mode("overwrite").parquet(
-        index_path + QUANTIZER_DIR_SUFFIX
-    )
+    df.coalesce(1).write.mode("overwrite").parquet(out_dir)
 
 
 def load_streamed_index_quantizer(
@@ -2098,6 +2352,7 @@ def load_streamed_index_quantizer(
 
     from bharatmlstack_spark.operators.lsh import IvfIndex
 
+    _finish_refit_commit(spark, index_path)  # adopt a crashed refit first
     rows = (
         spark.read.parquet(index_path + QUANTIZER_DIR_SUFFIX)
         .orderBy("cell")
@@ -2106,6 +2361,79 @@ def load_streamed_index_quantizer(
     ivf = IvfIndex(n_cells=len(rows), id_col=id_col, emb_col=emb_col)
     ivf.centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
     return ivf
+
+
+def _ensure_quantizer_consistent(
+    spark: SparkSession, index_path: str, ivf
+) -> None:
+    """Refuse-to-mis-route: an IVF sink starting against an existing
+    persisted ``__quantizer`` must hold the SAME centroids — after a
+    refit_streamed_index re-buckets the state, a restarted sink handed
+    the pre-refit quantizer would assign new vectors into cells that no
+    longer mean what they meant, and every probe of those cells would
+    silently miss (the near-dup sink's bucket-count guard, applied to
+    centroids). Exact float64 comparison is sound: the sidecar stores
+    the fit's float64 centroids losslessly (parquet doubles), so the
+    same fit object — or load_streamed_index_quantizer's rebuild, or
+    refit's returned ivf — compares bit-equal. A state with no persisted
+    quantizer (fresh, or pre-r12) persists the handed one, arming the
+    guard for every subsequent restart."""
+    import numpy as np
+
+    _finish_refit_commit(spark, index_path)  # adopt a crashed refit first
+    qdir = index_path + QUANTIZER_DIR_SUFFIX
+    if not hadoop_path_exists(spark, qdir):
+        save_streamed_index_quantizer(spark, index_path, ivf)
+        return
+    stored = load_streamed_index_quantizer(
+        spark, index_path, id_col=ivf.id_col, emb_col=ivf.emb_col
+    )
+    ours = np.asarray(ivf.centroids, dtype=np.float64)
+    theirs = np.asarray(stored.centroids, dtype=np.float64)
+    if ours.shape != theirs.shape or not np.array_equal(ours, theirs):
+        raise RuntimeError(
+            f"streamed IVF index {index_path} was built with a different "
+            f"coarse quantizer (persisted: {theirs.shape[0]} cells, "
+            f"handed: {ours.shape[0]} cells{'' if ours.shape != theirs.shape else ', same count but different centroids'}) "
+            "— appending with it would assign new vectors into cells the "
+            "accumulated state does not mean, silently mis-routing every "
+            "subsequent probe. Pass load_streamed_index_quantizer("
+            f"spark, {index_path!r}) (or the ivf refit_streamed_index "
+            "returned), or rebuild the state."
+        )
+
+
+def refit_due(
+    spark: SparkSession,
+    index_path: str,
+    target_cell_rows: int = 10_000,
+    factor: float = 2.0,
+) -> bool:
+    """The refit-cadence policy — maintenance_due's sibling for
+    refit_streamed_index, decided from the same sidecar the IVF sinks
+    maintain (one read, never a state scan): due when the accumulated
+    appended rows have outgrown the fitted layout by ``factor``, i.e.
+    ``rows_appended >= factor * n_cells * target_cell_rows`` (SCALE.md's
+    prescription: per-cell population pinned at ~target_cell_rows, so
+    2x over means probes scan ~2x the intended rows and SemDeDup's
+    within-cell pair work ~4x). ``rows_appended`` counts redelivery
+    copies — an upper bound on distinct rows, which errs toward
+    refitting early (the refit itself dedups, so an early refit is
+    wasted work at worst, never wrong). A sidecar written by a past
+    refit carries its own target_cell_rows and that takes precedence
+    over the argument. False when the sidecar lacks the counters (no
+    sink has run, or a pre-r12 state) — the caller then has no basis to
+    refit from metadata alone."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    _finish_refit_commit(spark, index_path)  # adopt a crashed refit first
+    meta = read_table_meta(spark, index_path) or {}
+    n_cells = meta.get("n_cells")
+    rows = meta.get(MAINT_ROWS_KEY)
+    if not n_cells or not rows:
+        return False
+    tcr = int(meta.get("target_cell_rows", target_cell_rows))
+    return int(rows) >= factor * int(n_cells) * tcr
 
 
 def refit_streamed_index(
@@ -2128,7 +2456,9 @@ def refit_streamed_index(
     (SCALE.md's fixed-cells row shows the superlinear cost at 10x).
 
     Run at reset cadence (orders of magnitude rarer than compaction —
-    when the accumulated count has outgrown the fitted n_cells by ~2x+):
+    ``refit_due`` decides it from the sidecar the sinks maintain: one
+    read, due when rows_appended has outgrown n_cells x target_cell_rows
+    by ~2x):
 
     1. read the accumulated index, dedup on id (the refit subsumes a
        compaction pass);
@@ -2139,21 +2469,28 @@ def refit_streamed_index(
     3. re-fit the coarse quantizer on the accumulated vectors
        (IvfIndex.fit — deterministic hash-ordered sample, ≤ sample_size
        driver rows) and re-assign every vector (one Arrow GEMM pass);
-    4. staged swap, exactly FeatureStore.compact's discipline: write the
-       re-assigned state cell-partitioned to ``<index>__refitting``, read
-       it back, overwrite the live root, drop the stage. A crash before
-       the final overwrite leaves the live root untouched;
-    5. persist the NEW quantizer (save_streamed_index_quantizer) and a
-       fresh meta sidecar (n_cells + zeroed maintenance counters).
+    4. marker commit (r12, the _finish_rebucket_commit discipline):
+       stage the re-assigned state at ``<index>__refitting`` with the
+       fresh meta sidecar INSIDE it (n_cells + target_cell_rows + reset
+       maintenance counters — it rides the rename), stage the NEW
+       quantizer at ``<index>__quantizer__refitting``, then write the
+       atomic commit marker and adopt both stages via delete + rename.
+       A crash before the marker leaves the live root + quantizer
+       untouched; after it, _finish_refit_commit finishes the adoption
+       from any entry point (sinks, readers, compactor, next refit) —
+       the index and its quantizer can never go live separately, which
+       is what made a restarted sink silently mis-route probes.
 
     Search/dedup equivalence (pytest-pinned): assignments change, but
     identical vectors still share a cell under ANY quantizer, so exact-
     duplicate recall stays 1; ANN search against the refit index returns
-    the same top-k for the fixture corpus. Callers must hand subsequent
-    sink runs the RETURNED quantizer (or load_streamed_index_quantizer):
-    appending with the old one against the re-bucketed state would
-    mis-route probes. Returns {"ivf", "n", "rows_removed",
-    "n_cells_before", "n_cells_after"}."""
+    the same top-k for the fixture corpus. Subsequent sink runs must
+    hold the RETURNED quantizer (or load_streamed_index_quantizer's
+    rebuild) — ENFORCED since r12: sink start compares the handed
+    centroids against the persisted ``__quantizer`` and refuses a stale
+    one (_ensure_quantizer_consistent), so the mis-route is a loud
+    error, never a silent probe miss. Returns {"ivf", "n",
+    "rows_removed", "n_cells_before", "n_cells_after"}."""
     import json as _json
     import math as _math
     import os as _os
@@ -2162,10 +2499,18 @@ def refit_streamed_index(
         TABLE_META_FILE,
         hadoop_delete_path,
         hadoop_list_partition_dirs,
-        hadoop_write_text,
+        hadoop_write_text_atomic,
     )
     from bharatmlstack_spark.operators.lsh import IvfIndex
 
+    # finish a crashed predecessor's adoption, then clear orphaned
+    # pre-commit stages
+    _finish_refit_commit(spark, index_path)
+    tmp = index_path + "__refitting"
+    qtmp = index_path + QUANTIZER_DIR_SUFFIX + "__refitting"
+    for orphan in (tmp, qtmp):
+        if hadoop_path_exists(spark, orphan):
+            hadoop_delete_path(spark, orphan)
     if not hadoop_path_exists(spark, index_path):
         raise FileNotFoundError(
             f"refit_streamed_index: no index at {index_path} — nothing "
@@ -2181,7 +2526,6 @@ def refit_streamed_index(
     ivf = IvfIndex(n_cells=n_cells, id_col=id_col, emb_col=emb_col).fit(
         acc, sample_size=sample_size, iters=iters
     )
-    tmp = index_path + "__refitting"
     (
         ivf.index(acc)
         .repartition("cell")
@@ -2189,23 +2533,31 @@ def refit_streamed_index(
         .partitionBy("cell")
         .parquet(tmp)
     )
-    (
-        spark.read.parquet(tmp)
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(index_path)
-    )
-    hadoop_delete_path(spark, tmp)
-    save_streamed_index_quantizer(spark, index_path, ivf)
-    # the root overwrite dropped the old sidecar with it: write a fresh
-    # one — counters zeroed (the refit subsumed the compaction), fitted
-    # cell count recorded for the next due-for-refit decision
-    hadoop_write_text(
+    # the fresh sidecar rides INSIDE the index stage (underscore files
+    # are invisible to parquet discovery): counters zeroed (the refit
+    # subsumed the compaction), fitted cell count + target_cell_rows +
+    # post-dedup row count recorded for the next refit_due decision
+    hadoop_write_text_atomic(
         spark,
-        _os.path.join(index_path, TABLE_META_FILE),
-        _json.dumps({"n_cells": n_cells, MAINT_COUNTER_KEY: 0}),
+        _os.path.join(tmp, TABLE_META_FILE),
+        _json.dumps(
+            {
+                "n_cells": n_cells,
+                "target_cell_rows": target_cell_rows,
+                MAINT_COUNTER_KEY: 0,
+                MAINT_ROWS_KEY: n,
+            }
+        ),
     )
+    _write_quantizer(spark, qtmp, ivf)
+    # COMMIT POINT: both stages complete -> atomic marker -> adopt
+    # index + quantizer together (delete + rename each, marker dropped)
+    hadoop_write_text_atomic(
+        spark,
+        index_path + REFIT_MARKER_SUFFIX,
+        _json.dumps({"n_cells": n_cells}),
+    )
+    _finish_refit_commit(spark, index_path)
     return {
         "ivf": ivf,
         "n": n,

@@ -34,9 +34,11 @@ from bharatmlstack_spark.operators.lsh import IvfIndex
 from bharatmlstack_spark.streaming.ingest import (
     await_stream,
     cross_dedup_against_state,
+    load_streamed_index_quantizer,
     maintenance_due,
     maybe_compact_streamed_index,
     read_streamed_ivf_index,
+    refit_due,
     refit_streamed_index,
     stream_ann_ivf_sink,
     stream_dedup_sink,
@@ -147,19 +149,25 @@ def main() -> None:
     print("top-5 neighbors per query from the streamed index:")
     hits.orderBy("query_id", "rank").show()
 
-    # 4. the stream has outgrown the bootstrap quantizer: refit — derive
-    # n_cells from the ACCUMULATED count, re-fit + re-assign, staged swap
-    # (the skye indexer reset-job analog; compaction alone never
-    # re-buckets, so per-cell population would grow with the stream)
+    # 4. the stream has outgrown the bootstrap quantizer: the refit_due
+    # POLICY decides it from the same sidecar the sink maintains (one
+    # read — rows_appended vs n_cells x target_cell_rows), then
+    # refit_streamed_index derives n_cells from the ACCUMULATED count,
+    # re-fits + re-assigns, and marker-commits the staged swap (the skye
+    # indexer reset-job analog; compaction alone never re-buckets, so
+    # per-cell population would grow with the stream)
     print("== 4. refit: re-bucket the index the stream outgrew ==")
+    assert refit_due(spark, f"{work}/ivf_index", target_cell_rows=16)
     stats = refit_streamed_index(
         spark, f"{work}/ivf_index", target_cell_rows=16, min_cells=8
     )
     print(
-        f"refit {stats['n']} vectors: {stats['n_cells_before']} -> "
-        f"{stats['n_cells_after']} cells "
+        f"refit_due -> refit {stats['n']} vectors: "
+        f"{stats['n_cells_before']} -> {stats['n_cells_after']} cells "
         f"(+{stats['rows_removed']} dup rows reclaimed)"
     )
+    # the refit reset the bookkeeping: not due again at the same target
+    assert not refit_due(spark, f"{work}/ivf_index", target_cell_rows=16)
     ivf2 = stats["ivf"]  # subsequent appends/searches use the NEW quantizer
     hits2 = ivf2.search(
         read_streamed_ivf_index(spark, f"{work}/ivf_index", dedup=False),
@@ -167,6 +175,34 @@ def main() -> None:
     )
     print("same queries against the re-bucketed index:")
     hits2.orderBy("query_id", "rank").show()
+
+    # a RESTARTED sink must hold the refit quantizer: the persisted
+    # __quantizer sidecar arms a start-time guard — the stale bootstrap
+    # quantizer is refused loudly instead of silently mis-routing probes
+    late = emb.filter(F.col("vec_id") < 2).select("vec_id", "embedding")
+    ltopic = f"{work}/ltopic"
+    late.write.parquet(ltopic)
+
+    def _late_stream():
+        return spark.readStream.schema(
+            "vec_id bigint, embedding array<float>"
+        ).parquet(ltopic)
+
+    try:
+        stream_ann_ivf_sink(
+            _late_stream(), ivf, f"{work}/ivf_index", f"{work}/ck_stale",
+            spark, trigger_once=True,
+        )
+        raise AssertionError("stale quantizer was not refused")
+    except RuntimeError as e:
+        print(f"stale-quantizer append refused as designed: {str(e)[:80]}...")
+    q = stream_ann_ivf_sink(
+        _late_stream(),
+        load_streamed_index_quantizer(spark, f"{work}/ivf_index"),
+        f"{work}/ivf_index", f"{work}/ck_fresh", spark, trigger_once=True,
+    )
+    await_stream(q, 300)
+    print("restart with the persisted (refit) quantizer: appended OK")
 
     shutil.rmtree(work, ignore_errors=True)
     print("done.")
