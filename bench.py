@@ -150,8 +150,16 @@ def main() -> None:
     # warm the JVM + parquet footer cache with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # retired rows (queries.RETIRED) leave the registry but keep their
+    # functions — resolve them off the module so the bench set's names
+    # and order stay comparable across rounds (knn_dot retired r12)
+    import bharatmlstack_spark.queries as _Q
+
     timings, query_spread = _bench_set(
-        [(n, qs[n]) for n in BENCH_QUERIES], spark, sf_dir, repeats
+        [(n, qs.get(n) or getattr(_Q, n)) for n in BENCH_QUERIES],
+        spark,
+        sf_dir,
+        repeats,
     )
 
     # product-path variants of the exact-recall rows: time what ships

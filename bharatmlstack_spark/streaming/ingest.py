@@ -1969,6 +1969,9 @@ def rebucket_neardup_state(
             "n_buckets": new_buckets,
             "bucket_bands": bucket_bands,
             MAINT_COUNTER_KEY: 0,
+            # rebucket deduped: the true doc count replaces the
+            # redelivery-inclusive running total (rebucket_due reads it)
+            MAINT_ROWS_KEY: sets_rows,
         }
     )
     merged.pop(MAINT_REDELIVERY_KEY, None)
@@ -2434,6 +2437,33 @@ def refit_due(
         return False
     tcr = int(meta.get("target_cell_rows", target_cell_rows))
     return int(rows) >= factor * int(n_cells) * tcr
+
+
+def rebucket_due(
+    spark: SparkSession,
+    state_dir: str,
+    target_bucket_rows: int = 100_000,
+    factor: float = 2.0,
+) -> bool:
+    """refit_due's sibling for the near-dup state: due when the docs
+    appended (the sink accumulates ``rows_appended`` in the sidecar)
+    have outgrown ``n_buckets x target_bucket_rows`` by ``factor`` —
+    per-bucket size, and with it every targeted-dir probe read, grows
+    linearly once the corpus outruns the bucket count the state was
+    created with (the growth rebucket_neardup_state exists to reset).
+    One sidecar read; False for a flat state (no n_buckets — bucket
+    population isn't the scaling axis there; the regime rule in
+    SCALE.md decides the flat->bucketed migration instead) or when no
+    sink has recorded counters yet."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    _finish_rebucket_commit(spark, state_dir)  # adopt a crashed rebucket
+    meta = read_table_meta(spark, state_dir) or {}
+    n_buckets = meta.get("n_buckets")
+    rows = meta.get(MAINT_ROWS_KEY)
+    if not n_buckets or not rows:
+        return False
+    return int(rows) >= factor * int(n_buckets) * target_bucket_rows
 
 
 def refit_streamed_index(

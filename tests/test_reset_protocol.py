@@ -110,6 +110,45 @@ def test_refit_due_policy(spark, tmp_path):
     assert not refit_due(spark, index_path, target_cell_rows=1, factor=2.0)
 
 
+def test_rebucket_due_policy(spark, tmp_path):
+    """rebucket_due: the near-dup sibling of refit_due — due from the
+    sidecar alone once appended docs outgrow n_buckets x
+    target_bucket_rows; reset by the rebucket (which also replaces the
+    redelivery-inclusive running count with the deduped doc count)."""
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        rebucket_due,
+        rebucket_neardup_state,
+        stream_neardup_minhash_sink,
+    )
+
+    rows = [
+        {"doc_id": i, "text": f"document number {i} with some words " * 3}
+        for i in range(10)
+    ]
+    src = str(tmp_path / "rbd_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    state, out = str(tmp_path / "rbd_state"), str(tmp_path / "rbd_out")
+    assert not rebucket_due(spark, state)  # no state at all
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_neardup_minhash_sink(
+        stream, state, out, str(tmp_path / "rbd_ck"), spark,
+        id_col="doc_id", text_col="text", trigger_once=True,
+        state_buckets=2,
+    )
+    await_stream(q, 120, "neardup sink (rbd)")
+    # 10 docs vs 2 buckets x 2 target = 4 capacity: 10 >= 2*4 -> due
+    assert rebucket_due(spark, state, target_bucket_rows=2, factor=2.0)
+    # not due at a capacity that still fits
+    assert not rebucket_due(spark, state, target_bucket_rows=1000)
+    rebucket_neardup_state(spark, state, new_buckets=8)
+    # 10 docs vs 8 buckets x 2 = 16: below factor 2 -> not due
+    assert not rebucket_due(spark, state, target_bucket_rows=2, factor=2.0)
+
+
 def test_auto_maintain_compacts_on_redelivery_ivf(spark, tmp_path):
     """auto_maintain=True: a full redelivery (fresh checkpoint, batch
     ids restart) is detected and compacted inside the sink's own
