@@ -2466,6 +2466,59 @@ def rebucket_due(
     return int(rows) >= factor * int(n_buckets) * target_bucket_rows
 
 
+def maybe_refit_streamed_index(
+    spark: SparkSession,
+    index_path: str,
+    target_cell_rows: int = 10_000,
+    factor: float = 2.0,
+    **refit_kwargs,
+) -> dict | None:
+    """refit_streamed_index gated by refit_due — the policy-plus-
+    mechanism form (maybe_compact_streamed_index's reset-cadence
+    sibling). Returns the refit stats (the caller MUST switch to
+    ``stats['ivf']``/load_streamed_index_quantizer before appending
+    again — the start-time guard enforces it), or None when the
+    accumulated stream still fits the fitted layout (one sidecar read).
+
+    OFFLINE ONLY: never call from a running sink's own loop (unlike the
+    compaction maybe_*) — the sink holds the pre-refit quantizer object
+    and its next append would be exactly the stale-quantizer mis-route
+    the guard refuses. Run it between sink restarts, at reset cadence."""
+    if not refit_due(spark, index_path, target_cell_rows, factor):
+        return None
+    return refit_streamed_index(
+        spark, index_path, target_cell_rows=target_cell_rows, **refit_kwargs
+    )
+
+
+def maybe_rebucket_neardup_state(
+    spark: SparkSession,
+    state_dir: str,
+    target_bucket_rows: int = 100_000,
+    factor: float = 2.0,
+    bucket_bands: bool | None = None,
+) -> dict | None:
+    """rebucket_neardup_state gated by rebucket_due, with the new count
+    derived the way refit derives n_cells: ``new_buckets =
+    ceil(docs / target_bucket_rows)`` from the sidecar's accumulated
+    count — per-bucket population lands back at ~target_bucket_rows no
+    matter how far the corpus outgrew creation. Returns the rebucket
+    stats (the NEXT sink run must pass state_buckets=new_buckets — the
+    layout guard enforces it), or None when not due. OFFLINE ONLY, same
+    single-writer caveat as maybe_refit_streamed_index."""
+    import math as _math
+
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    if not rebucket_due(spark, state_dir, target_bucket_rows, factor):
+        return None
+    meta = read_table_meta(spark, state_dir) or {}
+    new_buckets = max(1, _math.ceil(int(meta[MAINT_ROWS_KEY]) / target_bucket_rows))
+    return rebucket_neardup_state(
+        spark, state_dir, new_buckets, bucket_bands=bucket_bands
+    )
+
+
 def refit_streamed_index(
     spark: SparkSession,
     index_path: str,

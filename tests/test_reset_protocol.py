@@ -149,6 +149,56 @@ def test_rebucket_due_policy(spark, tmp_path):
     assert not rebucket_due(spark, state, target_bucket_rows=2, factor=2.0)
 
 
+def test_maybe_refit_and_maybe_rebucket_gated_forms(spark, tmp_path):
+    """The gated reset forms: None when the stream fits the fitted
+    layout (one sidecar read), the full reset when due — with the
+    rebucket's new count derived from the accumulated doc count."""
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        maybe_rebucket_neardup_state,
+        maybe_refit_streamed_index,
+        stream_neardup_minhash_sink,
+    )
+
+    # IVF side: 40 rows, 2 bootstrap cells
+    df = _ivf_corpus(spark)
+    idx = IvfIndex(n_cells=2).fit(df, sample_size=64, iters=2)
+    index_path = str(tmp_path / "mr_index")
+    _run_ivf_sink(spark, tmp_path, df, idx, index_path, "mr_ck1")
+    assert maybe_refit_streamed_index(spark, index_path) is None  # fits
+    stats = maybe_refit_streamed_index(
+        spark, index_path, target_cell_rows=8, min_cells=4
+    )
+    assert stats is not None and stats["n_cells_after"] == 5
+    # immediately after: the refit reset the bookkeeping
+    assert maybe_refit_streamed_index(spark, index_path, target_cell_rows=8) is None
+
+    # near-dup side: 10 docs, 2 buckets at creation
+    rows = [
+        {"doc_id": i, "text": f"document number {i} with some words " * 3}
+        for i in range(10)
+    ]
+    src = str(tmp_path / "mr_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    state, out = str(tmp_path / "mr_state"), str(tmp_path / "mr_out")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_neardup_minhash_sink(
+        stream, state, out, str(tmp_path / "mr_nck"), spark,
+        id_col="doc_id", text_col="text", trigger_once=True,
+        state_buckets=2,
+    )
+    await_stream(q, 120, "neardup sink (mr)")
+    assert maybe_rebucket_neardup_state(spark, state) is None  # fits
+    st = maybe_rebucket_neardup_state(spark, state, target_bucket_rows=2)
+    assert st is not None
+    assert st["new_buckets"] == 5  # ceil(10 docs / 2 per bucket)
+    assert maybe_rebucket_neardup_state(spark, state, target_bucket_rows=2) is None
+
+
 def test_auto_maintain_compacts_on_redelivery_ivf(spark, tmp_path):
     """auto_maintain=True: a full redelivery (fresh checkpoint, batch
     ids restart) is detected and compacted inside the sink's own
