@@ -182,15 +182,26 @@ def read_table_meta(spark: SparkSession, table_path: str) -> dict | None:
     if text is None:
         # a crashed hadoop_write_text_atomic between its delete and
         # rename: the target is gone but the COMPLETE staged tmp exists —
-        # finish the rename and read it (the only state that produces
-        # missing-target + present-tmp; see hadoop_write_text_atomic)
+        # finish the rename and read it. The replace case guarantees a
+        # missing-target tmp is complete, but the FIRST-EVER write of a
+        # sidecar has no target to protect the invariant: a crash mid-tmp
+        # leaves a TORN tmp with no target. Parse BEFORE adopting; a torn
+        # tmp is deleted (the pre-crash state was no-sidecar — fully
+        # recoverable, the writers record idempotently) instead of being
+        # renamed into place where it would poison every later read.
         tmp = path + TEXT_TMP_SUFFIX
-        if hadoop_path_exists(spark, tmp):
+        tmp_text = hadoop_read_text(spark, tmp)
+        if tmp_text is not None:
             jvm = spark._jvm
             jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
             fs = jtmp.getFileSystem(spark._jsc.hadoopConfiguration())
-            fs.rename(jtmp, jvm.org.apache.hadoop.fs.Path(path))
-            text = hadoop_read_text(spark, path)
+            try:
+                json.loads(tmp_text)
+            except ValueError:
+                fs.delete(jtmp, False)  # torn first write; nothing to adopt
+            else:
+                fs.rename(jtmp, jvm.org.apache.hadoop.fs.Path(path))
+                text = hadoop_read_text(spark, path)
     return None if text is None else json.loads(text)
 
 

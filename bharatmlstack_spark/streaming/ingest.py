@@ -1050,8 +1050,12 @@ def stream_neardup_minhash_sink(
         # adopt a crashed rebucket_neardup_state commit BEFORE reading
         # the sidecar — otherwise this run could validate against (and
         # append under) the pre-rebucket bucket count while the roots
-        # are already hashed with the new one
+        # are already hashed with the new one; then restore any root
+        # whose flat compaction swap crashed mid-rename (a missing
+        # bands root would read as an EMPTY index — silent pair loss)
         _finish_rebucket_commit(spark, state_dir)
+        _recover_root_swap(spark, sets_path)
+        _recover_root_swap(spark, bands_path)
         meta = read_table_meta(spark, state_dir)
         # shared resolution (legacy pre-hybrid sidecars bucketed both
         # roots) — compact_neardup_state resolves with the SAME helper
@@ -1366,32 +1370,38 @@ def stream_ann_ivf_sink(
     _ensure_quantizer_consistent(spark, index_path, ivf)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        n = batch_df.count()
-        (
-            ivf.index(batch_df)
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(index_path)
-        )
-        # maintenance bookkeeping (maintenance_due / refit_due read
-        # these): batch counter + redelivery detection via
-        # non-monotonic batch ids + appended rows + fitted cell count
-        _update_maintenance_meta(
-            spark,
-            index_path,
-            batch_id,
-            rows_appended=n,
-            extra={"n_cells": int(len(ivf.centroids))},
-        )
-        if auto_maintain:
-            maybe_compact_streamed_index(
+        # ONE evaluation of the batch source: persist the assignment,
+        # count it (doubles as the empty check — isEmpty would be a
+        # second source scan), write it, unpersist
+        assigned = ivf.index(batch_df).persist()
+        try:
+            n = assigned.count()
+            if not n:
+                return
+            (
+                assigned.write.mode("append")
+                .partitionBy("cell")
+                .parquet(index_path)
+            )
+            # maintenance bookkeeping (maintenance_due / refit_due read
+            # these): batch counter + redelivery detection via
+            # non-monotonic batch ids + appended rows + fitted cell count
+            _update_maintenance_meta(
                 spark,
                 index_path,
-                id_col=ivf.id_col,
-                every_n_batches=maintain_every_n_batches,
+                batch_id,
+                rows_appended=n,
+                extra={"n_cells": int(len(ivf.centroids))},
             )
+            if auto_maintain:
+                maybe_compact_streamed_index(
+                    spark,
+                    index_path,
+                    id_col=ivf.id_col,
+                    every_n_batches=maintain_every_n_batches,
+                )
+        finally:
+            assigned.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
@@ -1577,6 +1587,7 @@ def read_streamed_ivf_index(
     then visible as duplicates, which IVF search tolerates (identical
     rows score identically; dedup the top-k on id if exact-k matters)."""
     _finish_refit_commit(spark, index_path)  # adopt a crashed refit first
+    _recover_root_swap(spark, index_path)  # ...or a crashed flat-swap
     df = spark.read.parquet(index_path)
     return df.dropDuplicates([id_col]) if dedup else df
 
@@ -1615,6 +1626,7 @@ def _compact_dedup_state(
         hadoop_list_partition_dirs,
     )
 
+    _recover_root_swap(spark, path)  # restore a crashed flat-swap first
     if not hadoop_path_exists(spark, path):
         return 0, False
     dirs = (
@@ -1629,14 +1641,16 @@ def _compact_dedup_state(
         if not touched:
             return 0, False
         paths = [dirs[p] for p in touched if p in dirs]
+        # a duplicate-holding partition the listing skipped (e.g. a null
+        # key's __HIVE_DEFAULT_PARTITION__ — hadoop_list_partition_dirs
+        # keeps numeric dirs only) cannot be rewritten: its duplicates
+        # SURVIVE this pass, so report the bail-out whether the
+        # untargetable dirs were the only ones (nothing to do at all) or
+        # mixed in with rewritable ones — either way the redelivery
+        # signal must not be consumed for a reclaim that skipped them
+        bailed = len(paths) < len(touched)
         if not paths:
-            # every duplicate-holding partition lives in a dir the
-            # listing skipped (e.g. a null key's __HIVE_DEFAULT_PARTITION__
-            # — hadoop_list_partition_dirs keeps numeric dirs only):
-            # nothing targetable to rewrite, leave the state as-is
-            # (compaction is advisory; readers' dedup stays correct) and
-            # REPORT the bail-out so the redelivery signal survives
-            return 0, True
+            return 0, bailed
         scoped = spark.read.option("basePath", path).parquet(*paths)
         before = scoped.count()
         keep = scoped.dropDuplicates(dedup_cols)
@@ -1657,16 +1671,20 @@ def _compact_dedup_state(
             .parquet(path)
         )
         hadoop_delete_path(spark, tmp)
-        return removed, False
+        return removed, bailed
     before = state.count()
     keep = state.dropDuplicates(dedup_cols)
     removed = before - keep.count()
     if not removed:
         return 0, False
+    # crash-safe flat rewrite: stage, then the aside-swap (a complete
+    # copy exists in some dir at every instant; _recover_root_swap at
+    # the state entry points restores a crash mid-swap) — auto_maintain
+    # runs this inside the sink's own loop, so a plain live overwrite
+    # would put the whole root at risk on every due micro-batch
     tmp = path + "__compacting"
     keep.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    hadoop_delete_path(spark, tmp)
+    _swap_staged_root(spark, tmp, path)
     return removed, False
 
 
@@ -1772,18 +1790,94 @@ REBUCKET_MARKER = "__rebucket_commit.json"
 REFIT_MARKER_SUFFIX = "__refit_commit.json"
 
 
+ASIDE_SUFFIX = "__replaced"
+
+
 def _swap_staged_root(spark: SparkSession, stage: str, live: str) -> None:
-    """Adopt one complete staged root: delete the live dir, rename the
-    stage over it. Idempotent across crashes — a stage without _SUCCESS
-    is never adopted, a stage already renamed away is skipped, and a
-    crash between delete and rename re-runs into the rename branch."""
+    """Adopt one complete staged root: move the live dir ASIDE, rename
+    the stage over its place, then drop the aside copy. The
+    aside-then-rename order (never delete-live-first) guarantees a
+    complete copy of the data exists in SOME directory (live, aside, or
+    stage) at every instant — a crash at any point, or a second adopter
+    racing this one (concurrent readers all run the commit-recovery
+    path), can strand a copy under the aside name but can never destroy
+    the state: the stranded cases are restored by the retry/recovery
+    re-entry below. A stage already renamed away means another adopter
+    finished — skip. A stage present WITHOUT _SUCCESS under a commit
+    marker is refused loudly (see _require_stage_success — markers are
+    only written after complete stages, so this means _SUCCESS markers
+    are disabled or the stage was corrupted; silently skipping would
+    install the marker's sidecar over un-swapped roots)."""
     from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
 
-    if not hadoop_path_exists(spark, stage + "/_SUCCESS"):
+    aside = live + ASIDE_SUFFIX
+    if not hadoop_path_exists(spark, stage):
+        # already adopted (possibly by a racing recovery) — if that
+        # racer crashed between its renames, the old copy is stranded
+        # aside while live exists: drop it; if live is MISSING, restore
+        # the aside copy (crash between aside-rename and stage-rename,
+        # with the stage consumed by a third party — restore beats loss)
+        if hadoop_path_exists(spark, live):
+            if hadoop_path_exists(spark, aside):
+                hadoop_delete_path(spark, aside)
+        elif hadoop_path_exists(spark, aside):
+            _hadoop_rename(spark, aside, live)
         return
+    _require_stage_success(spark, stage)
+    if hadoop_path_exists(spark, aside):
+        hadoop_delete_path(spark, aside)
     if hadoop_path_exists(spark, live):
-        hadoop_delete_path(spark, live)
-    _hadoop_rename(spark, stage, live)
+        _hadoop_rename(spark, live, aside)
+    jvm = spark._jvm
+    jstage = jvm.org.apache.hadoop.fs.Path(stage)
+    fs = jstage.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.rename(jstage, jvm.org.apache.hadoop.fs.Path(live)):
+        # lost a race: another adopter consumed the stage between our
+        # existence check and the rename; make sure live holds data
+        if not hadoop_path_exists(spark, live):
+            if hadoop_path_exists(spark, aside):
+                _hadoop_rename(spark, aside, live)
+            else:
+                raise RuntimeError(
+                    f"staged-root adoption failed: {stage} vanished and "
+                    f"{live} is missing with no aside copy"
+                )
+    if hadoop_path_exists(spark, aside) and hadoop_path_exists(spark, live):
+        hadoop_delete_path(spark, aside)
+
+
+def _recover_root_swap(spark: SparkSession, live: str) -> None:
+    """Restore a root whose flat compaction swap (_swap_staged_root from
+    _compact_dedup_state) crashed mid-rename: a missing live dir adopts
+    a complete ``__compacting`` stage, else restores the ``__replaced``
+    aside copy; a stranded aside beside an intact live is dropped.
+    Called from the state entry points (sink layout check, compactor,
+    probes, readers) — one or two FS existence checks in the common
+    no-op case. Without this, a sink restarted after such a crash would
+    see hadoop_path_exists(bands)=False and silently treat the whole
+    accumulated index as empty."""
+    from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
+
+    tmp, aside = live + "__compacting", live + ASIDE_SUFFIX
+    if not hadoop_path_exists(spark, live):
+        if hadoop_path_exists(spark, tmp + "/_SUCCESS"):
+            _hadoop_rename(spark, tmp, live)
+        elif hadoop_path_exists(spark, aside):
+            _hadoop_rename(spark, aside, live)
+    elif hadoop_path_exists(spark, aside):
+        hadoop_delete_path(spark, aside)
+
+
+def _require_stage_success(spark: SparkSession, stage: str) -> None:
+    if not hadoop_path_exists(spark, stage + "/_SUCCESS"):
+        raise RuntimeError(
+            f"staged root {stage} exists but has no _SUCCESS marker — "
+            "either mapreduce.fileoutputcommitter.marksuccessfuljobs is "
+            "disabled (the reset jobs' commit protocol requires it) or "
+            "the stage is a partial write; refusing to adopt or commit "
+            "over it. Re-run the reset job with _SUCCESS markers "
+            "enabled, or delete the stage to discard it."
+        )
 
 
 def _finish_rebucket_commit(spark: SparkSession, state_dir: str) -> bool:
@@ -1942,6 +2036,9 @@ def rebucket_neardup_state(
             .partitionBy("__kb")
             .parquet(tmp)
         )
+        # fail BEFORE the commit marker on clusters that disable
+        # _SUCCESS markers — adoption keys on them
+        _require_stage_success(spark, tmp)
         n = spark.read.parquet(tmp).count()
         removed += before - n
         return n
@@ -2042,6 +2139,8 @@ def cross_dedup_against_state(
     sets_path = f"{state_dir}/sets"
     bands_path = f"{state_dir}/bands"
     _finish_rebucket_commit(spark, state_dir)  # adopt a crashed rebucket
+    _recover_root_swap(spark, sets_path)
+    _recover_root_swap(spark, bands_path)
     meta = read_table_meta(spark, state_dir) or {}
     missing = [k for k in ("num_hashes", "bands", "shingle_n") if k not in meta]
     if missing:
@@ -2483,11 +2582,22 @@ def maybe_refit_streamed_index(
     OFFLINE ONLY: never call from a running sink's own loop (unlike the
     compaction maybe_*) — the sink holds the pre-refit quantizer object
     and its next append would be exactly the stale-quantizer mis-route
-    the guard refuses. Run it between sink restarts, at reset cadence."""
-    if not refit_due(spark, index_path, target_cell_rows, factor):
+    the guard refuses. Run it between sink restarts, at reset cadence.
+
+    The gate and the mechanism share ONE resolved target: a sidecar
+    written by a past refit records its target_cell_rows and that takes
+    precedence over the argument (exactly refit_due's rule) — otherwise
+    a due-at-16 decision could execute a refit at the 10_000 default,
+    collapsing the index to min_cells and silently rewriting the
+    operator's configured layout target."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    meta = read_table_meta(spark, index_path) or {}
+    resolved = int(meta.get("target_cell_rows", target_cell_rows))
+    if not refit_due(spark, index_path, resolved, factor):
         return None
     return refit_streamed_index(
-        spark, index_path, target_cell_rows=target_cell_rows, **refit_kwargs
+        spark, index_path, target_cell_rows=resolved, **refit_kwargs
     )
 
 
@@ -2600,6 +2710,9 @@ def refit_streamed_index(
             "accumulated yet (run a sink first); refusing to fabricate "
             "an empty state"
         )
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    old_meta = read_table_meta(spark, index_path) or {}
     n_cells_before = len(hadoop_list_partition_dirs(spark, index_path, "cell"))
     raw = spark.read.parquet(index_path)
     total = raw.count()
@@ -2619,22 +2732,32 @@ def refit_streamed_index(
     # the fresh sidecar rides INSIDE the index stage (underscore files
     # are invisible to parquet discovery): counters zeroed (the refit
     # subsumed the compaction), fitted cell count + target_cell_rows +
-    # post-dedup row count recorded for the next refit_due decision
+    # post-dedup row count recorded for the next refit_due decision.
+    # MERGE over the prior meta (the rebucket's discipline) — dropping
+    # last_batch_id would blind redelivery detection for a stream later
+    # restarted from an older checkpoint
+    merged = dict(old_meta)
+    merged.update(
+        {
+            "n_cells": n_cells,
+            "target_cell_rows": target_cell_rows,
+            MAINT_COUNTER_KEY: 0,
+            MAINT_ROWS_KEY: n,
+        }
+    )
+    merged.pop(MAINT_REDELIVERY_KEY, None)  # the refit reclaimed them
     hadoop_write_text_atomic(
         spark,
         _os.path.join(tmp, TABLE_META_FILE),
-        _json.dumps(
-            {
-                "n_cells": n_cells,
-                "target_cell_rows": target_cell_rows,
-                MAINT_COUNTER_KEY: 0,
-                MAINT_ROWS_KEY: n,
-            }
-        ),
+        _json.dumps(merged),
     )
     _write_quantizer(spark, qtmp, ivf)
+    # fail BEFORE the commit marker on clusters that disable _SUCCESS
+    # markers — adoption keys on them
+    _require_stage_success(spark, tmp)
+    _require_stage_success(spark, qtmp)
     # COMMIT POINT: both stages complete -> atomic marker -> adopt
-    # index + quantizer together (delete + rename each, marker dropped)
+    # index + quantizer together (aside-rename each, marker dropped)
     hadoop_write_text_atomic(
         spark,
         index_path + REFIT_MARKER_SUFFIX,

@@ -431,6 +431,85 @@ def test_compactor_bailout_preserves_redelivery_flag(spark, tmp_path):
     assert maintenance_due(spark, index_path, every_n_batches=100)
 
 
+def test_compactor_mixed_bailout_preserves_redelivery_flag(spark, tmp_path):
+    """MIXED case: duplicates in BOTH a targetable numeric dir and the
+    null-key dir — the numeric dir is rewritten but the surviving
+    null-dir duplicates must still preserve the redelivery signal."""
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        read_table_meta,
+    )
+    from bharatmlstack_spark.streaming.ingest import (
+        MAINT_REDELIVERY_KEY,
+        compact_streamed_index,
+        maintenance_due,
+    )
+
+    index_path = str(tmp_path / "mix_index")
+    rows = [(1, None), (1, None), (3, 1), (3, 1), (2, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, cell int")
+    df.write.partitionBy("cell").parquet(index_path)
+    with open(os.path.join(index_path, TABLE_META_FILE), "w") as f:
+        f.write(json.dumps({MAINT_REDELIVERY_KEY: True}))
+    removed = compact_streamed_index(spark, index_path)
+    assert removed == 1  # the cell=1 duplicate reclaimed
+    meta = read_table_meta(spark, index_path)
+    assert meta[MAINT_REDELIVERY_KEY] is True  # null-dir dups survive
+    assert maintenance_due(spark, index_path, every_n_batches=100)
+
+
+def test_flat_compaction_swap_recovery(spark, tmp_path):
+    """A flat root whose compaction swap crashed mid-rename is restored
+    by the next entry point: live-missing + complete stage adopts the
+    stage; live-missing + aside restores the aside."""
+    from bharatmlstack_spark.streaming.ingest import (
+        _recover_root_swap,
+        read_streamed_ivf_index,
+    )
+
+    # case 1: live renamed aside, stage consumed/absent -> restore aside
+    root = str(tmp_path / "fs_root")
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0)], "vec_id long, cell int"
+    )
+    df.write.parquet(root)
+    os.rename(root, root + "__replaced")
+    _recover_root_swap(spark, root)
+    assert spark.read.parquet(root).count() == 2
+    assert not os.path.exists(root + "__replaced")
+
+    # case 2: live renamed aside, complete stage present -> adopt stage
+    # (the deduped copy), drop the aside; exercised through the reader
+    root2 = str(tmp_path / "fs_root2")
+    df.write.parquet(root2)
+    spark.read.parquet(root2).limit(1).write.parquet(root2 + "__compacting")
+    os.rename(root2, root2 + "__replaced")
+    out = read_streamed_ivf_index(spark, root2, dedup=False)
+    assert out.count() == 1  # the staged (compacted) copy went live
+    assert os.path.exists(root2)
+
+
+def test_torn_first_sidecar_write_is_discarded(spark, tmp_path):
+    """A crash mid-FIRST-write leaves a torn .__tmp with no target;
+    read_table_meta must discard it (returning None, the recoverable
+    pre-crash state) instead of adopting unparseable bytes that would
+    brick every later read."""
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        TEXT_TMP_SUFFIX,
+        read_table_meta,
+    )
+
+    root = str(tmp_path / "torn_root")
+    os.makedirs(root)
+    torn = os.path.join(root, TABLE_META_FILE + TEXT_TMP_SUFFIX)
+    with open(torn, "w") as f:
+        f.write('{"n_cells": 3, "batches_si')  # truncated mid-write
+    assert read_table_meta(spark, root) is None
+    assert not os.path.exists(torn)  # discarded, not adopted
+    assert read_table_meta(spark, root) is None  # and stays readable
+
+
 def test_cross_dedup_empty_schema_matches_id_types(spark, tmp_path):
     """The no-state empty result carries the INCOMING id types (string
     here), not a hardcoded long — downstream unions must not fail only
