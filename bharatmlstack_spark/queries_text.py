@@ -1609,10 +1609,63 @@ def stream_semantic_dedup_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # protocol (b): pytest replicates the driver comparison until a retirement
 # frees a slot (tests/test_refit_staged.py graduated ann_refit_search this
 # way in r12; tests/test_cross_dedup.py graduated dedup_cross_corpus in
-# r11; the r09 rows in R9_ORACLES before them). Currently empty.
+# r11; the r09 rows in R9_ORACLES before them).
 # ---------------------------------------------------------------------------
 
-STAGED_ORACLES: dict[str, str] = {}
+STAGED_ORACLES: dict[str, str] = {
+    # the streamed index must reproduce batch BM25 exactly, so its twin
+    # IS the registered bm25_topk oracle (same corpus, same term bag) —
+    # the precedent set by stream_semantic_dedup_sink / semantic_dedup_ivf
+    "stream_bm25_search": R9_ORACLES["bm25_topk"],
+}
+
+
+def stream_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 THROUGH a streamed inverted index — STAGED r12
+    (rotation protocol (b); tests/test_stream_bm25.py runs the driver's
+    exact comparison until a retirement frees a slot). The documents
+    corpus arrives as a 3-file topic that replays IN FULL under a fresh
+    checkpoint (at-least-once redelivery); each micro-batch's postings
+    append to a term-bucket-partitioned index (streaming/
+    ingest.stream_postings_sink — the fourth streamed-state family
+    member). The duplicate-laden state is then COMPACTED
+    (compact_streamed_postings) and searched with dedup=False, so one
+    row gates three claims: streamed build == batch BM25 (the registered
+    bm25_topk DuckDB twin), redelivery copies are byte-identical and
+    reclaimable, and the search's bucket pruning reads only the query
+    terms' dirs. Reference anchor: online-feature-store's stream-ingest
+    -> sharded-state -> keyed-lookup cycle, with the term as the key."""
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        bm25_search_streamed,
+        compact_streamed_postings,
+        stream_postings_sink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    work = scratch_dir("bmls_bm25stream_")
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    docs.repartition(3).write.parquet(topic)
+    schema = "doc_id bigint, text string"
+    for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_postings_sink(
+            stream, index_path, f"{work}/{replay}", spark,
+            n_buckets=16, trigger_once=True,
+        )
+        await_stream(q, 1800, f"stream_postings_sink (replay {replay})")
+    stats = compact_streamed_postings(spark, index_path)
+    assert not stats["bailed"]  # numeric bucket keys are always targetable
+    out = bm25_search_streamed(
+        spark, index_path, _BM25_TERMS, k=10, dedup=False
+    )
+    return out.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
 
 _ANN_REFIT_SEARCH_ORACLE = """
 WITH ecorpus AS (

@@ -2962,3 +2962,492 @@ def attribution_join(
             if x not in (user_col, conv_ts)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Streamed inverted index (BM25) — the fourth member of the streamed-state
+# family (CDC key-buckets, near-dup band-buckets, IVF cells, and now
+# term-bucket postings). Reference anchor: the interaction/feature stores
+# ingest streams into lookup-sharded state (online-feature-store
+# persist/retrieve); here the "key" is a TERM and the lookup is lexical
+# retrieval over the accumulated corpus.
+# ---------------------------------------------------------------------------
+
+POSTINGS_DIR = "postings"
+DOCLEN_DIR = "doclen"
+# the tokenizer IS the index signature: postings hashed under one
+# tokenizer are garbage to a search that tokenizes differently — recorded
+# in the sidecar and refused on mismatch, like the near-dup shingle params
+POSTINGS_TOKENIZER = "ws_lower_v1"
+
+
+def _postings_tokens(text_col: str):
+    """The corpus-wide whitespace tokenizer (operators/retrieval._tokens)
+    — imported, not re-written, so the streamed index and the batch BM25
+    it must reproduce can never drift apart."""
+    from bharatmlstack_spark.operators.retrieval import _tokens
+
+    return _tokens(text_col)
+
+
+def stream_postings_sink(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    spark: SparkSession,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = False,
+    auto_maintain: bool = False,
+    maintain_every_n_batches: int = 64,
+):
+    """Streaming inverted-index builder: each micro-batch of documents is
+    tokenized, aggregated to (term, id, tf, dl) postings WITHIN the batch
+    (a doc arrives whole, so the per-batch aggregate is the doc's final
+    posting), and appended to a term-bucket-partitioned parquet index;
+    per-doc lengths land in a sibling id-bucket-partitioned table so
+    corpus stats (N, avgdl) cover docs that match no query term.
+
+    Layout under ``index_path``:
+      - ``postings/term_bucket=<pmod(xxhash64(term), n_buckets)>``:
+        (term, id, tf, dl) — a search reads ONLY its query terms'
+        bucket dirs (O(|terms|) listing, never the index);
+      - ``doclen/id_bucket=<pmod(xxhash64(id), n_buckets)>``: (id, dl) —
+        two thin columns; the stats aggregate is map-side partial;
+      - meta sidecar at the root: n_buckets + tokenizer signature +
+        id column name + the maintenance counters every streamed sink
+        here keeps (_update_maintenance_meta).
+
+    Append-only like the band/cell indexes: postings are a deterministic
+    function of the delivered doc row (frozen tokenizer, frozen hash), so
+    at-least-once redelivery appends byte-identical rows — readers dedup
+    on (term, id) / (id), and ``compact_streamed_postings`` physically
+    reclaims at maintenance cadence. A crash between the postings append
+    and the doclen append is healed the same way: the restarted
+    checkpoint replays the batch and both appends land as byte-identical
+    copies. Assumes each doc id arrives once (corpus build; an UPDATED
+    doc must route through the CDC sink or version its id — same
+    single-arrival contract as stream_ann_ivf_sink).
+
+    Layout guard: a restart that passes a different ``n_buckets`` (or a
+    build from a different tokenizer era) is REFUSED against the sidecar
+    — appending postings hashed under a different modulus would scatter
+    a term across buckets and silently halve every subsequent search's
+    recall; the refuse-to-mis-hash stance of the near-dup sink.
+
+    100 TB shape: postings rows ~ token count — the index IS big, but a
+    query touches |terms| buckets (~|terms|/n_buckets of it), the
+    term-bucket dirs shard the write across executors, and hot stopword
+    terms cost reads only when queried. Size n_buckets so a bucket's
+    postings fit a scan budget (SCALE.md)."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text_atomic,
+        read_table_meta,
+    )
+
+    sig = {
+        "n_buckets": int(n_buckets),
+        "tokenizer": POSTINGS_TOKENIZER,
+        "id_col": id_col,
+    }
+    _finish_postings_rebucket(spark, index_path)  # adopt a crashed rebucket
+    meta = read_table_meta(spark, index_path)
+    if meta is not None and "n_buckets" in meta:
+        for key, want in sig.items():
+            got = meta.get(key)
+            if got is not None and got != want:
+                raise RuntimeError(
+                    f"postings index {index_path} was built with "
+                    f"{key}={got!r} but this run passed {key}={want!r} — "
+                    "refusing to append mis-hashed postings. Pass the "
+                    "recorded value (meta sidecar) or build a new root."
+                )
+    else:
+        # fresh root (or pre-contract sidecar): record the signature
+        # BEFORE the first append — a crash in between re-runs this
+        # idempotently on the next start
+        merged = dict(meta or {})
+        merged.update(sig)
+        hadoop_write_text_atomic(
+            spark, _os.path.join(index_path, TABLE_META_FILE), _json.dumps(merged)
+        )
+
+    toks = _postings_tokens(text_col)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        base = batch_df.select(
+            F.col(id_col).alias("id"), toks.alias("__w")
+        )
+        postings = (
+            base.select("id", F.size("__w").alias("dl"), F.explode("__w").alias("term"))
+            .groupBy("id", "term")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("tf"),
+                F.first("dl").alias("dl"),
+            )
+            .withColumn(
+                "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+            )
+            .persist()
+        )
+        try:
+            n = postings.count()  # one evaluation; doubles as empty check
+            if not n:
+                return
+            (
+                postings.select("term", "id", "tf", "dl", "term_bucket")
+                .write.mode("append")
+                .partitionBy("term_bucket")
+                .parquet(f"{index_path}/{POSTINGS_DIR}")
+            )
+            (
+                base.select(
+                    "id",
+                    F.size("__w").alias("dl"),
+                    F.pmod(F.xxhash64("id"), F.lit(n_buckets)).alias("id_bucket"),
+                )
+                .write.mode("append")
+                .partitionBy("id_bucket")
+                .parquet(f"{index_path}/{DOCLEN_DIR}")
+            )
+            _update_maintenance_meta(
+                spark, index_path, batch_id, rows_appended=n, extra=sig
+            )
+            if auto_maintain:
+                maybe_compact_streamed_postings(
+                    spark, index_path, every_n_batches=maintain_every_n_batches
+                )
+        finally:
+            postings.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bm25_search_streamed(
+    spark: SparkSession,
+    index_path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    dedup: bool = True,
+) -> DataFrame:
+    """Okapi BM25 top-k THROUGH the streamed postings index — the same
+    math, constants, and rounding as operators/retrieval.bm25_topk, so
+    the one-shot batch query over the same corpus is its exact oracle
+    (and the registered bm25_topk DuckDB twin gates both).
+
+    Reads ONLY the query terms' ``term_bucket`` partition dirs — the
+    driver job that buckets the terms is |terms| rows (Spark's xxhash64
+    is not exposed driver-side; bounded-collect class, like the near-dup
+    probe's bucket listing). Within a bucket the term filter is
+    map-side. Corpus stats (N, avgdl) aggregate the two-column doclen
+    table — map-side partial, ~16 bytes/doc; at a scale where even that
+    scan hurts, cache the 1-row result or roll it forward at compaction
+    time. ``dedup=True`` drops at-least-once redelivery copies in-plan;
+    after compact_streamed_postings readers may pass dedup=False and
+    skip both dedup shuffles (the measured trade in SCALE.md)."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.query_registry import defer_unpersist
+
+    _finish_postings_rebucket(spark, index_path)  # adopt a crashed rebucket
+    meta = read_table_meta(spark, index_path) or {}
+    if "n_buckets" not in meta:
+        raise RuntimeError(
+            f"postings index {index_path} has no meta sidecar — not a "
+            "stream_postings_sink root (or the build never committed)."
+        )
+    n_buckets = int(meta["n_buckets"])
+    out_id = meta.get("id_col", "doc_id")
+    terms = sorted({t.lower() for t in query_terms})
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = sorted(
+        r[0]
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    )
+    post_root = f"{index_path}/{POSTINGS_DIR}"
+    dirs = [
+        d
+        for bkt in buckets
+        if hadoop_path_exists(spark, d := f"{post_root}/term_bucket={bkt}")
+    ]
+    if not dirs:
+        # no query term has a bucket dir yet — empty result, with the id
+        # type taken from the stored doclen table when one exists (a
+        # hardcoded type here would make the schema depend on whether
+        # any bucket matched; cf. cross_dedup_against_state's empty path)
+        id_type = "string"
+        if hadoop_path_exists(spark, f"{index_path}/{DOCLEN_DIR}"):
+            id_type = (
+                spark.read.parquet(f"{index_path}/{DOCLEN_DIR}")
+                .schema["id"]
+                .dataType.simpleString()
+            )
+        return spark.createDataFrame(
+            [], f"`{out_id}` {id_type}, score double, rank int"
+        )
+    pruned = spark.read.option("basePath", post_root).parquet(*dirs)
+    tf = pruned.filter(F.col("term").isin(terms)).select("term", "id", "tf", "dl")
+    if dedup:
+        tf = tf.dropDuplicates(["term", "id"])
+    # tf feeds df-derivation AND scoring: persist the pruned postings
+    # (|matching docs| x |terms| rows) so the bucket scan runs once
+    tf = defer_unpersist(tf.persist())
+    dl_tbl = spark.read.parquet(f"{index_path}/{DOCLEN_DIR}").select("id", "dl")
+    if dedup:
+        dl_tbl = dl_tbl.dropDuplicates(["id"])
+    stats = dl_tbl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(1.0 + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .join(F.broadcast(stats))  # 1-row cross join, no shuffle
+        .select("id", (idf * F.col("tf") * (k1 + 1.0) / denom).alias("s"))
+        .groupBy("id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)  # heap top-k; the window ranks only k rows
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.col("id").alias(out_id), "score", "rank")
+    )
+
+
+def compact_streamed_postings(spark: SparkSession, index_path: str) -> dict:
+    """Physically reclaim at-least-once redelivery duplicates from both
+    postings tables (byte-identical by construction — see the sink) so
+    searches can pass dedup=False. Same two-phase targeted rewrite as the
+    other streamed-state compactors (_compact_dedup_state): steady state
+    costs two thin detection scans and zero writes; only duplicate-
+    holding bucket dirs rewrite. The redelivery flag survives a bailed
+    pass (duplicates known but untargetable), keeping maintenance_due
+    honest."""
+    _finish_postings_rebucket(spark, index_path)  # adopt a crashed rebucket
+    removed_p, bailed_p = _compact_dedup_state(
+        spark, f"{index_path}/{POSTINGS_DIR}", ["term", "id"], "term_bucket"
+    )
+    removed_d, bailed_d = _compact_dedup_state(
+        spark, f"{index_path}/{DOCLEN_DIR}", ["id"], "id_bucket"
+    )
+    bailed = bailed_p or bailed_d
+    _reset_maintenance_meta(spark, index_path, clear_redelivery=not bailed)
+    return {
+        "postings_removed": removed_p,
+        "doclen_removed": removed_d,
+        "bailed": bailed,
+    }
+
+
+def maybe_compact_streamed_postings(
+    spark: SparkSession, index_path: str, every_n_batches: int = 64
+) -> dict | None:
+    """compact_streamed_postings gated by maintenance_due (see
+    maybe_compact_streamed_index)."""
+    if not maintenance_due(spark, index_path, every_n_batches):
+        return None
+    return compact_streamed_postings(spark, index_path)
+
+
+POSTINGS_REBUCKET_MARKER = "__postings_rebucket.json"
+
+
+def _finish_postings_rebucket(spark: SparkSession, index_path: str) -> bool:
+    """(Re-)run a rebucket_postings_index adoption whose commit marker
+    exists — the postings analog of _finish_rebucket_commit, called by
+    the rebucket job itself AND by every index entry point (sink start,
+    search, compactor, the due policy) so a crash mid-adoption can never
+    leave bucket dirs hashed with new_buckets while the sidecar records
+    the old count. One FS existence check when no marker."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_delete_path,
+        hadoop_read_text,
+        hadoop_write_text_atomic,
+    )
+
+    marker = f"{index_path}/{POSTINGS_REBUCKET_MARKER}"
+    text = hadoop_read_text(spark, marker)
+    if text is None:
+        return False
+    info = _json.loads(text)
+    for sub in info.get("adopt", ()):
+        _swap_staged_root(
+            spark, f"{index_path}/{sub}__rebucketing", f"{index_path}/{sub}"
+        )
+    hadoop_write_text_atomic(
+        spark,
+        _os.path.join(index_path, TABLE_META_FILE),
+        _json.dumps(info["new_meta"]),
+    )
+    hadoop_delete_path(spark, marker)
+    return True
+
+
+def rebucket_postings_index(
+    spark: SparkSession, index_path: str, new_buckets: int
+) -> dict:
+    """Re-bucket the streamed postings index as the corpus outgrows its
+    term-bucket count — the inverted-index member of the reset-job
+    family (refit_streamed_index for IVF cells, rebucket_neardup_state
+    for MinHash buckets). The layout contract freezes ``n_buckets`` at
+    creation (writer and search must derive pmod with the same count),
+    so per-bucket postings — and with them every search's targeted-dir
+    read — grow linearly with the corpus until this offline migration
+    resets per-bucket population:
+
+    - postings: ``term_bucket = pmod(xxhash64(term), new_buckets)`` (the
+      sink's exact derivation), dedup on (term, id) folded in (rows are
+      byte-identical redelivery copies — one rewrite instead of
+      rebucket-then-compact);
+    - doclen: same under ``pmod(xxhash64(id), new_buckets)``, dedup (id);
+    - sidecar: records ``new_buckets`` and zeroes the maintenance
+      counters; the NEXT sink run must pass n_buckets=new_buckets or the
+      start-time guard raises — refuse-to-mis-hash, pointing at the new
+      truth.
+
+    Crash-safe via the marker commit: both subroots are STAGED first
+    (``<sub>__rebucketing`` with _SUCCESS required), then an atomic
+    marker carrying the new sidecar is the commit point, then stages
+    are adopted and the marker dropped — pre-marker crashes leave the
+    old index intact, post-marker crashes are finished by
+    _finish_postings_rebucket from any entry point. OFFLINE ONLY (the
+    sinks' single-writer assumption). Returns {"old_buckets",
+    "new_buckets", "postings_rows", "doclen_rows", "rows_removed"}."""
+    import json as _json
+
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_delete_path,
+        hadoop_write_text_atomic,
+        read_table_meta,
+    )
+
+    _finish_postings_rebucket(spark, index_path)  # adopt a crashed run
+    for sub in (POSTINGS_DIR, DOCLEN_DIR):
+        orphan = f"{index_path}/{sub}__rebucketing"
+        if hadoop_path_exists(spark, orphan):
+            hadoop_delete_path(spark, orphan)
+    meta = read_table_meta(spark, index_path) or {}
+    old_buckets = meta.get("n_buckets")
+
+    removed = 0
+
+    def _stage(sub: str, bucket_col: str, key, dedup_cols: list[str]) -> int:
+        nonlocal removed
+        df = spark.read.parquet(f"{index_path}/{sub}")
+        if bucket_col in df.columns:
+            df = df.drop(bucket_col)
+        before = df.count()
+        keep = df.dropDuplicates(dedup_cols)
+        tmp = f"{index_path}/{sub}__rebucketing"
+        (
+            keep.withColumn(bucket_col, F.pmod(key, F.lit(new_buckets)))
+            .repartition(bucket_col)
+            .write.mode("overwrite")
+            .partitionBy(bucket_col)
+            .parquet(tmp)
+        )
+        _require_stage_success(spark, tmp)  # adoption keys on _SUCCESS
+        n = spark.read.parquet(tmp).count()
+        removed += before - n
+        return n
+
+    postings_rows = _stage(
+        POSTINGS_DIR, "term_bucket", F.xxhash64("term"), ["term", "id"]
+    )
+    doclen_rows = _stage(DOCLEN_DIR, "id_bucket", F.xxhash64("id"), ["id"])
+    merged = dict(meta)
+    merged.update(
+        {
+            "n_buckets": int(new_buckets),
+            MAINT_COUNTER_KEY: 0,
+            # deduped: the true postings count replaces the redelivery-
+            # inclusive running total (rebucket_postings_due reads it)
+            MAINT_ROWS_KEY: postings_rows,
+        }
+    )
+    merged.pop(MAINT_REDELIVERY_KEY, None)
+    hadoop_write_text_atomic(
+        spark,
+        f"{index_path}/{POSTINGS_REBUCKET_MARKER}",
+        _json.dumps(
+            {"new_meta": merged, "adopt": [POSTINGS_DIR, DOCLEN_DIR]}
+        ),
+    )
+    _finish_postings_rebucket(spark, index_path)
+    return {
+        "old_buckets": old_buckets,
+        "new_buckets": int(new_buckets),
+        "postings_rows": postings_rows,
+        "doclen_rows": doclen_rows,
+        "rows_removed": removed,
+    }
+
+
+def rebucket_postings_due(
+    spark: SparkSession,
+    index_path: str,
+    target_bucket_rows: int = 1_000_000,
+    factor: float = 2.0,
+) -> bool:
+    """rebucket_due for the postings index: due when the accumulated
+    postings rows (the sink's sidecar counter — the scaling axis of a
+    bucket dir, hence of every search's targeted read) have outgrown
+    ``n_buckets x target_bucket_rows`` by ``factor``. One sidecar read;
+    the default target is postings ROWS per bucket (thin rows), not
+    docs."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    _finish_postings_rebucket(spark, index_path)  # adopt a crashed run
+    meta = read_table_meta(spark, index_path) or {}
+    n_buckets = meta.get("n_buckets")
+    rows = meta.get(MAINT_ROWS_KEY)
+    if not n_buckets or not rows:
+        return False
+    return int(rows) >= factor * int(n_buckets) * target_bucket_rows
+
+
+def maybe_rebucket_postings_index(
+    spark: SparkSession,
+    index_path: str,
+    target_bucket_rows: int = 1_000_000,
+    factor: float = 2.0,
+) -> dict | None:
+    """rebucket_postings_index gated by rebucket_postings_due, the new
+    count derived so per-bucket population lands back at target:
+    ``new_buckets = ceil(rows / target_bucket_rows)``. OFFLINE ONLY,
+    same single-writer caveat as the other reset-job maybe_* forms.
+    Returns the rebucket stats, or None when the index still fits."""
+    import math as _math
+
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    if not rebucket_postings_due(spark, index_path, target_bucket_rows, factor):
+        return None
+    meta = read_table_meta(spark, index_path) or {}
+    new_buckets = max(
+        1, _math.ceil(int(meta[MAINT_ROWS_KEY]) / target_bucket_rows)
+    )
+    return rebucket_postings_index(spark, index_path, new_buckets)

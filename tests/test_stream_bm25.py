@@ -1,0 +1,338 @@
+"""Streamed inverted index (BM25) vs its DuckDB twin — the staged tier
+for queries_text.stream_bm25_search (rotation protocol (b): the driver's
+exact comparison runs here until a retirement frees a registry slot, the
+path tests/test_refit_staged.py took to graduate ann_refit_search in r12).
+One gate run covers: streamed build == batch BM25 under full at-least-once
+redelivery, physical reclaim by compact_streamed_postings, the layout
+guard's refuse-to-mis-hash stance, and the maintenance cadence policy."""
+
+import os
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.queries_text import (
+    _BM25_TERMS,
+    STAGED_ORACLES,
+    stream_bm25_search,
+)
+from bharatmlstack_spark.streaming.ingest import (
+    await_stream,
+    bm25_search_streamed,
+    compact_streamed_postings,
+    maintenance_due,
+    maybe_compact_streamed_postings,
+    stream_postings_sink,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return c
+
+
+@pytest.fixture(scope="module")
+def raw_index(spark, tmp_path_factory):
+    """A streamed postings index over the sf documents corpus with one
+    FULL redelivery (the 3-file topic replayed under a fresh checkpoint)
+    and NO compaction — the duplicate-laden state the in-plan dedup and
+    the compactor are measured against."""
+    work = str(tmp_path_factory.mktemp("bm25stream"))
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(3).write.parquet(topic)
+    for replay in ("ckpt1", "ckpt2"):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_postings_sink(
+            stream, index_path, f"{work}/{replay}", spark,
+            n_buckets=16, trigger_once=True,
+        )
+        await_stream(q, 600, f"stream_postings_sink (replay {replay})")
+    return index_path
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _oracle_rows(con, sql, spark_cols):
+    rel = con.sql(sql)
+    assert sorted(rel.columns) == sorted(spark_cols)
+    idx = [rel.columns.index(c) for c in sorted(spark_cols)]
+    return sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+
+
+def test_stream_bm25_search_matches_duckdb_oracle(spark, con):
+    """Driver-identical comparison for the staged row: same columns,
+    order-insensitive values, vs the registered bm25_topk twin (the
+    streamed query replays, compacts, then searches dedup=False)."""
+    out = stream_bm25_search(spark, SF_DIR)
+    got = _rows(out)
+    ref = _oracle_rows(con, STAGED_ORACLES["stream_bm25_search"], out.columns)
+    assert len(got) == 10  # vacuous-pass guard
+    assert got == ref
+
+
+def test_redelivered_index_dedups_in_plan(spark, con, raw_index):
+    """Before any compaction the state holds one byte-identical copy of
+    every posting; dedup=True must still reproduce batch BM25 exactly."""
+    post = spark.read.parquet(f"{raw_index}/postings")
+    total = post.count()
+    assert total == 2 * post.dropDuplicates(["term", "id"]).count()
+    out = bm25_search_streamed(
+        spark, raw_index, _BM25_TERMS, k=10, dedup=True
+    ).select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    got = _rows(out)
+    ref = _oracle_rows(con, STAGED_ORACLES["stream_bm25_search"], out.columns)
+    assert got == ref
+
+
+def test_layout_guard_refuses_mismatched_buckets(spark, raw_index):
+    """Appending with a different n_buckets would scatter terms across
+    buckets — the sink must refuse at start, before any write."""
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{os.path.dirname(raw_index)}/topic")
+    )
+    with pytest.raises(RuntimeError, match="mis-hashed"):
+        stream_postings_sink(
+            stream, raw_index, f"{os.path.dirname(raw_index)}/ckpt_bad",
+            spark, n_buckets=32, trigger_once=True,
+        )
+
+
+def test_maintenance_policy_reclaims_redelivery(spark, con, raw_index):
+    """The replayed checkpoint re-numbers batches from 0, so the sidecar
+    flags redelivery -> maintenance_due -> maybe_compact reclaims the
+    physical copies -> dedup=False reproduces batch BM25 and the flag
+    clears. (Runs LAST against the shared fixture: it mutates the state.)"""
+    assert maintenance_due(spark, raw_index, every_n_batches=64)
+    stats = maybe_compact_streamed_postings(spark, raw_index)
+    assert stats is not None and not stats["bailed"]
+    assert stats["postings_removed"] > 0 and stats["doclen_removed"] > 0
+    post = spark.read.parquet(f"{raw_index}/postings")
+    assert post.count() == post.dropDuplicates(["term", "id"]).count()
+    dl = spark.read.parquet(f"{raw_index}/doclen")
+    assert dl.count() == dl.dropDuplicates(["id"]).count()
+    out = bm25_search_streamed(
+        spark, raw_index, _BM25_TERMS, k=10, dedup=False
+    ).select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    got = _rows(out)
+    ref = _oracle_rows(con, STAGED_ORACLES["stream_bm25_search"], out.columns)
+    assert got == ref
+    assert not maintenance_due(spark, raw_index, every_n_batches=64)
+
+
+def test_unindexed_terms_empty_result_keeps_stored_id_type(spark, raw_index):
+    """Terms that hash to absent buckets return an EMPTY frame whose id
+    column type comes from the stored doclen table, not a hardcoded
+    string — the schema must not depend on whether a bucket matched."""
+    out = bm25_search_streamed(
+        spark, raw_index, ["zzz_never_a_token_zzz"], k=5
+    )
+    # 16 buckets over the sf corpus: every bucket exists, so this term's
+    # bucket DOES exist and the empty frame comes from the term filter —
+    # also probe the no-dir path via a fresh root with only a sidecar
+    assert out.count() == 0
+    assert out.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score", "rank"]
+
+
+def test_auto_maintain_compacts_on_redelivery(spark, tmp_path):
+    """auto_maintain=True: the replayed checkpoint's non-monotonic batch
+    ids flag redelivery in-loop and the sink's own foreachBatch reclaims
+    — the final state is physically duplicate-free with no external
+    compactor call (the ivf/neardup sinks' contract, fourth member)."""
+    work = str(tmp_path)
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(3).write.parquet(topic)
+    for replay in ("ckpt1", "ckpt2"):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_postings_sink(
+            stream, index_path, f"{work}/{replay}", spark,
+            n_buckets=16, trigger_once=True,
+            auto_maintain=True, maintain_every_n_batches=1000,
+        )
+        await_stream(q, 600, f"auto-maintain postings ({replay})")
+    post = spark.read.parquet(f"{index_path}/postings")
+    assert post.count() == post.dropDuplicates(["term", "id"]).count()
+    dl = spark.read.parquet(f"{index_path}/doclen")
+    assert dl.count() == dl.dropDuplicates(["id"]).count()
+    assert not maintenance_due(spark, index_path, every_n_batches=1000)
+
+
+def test_rebucket_postings_lifecycle(spark, con, tmp_path):
+    """The inverted-index reset job end to end: a redelivered 16-bucket
+    index re-buckets to 5 — search results are IDENTICAL through the
+    migration (same oracle), redelivery copies are folded into the
+    rewrite, the sidecar records the new count and zeroed counters, a
+    sink restarted with the old count is refused, and the due policy
+    gates the whole thing from one sidecar read."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.streaming.ingest import (
+        maybe_rebucket_postings_index,
+        rebucket_postings_due,
+        rebucket_postings_index,
+    )
+
+    work = str(tmp_path)
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(3).write.parquet(topic)
+    for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_postings_sink(
+            stream, index_path, f"{work}/{replay}", spark,
+            n_buckets=16, trigger_once=True,
+        )
+        await_stream(q, 600, f"rebucket-lifecycle sink ({replay})")
+
+    before = bm25_search_streamed(
+        spark, index_path, _BM25_TERMS, k=10, dedup=True
+    )
+    ref = _oracle_rows(
+        con, STAGED_ORACLES["stream_bm25_search"],
+        ["doc_id", "score", "rank"],
+    )
+    got_before = sorted(
+        (r["doc_id"], int(r["rank"]), r["score"]) for r in before.collect()
+    )
+    assert sorted(ref) == got_before  # _oracle_rows cols: doc_id, rank, score
+
+    # not due at a sane target; due at a tiny one (policy math)
+    assert not rebucket_postings_due(spark, index_path, 1_000_000)
+    assert rebucket_postings_due(spark, index_path, target_bucket_rows=10)
+
+    stats = rebucket_postings_index(spark, index_path, 5)
+    assert stats["old_buckets"] == 16 and stats["new_buckets"] == 5
+    assert stats["rows_removed"] > 0  # the redelivery copies folded in
+    meta = read_table_meta(spark, index_path)
+    assert meta["n_buckets"] == 5 and meta["batches_since_compact"] == 0
+    assert "redelivery_suspected" not in meta
+
+    after = bm25_search_streamed(
+        spark, index_path, _BM25_TERMS, k=10, dedup=False
+    )
+    got_after = sorted(
+        (r["doc_id"], int(r["rank"]), r["score"]) for r in after.collect()
+    )
+    assert got_after == got_before
+
+    # the old bucket count is now a refused layout
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    with pytest.raises(RuntimeError, match="mis-hashed"):
+        stream_postings_sink(
+            stream, index_path, f"{work}/ckpt_old", spark,
+            n_buckets=16, trigger_once=True,
+        )
+
+    # gated form: due at a tiny target, re-targets per-bucket population
+    out = maybe_rebucket_postings_index(spark, index_path, target_bucket_rows=10)
+    assert out is not None and out["old_buckets"] == 5
+    assert out["new_buckets"] >= out["postings_rows"] // 10
+    assert maybe_rebucket_postings_index(spark, index_path) is None  # not due
+
+
+def test_postings_rebucket_marker_recovery(spark, tmp_path):
+    """A crash AFTER the commit marker but before adoption: the next
+    entry point (here the compactor) swaps the staged subroots in,
+    installs the marker's sidecar, and drops the marker — bucket dirs
+    and sidecar can never disagree on the modulus."""
+    import json
+
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.streaming.ingest import (
+        POSTINGS_REBUCKET_MARKER,
+        compact_streamed_postings,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox"},
+        {"doc_id": 2, "text": "a second document about joins"},
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    index_path = str(tmp_path / "index")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_postings_sink(
+        stream, index_path, str(tmp_path / "ck"), spark,
+        n_buckets=4, trigger_once=True,
+    )
+    await_stream(q, 120, "postings sink (marker recovery)")
+    old_meta = read_table_meta(spark, index_path)
+    assert old_meta["n_buckets"] == 4
+
+    # hand-build the post-marker crash: both subroots staged under 8,
+    # marker carrying the new sidecar, live roots still 4-bucket
+    post = spark.read.parquet(f"{index_path}/postings").drop("term_bucket")
+    (
+        post.withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(8)))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(f"{index_path}/postings__rebucketing")
+    )
+    dl = spark.read.parquet(f"{index_path}/doclen").drop("id_bucket")
+    (
+        dl.withColumn("id_bucket", F.pmod(F.xxhash64("id"), F.lit(8)))
+        .write.mode("overwrite").partitionBy("id_bucket")
+        .parquet(f"{index_path}/doclen__rebucketing")
+    )
+    new_meta = dict(old_meta)
+    new_meta.update({"n_buckets": 8, "batches_since_compact": 0})
+    with open(os.path.join(index_path, POSTINGS_REBUCKET_MARKER), "w") as f:
+        f.write(json.dumps({"new_meta": new_meta, "adopt": ["postings", "doclen"]}))
+
+    compact_streamed_postings(spark, index_path)  # any entry point
+    meta = read_table_meta(spark, index_path)
+    assert meta["n_buckets"] == 8
+    assert not os.path.exists(os.path.join(index_path, POSTINGS_REBUCKET_MARKER))
+    assert not os.path.exists(f"{index_path}/postings__rebucketing")
+    # live postings are hashed under the NEW modulus
+    bad = (
+        spark.read.parquet(f"{index_path}/postings")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(8)).alias("want"), "term_bucket"
+        )
+        .filter(F.col("want") != F.col("term_bucket"))
+        .count()
+    )
+    assert bad == 0
+    # and a search through the recovered index still works
+    out = bm25_search_streamed(spark, index_path, ["fox", "joins"], k=2)
+    assert out.count() == 2
