@@ -3205,13 +3205,31 @@ def bm25_search_streamed(
     # tf feeds df-derivation AND scoring: persist the pruned postings
     # (|matching docs| x |terms| rows) so the bucket scan runs once
     tf = defer_unpersist(tf.persist())
-    dl_tbl = spark.read.parquet(f"{index_path}/{DOCLEN_DIR}").select("id", "dl")
-    if dedup:
-        dl_tbl = dl_tbl.dropDuplicates(["id"])
-    stats = dl_tbl.agg(
-        F.count(F.lit(1)).cast("double").alias("__n_docs"),
-        F.avg("dl").alias("__avgdl"),
-    )
+    # corpus stats: the sidecar cache (rolled forward by the compactor/
+    # rebucket) is provably fresh when NO batch has appended since it was
+    # written — the sink bumps the counter per batch, so counter==0 is
+    # the staleness witness. Cached hit skips the search's only
+    # O(corpus) piece; miss pays one thin two-column map-side aggregate.
+    n_docs, sum_dl = meta.get("n_docs"), meta.get("sum_dl")
+    if (
+        n_docs
+        and sum_dl is not None
+        and int(meta.get(MAINT_COUNTER_KEY, 1)) == 0
+    ):
+        stats = spark.range(1).select(
+            F.lit(float(n_docs)).alias("__n_docs"),
+            F.lit(float(sum_dl) / float(n_docs)).alias("__avgdl"),
+        )
+    else:
+        dl_tbl = spark.read.parquet(f"{index_path}/{DOCLEN_DIR}").select(
+            "id", "dl"
+        )
+        if dedup:
+            dl_tbl = dl_tbl.dropDuplicates(["id"])
+        stats = dl_tbl.agg(
+            F.count(F.lit(1)).cast("double").alias("__n_docs"),
+            F.avg("dl").alias("__avgdl"),
+        )
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
@@ -3241,7 +3259,15 @@ def compact_streamed_postings(spark: SparkSession, index_path: str) -> dict:
     costs two thin detection scans and zero writes; only duplicate-
     holding bucket dirs rewrite. The redelivery flag survives a bailed
     pass (duplicates known but untargetable), keeping maintenance_due
-    honest."""
+    honest.
+
+    Also ROLLS THE CORPUS STATS FORWARD: when the doclen table is known
+    duplicate-free (no bail), (n_docs, sum_dl) are aggregated once and
+    cached in the sidecar — bm25_search_streamed then skips its only
+    O(corpus) piece (the doclen stats scan) for as long as the cache is
+    provably fresh (zero appends since; the sink's per-batch counter is
+    the staleness witness). A bailed pass DROPS the cache: doclen still
+    holds duplicates the stats must not double-count."""
     _finish_postings_rebucket(spark, index_path)  # adopt a crashed rebucket
     removed_p, bailed_p = _compact_dedup_state(
         spark, f"{index_path}/{POSTINGS_DIR}", ["term", "id"], "term_bucket"
@@ -3251,11 +3277,56 @@ def compact_streamed_postings(spark: SparkSession, index_path: str) -> dict:
     )
     bailed = bailed_p or bailed_d
     _reset_maintenance_meta(spark, index_path, clear_redelivery=not bailed)
+    _cache_postings_stats(spark, index_path, valid=not bailed_d)
     return {
         "postings_removed": removed_p,
         "doclen_removed": removed_d,
         "bailed": bailed,
     }
+
+
+def _cache_postings_stats(
+    spark: SparkSession, index_path: str, valid: bool
+) -> None:
+    """Write (or drop, when ``valid=False``) the cached corpus stats in
+    the postings sidecar. One thin two-column aggregate over doclen —
+    paid at compaction/rebucket cadence so every search between passes
+    skips it. Exactness: Spark's avg over longs is sum-as-long / count
+    in double arithmetic, which is precisely ``sum_dl / n_docs`` here —
+    the cached path is bit-identical to the scan it replaces."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text_atomic,
+        read_table_meta,
+    )
+
+    meta = read_table_meta(spark, index_path)
+    if meta is None:
+        return
+    if not valid:
+        if "n_docs" not in meta and "sum_dl" not in meta:
+            return
+        meta.pop("n_docs", None)
+        meta.pop("sum_dl", None)
+    else:
+        doclen_path = f"{index_path}/{DOCLEN_DIR}"
+        if not hadoop_path_exists(spark, doclen_path):
+            return
+        row = (
+            spark.read.parquet(doclen_path)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        if not row["n"]:
+            return
+        meta["n_docs"] = int(row["n"])
+        meta["sum_dl"] = int(row["s"])
+    hadoop_write_text_atomic(
+        spark, _os.path.join(index_path, TABLE_META_FILE), _json.dumps(meta)
+    )
 
 
 def maybe_compact_streamed_postings(
@@ -3397,6 +3468,10 @@ def rebucket_postings_index(
         ),
     )
     _finish_postings_rebucket(spark, index_path)
+    # the rewrite just deduped doclen: roll the corpus stats forward so
+    # searches skip the doclen scan until the next append (see
+    # _cache_postings_stats)
+    _cache_postings_stats(spark, index_path, valid=True)
     return {
         "old_buckets": old_buckets,
         "new_buckets": int(new_buckets),

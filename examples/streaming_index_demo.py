@@ -204,6 +204,47 @@ def main() -> None:
     await_stream(q, 300)
     print("restart with the persisted (refit) quantizer: appended OK")
 
+    # 4. streamed inverted index: BM25 through term-bucket postings
+    print("== 4. streamed inverted index (BM25 postings) ==")
+    from bharatmlstack_spark.streaming.ingest import (
+        bm25_search_streamed,
+        maybe_compact_streamed_postings,
+        rebucket_postings_index,
+        stream_postings_sink,
+    )
+
+    pindex = f"{work}/postings_index"
+    for ck in ("ck_post1", "ck_post2"):  # second pass: full redelivery
+        q = stream_postings_sink(
+            topic_stream(), pindex, f"{work}/{ck}", spark,
+            n_buckets=16, trigger_once=True,
+        )
+        await_stream(q, 300)
+    terms = ["spark", "table", "query", "join"]
+    # collect BEFORE compacting: the search is a lazy plan over the
+    # state's current files; the compactor rewrites them
+    top = bm25_search_streamed(spark, pindex, terms, k=3).collect()
+    print("top-3 before compaction (dedup in-plan):")
+    for r in top:
+        print(f"  doc {r['doc_id']}  score {r['score']}  rank {r['rank']}")
+    stats = maybe_compact_streamed_postings(spark, pindex)  # due: redelivery
+    print(
+        f"maintenance was due; reclaimed {stats['postings_removed']} "
+        f"postings + {stats['doclen_removed']} doclen redelivery copies; "
+        "corpus stats rolled into the sidecar"
+    )
+    top2 = bm25_search_streamed(spark, pindex, terms, k=3, dedup=False)
+    assert [r["doc_id"] for r in top2.collect()] == [r["doc_id"] for r in top]
+    # the corpus outgrew 16 buckets? one offline rebucket resets
+    # per-bucket population; searches are identical through the migration
+    rb = rebucket_postings_index(spark, pindex, 32)
+    top3 = bm25_search_streamed(spark, pindex, terms, k=3, dedup=False)
+    assert [r["doc_id"] for r in top3.collect()] == [r["doc_id"] for r in top]
+    print(
+        f"rebucketed {rb['old_buckets']} -> {rb['new_buckets']} buckets; "
+        "search unchanged; the old bucket count is now refused at sink start"
+    )
+
     shutil.rmtree(work, ignore_errors=True)
     print("done.")
 

@@ -336,3 +336,86 @@ def test_postings_rebucket_marker_recovery(spark, tmp_path):
     # and a search through the recovered index still works
     out = bm25_search_streamed(spark, index_path, ["fox", "joins"], k=2)
     assert out.count() == 2
+
+
+def test_cached_corpus_stats_rollforward(spark, con, raw_index):
+    """After compaction the sidecar carries (n_docs, sum_dl) and the
+    search's stats come from it (counter==0 witnesses freshness) —
+    results must be IDENTICAL to the doclen-scan path, which is forced
+    by dropping the cache keys. (Runs after the maintenance test, so
+    raw_index is compacted and the cache is fresh.)"""
+    import json
+
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    meta = read_table_meta(spark, raw_index)
+    dl = spark.read.parquet(f"{raw_index}/doclen")
+    assert meta["n_docs"] == dl.count()
+    assert meta["sum_dl"] == dl.agg(F.sum("dl")).collect()[0][0]
+    assert meta["batches_since_compact"] == 0
+
+    cached = bm25_search_streamed(
+        spark, raw_index, _BM25_TERMS, k=10, dedup=False
+    )
+    got_cached = _rows(
+        cached.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+    # force the scan path and compare
+    scan_meta = dict(meta)
+    scan_meta.pop("n_docs"), scan_meta.pop("sum_dl")
+    with open(os.path.join(raw_index, "_table_meta.json"), "w") as f:
+        f.write(json.dumps(scan_meta))
+    scanned = bm25_search_streamed(
+        spark, raw_index, _BM25_TERMS, k=10, dedup=False
+    )
+    got_scan = _rows(
+        scanned.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+    assert got_cached == got_scan
+    ref = _oracle_rows(
+        con, STAGED_ORACLES["stream_bm25_search"], ["doc_id", "score", "rank"]
+    )
+    assert got_cached == ref
+    # restore the cache for any later reader
+    with open(os.path.join(raw_index, "_table_meta.json"), "w") as f:
+        f.write(json.dumps(meta))
+
+
+def test_null_id_rows_compact_and_invalid_cache_drops(spark, tmp_path):
+    """Null doc ids are NOT a bail case for this layout — xxhash64(NULL)
+    is a non-null hash, so every row lands in a numeric bucket dir the
+    compactor can target (unlike the near-dup sets keyed pre-hash). The
+    replayed null-id corpus must therefore compact clean, cache fresh
+    stats that count the null doc once, and an invalidation pass
+    (valid=False — the guard a genuinely bailed rewrite takes) must drop
+    the cached keys."""
+    import json
+
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.streaming.ingest import _cache_postings_stats
+
+    rows = [
+        {"doc_id": 7, "text": "alpha beta"},
+        {"doc_id": None, "text": "null id doc"},
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    index_path = str(tmp_path / "index")
+    for ck in ("ck1", "ck2"):  # replay = duplicates, incl. the null id
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = stream_postings_sink(
+            stream, index_path, str(tmp_path / ck), spark,
+            n_buckets=4, trigger_once=True,
+        )
+        await_stream(q, 120, f"postings sink null-id ({ck})")
+    stats = compact_streamed_postings(spark, index_path)
+    assert not stats["bailed"]
+    assert stats["doclen_removed"] == 2  # both docs' redelivery copies
+    meta = read_table_meta(spark, index_path)
+    assert meta["n_docs"] == 2 and meta["sum_dl"] == 5
+    _cache_postings_stats(spark, index_path, valid=False)
+    meta = read_table_meta(spark, index_path)
+    assert "n_docs" not in meta and "sum_dl" not in meta
