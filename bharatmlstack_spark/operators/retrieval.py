@@ -87,6 +87,27 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
         .persist()
     )
+    return bm25_score_topk(tf, stats, k1=k1, b=b, k=k, id_alias=id_col)
+
+
+def bm25_score_topk(
+    tf: DataFrame,
+    stats: DataFrame,
+    k1: float,
+    b: float,
+    k: int,
+    id_alias: str,
+) -> DataFrame:
+    """The BM25 scoring tail shared by bm25_topk and the streamed-index
+    search (streaming/ingest.bm25_search_streamed): df derivation from
+    the postings, broadcast idf/stats fold, per-doc sum rounded to 6dp,
+    heap top-k + rank. ONE implementation on purpose — both callers are
+    gated by the same DuckDB twin, and two hand-synced copies of the
+    formula would let a constant tweak break one silently.
+
+    ``tf``: (term, id, tf, dl) postings for the query terms only;
+    ``stats``: one row (__n_docs, __avgdl). Returns (id_alias, score,
+    rank) with rank 1..k by (score desc, id asc)."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log(
         1.0 + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -104,7 +125,7 @@ def bm25_topk(
         scored.orderBy(F.desc("score"), F.asc("id"))
         .limit(k)  # heap top-k; the window below ranks only k rows
         .withColumn("rank", F.row_number().over(w))
-        .select(F.col("id").alias(id_col), "score", "rank")
+        .select(F.col("id").alias(id_alias), "score", "rank")
     )
 
 

@@ -1008,6 +1008,13 @@ RETIRED: list[tuple[str, str, str]] = [
     ),
 ]
 
+# Staged registration candidate awaiting the next freed slot (protocol
+# (b), tests/test_stream_bm25.py runs the driver comparison meanwhile):
+# queries_text.stream_bm25_search — BM25 through the streamed postings
+# index (r12's fourth streamed-state family member), oracle =
+# R9_ORACLES["bm25_topk"]. Graduate it by retiring the head below,
+# preferably in the r14 window (the r13 window is pre-planned and must
+# not reshuffle).
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
     ("salted_dim_join", "skew salting: salted_hot_key_agg"),
     ("sketch_union_distinct", "sketches: sketch_distinct_users + sketch_percentile_value"),

@@ -3080,9 +3080,13 @@ def stream_postings_sink(
     toks = _postings_tokens(text_col)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # ONE evaluation of the batch source: the tokenized base feeds
+        # BOTH writes (postings + doclen) from cache; the postings
+        # aggregate is additionally persisted so its count (the empty
+        # check + the sidecar row total) and its write share one pass
         base = batch_df.select(
             F.col(id_col).alias("id"), toks.alias("__w")
-        )
+        ).persist()
         postings = (
             base.select("id", F.size("__w").alias("dl"), F.explode("__w").alias("term"))
             .groupBy("id", "term")
@@ -3099,6 +3103,17 @@ def stream_postings_sink(
             n = postings.count()  # one evaluation; doubles as empty check
             if not n:
                 return
+            # meta BEFORE the appends: the counter bump is the stats
+            # cache's staleness witness, so it must land first — a crash
+            # between an append and a later meta write would leave
+            # counter==0 with data the cached (n_docs, sum_dl) don't
+            # cover, and searches would trust them. This order merely
+            # over-counts on a crash-replay (rows_appended is documented
+            # as an upper bound; the counter firing maintenance one
+            # batch early is harmless).
+            _update_maintenance_meta(
+                spark, index_path, batch_id, rows_appended=n, extra=sig
+            )
             (
                 postings.select("term", "id", "tf", "dl", "term_bucket")
                 .write.mode("append")
@@ -3115,15 +3130,13 @@ def stream_postings_sink(
                 .partitionBy("id_bucket")
                 .parquet(f"{index_path}/{DOCLEN_DIR}")
             )
-            _update_maintenance_meta(
-                spark, index_path, batch_id, rows_appended=n, extra=sig
-            )
             if auto_maintain:
                 maybe_compact_streamed_postings(
                     spark, index_path, every_n_batches=maintain_every_n_batches
                 )
         finally:
             postings.unpersist()
+            base.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
@@ -3141,6 +3154,7 @@ def bm25_search_streamed(
     b: float = 0.75,
     k: int = 10,
     dedup: bool = True,
+    persist_postings: bool = True,
 ) -> DataFrame:
     """Okapi BM25 top-k THROUGH the streamed postings index — the same
     math, constants, and rounding as operators/retrieval.bm25_topk, so
@@ -3202,9 +3216,15 @@ def bm25_search_streamed(
     tf = pruned.filter(F.col("term").isin(terms)).select("term", "id", "tf", "dl")
     if dedup:
         tf = tf.dropDuplicates(["term", "id"])
-    # tf feeds df-derivation AND scoring: persist the pruned postings
-    # (|matching docs| x |terms| rows) so the bucket scan runs once
-    tf = defer_unpersist(tf.persist())
+    if persist_postings:
+        # tf feeds df-derivation AND scoring: persist the pruned postings
+        # (|matching docs| x |terms| rows) so the bucket scan runs once.
+        # persist_postings=False re-scans the pruned postings instead —
+        # for callers avoiding executor cache pressure, and it keeps the
+        # file-level plan introspectable (a persisted lineage reports no
+        # inputFiles; tests/test_stream_bm25.py pins the bucket pruning
+        # through this switch)
+        tf = defer_unpersist(tf.persist())
     # corpus stats: the sidecar cache (rolled forward by the compactor/
     # rebucket) is provably fresh when NO batch has appended since it was
     # written — the sink bumps the counter per batch, so counter==0 is
@@ -3230,25 +3250,12 @@ def bm25_search_streamed(
             F.count(F.lit(1)).cast("double").alias("__n_docs"),
             F.avg("dl").alias("__avgdl"),
         )
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-    idf = F.log(1.0 + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
-    scored = (
-        tf.join(F.broadcast(dfreq), on="term")
-        .join(F.broadcast(stats))  # 1-row cross join, no shuffle
-        .select("id", (idf * F.col("tf") * (k1 + 1.0) / denom).alias("s"))
-        .groupBy("id")
-        .agg(F.round(F.sum("s"), 6).alias("score"))
-    )
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
-    return (
-        scored.orderBy(F.desc("score"), F.asc("id"))
-        .limit(k)  # heap top-k; the window ranks only k rows
-        .withColumn("rank", F.row_number().over(w))
-        .select(F.col("id").alias(out_id), "score", "rank")
-    )
+    # ONE scoring implementation, shared with the batch bm25_topk — the
+    # "same math, constants, and rounding" claim is structural, not a
+    # hand-synced copy
+    from bharatmlstack_spark.operators.retrieval import bm25_score_topk
+
+    return bm25_score_topk(tf, stats, k1=k1, b=b, k=k, id_alias=out_id)
 
 
 def compact_streamed_postings(spark: SparkSession, index_path: str) -> dict:
@@ -3276,6 +3283,11 @@ def compact_streamed_postings(spark: SparkSession, index_path: str) -> dict:
         spark, f"{index_path}/{DOCLEN_DIR}", ["id"], "id_bucket"
     )
     bailed = bailed_p or bailed_d
+    # ORDER MATTERS (crash safety): a stale cache from a PREVIOUS pass
+    # must not survive into the counter reset — counter==0 plus old
+    # (n_docs, sum_dl) would be trusted. Drop first (a crash then leaves
+    # the scan path), reset, then recompute into a valid cache.
+    _cache_postings_stats(spark, index_path, valid=False)
     _reset_maintenance_meta(spark, index_path, clear_redelivery=not bailed)
     _cache_postings_stats(spark, index_path, valid=not bailed_d)
     return {
@@ -3460,6 +3472,12 @@ def rebucket_postings_index(
         }
     )
     merged.pop(MAINT_REDELIVERY_KEY, None)
+    # a PRE-rebucket stats cache must not ride into the marker: the
+    # marker installs counter==0, and a crash before the post-adoption
+    # recompute would leave stale (n_docs, sum_dl) trusted — drop them;
+    # the success path recomputes right after adoption
+    merged.pop("n_docs", None)
+    merged.pop("sum_dl", None)
     hadoop_write_text_atomic(
         spark,
         f"{index_path}/{POSTINGS_REBUCKET_MARKER}",

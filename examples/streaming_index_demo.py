@@ -204,8 +204,23 @@ def main() -> None:
     await_stream(q, 300)
     print("restart with the persisted (refit) quantizer: appended OK")
 
-    # 4. streamed inverted index: BM25 through term-bucket postings
-    print("== 4. streamed inverted index (BM25 postings) ==")
+    # 5. streamed inverted index: BM25 through term-bucket postings.
+    # NOTE: sections 1-3 use a topic with 20 intra-topic duplicate doc
+    # ids (the dedup showcase); the postings sink's contract is each doc
+    # id arrives ONCE (corpus build), so this section replays a clean
+    # topic — redelivery duplication still comes from the second
+    # checkpoint pass below.
+    print("== 5. streamed inverted index (BM25 postings) ==")
+    ptopic = f"{work}/ptopic"
+    docs.repartition(3).write.parquet(ptopic)
+
+    def ptopic_stream():
+        return (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ptopic)
+        )
+
     from bharatmlstack_spark.streaming.ingest import (
         bm25_search_streamed,
         maybe_compact_streamed_postings,
@@ -216,7 +231,7 @@ def main() -> None:
     pindex = f"{work}/postings_index"
     for ck in ("ck_post1", "ck_post2"):  # second pass: full redelivery
         q = stream_postings_sink(
-            topic_stream(), pindex, f"{work}/{ck}", spark,
+            ptopic_stream(), pindex, f"{work}/{ck}", spark,
             n_buckets=16, trigger_once=True,
         )
         await_stream(q, 300)

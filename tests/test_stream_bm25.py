@@ -122,7 +122,8 @@ def test_maintenance_policy_reclaims_redelivery(spark, con, raw_index):
     """The replayed checkpoint re-numbers batches from 0, so the sidecar
     flags redelivery -> maintenance_due -> maybe_compact reclaims the
     physical copies -> dedup=False reproduces batch BM25 and the flag
-    clears. (Runs LAST against the shared fixture: it mutates the state.)"""
+    clears. (Mutates the shared fixture: tests after this one see the
+    compacted state and must not assume pre-compaction duplicates.)"""
     assert maintenance_due(spark, raw_index, every_n_batches=64)
     stats = maybe_compact_streamed_postings(spark, raw_index)
     assert stats is not None and not stats["bailed"]
@@ -342,12 +343,17 @@ def test_cached_corpus_stats_rollforward(spark, con, raw_index):
     """After compaction the sidecar carries (n_docs, sum_dl) and the
     search's stats come from it (counter==0 witnesses freshness) —
     results must be IDENTICAL to the doclen-scan path, which is forced
-    by dropping the cache keys. (Runs after the maintenance test, so
-    raw_index is compacted and the cache is fresh.)"""
+    by dropping the cache keys from the REAL sidecar (TABLE_META_FILE).
+    Compacts first (idempotent) so the test is order-independent."""
     import json
 
-    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text_atomic,
+        read_table_meta,
+    )
 
+    compact_streamed_postings(spark, raw_index)
     meta = read_table_meta(spark, raw_index)
     dl = spark.read.parquet(f"{raw_index}/doclen")
     assert meta["n_docs"] == dl.count()
@@ -363,8 +369,12 @@ def test_cached_corpus_stats_rollforward(spark, con, raw_index):
     # force the scan path and compare
     scan_meta = dict(meta)
     scan_meta.pop("n_docs"), scan_meta.pop("sum_dl")
-    with open(os.path.join(raw_index, "_table_meta.json"), "w") as f:
-        f.write(json.dumps(scan_meta))
+    # through the hadoop writer: a plain open() rewrite would invalidate
+    # the local FS .crc the sidecar carries
+    hadoop_write_text_atomic(
+        spark, os.path.join(raw_index, TABLE_META_FILE), json.dumps(scan_meta)
+    )
+    assert "n_docs" not in read_table_meta(spark, raw_index)  # scan forced
     scanned = bm25_search_streamed(
         spark, raw_index, _BM25_TERMS, k=10, dedup=False
     )
@@ -377,8 +387,9 @@ def test_cached_corpus_stats_rollforward(spark, con, raw_index):
     )
     assert got_cached == ref
     # restore the cache for any later reader
-    with open(os.path.join(raw_index, "_table_meta.json"), "w") as f:
-        f.write(json.dumps(meta))
+    hadoop_write_text_atomic(
+        spark, os.path.join(raw_index, TABLE_META_FILE), json.dumps(meta)
+    )
 
 
 def test_null_id_rows_compact_and_invalid_cache_drops(spark, tmp_path):
@@ -419,3 +430,79 @@ def test_null_id_rows_compact_and_invalid_cache_drops(spark, tmp_path):
     _cache_postings_stats(spark, index_path, valid=False)
     meta = read_table_meta(spark, index_path)
     assert "n_docs" not in meta and "sum_dl" not in meta
+
+
+def test_search_plan_reads_only_query_buckets(spark, raw_index):
+    """Plan pin: the search's postings input files all live under the
+    query terms' term_bucket dirs (targeted-path read, never the root),
+    no CartesianProduct appears (the 1-row stats fold broadcasts), and
+    the cached-stats path reads NOTHING from doclen. Compacts first
+    (idempotent) so the stats cache is fresh regardless of test order."""
+    compact_streamed_postings(spark, raw_index)
+    # earlier tests persisted an identical pruned-postings fragment; the
+    # CacheManager would substitute it and hide the file-level plan
+    spark.catalog.clearCache()
+    out = bm25_search_streamed(
+        spark, raw_index, _BM25_TERMS, k=10, dedup=False,
+        persist_postings=False,  # a persisted lineage reports no inputFiles
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    tdf = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    want = {
+        f"/term_bucket={r[0]}/"
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(16)).alias("b")
+        ).collect()
+    }
+    files = out.inputFiles()
+    assert files  # the pruned read is non-empty
+    for f in files:
+        assert "/doclen/" not in f  # cached stats: no corpus-sized input
+        assert any(w in f for w in want), f"file outside query buckets: {f}"
+
+
+def test_stats_cache_tracks_corpus_growth(spark, tmp_path):
+    """compact -> cache(n_docs=2) -> append a 3rd doc (counter>0: cache
+    untrusted, scan path) -> compact again -> cache recomputed to 3.
+    The compactor drops the old cache BEFORE resetting the counter, so
+    no crash point can leave counter==0 with a previous corpus's stats
+    (the ordering documented in compact_streamed_postings)."""
+    import json
+
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha beta"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "beta gamma delta"}) + "\n")
+    index_path = str(tmp_path / "index")
+
+    def run_sink(ck):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = stream_postings_sink(
+            stream, index_path, str(tmp_path / ck), spark,
+            n_buckets=4, trigger_once=True,
+        )
+        await_stream(q, 120, f"postings growth sink ({ck})")
+
+    run_sink("ck1")
+    compact_streamed_postings(spark, index_path)
+    meta = read_table_meta(spark, index_path)
+    assert meta["n_docs"] == 2 and meta["sum_dl"] == 5
+
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "beta epsilon"}) + "\n")
+    run_sink("ck1")  # same checkpoint: only the NEW file is a batch
+    meta = read_table_meta(spark, index_path)
+    assert meta["batches_since_compact"] > 0  # cache now untrusted
+    # scan path must already see the 3-doc corpus
+    out = bm25_search_streamed(spark, index_path, ["beta"], k=5)
+    assert out.count() == 3
+
+    compact_streamed_postings(spark, index_path)
+    meta = read_table_meta(spark, index_path)
+    assert meta["n_docs"] == 3 and meta["sum_dl"] == 7
+    out = bm25_search_streamed(spark, index_path, ["beta"], k=5, dedup=False)
+    assert out.count() == 3  # cached path, fresh stats
