@@ -3225,16 +3225,25 @@ def bm25_search_streamed(
         # inputFiles; tests/test_stream_bm25.py pins the bucket pruning
         # through this switch)
         tf = defer_unpersist(tf.persist())
+    # tombstoned docs (delete_postings_docs) leave the index lazily:
+    # broadcast-anti-join them out of the postings AND the stats until
+    # the next compaction folds them physically
+    tomb = _postings_tombstones(spark, index_path)
+    if tomb is not None:
+        tf = tf.join(F.broadcast(tomb), on="id", how="left_anti")
     # corpus stats: the sidecar cache (rolled forward by the compactor/
     # rebucket) is provably fresh when NO batch has appended since it was
     # written — the sink bumps the counter per batch, so counter==0 is
-    # the staleness witness. Cached hit skips the search's only
-    # O(corpus) piece; miss pays one thin two-column map-side aggregate.
+    # the staleness witness — and no tombstones are pending (a delete
+    # drops the cache first, but the live set is the authority). Cached
+    # hit skips the search's only O(corpus) piece; miss pays one thin
+    # two-column map-side aggregate.
     n_docs, sum_dl = meta.get("n_docs"), meta.get("sum_dl")
     if (
         n_docs
         and sum_dl is not None
         and int(meta.get(MAINT_COUNTER_KEY, 1)) == 0
+        and tomb is None
     ):
         stats = spark.range(1).select(
             F.lit(float(n_docs)).alias("__n_docs"),
@@ -3246,6 +3255,8 @@ def bm25_search_streamed(
         )
         if dedup:
             dl_tbl = dl_tbl.dropDuplicates(["id"])
+        if tomb is not None:
+            dl_tbl = dl_tbl.join(F.broadcast(tomb), on="id", how="left_anti")
         stats = dl_tbl.agg(
             F.count(F.lit(1)).cast("double").alias("__n_docs"),
             F.avg("dl").alias("__avgdl"),
@@ -3276,6 +3287,9 @@ def compact_streamed_postings(spark: SparkSession, index_path: str) -> dict:
     the staleness witness). A bailed pass DROPS the cache: doclen still
     holds duplicates the stats must not double-count."""
     _finish_postings_rebucket(spark, index_path)  # adopt a crashed rebucket
+    # fold pending deletions first: the dedup rewrite and the stats
+    # recompute below must see the post-deletion corpus
+    purged = fold_postings_tombstones(spark, index_path)
     removed_p, bailed_p = _compact_dedup_state(
         spark, f"{index_path}/{POSTINGS_DIR}", ["term", "id"], "term_bucket"
     )
@@ -3293,6 +3307,9 @@ def compact_streamed_postings(spark: SparkSession, index_path: str) -> dict:
     return {
         "postings_removed": removed_p,
         "doclen_removed": removed_d,
+        "tombstones_folded": purged["tombstones"],
+        "purged_postings": purged["postings_removed"],
+        "purged_doclen": purged["doclen_removed"],
         "bailed": bailed,
     }
 
@@ -3428,6 +3445,9 @@ def rebucket_postings_index(
     )
 
     _finish_postings_rebucket(spark, index_path)  # adopt a crashed run
+    # fold pending deletions first: the rewrite below recomputes the
+    # sidecar row totals and stats from the surviving corpus
+    fold_postings_tombstones(spark, index_path)
     for sub in (POSTINGS_DIR, DOCLEN_DIR):
         orphan = f"{index_path}/{sub}__rebucketing"
         if hadoop_path_exists(spark, orphan):
@@ -3544,3 +3564,173 @@ def maybe_rebucket_postings_index(
         1, _math.ceil(int(meta[MAINT_ROWS_KEY]) / target_bucket_rows)
     )
     return rebucket_postings_index(spark, index_path, new_buckets)
+
+
+TOMBSTONES_DIR = "tombstones"
+
+
+def delete_postings_docs(
+    spark: SparkSession, index_path: str, doc_ids
+) -> int:
+    """Mark documents DELETED in the streamed postings index — the
+    deletion half of the index lifecycle (create/append/search/compact/
+    rebucket/delete). A doc's terms hash across EVERY term bucket, so an
+    eager delete would rewrite the whole postings root; instead this
+    appends the ids to a tiny ``tombstones`` side table (the standard
+    inverted-index discipline — Lucene's deleted-docs bitset, here a
+    parquet of (id) rows):
+
+    - searches broadcast-anti-join the tombstones out of both the
+      postings and the corpus stats — correct immediately, cost
+      O(|tombstones|) on the query side;
+    - ``compact_streamed_postings`` folds them in physically: one thin
+      detection scan finds the bucket dirs actually holding tombstoned
+      rows, only those rewrite, and the tombstone table resets.
+
+    Deleting also DROPS the cached corpus stats (they counted the doc)
+    — the next compaction recomputes them. Idempotent: deleting an
+    absent or already-deleted id is a no-op row. ``doc_ids``: a list of
+    ids or a single-column DataFrame. Returns the number of tombstones
+    appended. Offline or between-batch (the sinks' single-writer
+    assumption covers the sidecar update)."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    _finish_postings_rebucket(spark, index_path)
+    meta = read_table_meta(spark, index_path) or {}
+    if "n_buckets" not in meta:
+        raise RuntimeError(
+            f"postings index {index_path} has no meta sidecar — not a "
+            "stream_postings_sink root."
+        )
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("id")).distinct()
+    else:
+        # infer the id type from the values (doc ids may be strings)
+        ids = spark.createDataFrame(
+            [(i,) for i in doc_ids], ["id"]
+        ).distinct()
+    n = ids.count()
+    if not n:
+        return 0
+    # drop the cache BEFORE the tombstone lands: a crash in between
+    # leaves a cache-less (scan-path) index with no tombstones — the
+    # delete simply didn't happen; the reverse order would leave a live
+    # tombstone with a cache that still counts the doc (search guards on
+    # the tombstone set anyway — belt and braces)
+    _cache_postings_stats(spark, index_path, valid=False)
+    ids.write.mode("append").parquet(f"{index_path}/{TOMBSTONES_DIR}")
+    return n
+
+
+def _postings_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """The live tombstone set, or None when empty/absent — searches
+    broadcast it (deleted docs are a tiny fraction of a corpus; a
+    deletion wave large enough to strain a broadcast is a compaction
+    trigger, not a search-side problem)."""
+    path = f"{index_path}/{TOMBSTONES_DIR}"
+    if not hadoop_path_exists(spark, path):
+        return None
+    t = spark.read.parquet(path).dropDuplicates(["id"])
+    return t
+
+
+def fold_postings_tombstones(spark: SparkSession, index_path: str) -> dict:
+    """Physically remove tombstoned docs from both postings tables and
+    reset the tombstone table — called by compact_streamed_postings (the
+    maintenance pass amortizes the rewrite), callable standalone after a
+    deletion wave. Targeted like every rewrite here:
+
+    - postings: ONE thin detection scan (id column only, map-side agg)
+      finds the term_bucket dirs actually holding tombstoned rows;
+      only those rewrite via dynamic partition overwrite;
+    - doclen: the tombstoned ids' id_buckets are DERIVED (pmod of the
+      stored hash — no scan), and only existing dirs rewrite.
+
+    Returns {"tombstones", "postings_removed", "doclen_removed"}."""
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_delete_path,
+        hadoop_list_partition_dirs,
+    )
+    from bharatmlstack_spark.query_registry import defer_unpersist
+
+    t = _postings_tombstones(spark, index_path)
+    if t is None or t.isEmpty():
+        return {"tombstones": 0, "postings_removed": 0, "doclen_removed": 0}
+    t = defer_unpersist(F.broadcast(t).persist())
+    n_t = t.count()
+    removed = {"tombstones": n_t}
+
+    def _purge(sub: str, bucket_col: str, dirs_from_scan: bool) -> int:
+        root = f"{index_path}/{sub}"
+        if not hadoop_path_exists(spark, root):
+            return 0
+        dirs = hadoop_list_partition_dirs(spark, root, bucket_col)
+        if dirs_from_scan:
+            # which buckets hold tombstoned rows? one id-column scan
+            touched = [
+                r[0]
+                for r in spark.read.parquet(root)
+                .join(t, on="id", how="left_semi")
+                .select(bucket_col)
+                .distinct()
+                .collect()
+            ]
+        else:
+            # doclen buckets are a pure function of the id
+            from bharatmlstack_spark.operators.feature_store import (
+                read_table_meta,
+            )
+
+            nb = int(read_table_meta(spark, index_path)["n_buckets"])
+            touched = [
+                r[0]
+                for r in t.select(
+                    F.pmod(F.xxhash64("id"), F.lit(nb)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+        targeted = {b: dirs[b] for b in touched if b in dirs}
+        if not targeted:
+            return 0
+        scoped = spark.read.option("basePath", root).parquet(*targeted.values())
+        before = scoped.count()
+        keep = defer_unpersist(
+            scoped.join(t, on="id", how="left_anti").persist()
+        )
+        n_after = keep.count()
+        tmp = root + "__purging"
+        survive: set = set()
+        if n_after:
+            (
+                keep.repartition(bucket_col)
+                .write.mode("overwrite")
+                .partitionBy(bucket_col)
+                .parquet(tmp)
+            )
+            staged = spark.read.parquet(tmp)
+            (
+                staged.repartition(bucket_col)
+                .write.mode("overwrite")
+                .partitionBy(bucket_col)
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(root)
+            )
+            survive = {
+                r[0] for r in staged.select(bucket_col).distinct().collect()
+            }
+        # unlike redelivery dedup, a purge CAN empty a targeted dir —
+        # dynamic overwrite only replaces partitions present in the
+        # staged frame (and an all-empty keep writes no readable stage
+        # at all), so a fully-tombstoned bucket's old dir would survive
+        # with its deleted rows: drop the emptied dirs explicitly
+        for b, path in targeted.items():
+            if b not in survive:
+                hadoop_delete_path(spark, path)
+        hadoop_delete_path(spark, tmp)
+        return before - n_after
+
+    removed["postings_removed"] = _purge(POSTINGS_DIR, "term_bucket", True)
+    removed["doclen_removed"] = _purge(DOCLEN_DIR, "id_bucket", False)
+    hadoop_delete_path(spark, f"{index_path}/{TOMBSTONES_DIR}")
+    return removed

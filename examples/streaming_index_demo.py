@@ -223,6 +223,8 @@ def main() -> None:
 
     from bharatmlstack_spark.streaming.ingest import (
         bm25_search_streamed,
+        compact_streamed_postings,
+        delete_postings_docs,
         maybe_compact_streamed_postings,
         rebucket_postings_index,
         stream_postings_sink,
@@ -258,6 +260,17 @@ def main() -> None:
     print(
         f"rebucketed {rb['old_buckets']} -> {rb['new_buckets']} buckets; "
         "search unchanged; the old bucket count is now refused at sink start"
+    )
+    # deletion: tombstone the current top doc — gone from results (and
+    # from df/N/avgdl) immediately; the next compaction purges physically
+    top_doc = top[0]["doc_id"]
+    delete_postings_docs(spark, pindex, [top_doc])
+    after_del = bm25_search_streamed(spark, pindex, terms, k=3).collect()
+    assert all(r["doc_id"] != top_doc for r in after_del)
+    purged = compact_streamed_postings(spark, pindex)
+    print(
+        f"deleted doc {top_doc}: out of the top-3 immediately, "
+        f"{purged['purged_postings']} postings purged at compaction"
     )
 
     shutil.rmtree(work, ignore_errors=True)

@@ -506,3 +506,120 @@ def test_stats_cache_tracks_corpus_growth(spark, tmp_path):
     assert meta["n_docs"] == 3 and meta["sum_dl"] == 7
     out = bm25_search_streamed(spark, index_path, ["beta"], k=5, dedup=False)
     assert out.count() == 3  # cached path, fresh stats
+
+
+_DELETED = (3, 8, 11)  # includes pre-delete top scorers, so ranks reshuffle
+
+
+def _bm25_oracle_excluding(ids):
+    """The registered bm25_topk twin over the corpus minus deleted docs —
+    deletion must affect df, N, and avgdl exactly as if the docs never
+    existed."""
+    excl = ", ".join(str(i) for i in ids)
+    return STAGED_ORACLES["stream_bm25_search"].replace(
+        "FROM documents",
+        f"FROM documents WHERE doc_id NOT IN ({excl})",
+    )
+
+
+def test_delete_docs_search_matches_shrunk_corpus_oracle(spark, con, tmp_path):
+    """Tombstoned docs leave the results, df, N, and avgdl IMMEDIATELY
+    (broadcast anti-join) — search equals batch BM25 over the shrunk
+    corpus; compaction then folds the tombstones physically and the
+    same oracle still gates the dedup=False cached-stats path."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+    from bharatmlstack_spark.streaming.ingest import (
+        delete_postings_docs,
+    )
+
+    work = str(tmp_path)
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(3).write.parquet(topic)
+    for replay in ("ckpt1", "ckpt2"):  # redelivery too: both reclaims fold
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_postings_sink(
+            stream, index_path, f"{work}/{replay}", spark,
+            n_buckets=16, trigger_once=True,
+        )
+        await_stream(q, 600, f"delete-test sink ({replay})")
+
+    assert delete_postings_docs(spark, index_path, list(_DELETED)) == 3
+    ref = _oracle_rows(
+        con, _bm25_oracle_excluding(_DELETED), ["doc_id", "score", "rank"]
+    )
+    out = bm25_search_streamed(
+        spark, index_path, _BM25_TERMS, k=10, dedup=True
+    ).select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    got = _rows(out)
+    assert got == ref
+    assert not any(r[0] in _DELETED for r in got)
+
+    # compaction folds: physical purge + redelivery dedup + fresh stats
+    stats = compact_streamed_postings(spark, index_path)
+    assert stats["tombstones_folded"] == 3
+    assert stats["purged_doclen"] == 2 * 3  # both redelivery copies
+    assert not os.path.exists(f"{index_path}/tombstones")
+    post = spark.read.parquet(f"{index_path}/postings")
+    assert post.filter(F.col("id").isin(*_DELETED)).count() == 0
+    meta = read_table_meta(spark, index_path)
+    dl = spark.read.parquet(f"{index_path}/doclen")
+    assert meta["n_docs"] == dl.count()
+    out2 = bm25_search_streamed(
+        spark, index_path, _BM25_TERMS, k=10, dedup=False
+    ).select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    assert _rows(out2) == ref
+
+
+def test_fold_purge_drops_fully_tombstoned_dirs(spark, tmp_path):
+    """Deleting EVERY doc in an id_bucket empties that doclen dir — a
+    dynamic overwrite alone would leave the old files in place (the
+    partition isn't in the staged frame), so the purge must drop the
+    dir explicitly; searches then see a clean corpus."""
+    import json
+
+    from bharatmlstack_spark.streaming.ingest import (
+        delete_postings_docs,
+        fold_postings_tombstones,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "solo bucket doc"},
+        {"doc_id": 2, "text": "another doc entirely"},
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    index_path = str(tmp_path / "index")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_postings_sink(
+        stream, index_path, str(tmp_path / "ck"), spark,
+        n_buckets=2, trigger_once=True,
+    )
+    await_stream(q, 120, "purge-dir sink")
+    # find a doc alone in its id_bucket (n_buckets=2, 2 docs: either
+    # split 1/1 — both alone — or 2/0)
+    dl = spark.read.parquet(f"{index_path}/doclen")
+    per_bucket = {
+        r["id_bucket"]: r["n"]
+        for r in dl.groupBy("id_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    lone_bucket = min(per_bucket, key=per_bucket.get)
+    victims = [
+        r["id"]
+        for r in dl.filter(F.col("id_bucket") == lone_bucket).collect()
+    ]
+    delete_postings_docs(spark, index_path, victims)
+    purged = fold_postings_tombstones(spark, index_path)
+    assert purged["doclen_removed"] == len(victims)
+    assert not os.path.exists(f"{index_path}/doclen/id_bucket={lone_bucket}")
+    survivors = [r["id"] for r in spark.read.parquet(f"{index_path}/doclen").collect()]
+    assert set(survivors) == {1, 2} - set(victims)
