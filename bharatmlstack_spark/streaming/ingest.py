@@ -1585,10 +1585,17 @@ def read_streamed_ivf_index(
     once-not-per-read form of the same dedup), pass ``dedup=False`` on
     the hot search path — new appends since the last compaction are
     then visible as duplicates, which IVF search tolerates (identical
-    rows score identically; dedup the top-k on id if exact-k matters)."""
+    rows score identically; dedup the top-k on id if exact-k matters).
+
+    Vectors tombstoned by ``delete_indexed_vectors`` are broadcast-anti-
+    joined out — deleted ids leave every search immediately, before the
+    next compaction/refit folds them physically."""
     _finish_refit_commit(spark, index_path)  # adopt a crashed refit first
     _recover_root_swap(spark, index_path)  # ...or a crashed flat-swap
     df = spark.read.parquet(index_path)
+    tomb = _ivf_tombstones(spark, index_path, id_col)
+    if tomb is not None:
+        df = df.join(F.broadcast(tomb), on=id_col, how="left_anti")
     return df.dropDuplicates([id_col]) if dedup else df
 
 
@@ -1727,6 +1734,9 @@ def compact_streamed_index(
     ``maintenance_due`` / ``maybe_compact_streamed_index`` decide that
     from the sidecar the sinks maintain), never per micro-batch."""
     _finish_refit_commit(spark, index_path)  # adopt a crashed refit first
+    # fold pending vector deletions first (also removes the _tombstones
+    # dir before any flat-fallback root swap could drop it silently)
+    fold_index_tombstones(spark, index_path, id_col)
     removed, bailed = _compact_dedup_state(spark, index_path, [id_col], "cell")
     # a bail-out (duplicates exist but only in non-targetable dirs)
     # reclaimed nothing: keep the redelivery flag so maintenance_due
@@ -2713,6 +2723,10 @@ def refit_streamed_index(
     from bharatmlstack_spark.operators.feature_store import read_table_meta
 
     old_meta = read_table_meta(spark, index_path) or {}
+    # fold pending vector deletions: the refit sample, the re-assignment,
+    # and the fresh sidecar row totals must all see the shrunk corpus
+    # (the staged-root swap would also silently drop the _tombstones dir)
+    fold_index_tombstones(spark, index_path, id_col)
     n_cells_before = len(hadoop_list_partition_dirs(spark, index_path, "cell"))
     raw = spark.read.parquet(index_path)
     total = raw.count()
@@ -3734,3 +3748,134 @@ def fold_postings_tombstones(spark: SparkSession, index_path: str) -> dict:
     removed["doclen_removed"] = _purge(DOCLEN_DIR, "id_bucket", False)
     hadoop_delete_path(spark, f"{index_path}/{TOMBSTONES_DIR}")
     return removed
+
+
+# the IVF index root is one cell-partitioned parquet table, so its
+# tombstones live in an underscore-prefixed subdir — Spark's file
+# discovery skips _-prefixed paths, keeping them invisible to
+# spark.read.parquet(index_path) while staying directly readable
+IVF_TOMBSTONES_DIR = "_tombstones"
+
+
+def delete_indexed_vectors(
+    spark: SparkSession, index_path: str, vec_ids, id_col: str = "vec_id"
+) -> int:
+    """Mark vectors DELETED in the streamed IVF index — the postings
+    tombstone discipline (delete_postings_docs) applied to the vector
+    family: an eager delete would need the id->cell assignment to target
+    a rewrite, but readers shouldn't pay a scan to delete, so the ids
+    append to a tiny ``_tombstones`` table that
+    ``read_streamed_ivf_index`` broadcast-anti-joins out — deleted
+    vectors leave every search IMMEDIATELY (they can no longer appear in
+    any top-k), and ``compact_streamed_index`` / ``refit_streamed_index``
+    fold them physically at maintenance/reset cadence. Idempotent.
+    ``vec_ids``: list or single-column DataFrame. Returns tombstones
+    appended. Offline or between-batch (single-writer assumption).
+
+    Caveats: the mask applies to reads through read_streamed_ivf_index
+    (and thus every search); stream_semantic_dedup_sink's per-batch
+    probe reads cell dirs directly and does NOT consult tombstones —
+    fold before resuming that pipeline. RE-ingesting a deleted id while
+    its tombstone is live stays masked (the anti-join can't date rows);
+    fold first, or version the id — the sink's single-arrival
+    contract's deletion corollary."""
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(
+            F.col(vec_ids.columns[0]).alias(id_col)
+        ).distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(i,) for i in vec_ids], [id_col]
+        ).distinct()
+    n = ids.count()
+    if not n:
+        return 0
+    ids.write.mode("append").parquet(f"{index_path}/{IVF_TOMBSTONES_DIR}")
+    return n
+
+
+def _ivf_tombstones(
+    spark: SparkSession, index_path: str, id_col: str
+) -> DataFrame | None:
+    """The live vector tombstone set, or None — searches broadcast it
+    (a deletion wave big enough to strain a broadcast is a compaction
+    trigger, not a read-side problem)."""
+    path = f"{index_path}/{IVF_TOMBSTONES_DIR}"
+    if not hadoop_path_exists(spark, path):
+        return None
+    return (
+        spark.read.parquet(path)
+        .select(F.col(id_col).alias(id_col))
+        .dropDuplicates([id_col])
+    )
+
+
+def fold_index_tombstones(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> dict:
+    """Physically purge tombstoned vectors from the cell-partitioned
+    index and reset the tombstone table — compact_streamed_index calls
+    this first; callable standalone after a deletion wave. One thin
+    (id, cell) detection scan finds the cell dirs actually holding
+    tombstoned rows; only those rewrite; a fully-emptied cell dir is
+    dropped explicitly (dynamic overwrite leaves absent partitions in
+    place); the tombstone table is removed LAST, so every crash point
+    leaves the anti-join mask protecting reads."""
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_delete_path,
+        hadoop_list_partition_dirs,
+    )
+    from bharatmlstack_spark.query_registry import defer_unpersist
+
+    t = _ivf_tombstones(spark, index_path, id_col)
+    if t is None or t.isEmpty():
+        return {"tombstones": 0, "rows_removed": 0}
+    t = defer_unpersist(F.broadcast(t).persist())
+    n_t = t.count()
+    dirs = hadoop_list_partition_dirs(spark, index_path, "cell")
+    touched = [
+        r[0]
+        for r in spark.read.parquet(index_path)
+        .join(t, on=id_col, how="left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    targeted = {c: dirs[c] for c in touched if c in dirs}
+    removed = 0
+    if targeted:
+        scoped = spark.read.option("basePath", index_path).parquet(
+            *targeted.values()
+        )
+        before = scoped.count()
+        keep = defer_unpersist(
+            scoped.join(t, on=id_col, how="left_anti").persist()
+        )
+        n_after = keep.count()
+        tmp = index_path + "__purging"
+        survive: set = set()
+        if n_after:
+            (
+                keep.repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(tmp)
+            )
+            staged = spark.read.parquet(tmp)
+            (
+                staged.repartition("cell")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(index_path)
+            )
+            survive = {
+                r[0] for r in staged.select("cell").distinct().collect()
+            }
+        for c, path in targeted.items():
+            if c not in survive:
+                hadoop_delete_path(spark, path)
+        hadoop_delete_path(spark, tmp)
+        removed = before - n_after
+    hadoop_delete_path(spark, f"{index_path}/{IVF_TOMBSTONES_DIR}")
+    return {"tombstones": n_t, "rows_removed": removed}
