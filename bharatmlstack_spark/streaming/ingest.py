@@ -1143,6 +1143,16 @@ def stream_neardup_minhash_sink(
 
         if batch_df.isEmpty():
             return
+        if hadoop_path_exists(
+            spark, f"{state_dir}/{NEARDUP_TOMBSTONES_DIR}"
+        ):
+            raise RuntimeError(
+                f"near-dup state {state_dir} has pending deletions "
+                "(delete_neardup_docs tombstones) — the per-batch probe "
+                "reads band dirs directly and would emit pairs against "
+                "deleted docs. Run fold_neardup_tombstones (or any "
+                "compact/rebucket pass) before resuming the sink."
+            )
         _ensure_layout()
         # phase_log instrumentation (tools/neardup_state_experiment.py):
         # forces a count() at each phase boundary so the phases time
@@ -1769,6 +1779,10 @@ def compact_neardup_state(spark: SparkSession, state_dir: str) -> dict:
     sets_path = f"{state_dir}/sets"
     bands_path = f"{state_dir}/bands"
     _finish_rebucket_commit(spark, state_dir)  # adopt a crashed rebucket
+    # fold pending deletions first: the dedup rewrite must see the
+    # post-deletion state, and the sink's pending-tombstone refusal
+    # clears through any compaction pass
+    fold_neardup_tombstones(spark, state_dir)
     recorded, bands_bucketed = _resolve_neardup_layout(
         read_table_meta(spark, state_dir)
     )
@@ -2019,6 +2033,9 @@ def rebucket_neardup_state(
     # finish a crashed predecessor's adoption, then clear any orphaned
     # pre-commit stages (theirs, or a pre-marker crash of our own past)
     _finish_rebucket_commit(spark, state_dir)
+    # fold pending deletions: the re-bucketed state and its fresh
+    # sidecar row totals must see the shrunk corpus
+    fold_neardup_tombstones(spark, state_dir)
     for orphan in (sets_path + "__rebucketing", bands_path + "__rebucketing"):
         if hadoop_path_exists(spark, orphan):
             hadoop_delete_path(spark, orphan)
@@ -2224,6 +2241,11 @@ def cross_dedup_against_state(
         )
     else:
         bands_a = spark.read.parquet(bands_path)
+    # retracted reference docs (delete_neardup_docs) stop flagging
+    # deltas immediately, before any fold physically purges them
+    tomb = _neardup_tombstones(spark, state_dir)
+    if tomb is not None:
+        bands_a = bands_a.join(F.broadcast(tomb), on="id", how="left_anti")
     bands_a = bands_a.select(
         F.col("id").alias("id_a"), "band_idx", "band_hash"
     )
@@ -3652,18 +3674,16 @@ def fold_postings_tombstones(spark: SparkSession, index_path: str) -> dict:
     """Physically remove tombstoned docs from both postings tables and
     reset the tombstone table — called by compact_streamed_postings (the
     maintenance pass amortizes the rewrite), callable standalone after a
-    deletion wave. Targeted like every rewrite here:
-
-    - postings: ONE thin detection scan (id column only, map-side agg)
-      finds the term_bucket dirs actually holding tombstoned rows;
-      only those rewrite via dynamic partition overwrite;
-    - doclen: the tombstoned ids' id_buckets are DERIVED (pmod of the
-      stored hash — no scan), and only existing dirs rewrite.
-
+    deletion wave. Targeted like every rewrite here
+    (_purge_tombstoned_rows, the fold core shared across the tombstone
+    family): the postings dirs come from ONE thin id-column detection
+    scan; the doclen dirs are DERIVED (pmod of the stored hash — no
+    scan). The tombstone table is removed LAST, so the searches'
+    anti-join mask survives every crash point.
     Returns {"tombstones", "postings_removed", "doclen_removed"}."""
     from bharatmlstack_spark.operators.feature_store import (
         hadoop_delete_path,
-        hadoop_list_partition_dirs,
+        read_table_meta,
     )
     from bharatmlstack_spark.query_registry import defer_unpersist
 
@@ -3672,80 +3692,27 @@ def fold_postings_tombstones(spark: SparkSession, index_path: str) -> dict:
         return {"tombstones": 0, "postings_removed": 0, "doclen_removed": 0}
     t = defer_unpersist(F.broadcast(t).persist())
     n_t = t.count()
-    removed = {"tombstones": n_t}
-
-    def _purge(sub: str, bucket_col: str, dirs_from_scan: bool) -> int:
-        root = f"{index_path}/{sub}"
-        if not hadoop_path_exists(spark, root):
-            return 0
-        dirs = hadoop_list_partition_dirs(spark, root, bucket_col)
-        if dirs_from_scan:
-            # which buckets hold tombstoned rows? one id-column scan
-            touched = [
-                r[0]
-                for r in spark.read.parquet(root)
-                .join(t, on="id", how="left_semi")
-                .select(bucket_col)
-                .distinct()
-                .collect()
-            ]
-        else:
-            # doclen buckets are a pure function of the id
-            from bharatmlstack_spark.operators.feature_store import (
-                read_table_meta,
-            )
-
-            nb = int(read_table_meta(spark, index_path)["n_buckets"])
-            touched = [
-                r[0]
-                for r in t.select(
-                    F.pmod(F.xxhash64("id"), F.lit(nb)).alias("b")
-                )
-                .distinct()
-                .collect()
-            ]
-        targeted = {b: dirs[b] for b in touched if b in dirs}
-        if not targeted:
-            return 0
-        scoped = spark.read.option("basePath", root).parquet(*targeted.values())
-        before = scoped.count()
-        keep = defer_unpersist(
-            scoped.join(t, on="id", how="left_anti").persist()
-        )
-        n_after = keep.count()
-        tmp = root + "__purging"
-        survive: set = set()
-        if n_after:
-            (
-                keep.repartition(bucket_col)
-                .write.mode("overwrite")
-                .partitionBy(bucket_col)
-                .parquet(tmp)
-            )
-            staged = spark.read.parquet(tmp)
-            (
-                staged.repartition(bucket_col)
-                .write.mode("overwrite")
-                .partitionBy(bucket_col)
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(root)
-            )
-            survive = {
-                r[0] for r in staged.select(bucket_col).distinct().collect()
-            }
-        # unlike redelivery dedup, a purge CAN empty a targeted dir —
-        # dynamic overwrite only replaces partitions present in the
-        # staged frame (and an all-empty keep writes no readable stage
-        # at all), so a fully-tombstoned bucket's old dir would survive
-        # with its deleted rows: drop the emptied dirs explicitly
-        for b, path in targeted.items():
-            if b not in survive:
-                hadoop_delete_path(spark, path)
-        hadoop_delete_path(spark, tmp)
-        return before - n_after
-
-    removed["postings_removed"] = _purge(POSTINGS_DIR, "term_bucket", True)
-    removed["doclen_removed"] = _purge(DOCLEN_DIR, "id_bucket", False)
+    nb = int(read_table_meta(spark, index_path)["n_buckets"])
+    doclen_touched = [
+        r[0]
+        for r in t.select(F.pmod(F.xxhash64("id"), F.lit(nb)).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    removed = {
+        "tombstones": n_t,
+        "postings_removed": _purge_tombstoned_rows(
+            spark, f"{index_path}/{POSTINGS_DIR}", t, "id", "term_bucket"
+        ),
+        "doclen_removed": _purge_tombstoned_rows(
+            spark,
+            f"{index_path}/{DOCLEN_DIR}",
+            t,
+            "id",
+            "id_bucket",
+            touched=doclen_touched,
+        ),
+    }
     hadoop_delete_path(spark, f"{index_path}/{TOMBSTONES_DIR}")
     return removed
 
@@ -3818,13 +3785,11 @@ def fold_index_tombstones(
     this first; callable standalone after a deletion wave. One thin
     (id, cell) detection scan finds the cell dirs actually holding
     tombstoned rows; only those rewrite; a fully-emptied cell dir is
-    dropped explicitly (dynamic overwrite leaves absent partitions in
-    place); the tombstone table is removed LAST, so every crash point
-    leaves the anti-join mask protecting reads."""
-    from bharatmlstack_spark.operators.feature_store import (
-        hadoop_delete_path,
-        hadoop_list_partition_dirs,
-    )
+    dropped explicitly; the tombstone table is removed LAST, so every
+    crash point leaves the anti-join mask protecting reads
+    (_purge_tombstoned_rows — the fold core shared across the
+    tombstone family)."""
+    from bharatmlstack_spark.operators.feature_store import hadoop_delete_path
     from bharatmlstack_spark.query_registry import defer_unpersist
 
     t = _ivf_tombstones(spark, index_path, id_col)
@@ -3832,50 +3797,190 @@ def fold_index_tombstones(
         return {"tombstones": 0, "rows_removed": 0}
     t = defer_unpersist(F.broadcast(t).persist())
     n_t = t.count()
-    dirs = hadoop_list_partition_dirs(spark, index_path, "cell")
-    touched = [
-        r[0]
-        for r in spark.read.parquet(index_path)
-        .join(t, on=id_col, how="left_semi")
-        .select("cell")
-        .distinct()
-        .collect()
-    ]
-    targeted = {c: dirs[c] for c in touched if c in dirs}
-    removed = 0
-    if targeted:
-        scoped = spark.read.option("basePath", index_path).parquet(
-            *targeted.values()
-        )
-        before = scoped.count()
-        keep = defer_unpersist(
-            scoped.join(t, on=id_col, how="left_anti").persist()
-        )
-        n_after = keep.count()
-        tmp = index_path + "__purging"
-        survive: set = set()
-        if n_after:
-            (
-                keep.repartition("cell")
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .parquet(tmp)
-            )
-            staged = spark.read.parquet(tmp)
-            (
-                staged.repartition("cell")
-                .write.mode("overwrite")
-                .partitionBy("cell")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(index_path)
-            )
-            survive = {
-                r[0] for r in staged.select("cell").distinct().collect()
-            }
-        for c, path in targeted.items():
-            if c not in survive:
-                hadoop_delete_path(spark, path)
-        hadoop_delete_path(spark, tmp)
-        removed = before - n_after
+    removed = _purge_tombstoned_rows(spark, index_path, t, id_col, "cell")
     hadoop_delete_path(spark, f"{index_path}/{IVF_TOMBSTONES_DIR}")
     return {"tombstones": n_t, "rows_removed": removed}
+
+
+def _purge_tombstoned_rows(
+    spark: SparkSession,
+    root: str,
+    t: DataFrame,
+    join_col: str,
+    bucket_col: str | None = None,
+    touched: list | None = None,
+) -> int:
+    """Shared core of the tombstone folds (postings / IVF / near-dup):
+    anti-join rewrite of ONLY the partition dirs holding rows matching
+    the (broadcast, persisted) tombstone frame ``t``.
+
+    - ``bucket_col`` None: flat root — full anti-join rewrite via the
+      crash-safe staged swap (root deleted outright when nothing
+      survives);
+    - partitioned: ``touched`` bucket values are either pre-derived by
+      the caller (a pure function of the id — no scan) or found by one
+      thin detection scan; only existing targeted dirs rewrite, and a
+      fully-emptied dir is dropped explicitly (dynamic overwrite leaves
+      absent partitions in place).
+
+    Returns rows removed. Callers delete the tombstone table LAST, so
+    every crash point leaves the read-side anti-join mask protecting
+    queries."""
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_delete_path,
+        hadoop_list_partition_dirs,
+    )
+    from bharatmlstack_spark.query_registry import defer_unpersist
+
+    if not hadoop_path_exists(spark, root):
+        return 0
+    if bucket_col is None:
+        df = spark.read.parquet(root)
+        before = df.count()
+        keep = defer_unpersist(
+            df.join(t, on=join_col, how="left_anti").persist()
+        )
+        n_after = keep.count()
+        if n_after == before:
+            return 0
+        if n_after:
+            tmp = root + "__purging"
+            keep.write.mode("overwrite").parquet(tmp)
+            _swap_staged_root(spark, tmp, root)
+        else:
+            hadoop_delete_path(spark, root)
+        return before - n_after
+    dirs = hadoop_list_partition_dirs(spark, root, bucket_col)
+    if touched is None:
+        touched = [
+            r[0]
+            for r in spark.read.parquet(root)
+            .join(t, on=join_col, how="left_semi")
+            .select(bucket_col)
+            .distinct()
+            .collect()
+        ]
+    targeted = {b: dirs[b] for b in touched if b in dirs}
+    if not targeted:
+        return 0
+    scoped = spark.read.option("basePath", root).parquet(*targeted.values())
+    before = scoped.count()
+    keep = defer_unpersist(
+        scoped.join(t, on=join_col, how="left_anti").persist()
+    )
+    n_after = keep.count()
+    tmp = root + "__purging"
+    survive: set = set()
+    if n_after:
+        (
+            keep.repartition(bucket_col)
+            .write.mode("overwrite")
+            .partitionBy(bucket_col)
+            .parquet(tmp)
+        )
+        staged = spark.read.parquet(tmp)
+        (
+            staged.repartition(bucket_col)
+            .write.mode("overwrite")
+            .partitionBy(bucket_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(root)
+        )
+        survive = {r[0] for r in staged.select(bucket_col).distinct().collect()}
+    for b, path in targeted.items():
+        if b not in survive:
+            hadoop_delete_path(spark, path)
+    hadoop_delete_path(spark, tmp)
+    return before - n_after
+
+
+NEARDUP_TOMBSTONES_DIR = "tombstones"
+
+
+def delete_neardup_docs(spark: SparkSession, state_dir: str, doc_ids) -> int:
+    """Mark documents DELETED in the streaming near-dup state — the
+    family's third tombstone surface (postings: delete_postings_docs;
+    IVF: delete_indexed_vectors). The ids append to a tiny side table;
+    ``cross_dedup_against_state`` anti-joins the stored band index so a
+    retracted reference doc stops flagging incoming deltas IMMEDIATELY,
+    and ``compact_neardup_state`` / ``rebucket_neardup_state`` fold the
+    sets and bands rows physically.
+
+    The LIVE sink refuses to append while tombstones are pending (its
+    per-batch probe reads band dirs directly and would emit pairs
+    against deleted docs): fold first — ``fold_neardup_tombstones`` or
+    any compaction/rebucket pass — then resume; the loud-contract
+    stance of the layout guards. The emitted pair LOG is history and is
+    never rewritten (filter consumer-side). Idempotent; returns
+    tombstones appended."""
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("id")).distinct()
+    else:
+        ids = spark.createDataFrame([(i,) for i in doc_ids], ["id"]).distinct()
+    n = ids.count()
+    if not n:
+        return 0
+    ids.write.mode("append").parquet(f"{state_dir}/{NEARDUP_TOMBSTONES_DIR}")
+    return n
+
+
+def _neardup_tombstones(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    path = f"{state_dir}/{NEARDUP_TOMBSTONES_DIR}"
+    if not hadoop_path_exists(spark, path):
+        return None
+    return spark.read.parquet(path).dropDuplicates(["id"])
+
+
+def fold_neardup_tombstones(spark: SparkSession, state_dir: str) -> dict:
+    """Physically purge tombstoned docs from both near-dup roots and
+    reset the tombstone table. Sets dirs are DERIVED from the ids (the
+    sink's pmod(xxhash64(id)) — no scan); band dirs are hashed by
+    band_hash, so those take the one thin detection scan. The tombstone
+    table is removed LAST (the cross-probe mask survives every crash
+    point); flat roots take the staged-swap rewrite
+    (_purge_tombstoned_rows)."""
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_delete_path,
+        read_table_meta,
+    )
+    from bharatmlstack_spark.query_registry import defer_unpersist
+
+    t = _neardup_tombstones(spark, state_dir)
+    if t is None or t.isEmpty():
+        return {"tombstones": 0, "sets_removed": 0, "bands_removed": 0}
+    t = defer_unpersist(F.broadcast(t).persist())
+    n_t = t.count()
+    recorded, bands_bucketed = _resolve_neardup_layout(
+        read_table_meta(spark, state_dir)
+    )
+    sets_touched = None
+    if recorded is not None:
+        sets_touched = [
+            r[0]
+            for r in t.select(
+                F.pmod(F.xxhash64("id"), F.lit(recorded)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+    sets_removed = _purge_tombstoned_rows(
+        spark,
+        f"{state_dir}/sets",
+        t,
+        "id",
+        "__kb" if recorded is not None else None,
+        touched=sets_touched,
+    )
+    bands_removed = _purge_tombstoned_rows(
+        spark,
+        f"{state_dir}/bands",
+        t,
+        "id",
+        "__kb" if bands_bucketed else None,
+    )
+    hadoop_delete_path(spark, f"{state_dir}/{NEARDUP_TOMBSTONES_DIR}")
+    return {
+        "tombstones": n_t,
+        "sets_removed": sets_removed,
+        "bands_removed": bands_removed,
+    }
