@@ -2415,14 +2415,23 @@ def maintenance_due(
     """The cadence policy the compactor docstrings promise ("after a
     redelivery event or N batches"), decided from the sidecar the sinks
     maintain: due when a redelivery was observed (duplicates are then
-    KNOWN to exist) or every ``every_n_batches`` appends (bounds the
-    small-file count and the dedup=True readers' shuffle width between
-    passes). One sidecar read — call it per micro-batch or from a cron
-    job; it never scans the state."""
+    KNOWN to exist), a deletion wave is pending (tombstones exist — the
+    compactors fold them, so a fold IS reclaimable work; without this a
+    quiet stream would pay the per-read anti-join mask forever), or
+    every ``every_n_batches`` appends (bounds the small-file count and
+    the dedup=True readers' shuffle width between passes). One sidecar
+    read plus two FS existence checks — call it per micro-batch or from
+    a cron job; it never scans the state."""
     from bharatmlstack_spark.operators.feature_store import read_table_meta
 
     meta = read_table_meta(spark, root) or {}
     if meta.get(MAINT_REDELIVERY_KEY):
+        return True
+    # postings/near-dup roots keep tombstones under "tombstones", the
+    # IVF root under "_tombstones" (invisible to its own parquet scan)
+    if hadoop_path_exists(spark, f"{root}/tombstones") or hadoop_path_exists(
+        spark, f"{root}/_tombstones"
+    ):
         return True
     return int(meta.get(MAINT_COUNTER_KEY, 0)) >= every_n_batches
 
@@ -3628,7 +3637,12 @@ def delete_postings_docs(
     absent or already-deleted id is a no-op row. ``doc_ids``: a list of
     ids or a single-column DataFrame. Returns the number of tombstones
     appended. Offline or between-batch (the sinks' single-writer
-    assumption covers the sidecar update)."""
+    assumption covers the sidecar update).
+
+    Caveat (the whole family's): RE-ingesting a deleted id while its
+    tombstone is live stays masked, and the next fold purges the new
+    rows too — the anti-join can't date rows. Fold first, or version
+    the id; the sink's single-arrival contract's deletion corollary."""
     from bharatmlstack_spark.operators.feature_store import read_table_meta
 
     _finish_postings_rebucket(spark, index_path)
@@ -3638,24 +3652,22 @@ def delete_postings_docs(
             f"postings index {index_path} has no meta sidecar — not a "
             "stream_postings_sink root."
         )
-    if isinstance(doc_ids, DataFrame):
-        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("id")).distinct()
-    else:
-        # infer the id type from the values (doc ids may be strings)
-        ids = spark.createDataFrame(
-            [(i,) for i in doc_ids], ["id"]
-        ).distinct()
-    n = ids.count()
-    if not n:
-        return 0
+    # the stored doclen id type is the authority: tombstones are cast to
+    # it so the fold's derived-bucket hashing can never mis-target
+    # (xxhash64 is type-sensitive); a doclen-less root has nothing to
+    # delete and the earlier sidecar guard already refused a non-index
+    id_type = (
+        spark.read.parquet(f"{index_path}/{DOCLEN_DIR}").schema["id"].dataType
+    )
     # drop the cache BEFORE the tombstone lands: a crash in between
     # leaves a cache-less (scan-path) index with no tombstones — the
     # delete simply didn't happen; the reverse order would leave a live
     # tombstone with a cache that still counts the doc (search guards on
     # the tombstone set anyway — belt and braces)
     _cache_postings_stats(spark, index_path, valid=False)
-    ids.write.mode("append").parquet(f"{index_path}/{TOMBSTONES_DIR}")
-    return n
+    return _append_tombstones(
+        spark, f"{index_path}/{TOMBSTONES_DIR}", doc_ids, id_type
+    )
 
 
 def _postings_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
@@ -3663,11 +3675,7 @@ def _postings_tombstones(spark: SparkSession, index_path: str) -> DataFrame | No
     broadcast it (deleted docs are a tiny fraction of a corpus; a
     deletion wave large enough to strain a broadcast is a compaction
     trigger, not a search-side problem)."""
-    path = f"{index_path}/{TOMBSTONES_DIR}"
-    if not hadoop_path_exists(spark, path):
-        return None
-    t = spark.read.parquet(path).dropDuplicates(["id"])
-    return t
+    return _read_tombstones(spark, f"{index_path}/{TOMBSTONES_DIR}")
 
 
 def fold_postings_tombstones(spark: SparkSession, index_path: str) -> dict:
@@ -3746,19 +3754,16 @@ def delete_indexed_vectors(
     its tombstone is live stays masked (the anti-join can't date rows);
     fold first, or version the id — the sink's single-arrival
     contract's deletion corollary."""
-    if isinstance(vec_ids, DataFrame):
-        ids = vec_ids.select(
-            F.col(vec_ids.columns[0]).alias(id_col)
-        ).distinct()
-    else:
-        ids = spark.createDataFrame(
-            [(i,) for i in vec_ids], [id_col]
-        ).distinct()
-    n = ids.count()
-    if not n:
-        return 0
-    ids.write.mode("append").parquet(f"{index_path}/{IVF_TOMBSTONES_DIR}")
-    return n
+    if not hadoop_path_exists(spark, index_path):
+        raise RuntimeError(
+            f"streamed IVF index {index_path} does not exist — refusing "
+            "to record a deletion a search would never see (check the "
+            "path; a sink run creates the index)."
+        )
+    id_type = spark.read.parquet(index_path).schema[id_col].dataType
+    return _append_tombstones(
+        spark, f"{index_path}/{IVF_TOMBSTONES_DIR}", vec_ids, id_type
+    )
 
 
 def _ivf_tombstones(
@@ -3767,14 +3772,13 @@ def _ivf_tombstones(
     """The live vector tombstone set, or None — searches broadcast it
     (a deletion wave big enough to strain a broadcast is a compaction
     trigger, not a read-side problem)."""
-    path = f"{index_path}/{IVF_TOMBSTONES_DIR}"
-    if not hadoop_path_exists(spark, path):
+    t = _read_tombstones(spark, f"{index_path}/{IVF_TOMBSTONES_DIR}")
+    if t is None:
         return None
-    return (
-        spark.read.parquet(path)
-        .select(F.col(id_col).alias(id_col))
-        .dropDuplicates([id_col])
-    )
+    # stored under the family-wide "id" column; pre-fix tables used the
+    # index's own id column name — accept either
+    col = "id" if "id" in t.columns else id_col
+    return t.select(F.col(col).alias(id_col))
 
 
 def fold_index_tombstones(
@@ -3832,6 +3836,19 @@ def _purge_tombstoned_rows(
     )
     from bharatmlstack_spark.query_registry import defer_unpersist
 
+    # recover a crashed PURGE swap first (its stage suffix __purging is
+    # unknown to _recover_root_swap): a missing live root must adopt the
+    # complete purged stage, or restore the pre-purge aside and re-purge
+    # — returning 0 for a mid-swap root would let the caller delete the
+    # tombstone table over rows that were never purged, resurrecting
+    # deleted data once the mask is gone
+    tmp, aside = root + "__purging", root + ASIDE_SUFFIX
+    if not hadoop_path_exists(spark, root):
+        if hadoop_path_exists(spark, tmp + "/_SUCCESS"):
+            _hadoop_rename(spark, tmp, root)
+        elif hadoop_path_exists(spark, aside):
+            _hadoop_rename(spark, aside, root)
+    _recover_root_swap(spark, root)  # ...and a crashed compaction swap
     if not hadoop_path_exists(spark, root):
         return 0
     if bucket_col is None:
@@ -3844,7 +3861,6 @@ def _purge_tombstoned_rows(
         if n_after == before:
             return 0
         if n_after:
-            tmp = root + "__purging"
             keep.write.mode("overwrite").parquet(tmp)
             _swap_staged_root(spark, tmp, root)
         else:
@@ -3869,7 +3885,10 @@ def _purge_tombstoned_rows(
         scoped.join(t, on=join_col, how="left_anti").persist()
     )
     n_after = keep.count()
-    tmp = root + "__purging"
+    if n_after == before:
+        # nothing in the targeted dirs matched (absent/no-op ids):
+        # skip the identical-data rewrite the flat branch also skips
+        return 0
     survive: set = set()
     if n_after:
         (
@@ -3912,23 +3931,25 @@ def delete_neardup_docs(spark: SparkSession, state_dir: str, doc_ids) -> int:
     any compaction/rebucket pass — then resume; the loud-contract
     stance of the layout guards. The emitted pair LOG is history and is
     never rewritten (filter consumer-side). Idempotent; returns
-    tombstones appended."""
-    if isinstance(doc_ids, DataFrame):
-        ids = doc_ids.select(F.col(doc_ids.columns[0]).alias("id")).distinct()
-    else:
-        ids = spark.createDataFrame([(i,) for i in doc_ids], ["id"]).distinct()
-    n = ids.count()
-    if not n:
-        return 0
-    ids.write.mode("append").parquet(f"{state_dir}/{NEARDUP_TOMBSTONES_DIR}")
-    return n
+    tombstones appended. Re-ingesting a deleted id while its tombstone
+    is live stays masked and the next fold purges the new rows too —
+    fold first, or version the id (see delete_postings_docs)."""
+    sets_path = f"{state_dir}/sets"
+    _recover_root_swap(spark, sets_path)
+    if not hadoop_path_exists(spark, sets_path):
+        raise RuntimeError(
+            f"near-dup state {state_dir} has no sets root — refusing to "
+            "record a deletion no probe would ever see (check the path; "
+            "a sink run creates the state)."
+        )
+    id_type = spark.read.parquet(sets_path).schema["id"].dataType
+    return _append_tombstones(
+        spark, f"{state_dir}/{NEARDUP_TOMBSTONES_DIR}", doc_ids, id_type
+    )
 
 
 def _neardup_tombstones(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    path = f"{state_dir}/{NEARDUP_TOMBSTONES_DIR}"
-    if not hadoop_path_exists(spark, path):
-        return None
-    return spark.read.parquet(path).dropDuplicates(["id"])
+    return _read_tombstones(spark, f"{state_dir}/{NEARDUP_TOMBSTONES_DIR}")
 
 
 def fold_neardup_tombstones(spark: SparkSession, state_dir: str) -> dict:
@@ -3984,3 +4005,38 @@ def fold_neardup_tombstones(spark: SparkSession, state_dir: str) -> dict:
         "sets_removed": sets_removed,
         "bands_removed": bands_removed,
     }
+
+
+def _append_tombstones(
+    spark: SparkSession, path: str, ids, target_type
+) -> int:
+    """Shared append half of the three tombstone surfaces: normalize a
+    list or single-column DataFrame to a distinct ``id`` column CAST to
+    the stored table's id type — Spark's xxhash64 is type-sensitive, so
+    an inferred-type mismatch (int list vs bigint column) would derive
+    the WRONG bucket dirs at fold time and the purge would miss every
+    row while the mask is consumed. Empty waves are a no-op (0), not a
+    schema-inference crash. Returns tombstones appended."""
+    if isinstance(ids, DataFrame):
+        frame = ids.select(F.col(ids.columns[0]).alias("id"))
+    else:
+        ids = list(ids)
+        if not ids:
+            return 0
+        frame = spark.createDataFrame([(i,) for i in ids], ["id"])
+    frame = frame.select(F.col("id").cast(target_type).alias("id")).distinct()
+    n = frame.count()
+    if not n:
+        return 0
+    frame.write.mode("append").parquet(path)
+    return n
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """Shared read half: the live tombstone set as a distinct ``id``
+    column, or None when absent — callers broadcast it (a deletion wave
+    big enough to strain a broadcast is a fold trigger, and
+    maintenance_due now reports pending tombstones as due work)."""
+    if not hadoop_path_exists(spark, path):
+        return None
+    return spark.read.parquet(path).dropDuplicates(["id"])

@@ -1,0 +1,144 @@
+"""Hardening pins for the tombstone family (review follow-ups): empty
+waves, type-sensitive bucket derivation, root-validation guards,
+maintenance_due on pending deletions, and crashed-purge-swap recovery."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.streaming.ingest import (
+    ASIDE_SUFFIX,
+    await_stream,
+    bm25_search_streamed,
+    compact_streamed_postings,
+    delete_indexed_vectors,
+    delete_neardup_docs,
+    delete_postings_docs,
+    fold_neardup_tombstones,
+    fold_postings_tombstones,
+    maintenance_due,
+    stream_neardup_minhash_sink,
+    stream_postings_sink,
+)
+
+
+@pytest.fixture()
+def tiny_postings(spark, tmp_path):
+    """An INT-id postings index (the sink accepts any id type; the
+    tombstone cast must follow the stored type, not Python inference)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 7, "text": "alpha beta gamma"}) + "\n")
+        f.write(json.dumps({"doc_id": 8, "text": "delta epsilon"}) + "\n")
+    index_path = str(tmp_path / "index")
+    stream = spark.readStream.schema("doc_id int, text string").json(src)
+    q = stream_postings_sink(
+        stream, index_path, str(tmp_path / "ck"), spark,
+        n_buckets=4, trigger_once=True,
+    )
+    await_stream(q, 120, "int-id postings sink")
+    return index_path
+
+
+def test_empty_deletion_wave_is_noop(spark, tiny_postings):
+    """An empty id list returns 0 instead of crashing on schema
+    inference — callers pass computed, possibly-empty retraction sets."""
+    assert delete_postings_docs(spark, tiny_postings, []) == 0
+    assert not os.path.exists(f"{tiny_postings}/tombstones")
+
+
+def test_int_typed_index_fold_targets_derived_buckets(spark, tiny_postings):
+    """Spark's xxhash64 is type-sensitive: the tombstone ids are cast to
+    the STORED int id type, so the doclen purge (derived buckets — no
+    detection scan) targets the right dirs and physically removes the
+    deleted doc; the recomputed stats count only the survivor."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    assert delete_postings_docs(spark, tiny_postings, [7]) == 1
+    stats = compact_streamed_postings(spark, tiny_postings)
+    assert stats["tombstones_folded"] == 1
+    assert stats["purged_doclen"] == 1  # the derived-bucket purge hit
+    dl = spark.read.parquet(f"{tiny_postings}/doclen")
+    assert [r["id"] for r in dl.collect()] == [8]
+    assert read_table_meta(spark, tiny_postings)["n_docs"] == 1
+
+
+def test_delete_on_missing_roots_refuses(spark, tmp_path):
+    """A typo'd path must raise, not silently create a tombstone table
+    nothing will ever read (the postings surface already guarded; the
+    IVF and near-dup surfaces must too)."""
+    with pytest.raises(RuntimeError, match="does not exist"):
+        delete_indexed_vectors(spark, str(tmp_path / "no_such_index"), [1])
+    with pytest.raises(RuntimeError, match="no sets root"):
+        delete_neardup_docs(spark, str(tmp_path / "no_such_state"), [1])
+
+
+def test_pending_tombstones_make_maintenance_due(spark, tiny_postings):
+    """A deletion wave is reclaimable work: maintenance_due reports it
+    even with zero redeliveries and a fresh batch counter, so the
+    maybe_* gates fold it instead of paying the per-search mask forever."""
+    compact_streamed_postings(spark, tiny_postings)  # counters at zero
+    assert not maintenance_due(spark, tiny_postings, every_n_batches=64)
+    delete_postings_docs(spark, tiny_postings, [8])
+    assert maintenance_due(spark, tiny_postings, every_n_batches=64)
+    compact_streamed_postings(spark, tiny_postings)
+    assert not maintenance_due(spark, tiny_postings, every_n_batches=64)
+
+
+def test_crashed_purge_swap_recovers_before_tombstone_consumption(
+    spark, tmp_path
+):
+    """A fold retried over a mid-swap flat root (live missing, pre-purge
+    copy stranded aside) must restore and RE-PURGE it — returning 0 for
+    the missing root would let the caller delete the tombstone table and
+    resurrect the deleted doc's band rows forever."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "the quick brown fox"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "unrelated text rows"}) + "\n")
+    state_dir = str(tmp_path / "state")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_neardup_minhash_sink(
+        stream, state_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        spark, id_col="doc_id", text_col="text", trigger_once=True,
+        state_buckets=4,  # hybrid default: bands root is FLAT
+    )
+    await_stream(q, 120, "crash-sim sink")
+    delete_neardup_docs(spark, state_dir, [1])
+    # simulate the crash: live bands renamed aside, stage lost
+    os.rename(f"{state_dir}/bands", f"{state_dir}/bands{ASIDE_SUFFIX}")
+    stats = fold_neardup_tombstones(spark, state_dir)
+    assert stats["tombstones"] == 1 and stats["bands_removed"] > 0
+    bands = spark.read.parquet(f"{state_dir}/bands")  # restored AND purged
+    assert bands.filter(F.col("id") == 1).count() == 0
+    assert bands.filter(F.col("id") == 2).count() > 0
+    assert not os.path.exists(f"{state_dir}/bands{ASIDE_SUFFIX}")
+
+
+def test_noop_fold_skips_identical_rewrite(spark, tiny_postings):
+    """Deleting an absent id derives real bucket dirs but the anti-join
+    removes nothing: the purge must NOT rewrite identical data (mtime
+    pin on the doclen bucket files)."""
+    delete_postings_docs(spark, tiny_postings, [99999])  # absent id
+    dl_root = f"{tiny_postings}/doclen"
+    before = {
+        os.path.join(d, f): os.path.getmtime(os.path.join(dl_root, d, f))
+        for d in os.listdir(dl_root)
+        if os.path.isdir(os.path.join(dl_root, d))
+        for f in os.listdir(os.path.join(dl_root, d))
+    }
+    stats = fold_postings_tombstones(spark, tiny_postings)
+    assert stats["doclen_removed"] == 0
+    after = {
+        os.path.join(d, f): os.path.getmtime(os.path.join(dl_root, d, f))
+        for d in os.listdir(dl_root)
+        if os.path.isdir(os.path.join(dl_root, d))
+        for f in os.listdir(os.path.join(dl_root, d))
+    }
+    assert before == after
+    assert not os.path.exists(f"{tiny_postings}/tombstones")
