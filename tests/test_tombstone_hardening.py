@@ -142,3 +142,35 @@ def test_noop_fold_skips_identical_rewrite(spark, tiny_postings):
     }
     assert before == after
     assert not os.path.exists(f"{tiny_postings}/tombstones")
+
+
+def test_auto_maintain_folds_pending_deletion_in_loop(spark, tmp_path):
+    """A deletion between sink runs is folded by the sink's own
+    auto_maintain pass (maintenance_due reports the tombstones): the
+    resumed stream appends AND reclaims, no external compactor call."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha beta"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "gamma delta"}) + "\n")
+    index_path = str(tmp_path / "index")
+
+    def run(ck):
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = stream_postings_sink(
+            stream, index_path, str(tmp_path / ck), spark,
+            n_buckets=4, trigger_once=True,
+            auto_maintain=True, maintain_every_n_batches=1000,
+        )
+        await_stream(q, 120, f"auto-fold sink ({ck})")
+
+    run("ck1")
+    delete_postings_docs(spark, index_path, [1])
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 3, "text": "epsilon zeta"}) + "\n")
+    run("ck1")  # same checkpoint: only the new file arrives
+    assert not os.path.exists(f"{index_path}/tombstones")  # folded in-loop
+    dl = spark.read.parquet(f"{index_path}/doclen")
+    assert sorted(r["id"] for r in dl.collect()) == [2, 3]
+    out = bm25_search_streamed(spark, index_path, ["alpha"], k=5)
+    assert out.count() == 0  # the deleted doc's postings are gone
