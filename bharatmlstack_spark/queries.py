@@ -1008,13 +1008,16 @@ RETIRED: list[tuple[str, str, str]] = [
     ),
 ]
 
-# Staged registration candidate awaiting the next freed slot (protocol
-# (b), tests/test_stream_bm25.py runs the driver comparison meanwhile):
-# queries_text.stream_bm25_search — BM25 through the streamed postings
-# index (r12's fourth streamed-state family member), oracle =
-# R9_ORACLES["bm25_topk"]. Graduate it by retiring the head below,
-# preferably in the r14 window (the r13 window is pre-planned and must
-# not reshuffle).
+# Staged registration candidates awaiting freed slots (protocol (b),
+# tests/test_stream_bm25.py runs both driver comparisons meanwhile):
+# 1. queries_text.stream_bm25_search — BM25 through the streamed
+#    postings index (r12's fourth streamed-state family member),
+#    oracle = R9_ORACLES["bm25_topk"];
+# 2. queries_text.stream_phrase_search — exact phrase occurrences
+#    through the POSITIONAL postings (store_positions=True), oracle =
+#    a direct token-window count (STAGED_ORACLES).
+# Graduate by retiring heads below one-for-one, preferably in the r14
+# window (the r13 window is pre-planned and must not reshuffle).
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
     ("salted_dim_join", "skew salting: salted_hot_key_agg"),
     ("sketch_union_distinct", "sketches: sketch_distinct_users + sketch_percentile_value"),

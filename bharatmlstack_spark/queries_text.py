@@ -1612,12 +1612,70 @@ def stream_semantic_dedup_sink_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r11; the r09 rows in R9_ORACLES before them).
 # ---------------------------------------------------------------------------
 
+_PHRASE = "order fast"  # 2-gram present ~50x in the synthetic corpus
+
+_PHRASE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS w
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         CAST(len([i FOR i IN generate_series(1, len(w) - 1)
+                   IF w[i] = 'order' AND w[i+1] = 'fast']) AS BIGINT)
+           AS n_occurrences
+  FROM toks WHERE len(w) >= 2
+)
+SELECT doc_id, n_occurrences FROM occ WHERE n_occurrences > 0
+"""
+
 STAGED_ORACLES: dict[str, str] = {
     # the streamed index must reproduce batch BM25 exactly, so its twin
     # IS the registered bm25_topk oracle (same corpus, same term bag) —
     # the precedent set by stream_semantic_dedup_sink / semantic_dedup_ivf
     "stream_bm25_search": R9_ORACLES["bm25_topk"],
+    # exact phrase occurrences through positional postings vs a direct
+    # token-window count over the raw corpus
+    "stream_phrase_search": _PHRASE_ORACLE,
 }
+
+
+def stream_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phrase search through a POSITIONAL streamed postings index
+    — STAGED r12 beside stream_bm25_search (rotation protocol (b);
+    tests/test_stream_bm25.py runs the driver comparison). The corpus
+    replays IN FULL under a fresh checkpoint (at-least-once
+    redelivery); the sink stores per-(term, doc) sorted position lists
+    (store_positions=True), and the search intersects offset-shifted
+    position lists after an id equi-join over only the phrase terms'
+    bucket dirs — the classic positional-postings algorithm, gated by a
+    direct token-window count over the raw corpus. The in-plan dedup
+    path is exercised here (no compaction), complementing the BM25
+    row's compact-then-search path."""
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        phrase_search_streamed,
+        stream_postings_sink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    work = scratch_dir("bmls_phrase_")
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    docs.repartition(3).write.parquet(topic)
+    for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_postings_sink(
+            stream, index_path, f"{work}/{replay}", spark,
+            n_buckets=16, trigger_once=True, store_positions=True,
+        )
+        await_stream(q, 1800, f"stream_postings_sink positions ({replay})")
+    return phrase_search_streamed(spark, index_path, _PHRASE, dedup=True)
 
 
 def stream_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:

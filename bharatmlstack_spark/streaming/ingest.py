@@ -3046,6 +3046,7 @@ def stream_postings_sink(
     trigger_once: bool = False,
     auto_maintain: bool = False,
     maintain_every_n_batches: int = 64,
+    store_positions: bool = False,
 ):
     """Streaming inverted-index builder: each micro-batch of documents is
     tokenized, aggregated to (term, id, tf, dl) postings WITHIN the batch
@@ -3099,12 +3100,19 @@ def stream_postings_sink(
         "n_buckets": int(n_buckets),
         "tokenizer": POSTINGS_TOKENIZER,
         "id_col": id_col,
+        # positional rows carry a positions array (phrase search reads
+        # it); mixing positional and non-positional appends would leave
+        # half the index unsearchable by phrase — refused like any other
+        # signature mismatch
+        "positions": bool(store_positions),
     }
     _finish_postings_rebucket(spark, index_path)  # adopt a crashed rebucket
     meta = read_table_meta(spark, index_path)
     if meta is not None and "n_buckets" in meta:
         for key, want in sig.items():
-            got = meta.get(key)
+            # an index built before the positions contract has no
+            # "positions" key and IS non-positional — default, don't skip
+            got = meta.get(key, False if key == "positions" else None)
             if got is not None and got != want:
                 raise RuntimeError(
                     f"postings index {index_path} was built with "
@@ -3132,13 +3140,33 @@ def stream_postings_sink(
         base = batch_df.select(
             F.col(id_col).alias("id"), toks.alias("__w")
         ).persist()
-        postings = (
-            base.select("id", F.size("__w").alias("dl"), F.explode("__w").alias("term"))
-            .groupBy("id", "term")
-            .agg(
+        if store_positions:
+            # posexplode keeps each token's 0-based position; the sorted
+            # position list is deterministic (byte-identical under
+            # redelivery, like every column here) and tf == its size
+            exploded = base.select(
+                "id",
+                F.size("__w").alias("dl"),
+                F.posexplode("__w").alias("pos", "term"),
+            )
+            aggs = [
                 F.count(F.lit(1)).cast("double").alias("tf"),
                 F.first("dl").alias("dl"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            ]
+            cols = ["term", "id", "tf", "dl", "positions", "term_bucket"]
+        else:
+            exploded = base.select(
+                "id", F.size("__w").alias("dl"), F.explode("__w").alias("term")
             )
+            aggs = [
+                F.count(F.lit(1)).cast("double").alias("tf"),
+                F.first("dl").alias("dl"),
+            ]
+            cols = ["term", "id", "tf", "dl", "term_bucket"]
+        postings = (
+            exploded.groupBy("id", "term")
+            .agg(*aggs)
             .withColumn(
                 "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
             )
@@ -3160,7 +3188,7 @@ def stream_postings_sink(
                 spark, index_path, batch_id, rows_appended=n, extra=sig
             )
             (
-                postings.select("term", "id", "tf", "dl", "term_bucket")
+                postings.select(*cols)
                 .write.mode("append")
                 .partitionBy("term_bucket")
                 .parquet(f"{index_path}/{POSTINGS_DIR}")
@@ -4040,3 +4068,107 @@ def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     if not hadoop_path_exists(spark, path):
         return None
     return spark.read.parquet(path).dropDuplicates(["id"])
+
+
+def phrase_search_streamed(
+    spark: SparkSession,
+    index_path: str,
+    phrase: str,
+    dedup: bool = True,
+) -> DataFrame:
+    """EXACT phrase search through the streamed postings index — the
+    positional extension of bm25_search_streamed (the index must have
+    been built with ``store_positions=True``; refused loudly otherwise).
+
+    The classic positional-postings algorithm: read ONLY the phrase
+    terms' bucket dirs, inner-join the per-term position lists on the
+    doc id (a doc lacking any term drops out), then intersect each
+    term's positions shifted by its offset in the phrase —
+    ``positions(t_i) - i`` — so a surviving position marks a full
+    occurrence starting there. Repeated terms in the phrase fall out of
+    the same math ("order order" intersects a list with itself shifted
+    by one: consecutive duplicates). Returns (id_col, n_occurrences)
+    for docs with >= 1 occurrence.
+
+    Scale shape: |phrase| bucket dirs read, |phrase|-way equi-join on
+    doc id over only the docs containing each term, everything else
+    row-local array math in codegen — never a corpus scan, no window.
+    Redelivery copies dedup on (term, id) like every reader here;
+    tombstoned docs are anti-joined out."""
+    from functools import reduce
+
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    _finish_postings_rebucket(spark, index_path)  # adopt a crashed rebucket
+    meta = read_table_meta(spark, index_path) or {}
+    if "n_buckets" not in meta:
+        raise RuntimeError(
+            f"postings index {index_path} has no meta sidecar — not a "
+            "stream_postings_sink root (or the build never committed)."
+        )
+    if not meta.get("positions", False):
+        raise RuntimeError(
+            f"postings index {index_path} stores no positions — phrase "
+            "search needs store_positions=True at build time (the "
+            "sidecar records the layout; rebuild or re-ingest with "
+            "positions to use it)."
+        )
+    n_buckets = int(meta["n_buckets"])
+    out_id = meta.get("id_col", "doc_id")
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search_streamed: empty phrase")
+    tdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    buckets = sorted(
+        r[0]
+        for r in tdf.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    )
+    post_root = f"{index_path}/{POSTINGS_DIR}"
+    dirs = [
+        d
+        for bkt in buckets
+        if hadoop_path_exists(spark, d := f"{post_root}/term_bucket={bkt}")
+    ]
+    empty_schema = f"`{out_id}` long, n_occurrences long"
+    if hadoop_path_exists(spark, f"{index_path}/{DOCLEN_DIR}"):
+        id_type = (
+            spark.read.parquet(f"{index_path}/{DOCLEN_DIR}")
+            .schema["id"]
+            .dataType.simpleString()
+        )
+        empty_schema = f"`{out_id}` {id_type}, n_occurrences long"
+    if not dirs:
+        return spark.createDataFrame([], empty_schema)
+    pruned = (
+        spark.read.option("basePath", post_root)
+        .parquet(*dirs)
+        .filter(F.col("term").isin(list(set(terms))))
+        .select("term", "id", "positions")
+    )
+    if dedup:
+        pruned = pruned.dropDuplicates(["term", "id"])
+    tomb = _postings_tombstones(spark, index_path)
+    if tomb is not None:
+        pruned = pruned.join(F.broadcast(tomb), on="id", how="left_anti")
+    # the pruned read feeds one branch per phrase slot: persist it
+    from bharatmlstack_spark.query_registry import defer_unpersist
+
+    pruned = defer_unpersist(pruned.persist())
+    slots = [
+        pruned.filter(F.col("term") == t).select(
+            "id",
+            F.transform("positions", lambda p: p - F.lit(i)).alias(f"__p{i}"),
+        )
+        for i, t in enumerate(terms)
+    ]
+    joined = reduce(lambda a, b: a.join(b, on="id"), slots)
+    occ = F.col("__p0")
+    for i in range(1, len(terms)):
+        occ = F.array_intersect(occ, F.col(f"__p{i}"))
+    return (
+        joined.select("id", F.size(occ).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+        .select(F.col("id").alias(out_id), "n_occurrences")
+    )

@@ -623,3 +623,84 @@ def test_fold_purge_drops_fully_tombstoned_dirs(spark, tmp_path):
     assert not os.path.exists(f"{index_path}/doclen/id_bucket={lone_bucket}")
     survivors = [r["id"] for r in spark.read.parquet(f"{index_path}/doclen").collect()]
     assert set(survivors) == {1, 2} - set(victims)
+
+
+def test_stream_phrase_search_matches_duckdb_oracle(spark, con):
+    """Driver-identical comparison for the staged positional row: exact
+    phrase occurrences through the positional streamed index vs a
+    direct token-window count over the raw corpus, under full
+    redelivery with in-plan dedup."""
+    from bharatmlstack_spark.queries_text import stream_phrase_search
+
+    out = stream_phrase_search(spark, SF_DIR)
+    got = _rows(out)
+    ref = _oracle_rows(
+        con, STAGED_ORACLES["stream_phrase_search"], out.columns
+    )
+    assert len(got) > 0  # vacuous-pass guard
+    assert got == ref
+
+
+def test_phrase_search_refuses_positionless_index(spark, raw_index):
+    """The default (non-positional) index must refuse phrase search
+    loudly — silently empty results would read as 'phrase absent'."""
+    from bharatmlstack_spark.streaming.ingest import phrase_search_streamed
+
+    with pytest.raises(RuntimeError, match="stores no positions"):
+        phrase_search_streamed(spark, raw_index, "order fast")
+
+
+def test_positional_flag_mismatch_refused_at_sink_start(spark, raw_index):
+    """Appending positional rows into a non-positional index would leave
+    half the index unsearchable by phrase — refused like any signature
+    mismatch, including for indexes whose sidecar predates the flag."""
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{os.path.dirname(raw_index)}/topic")
+    )
+    with pytest.raises(RuntimeError, match="positions"):
+        stream_postings_sink(
+            stream, raw_index, f"{os.path.dirname(raw_index)}/ck_pos",
+            spark, n_buckets=16, trigger_once=True, store_positions=True,
+        )
+
+
+def test_phrase_repeated_terms_and_trigram(spark, tmp_path):
+    """Repeated phrase terms intersect a list with its own shift
+    (consecutive duplicates), and k>2 phrases chain the intersection;
+    pinned against hand-counted docs."""
+    import json
+
+    from bharatmlstack_spark.streaming.ingest import (
+        phrase_search_streamed,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "go go go stop"},          # "go go" x2
+        {"doc_id": 2, "text": "go stop go"},             # "go go" x0
+        {"doc_id": 3, "text": "a b c a b c"},            # "a b c" x2
+        {"doc_id": 4, "text": "a b x c"},                # "a b c" x0
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    index_path = str(tmp_path / "index")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = stream_postings_sink(
+        stream, index_path, str(tmp_path / "ck"), spark,
+        n_buckets=4, trigger_once=True, store_positions=True,
+    )
+    await_stream(q, 120, "phrase edge sink")
+    gg = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search_streamed(spark, index_path, "go go").collect()
+    }
+    assert gg == {1: 2}
+    abc = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search_streamed(spark, index_path, "a b c").collect()
+    }
+    assert abc == {3: 2}
