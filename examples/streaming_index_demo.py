@@ -263,6 +263,25 @@ def main() -> None:
     )
     # deletion: tombstone the current top doc — gone from results (and
     # from df/N/avgdl) immediately; the next compaction purges physically
+    # positional twin: the same corpus with store_positions=True serves
+    # EXACT phrase queries (offset-shifted position-list intersection)
+    from bharatmlstack_spark.streaming.ingest import (
+        phrase_search_streamed,
+    )
+
+    pindex2 = f"{work}/postings_positional"
+    q = stream_postings_sink(
+        ptopic_stream(), pindex2, f"{work}/ck_pos", spark,
+        n_buckets=16, trigger_once=True, store_positions=True,
+    )
+    await_stream(q, 300)
+    hits = phrase_search_streamed(spark, pindex2, "order fast").collect()
+    print(
+        f'phrase "order fast": {len(hits)} docs, '
+        f"{sum(r['n_occurrences'] for r in hits)} occurrences "
+        "(positional postings)"
+    )
+
     top_doc = top[0]["doc_id"]
     delete_postings_docs(spark, pindex, [top_doc])
     after_del = bm25_search_streamed(spark, pindex, terms, k=3).collect()
