@@ -764,6 +764,7 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # this module uniformly
 from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
     multimodal_decode_rgb,
+    salted_dim_join,
     segment_except,
 )
 
@@ -777,19 +778,20 @@ from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Rotation state as of ROUND 12 (2026-08-15). Registry = 149: 151 peak,
-# minus five executed retirements (rpn_literal_div r09; rpn_bool_compare
-# + segment_except r10; multimodal_decode_rgb r11; knn_dot r12), plus
-# four registrations riding those slots (feature_retrieve_string_vector
-# + stream_semantic_dedup_sink r10; dedup_cross_corpus r11;
-# ann_refit_search r12 — the staged stream->refit->search lifecycle row
-# graduated).
-# Windows: r12 = first 50 below (the r09-era greens, pre-planned since
-# r10 and executed unshuffled — r11's and r12's registrations did NOT
-# perturb it); r13 = the next 49 (the r10-era greens, with the NEW
-# ann_refit_search leading on knn_dot's freed slot); r14 = the 50
-# r11-era greens at the tail. Freshness contract: after each round no
-# registered query's newest green is older than two rounds back.
+# Rotation state as of ROUND 13 (2026-08-16). Registry = 149: 151 peak,
+# minus six executed retirements (rpn_literal_div r09; rpn_bool_compare
+# + segment_except r10; multimodal_decode_rgb r11; knn_dot r12;
+# salted_dim_join r13), plus five registrations riding those slots
+# (feature_retrieve_string_vector + stream_semantic_dedup_sink r10;
+# dedup_cross_corpus r11; ann_refit_search r12; stream_bm25_search r13
+# — the streamed postings index's first driver-gated row).
+# Windows: r13 = first 50 below (ann_refit_search + the 48 r10-era
+# greens + stream_semantic_dedup_sink pulled forward, pre-planned since
+# r12 and executed unshuffled); r14 = the next 50 (the remaining
+# r11-era greens, with stream_bm25_search riding salted_dim_join's
+# slot); r15 = the 50 r12-era greens at the tail. Freshness contract:
+# after each round no registered query's newest green is older than two
+# rounds back.
 #
 # Retirement protocol (pinned r09): a new operator must either
 # (a) retire one row from RETIREMENT_CANDIDATES below one-for-one
@@ -799,9 +801,119 @@ from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
 # (pytest replicating the driver comparison, like tests/
 # test_retrieval.py did for the four rows registered in r09).
 QUERY_PRIORITY: list[str] = [
-    # ROUND-12 WINDOW (first 50 — the driver verifies exactly these):
-    # the 50 r09-era greens, executed exactly as pre-planned since r10,
-    # unshuffled.
+    # ROUND-13 WINDOW (first 50 — the driver verifies exactly these):
+    # ann_refit_search LEADS (its FIRST driver verdict — registered r12
+    # on the pinned knn_dot retirement slot, staged tier
+    # tests/test_refit_staged.py), then the 48 remaining r10-era greens,
+    # then stream_semantic_dedup_sink (the oldest r11-era green, pulled
+    # forward to fill the 50th slot — the r13 block proper is 49 rows).
+    "ann_refit_search",
+    "stream_cdc_apply",
+    "feature_retrieve_string_vector",
+    "asof_feature_join",
+    "bpe_vocab_learn",
+    "cdc_apply",
+    "cube_orders_status",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_users_by_type",
+    "event_wire_roundtrip",
+    "events_funnel",
+    "events_interarrival",
+    "events_merge_trim",
+    "events_retention_window",
+    "events_sessionize",
+    "events_union_types",
+    "events_value_histogram",
+    "feature_drift_psi",
+    "feature_hash_cross",
+    "feature_stats",
+    "filter_candidates",
+    "incremental_dedup_stream",
+    "incremental_materialize_orders",
+    "last_write_wins",
+    "min_cost_supplier",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "pairwise_inference",
+    "parts_never_ordered",
+    "percentile_by_group",
+    "pq_ann_topk",
+    "props_json_extract",
+    "q18_large_orders",
+    "q5_region_revenue",
+    "range_join_sessions",
+    "rolling_7d_user_value",
+    "rollup_lineitem",
+    "sketch_distinct_users",
+    "sketch_percentile_value",
+    "sketch_union_distinct",
+    "skye_stream_aggregate",
+    "stateful_topk_stream",
+    "stream_attribution_join",
+    "table_profile",
+    "stream_semantic_dedup_sink",
+    # ---- window boundary (driver verifies the first 50) ----
+    # ROUND-14 WINDOW (pre-planned): the 49 remaining r11-era greens +
+    # stream_bm25_search (graduated r13 onto the pinned salted_dim_join
+    # retirement slot — its first driver verdict lands in r14, exactly
+    # as the r12 verdict prescribed). stream_phrase_search graduates in
+    # the r14 round via the sketch_union_distinct retirement (that row
+    # sits in the r13 window above, untouchable this round).
+    "dedup_cross_corpus",
+    "stream_dedup_minhash",
+    "bpe_learn_until_vocab",
+    "bpe_merge_step",
+    "cohort_retention",
+    "copurchase_pairs",
+    "corpus_filter_chain",
+    "corpus_mix_sample",
+    "doc_fingerprint",
+    "dot_score_ids",
+    "event_transition_matrix",
+    "events_limit_clamp",
+    "feature_schema_evolution",
+    "fuzzy_name_match",
+    "grouping_sets_orders",
+    "key_skew_report",
+    "key_string_join",
+    "knn_euclidean",
+    "lang_id_heuristic",
+    "multimodal_decode_audio_feature",
+    "multimodal_decode_image",
+    "multimodal_decode_stats",
+    "norm_min_max",
+    "norm_percentile_5_95",
+    "pair_expansion",
+    "percentile_rank",
+    "pii_redact",
+    "pipeline_inference",
+    "q3_shipping_priority",
+    "quality_score",
+    "request_validation_matrix",
+    "rpn_score",
+    "stream_bm25_search",
+    "salted_hot_key_agg",
+    "segment_intersect",
+    "shard_manifest",
+    "slate_expansion",
+    "span_dedup_exact",
+    "stratified_sample",
+    "stream_ann_ivf_dot",
+    "stream_cdc_gc",
+    "stream_dedup_watermark",
+    "temporal_split",
+    "topk_orders",
+    "train_test_split",
+    "uint64_decimal_sum",
+    "unigram_lm_quality",
+    "user_week_density",
+    "zorder_cells",
+    # ROUND-15 WINDOW (pre-planned): the 50 r12-era greens.
     "bm25_topk",
     "bigram_pmi",
     "char_entropy_quality",
@@ -852,113 +964,6 @@ QUERY_PRIORITY: list[str] = [
     "time_decay_user_value",
     "value_zscore_outliers",
     "woe_binning",
-    # ---- window boundary (driver verifies the first 50) ----
-    # ROUND-13 WINDOW (pre-planned): ann_refit_search LEADS (NEW r12 —
-    # ANN search through a refit streamed index, registered on the
-    # pinned knn_dot retirement slot after its staged r11 tier,
-    # tests/test_refit_staged.py), then the 48 remaining r10-era greens
-    # (stream_dedup_minhash moved to the r11 slack slot and is now in
-    # the r14 block below).
-    "ann_refit_search",
-    "stream_cdc_apply",
-    "feature_retrieve_string_vector",
-    "asof_feature_join",
-    "bpe_vocab_learn",
-    "cdc_apply",
-    "cube_orders_status",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_users_by_type",
-    "event_wire_roundtrip",
-    "events_funnel",
-    "events_interarrival",
-    "events_merge_trim",
-    "events_retention_window",
-    "events_sessionize",
-    "events_union_types",
-    "events_value_histogram",
-    "feature_drift_psi",
-    "feature_hash_cross",
-    "feature_stats",
-    "filter_candidates",
-    "incremental_dedup_stream",
-    "incremental_materialize_orders",
-    "last_write_wins",
-    "min_cost_supplier",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "pairwise_inference",
-    "parts_never_ordered",
-    "percentile_by_group",
-    "pq_ann_topk",
-    "props_json_extract",
-    "q18_large_orders",
-    "q5_region_revenue",
-    "range_join_sessions",
-    "rolling_7d_user_value",
-    "rollup_lineitem",
-    "sketch_distinct_users",
-    "sketch_percentile_value",
-    "sketch_union_distinct",
-    "skye_stream_aggregate",
-    "stateful_topk_stream",
-    "stream_attribution_join",
-    "table_profile",
-    # ROUND-14 WINDOW (pre-planned): the 50 r11-era greens.
-    "stream_semantic_dedup_sink",
-    "dedup_cross_corpus",
-    "stream_dedup_minhash",
-    "bpe_learn_until_vocab",
-    "bpe_merge_step",
-    "cohort_retention",
-    "copurchase_pairs",
-    "corpus_filter_chain",
-    "corpus_mix_sample",
-    "doc_fingerprint",
-    "dot_score_ids",
-    "event_transition_matrix",
-    "events_limit_clamp",
-    "feature_schema_evolution",
-    "fuzzy_name_match",
-    "grouping_sets_orders",
-    "key_skew_report",
-    "key_string_join",
-    "knn_euclidean",
-    "lang_id_heuristic",
-    "multimodal_decode_audio_feature",
-    "multimodal_decode_image",
-    "multimodal_decode_stats",
-    "norm_min_max",
-    "norm_percentile_5_95",
-    "pair_expansion",
-    "percentile_rank",
-    "pii_redact",
-    "pipeline_inference",
-    "q3_shipping_priority",
-    "quality_score",
-    "request_validation_matrix",
-    "rpn_score",
-    "salted_dim_join",
-    "salted_hot_key_agg",
-    "segment_intersect",
-    "shard_manifest",
-    "slate_expansion",
-    "span_dedup_exact",
-    "stratified_sample",
-    "stream_ann_ivf_dot",
-    "stream_cdc_gc",
-    "stream_dedup_watermark",
-    "temporal_split",
-    "topk_orders",
-    "train_test_split",
-    "uint64_decimal_sum",
-    "unigram_lm_quality",
-    "user_week_density",
-    "zorder_cells",
 ]
 
 # Ordered retirement list (round 10+): rows whose SURVEY §2 / pipeline
@@ -1006,20 +1011,31 @@ RETIRED: list[tuple[str, str, str]] = [
         "lifecycle row, staged r11); J6/W4/T3 stay attested by "
         "knn_euclidean + dot_score_ids, both r11-green",
     ),
+    (
+        "salted_dim_join",
+        "r13",
+        "freed the slot that registers stream_bm25_search (BM25 through "
+        "the streamed postings index — r12's flagship family's first "
+        "driver-gated row, staged r12); skew salting stays attested by "
+        "salted_hot_key_agg (same plans/skew.py core)",
+    ),
 ]
 
 # Staged registration candidates awaiting freed slots (protocol (b),
-# tests/test_stream_bm25.py runs both driver comparisons meanwhile):
-# 1. queries_text.stream_bm25_search — BM25 through the streamed
-#    postings index (r12's fourth streamed-state family member),
-#    oracle = R9_ORACLES["bm25_topk"];
-# 2. queries_text.stream_phrase_search — exact phrase occurrences
+# tests/test_stream_bm25.py runs the driver comparisons meanwhile;
+# stream_bm25_search graduated r13 onto salted_dim_join's slot):
+# 1. queries_text.stream_phrase_search — exact phrase occurrences
 #    through the POSITIONAL postings (store_positions=True), oracle =
-#    a direct token-window count (STAGED_ORACLES).
-# Graduate by retiring heads below one-for-one, preferably in the r14
-# window (the r13 window is pre-planned and must not reshuffle).
+#    a direct token-window count (STAGED_ORACLES); graduate in the r14
+#    round via the sketch_union_distinct retirement (that row sits in
+#    the r13 window, untouchable this round).
+# 2. queries_text.stream_delete_search — right-to-be-forgotten through
+#    the postings index (delete -> masked search -> fold -> search,
+#    both phases vs the batch BM25 twin over the survivor corpus),
+#    staged r13 per the r12 verdict's task 4; next freed slot after #1.
+# Graduate by retiring heads below one-for-one; never reshuffle the
+# current round's pre-planned window.
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
-    ("salted_dim_join", "skew salting: salted_hot_key_agg"),
     ("sketch_union_distinct", "sketches: sketch_distinct_users + sketch_percentile_value"),
     ("cube_orders_status", "grouping lattices: grouping_sets_orders + rollup_lineitem"),
     ("distinct_users_by_type", "exact distinct aggs: sketch_distinct_users's exact twin + events family"),

@@ -2629,16 +2629,15 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_value", F.col("sum_value").cast("double"))
 
 
-@query(
-    "salted_dim_join",
-    oracle="""
+RETIRED_ORACLES["salted_dim_join"] = """
 SELECT c_mktsegment,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
-""",
-)
+"""
+
+
 def salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted equi-join: the event stream's user_id is skewed relative to
     the customer dim (150 hot users out of 1500 keys), so the big side is
@@ -2647,7 +2646,15 @@ def salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result is row-identical to the plain join (the oracle), aggregated by
     market segment with an order-insensitive decimal sum. This is the
     declarative fallback for engines/paths where AQE skew splitting cannot
-    apply (plans/skew.py salted_join)."""
+    apply (plans/skew.py salted_join).
+
+    RETIRED from the driver registry in r13 (head of the pinned
+    retirement order): skew salting stays driver-attested by
+    salted_hot_key_agg (same plans/skew.py core); the freed slot
+    registers stream_bm25_search — the streamed postings index's first
+    driver-gated row, exactly as the r12 verdict prescribed. Still
+    verified every pytest run against its DuckDB oracle
+    (tests/test_staged_retired.py)."""
     from bharatmlstack_spark.plans.skew import salted_join
 
     ev = load_events_raw(spark, sf_dir).select("user_id", "value")

@@ -1630,9 +1630,11 @@ SELECT doc_id, n_occurrences FROM occ WHERE n_occurrences > 0
 """
 
 STAGED_ORACLES: dict[str, str] = {
-    # the streamed index must reproduce batch BM25 exactly, so its twin
-    # IS the registered bm25_topk oracle (same corpus, same term bag) —
-    # the precedent set by stream_semantic_dedup_sink / semantic_dedup_ivf
+    # GRADUATED r13 (registered on the pinned salted_dim_join retirement
+    # slot) — the alias stays so tests/test_stream_bm25.py keeps one
+    # oracle source; the registered oracle IS the bm25_topk twin (same
+    # corpus, same term bag), the precedent set by
+    # stream_semantic_dedup_sink / semantic_dedup_ivf
     "stream_bm25_search": R9_ORACLES["bm25_topk"],
     # exact phrase occurrences through positional postings vs a direct
     # token-window count over the raw corpus
@@ -1678,10 +1680,12 @@ def stream_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search_streamed(spark, index_path, _PHRASE, dedup=True)
 
 
+@query("stream_bm25_search", oracle=R9_ORACLES["bm25_topk"])
 def stream_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 THROUGH a streamed inverted index — STAGED r12
-    (rotation protocol (b); tests/test_stream_bm25.py runs the driver's
-    exact comparison until a retirement frees a slot). The documents
+    """BM25 top-10 THROUGH a streamed inverted index — staged r12,
+    GRADUATED r13 onto the pinned salted_dim_join retirement slot (its
+    first driver verdict lands in the r14 window; tests/
+    test_stream_bm25.py keeps running the driver comparison). The documents
     corpus arrives as a 3-file topic that replays IN FULL under a fresh
     checkpoint (at-least-once redelivery); each micro-batch's postings
     append to a term-bucket-partitioned index (streaming/
@@ -1719,11 +1723,118 @@ def stream_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         await_stream(q, 1800, f"stream_postings_sink (replay {replay})")
     stats = compact_streamed_postings(spark, index_path)
-    assert not stats["bailed"]  # numeric bucket keys are always targetable
+    if stats["bailed"]:
+        # never expected (numeric bucket keys are always targetable) but
+        # MUST be loud: a bailed compaction leaves redelivered duplicate
+        # postings in place, and the dedup=False search below would score
+        # doubled tf/df. A bare assert is stripped under python -O.
+        raise RuntimeError(
+            "compact_streamed_postings bailed out — postings may hold "
+            "redelivered duplicates; refusing to run the dedup=False "
+            "search over them."
+        )
     out = bm25_search_streamed(
         spark, index_path, _BM25_TERMS, k=10, dedup=False
     )
     return out.select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+
+
+# The deletion row's oracle IS the registered bm25_topk twin, evaluated
+# over the survivor corpus (docs minus the tombstoned fifth) — the
+# strongest possible statement of what a right-to-be-forgotten delete
+# must leave behind. Both phases (eager mask, physical fold) must equal
+# it, so the oracle crosses the survivor top-k with the two phase tags.
+_DELETE_SURVIVOR_TWIN = R9_ORACLES["bm25_topk"].replace(
+    "FROM documents", "FROM documents WHERE doc_id % 5 <> 3"
+)
+STAGED_ORACLES["stream_delete_search"] = f"""
+WITH survivor_topk AS ({_DELETE_SURVIVOR_TWIN})
+SELECT p.phase, k.doc_id, k.score, k.rank
+FROM survivor_topk k
+CROSS JOIN (SELECT unnest(['masked', 'folded']) AS phase) p
+"""
+
+
+def stream_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the streamed postings index —
+    STAGED r13 (rotation protocol (b); tests/test_stream_bm25.py runs
+    the driver comparison until a retirement frees a slot, per the r12
+    verdict's task 4). One row gates the WHOLE deletion story: the
+    corpus streams into the index, a fifth of the docs (doc_id % 5 = 3
+    — the residue binds: survivors' top-10 differs from the full
+    corpus's at every test SF) are deleted via delete_postings_docs,
+    and BM25 runs TWICE — once with only the eager tombstone mask
+    (phase 'masked': broadcast anti-join over postings AND the doclen
+    stats scan), once after fold_postings_tombstones physically purged
+    the postings/doclen buckets and consumed the tombstone table (phase
+    'folded'). Both phases must equal the batch BM25 twin over the
+    survivor corpus, so a masked search that leaks a deleted doc's
+    postings, stats that still count deleted docs, or a fold that
+    purges the wrong buckets each break the row. The masked rows
+    MATERIALIZE before the fold rewrites state files (the registry's
+    lifecycle contract — a lazy pre-fold plan would read deleted
+    files). Reference anchor: the reference's entity-deletion path
+    (online-feature-store's delete-by-key over sharded state), applied
+    to the inverted-index family."""
+    from bharatmlstack_spark.streaming.ingest import (
+        TOMBSTONES_DIR,
+        bm25_search_streamed,
+        delete_postings_docs,
+        fold_postings_tombstones,
+        hadoop_path_exists,
+        stream_postings_sink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    work = scratch_dir("bmls_delsearch_")
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    docs.repartition(3).write.parquet(topic)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    q = stream_postings_sink(
+        stream, index_path, f"{work}/ck", spark,
+        n_buckets=16, trigger_once=True,
+    )
+    await_stream(q, 1800, "stream_postings_sink (deletion row)")
+
+    victims = docs.filter(F.col("doc_id") % 5 == 3).select("doc_id")
+    n_deleted = delete_postings_docs(spark, index_path, victims)
+    if not n_deleted:
+        raise RuntimeError(
+            "stream_delete_search: empty deletion wave — the fixture "
+            "must bind or the row attests nothing"
+        )
+    masked = [
+        (r["doc_id"], float(r["score"]), int(r["rank"]))
+        for r in bm25_search_streamed(
+            spark, index_path, _BM25_TERMS, k=10
+        ).collect()
+    ]
+    folded_stats = fold_postings_tombstones(spark, index_path)
+    if folded_stats["tombstones"] != n_deleted:
+        raise RuntimeError(
+            f"fold consumed {folded_stats['tombstones']} tombstones, "
+            f"expected {n_deleted}"
+        )
+    if hadoop_path_exists(spark, f"{index_path}/{TOMBSTONES_DIR}"):
+        raise RuntimeError("tombstone table survived the fold")
+    folded = [
+        (r["doc_id"], float(r["score"]), int(r["rank"]))
+        for r in bm25_search_streamed(
+            spark, index_path, _BM25_TERMS, k=10
+        ).collect()
+    ]
+    return spark.createDataFrame(
+        [("masked", *row) for row in masked]
+        + [("folded", *row) for row in folded],
+        "phase string, doc_id bigint, score double, rank int",
+    )
+
 
 _ANN_REFIT_SEARCH_ORACLE = """
 WITH ecorpus AS (

@@ -3272,18 +3272,14 @@ def bm25_search_streamed(
     ]
     if not dirs:
         # no query term has a bucket dir yet — empty result, with the id
-        # type taken from the stored doclen table when one exists (a
-        # hardcoded type here would make the schema depend on whether
-        # any bucket matched; cf. cross_dedup_against_state's empty path)
-        id_type = "string"
-        if hadoop_path_exists(spark, f"{index_path}/{DOCLEN_DIR}"):
-            id_type = (
-                spark.read.parquet(f"{index_path}/{DOCLEN_DIR}")
-                .schema["id"]
-                .dataType.simpleString()
-            )
+        # type taken from the stored doclen table (a hardcoded type here
+        # would make the schema depend on whether any bucket matched;
+        # _postings_id_type is shared with phrase_search_streamed so the
+        # two empty paths agree)
         return spark.createDataFrame(
-            [], f"`{out_id}` {id_type}, score double, rank int"
+            [],
+            f"`{out_id}` {_postings_id_type(spark, index_path)}, "
+            "score double, rank int",
         )
     pruned = spark.read.option("basePath", post_root).parquet(*dirs)
     tf = pruned.filter(F.col("term").isin(terms)).select("term", "id", "tf", "dl")
@@ -3782,6 +3778,12 @@ def delete_indexed_vectors(
     its tombstone is live stays masked (the anti-join can't date rows);
     fold first, or version the id — the sink's single-arrival
     contract's deletion corollary."""
+    # the same crash-recovery preamble every other IVF entry point runs
+    # (read_streamed_ivf_index, compact/refit): a crashed refit commit or
+    # flat-swap would otherwise make this raise a spurious "does not
+    # exist" or read a mid-swap root's schema
+    _finish_refit_commit(spark, index_path)
+    _recover_root_swap(spark, index_path)
     if not hadoop_path_exists(spark, index_path):
         raise RuntimeError(
             f"streamed IVF index {index_path} does not exist — refusing "
@@ -4044,20 +4046,63 @@ def _append_tombstones(
     an inferred-type mismatch (int list vs bigint column) would derive
     the WRONG bucket dirs at fold time and the purge would miss every
     row while the mask is consumed. Empty waves are a no-op (0), not a
-    schema-inference crash. Returns tombstones appended."""
+    schema-inference crash. NULL ids are REJECTED loudly: the mask and
+    purge anti-join on ``id`` never matches NULL, so a null tombstone
+    would stay visible in every search yet be consumed by the next fold
+    — an undeletable row must fail the delete call, not the reader.
+    (A null can also appear post-cast when the caller's id does not
+    cast to the stored type — same refusal, same reason.) Returns
+    tombstones appended."""
     if isinstance(ids, DataFrame):
         frame = ids.select(F.col(ids.columns[0]).alias("id"))
     else:
         ids = list(ids)
         if not ids:
             return 0
+        if any(i is None for i in ids):
+            raise ValueError(
+                "tombstones cannot target NULL ids — the anti-join mask "
+                "and the fold's purge never match NULL, so the delete "
+                "would silently never take effect. Null-id rows are not "
+                "deletable through the tombstone surface."
+            )
         frame = spark.createDataFrame([(i,) for i in ids], ["id"])
-    frame = frame.select(F.col("id").cast(target_type).alias("id")).distinct()
+    # try_cast, not cast: under ANSI mode a malformed id would abort the
+    # whole wave mid-job with a SparkNumberFormatException — try_cast
+    # funnels it into the NULL refusal below, which names the contract
+    frame = frame.select(
+        F.col("id").try_cast(target_type).alias("id")
+    ).distinct()
     n = frame.count()
     if not n:
         return 0
+    n_null = frame.filter(F.col("id").isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"tombstone wave contains {n_null} NULL id(s) after casting "
+            f"to the stored type {target_type} — either the caller "
+            "passed NULL ids or the ids do not cast to the index's id "
+            "type. Both would produce a tombstone no search or fold can "
+            "ever match; refusing."
+        )
     frame.write.mode("append").parquet(path)
     return n
+
+
+def _postings_id_type(spark: SparkSession, index_path: str) -> str:
+    """The stored id type of a postings index, from the doclen table's
+    schema — the ONE lookup both searches' empty paths share, so the
+    same missing-term query yields the same result schema whether it
+    was a BM25 or a phrase search (they used to disagree: string vs
+    long). ``long`` when no doclen exists yet (a never-fed index): the
+    repo's document ids are bigint throughout."""
+    if hadoop_path_exists(spark, f"{index_path}/{DOCLEN_DIR}"):
+        return (
+            spark.read.parquet(f"{index_path}/{DOCLEN_DIR}")
+            .schema["id"]
+            .dataType.simpleString()
+        )
+    return "long"
 
 
 def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
@@ -4131,16 +4176,14 @@ def phrase_search_streamed(
         for bkt in buckets
         if hadoop_path_exists(spark, d := f"{post_root}/term_bucket={bkt}")
     ]
-    empty_schema = f"`{out_id}` long, n_occurrences long"
-    if hadoop_path_exists(spark, f"{index_path}/{DOCLEN_DIR}"):
-        id_type = (
-            spark.read.parquet(f"{index_path}/{DOCLEN_DIR}")
-            .schema["id"]
-            .dataType.simpleString()
-        )
-        empty_schema = f"`{out_id}` {id_type}, n_occurrences long"
     if not dirs:
-        return spark.createDataFrame([], empty_schema)
+        # same shared id-type lookup as bm25_search_streamed's empty
+        # path — the two searches must agree on the empty schema
+        return spark.createDataFrame(
+            [],
+            f"`{out_id}` {_postings_id_type(spark, index_path)}, "
+            "n_occurrences long",
+        )
     pruned = (
         spark.read.option("basePath", post_root)
         .parquet(*dirs)

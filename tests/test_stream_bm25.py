@@ -704,3 +704,30 @@ def test_phrase_repeated_terms_and_trigram(spark, tmp_path):
         for r in phrase_search_streamed(spark, index_path, "a b c").collect()
     }
     assert abc == {3: 2}
+
+
+def test_stream_delete_search_matches_duckdb_oracle(spark, con):
+    """Driver-identical comparison for the staged deletion row (r12
+    verdict task 4): ingest, delete a fifth of the docs, search under
+    the eager tombstone mask, fold physically, search again — BOTH
+    phases must equal the batch BM25 twin over the survivor corpus.
+    The fixture binds (the survivors' top-10 differs from the full
+    corpus's), so a mask or fold that leaks deleted docs changes rows,
+    not just scores."""
+    from bharatmlstack_spark.queries_text import stream_delete_search
+
+    out = stream_delete_search(spark, SF_DIR)
+    got = _rows(out)
+    ref = _oracle_rows(
+        con, STAGED_ORACLES["stream_delete_search"], out.columns
+    )
+    assert len(got) > 0  # vacuous-pass guard
+    assert got == ref
+    # the deletion bound: the survivor top-10 is NOT the full-corpus
+    # top-10 (otherwise the row attests nothing about deletion)
+    full = {
+        r[0]
+        for r in con.sql(STAGED_ORACLES["stream_bm25_search"]).fetchall()
+    }
+    masked_ids = {r[1] for r in out.collect() if r[0] == "masked"}
+    assert masked_ids != full

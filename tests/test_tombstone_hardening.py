@@ -174,3 +174,130 @@ def test_auto_maintain_folds_pending_deletion_in_loop(spark, tmp_path):
     assert sorted(r["id"] for r in dl.collect()) == [2, 3]
     out = bm25_search_streamed(spark, index_path, ["alpha"], k=5)
     assert out.count() == 0  # the deleted doc's postings are gone
+
+
+def test_null_id_tombstones_rejected(spark, tiny_postings):
+    """NULL ids are loudly refused at delete time (ADVICE r12): the
+    anti-join mask and the fold's purge never match NULL, so a null
+    tombstone would stay visible in every search yet be consumed by the
+    next fold — three arrival shapes, one refusal."""
+    # a plain list containing None (would also crash schema inference)
+    with pytest.raises(ValueError, match="NULL id"):
+        delete_postings_docs(spark, tiny_postings, [7, None])
+    # a DataFrame wave with a null row
+    wave = spark.createDataFrame([(7,), (None,)], "doc_id int")
+    with pytest.raises(ValueError, match="NULL id"):
+        delete_postings_docs(spark, tiny_postings, wave)
+    # a wave whose ids do not CAST to the stored int type (cast -> null
+    # -> the same never-matchable tombstone)
+    bad = spark.createDataFrame([("not-a-number",)], "doc_id string")
+    with pytest.raises(ValueError, match="NULL id"):
+        delete_postings_docs(spark, tiny_postings, bad)
+    # nothing was recorded by any refused wave
+    assert not os.path.exists(f"{tiny_postings}/tombstones")
+    # a castable-but-string-typed wave still works (cast discipline)
+    ok = spark.createDataFrame([("7",)], "doc_id string")
+    assert delete_postings_docs(spark, tiny_postings, ok) == 1
+
+
+def test_delete_indexed_vectors_recovers_crashed_swap(spark, tmp_path):
+    """delete_indexed_vectors runs the same crash-recovery preamble as
+    every other IVF entry point (ADVICE r12): after a crashed flat-swap
+    left the live root renamed aside, the delete must restore the root
+    and record the tombstone instead of raising 'does not exist'."""
+    import numpy as np
+
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+    from bharatmlstack_spark.streaming.ingest import (
+        _hadoop_rename,
+        await_stream,
+        read_streamed_ivf_index,
+        stream_ann_ivf_sink,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=4)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = IvfIndex(n_cells=2).fit(df, sample_size=32, iters=2)
+    index_path = str(tmp_path / "cr_index")
+    topic = str(tmp_path / "cr_topic")
+    df.write.parquet(topic)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(topic)
+    q = stream_ann_ivf_sink(
+        stream, idx, index_path, str(tmp_path / "cr_ck"), spark,
+        trigger_once=True,
+    )
+    await_stream(q, 120, "ivf sink (crash-recovery delete)")
+
+    # simulate the crashed flat-swap: live root renamed aside, stage gone
+    _hadoop_rename(spark, index_path, index_path + ASIDE_SUFFIX)
+    assert not os.path.exists(index_path)
+    assert delete_indexed_vectors(spark, index_path, [3]) == 1
+    assert os.path.exists(index_path)  # the preamble restored the root
+    masked = read_streamed_ivf_index(spark, index_path)
+    assert 3 not in {r["vec_id"] for r in masked.collect()}
+
+
+def test_empty_search_schemas_agree(spark, tmp_path):
+    """The two streamed searches' empty paths share one id-type lookup
+    (ADVICE r12): the same missing-term query yields the same id type
+    from BM25 and phrase search — doclen-derived when doclen exists,
+    'long' on a never-fed index. They used to disagree (string vs long)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from bharatmlstack_spark.operators.feature_store import TABLE_META_FILE
+    from bharatmlstack_spark.streaming.ingest import (
+        POSTINGS_TOKENIZER,
+        phrase_search_streamed,
+    )
+
+    src = str(tmp_path / "es_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "alpha beta"}) + "\n")
+    index_path = str(tmp_path / "es_index")
+    stream = spark.readStream.schema("doc_id int, text string").json(src)
+    q = stream_postings_sink(
+        stream, index_path, str(tmp_path / "es_ck"), spark,
+        n_buckets=4, trigger_once=True, store_positions=True,
+    )
+    await_stream(q, 120, "positional sink (empty-schema agreement)")
+
+    # find a term whose bucket dir does NOT exist (<=2 of 4 occupied)
+    present = {
+        int(d.split("=")[1])
+        for d in os.listdir(f"{index_path}/postings")
+        if d.startswith("term_bucket=")
+    }
+    cands = [f"zz{i}" for i in range(40)]
+    cdf = spark.createDataFrame([(t,) for t in cands], "term string")
+    missing = next(
+        r["term"]
+        for r in cdf.select(
+            "term", F.pmod(F.xxhash64("term"), F.lit(4)).alias("b")
+        ).collect()
+        if r["b"] not in present
+    )
+    b = bm25_search_streamed(spark, index_path, [missing], k=5)
+    p = phrase_search_streamed(spark, index_path, missing)
+    assert b.count() == 0 and p.count() == 0
+    assert b.schema["doc_id"].dataType == p.schema["doc_id"].dataType
+    # doclen-derived: the stored int type, not an inference default
+    assert b.schema["doc_id"].dataType.simpleString() == "int"
+
+    # never-fed index (sidecar only, no doclen): both fall back to long
+    bare = str(tmp_path / "es_bare")
+    os.makedirs(bare)
+    with open(os.path.join(bare, TABLE_META_FILE), "w") as f:
+        f.write(_json.dumps({
+            "n_buckets": 4, "tokenizer": POSTINGS_TOKENIZER,
+            "id_col": "doc_id", "positions": True,
+        }))
+    b2 = bm25_search_streamed(spark, bare, ["alpha"], k=5)
+    p2 = phrase_search_streamed(spark, bare, "alpha")
+    assert b2.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert p2.schema["doc_id"].dataType.simpleString() == "bigint"
