@@ -3047,6 +3047,7 @@ def stream_postings_sink(
     auto_maintain: bool = False,
     maintain_every_n_batches: int = 64,
     store_positions: bool = False,
+    allow_updates: bool = False,
 ):
     """Streaming inverted-index builder: each micro-batch of documents is
     tokenized, aggregated to (term, id, tf, dl) postings WITHIN the batch
@@ -3072,9 +3073,37 @@ def stream_postings_sink(
     reclaims at maintenance cadence. A crash between the postings append
     and the doclen append is healed the same way: the restarted
     checkpoint replays the batch and both appends land as byte-identical
-    copies. Assumes each doc id arrives once (corpus build; an UPDATED
-    doc must route through the CDC sink or version its id — same
-    single-arrival contract as stream_ann_ivf_sink).
+    copies.
+
+    ``allow_updates=False`` (default): each doc id arrives once (corpus
+    build; an UPDATED doc must version its id — the single-arrival
+    contract shared with stream_ann_ivf_sink).
+
+    ``allow_updates=True`` (VERSIONED index — recorded in the sidecar
+    signature like the positional flag): a re-arriving doc id REPLACES
+    its previous postings, LSM-style. Every postings/doclen row carries
+    ``gen`` = the micro-batch id (deterministic under checkpoint replay,
+    so redelivery copies stay byte-identical). Per batch the sink probes
+    ONLY the batch ids' doclen bucket dirs (the near-dup probe
+    discipline — O(batch), never the index) for rows with an OLDER gen;
+    each re-arrival appends an update-tombstone ``(id, gen_lt=batch_id)``
+    meaning "rows of this doc older than this batch are dead". Searches
+    mask ``gen < gen_lt`` through the same broadcast anti-join as
+    deletes (a full delete is ``gen_lt = +inf``), and the fold purges the
+    dead generations physically at maintenance cadence. Update semantics
+    are new-version-wins: the replaced postings stop scoring IMMEDIATELY
+    (mask), dropped terms included — the piece a max-gen read-side rule
+    could not express without an O(corpus) version join. Under pure
+    redelivery the probe's ``gen < batch_id`` filter finds nothing (the
+    first delivery's rows carry gen == batch_id), so no tombstones bloat.
+    Crash between the tombstone append and the data appends leaves the
+    doc masked-but-not-yet-replaced until the checkpoint replays the
+    batch (single-writer; a transient delete window, never a
+    double-count). Within ONE micro-batch a doc id must be unique
+    (pre-aggregate upstream — e.g. a compacted topic): two versions in
+    the same batch would aggregate into one blended posting, and an
+    in-sink arbitrary-row dedup would break the byte-identical-replay
+    contract redelivery relies on.
 
     Layout guard: a restart that passes a different ``n_buckets`` (or a
     build from a different tokenizer era) is REFUSED against the sidecar
@@ -3105,14 +3134,20 @@ def stream_postings_sink(
         # half the index unsearchable by phrase — refused like any other
         # signature mismatch
         "positions": bool(store_positions),
+        # versioned rows carry a gen column and updates write
+        # update-tombstones; mixing versioned and unversioned appends
+        # would leave half the index unmaskable — same refusal
+        "versioned": bool(allow_updates),
     }
     _finish_postings_rebucket(spark, index_path)  # adopt a crashed rebucket
     meta = read_table_meta(spark, index_path)
     if meta is not None and "n_buckets" in meta:
         for key, want in sig.items():
-            # an index built before the positions contract has no
-            # "positions" key and IS non-positional — default, don't skip
-            got = meta.get(key, False if key == "positions" else None)
+            # indexes built before a boolean-flag contract existed have
+            # no key and ARE the False case — default, don't skip
+            got = meta.get(
+                key, False if key in ("positions", "versioned") else None
+            )
             if got is not None and got != want:
                 raise RuntimeError(
                     f"postings index {index_path} was built with "
@@ -3164,12 +3199,15 @@ def stream_postings_sink(
                 F.first("dl").alias("dl"),
             ]
             cols = ["term", "id", "tf", "dl", "term_bucket"]
+        if allow_updates:
+            cols = cols[:-1] + ["gen", "term_bucket"]
         postings = (
             exploded.groupBy("id", "term")
             .agg(*aggs)
             .withColumn(
                 "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
             )
+            .withColumn("gen", F.lit(int(batch_id)).cast("long"))
             .persist()
         )
         try:
@@ -3187,6 +3225,44 @@ def stream_postings_sink(
             _update_maintenance_meta(
                 spark, index_path, batch_id, rows_appended=n, extra=sig
             )
+            if allow_updates:
+                # re-arrival probe: read ONLY the batch ids' doclen
+                # bucket dirs for rows with an OLDER gen. Under pure
+                # redelivery the first delivery's rows carry
+                # gen == batch_id, so the filter finds nothing and no
+                # tombstone bloat accrues. Tombstone lands BEFORE the
+                # data appends: a crash in between leaves the doc
+                # masked until the checkpoint replays this batch
+                # (transient delete window — never a double-count).
+                dl_root = f"{index_path}/{DOCLEN_DIR}"
+                probe_dirs = [
+                    d
+                    for r in base.select(
+                        F.pmod(F.xxhash64("id"), F.lit(n_buckets)).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                    if hadoop_path_exists(
+                        spark, d := f"{dl_root}/id_bucket={r[0]}"
+                    )
+                ]
+                if probe_dirs:
+                    rearrived = (
+                        spark.read.option("basePath", dl_root)
+                        .parquet(*probe_dirs)
+                        .join(base.select("id").distinct(), "id", "left_semi")
+                        .filter(F.col("gen") < F.lit(int(batch_id)))
+                        .select("id")
+                        .distinct()
+                    )
+                    id_type = rearrived.schema["id"].dataType
+                    _append_tombstones(
+                        spark,
+                        f"{index_path}/{TOMBSTONES_DIR}",
+                        rearrived,
+                        id_type,
+                        gen_lt=int(batch_id),
+                    )
             (
                 postings.select(*cols)
                 .write.mode("append")
@@ -3197,6 +3273,8 @@ def stream_postings_sink(
                 base.select(
                     "id",
                     F.size("__w").alias("dl"),
+                    *([F.lit(int(batch_id)).cast("long").alias("gen")]
+                      if allow_updates else []),
                     F.pmod(F.xxhash64("id"), F.lit(n_buckets)).alias("id_bucket"),
                 )
                 .write.mode("append")
@@ -3256,6 +3334,12 @@ def bm25_search_streamed(
         )
     n_buckets = int(meta["n_buckets"])
     out_id = meta.get("id_col", "doc_id")
+    # versioned index: rows carry gen, update tombstones carry gen_lt —
+    # dedup keys include gen (two LIVE gens of one doc never coexist,
+    # but a masked old gen beside its replacement does; an id-only
+    # dedup could keep the dead row and drop the live one), and the
+    # mask is gen-aware (_mask_tombstoned)
+    gen_cols = ["gen"] if meta.get("versioned") else []
     terms = sorted({t.lower() for t in query_terms})
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
     buckets = sorted(
@@ -3282,9 +3366,11 @@ def bm25_search_streamed(
             "score double, rank int",
         )
     pruned = spark.read.option("basePath", post_root).parquet(*dirs)
-    tf = pruned.filter(F.col("term").isin(terms)).select("term", "id", "tf", "dl")
+    tf = pruned.filter(F.col("term").isin(terms)).select(
+        "term", "id", "tf", "dl", *gen_cols
+    )
     if dedup:
-        tf = tf.dropDuplicates(["term", "id"])
+        tf = tf.dropDuplicates(["term", "id", *gen_cols])
     if persist_postings:
         # tf feeds df-derivation AND scoring: persist the pruned postings
         # (|matching docs| x |terms| rows) so the bucket scan runs once.
@@ -3294,12 +3380,15 @@ def bm25_search_streamed(
         # inputFiles; tests/test_stream_bm25.py pins the bucket pruning
         # through this switch)
         tf = defer_unpersist(tf.persist())
-    # tombstoned docs (delete_postings_docs) leave the index lazily:
-    # broadcast-anti-join them out of the postings AND the stats until
-    # the next compaction folds them physically
+    # tombstoned docs (delete_postings_docs) and replaced generations
+    # (versioned updates) leave the index lazily: broadcast-anti-join
+    # them out of the postings AND the stats until the next compaction
+    # folds them physically
     tomb = _postings_tombstones(spark, index_path)
     if tomb is not None:
-        tf = tf.join(F.broadcast(tomb), on="id", how="left_anti")
+        tf = _mask_tombstoned(tf, tomb)
+    if gen_cols:
+        tf = tf.drop("gen")
     # corpus stats: the sidecar cache (rolled forward by the compactor/
     # rebucket) is provably fresh when NO batch has appended since it was
     # written — the sink bumps the counter per batch, so counter==0 is
@@ -3320,12 +3409,12 @@ def bm25_search_streamed(
         )
     else:
         dl_tbl = spark.read.parquet(f"{index_path}/{DOCLEN_DIR}").select(
-            "id", "dl"
+            "id", "dl", *gen_cols
         )
         if dedup:
-            dl_tbl = dl_tbl.dropDuplicates(["id"])
+            dl_tbl = dl_tbl.dropDuplicates(["id", *gen_cols])
         if tomb is not None:
-            dl_tbl = dl_tbl.join(F.broadcast(tomb), on="id", how="left_anti")
+            dl_tbl = _mask_tombstoned(dl_tbl, tomb)
         stats = dl_tbl.agg(
             F.count(F.lit(1)).cast("double").alias("__n_docs"),
             F.avg("dl").alias("__avgdl"),
@@ -3355,15 +3444,27 @@ def compact_streamed_postings(spark: SparkSession, index_path: str) -> dict:
     provably fresh (zero appends since; the sink's per-batch counter is
     the staleness witness). A bailed pass DROPS the cache: doclen still
     holds duplicates the stats must not double-count."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
     _finish_postings_rebucket(spark, index_path)  # adopt a crashed rebucket
     # fold pending deletions first: the dedup rewrite and the stats
     # recompute below must see the post-deletion corpus
     purged = fold_postings_tombstones(spark, index_path)
+    # versioned index: dedup keys include gen. Post-fold every live id
+    # has exactly one generation, so (term, id) would also hold — but
+    # gen-keyed dedup stays conservative if that invariant ever breaks
+    # (it collapses byte-identical redelivery copies either way, and an
+    # unexpected second gen survives for the mask instead of an
+    # arbitrary row winning).
+    gen = ["gen"] if (read_table_meta(spark, index_path) or {}).get(
+        "versioned"
+    ) else []
     removed_p, bailed_p = _compact_dedup_state(
-        spark, f"{index_path}/{POSTINGS_DIR}", ["term", "id"], "term_bucket"
+        spark, f"{index_path}/{POSTINGS_DIR}", ["term", "id", *gen],
+        "term_bucket",
     )
     removed_d, bailed_d = _compact_dedup_state(
-        spark, f"{index_path}/{DOCLEN_DIR}", ["id"], "id_bucket"
+        spark, f"{index_path}/{DOCLEN_DIR}", ["id", *gen], "id_bucket"
     )
     bailed = bailed_p or bailed_d
     # ORDER MATTERS (crash safety): a stale cache from a PREVIOUS pass
@@ -3546,10 +3647,17 @@ def rebucket_postings_index(
         removed += before - n
         return n
 
+    # versioned index: gen rides the dedup keys (same rationale as
+    # compact_streamed_postings — conservative if the one-live-gen
+    # post-fold invariant ever breaks) and the gen column rides the
+    # rewrite untouched
+    gen = ["gen"] if meta.get("versioned") else []
     postings_rows = _stage(
-        POSTINGS_DIR, "term_bucket", F.xxhash64("term"), ["term", "id"]
+        POSTINGS_DIR, "term_bucket", F.xxhash64("term"), ["term", "id", *gen]
     )
-    doclen_rows = _stage(DOCLEN_DIR, "id_bucket", F.xxhash64("id"), ["id"])
+    doclen_rows = _stage(
+        DOCLEN_DIR, "id_bucket", F.xxhash64("id"), ["id", *gen]
+    )
     merged = dict(meta)
     merged.update(
         {
@@ -3689,17 +3797,57 @@ def delete_postings_docs(
     # tombstone with a cache that still counts the doc (search guards on
     # the tombstone set anyway — belt and braces)
     _cache_postings_stats(spark, index_path, valid=False)
+    # versioned index: a delete is gen_lt = GEN_MAX — every generation
+    # is dead, INCLUDING a re-ingest that lands while the tombstone is
+    # live (deletes are terminal until folded — the right-to-be-
+    # forgotten stance; updates, by contrast, mask only older gens)
     return _append_tombstones(
-        spark, f"{index_path}/{TOMBSTONES_DIR}", doc_ids, id_type
+        spark,
+        f"{index_path}/{TOMBSTONES_DIR}",
+        doc_ids,
+        id_type,
+        gen_lt=GEN_MAX if meta.get("versioned") else None,
     )
+
+
+# an update tombstone masks gens strictly below gen_lt; a full delete is
+# "everything below +inf" — long max, unreachable by any real batch id
+GEN_MAX = (1 << 63) - 1
 
 
 def _postings_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The live tombstone set, or None when empty/absent — searches
     broadcast it (deleted docs are a tiny fraction of a corpus; a
     deletion wave large enough to strain a broadcast is a compaction
-    trigger, not a search-side problem)."""
-    return _read_tombstones(spark, f"{index_path}/{TOMBSTONES_DIR}")
+    trigger, not a search-side problem).
+
+    Normalized to ONE row per id. On a versioned index the table carries
+    ``gen_lt`` (update tombstones) — the max per id wins (a doc updated
+    at gen 3 then 5 masks everything below 5; updated then deleted masks
+    everything below GEN_MAX); rows from a plain-delete file with a null
+    gen_lt coalesce to GEN_MAX. Unversioned tables stay one ``id``
+    column."""
+    t = _read_tombstones(spark, f"{index_path}/{TOMBSTONES_DIR}")
+    if t is None or "gen_lt" not in t.columns:
+        return t
+    return t.groupBy("id").agg(
+        F.max(F.coalesce("gen_lt", F.lit(GEN_MAX))).alias("gen_lt")
+    )
+
+
+def _mask_tombstoned(df: DataFrame, tomb: DataFrame) -> DataFrame:
+    """Apply the broadcast tombstone mask to a postings/doclen frame:
+    plain one-column tombstones anti-join on id; versioned tombstones
+    (id, gen_lt) anti-join on ``id matches AND gen < gen_lt`` so only
+    the dead generations disappear — the live (re-ingested) generation
+    keeps scoring. ONE implementation shared by both searches and used
+    by the fold's detection scan, so mask and purge can never disagree
+    about what "dead" means."""
+    if "gen_lt" not in tomb.columns:
+        return df.join(F.broadcast(tomb), on="id", how="left_anti")
+    t = tomb.select(F.col("id").alias("__t_id"), "gen_lt")
+    cond = (df["id"] == t["__t_id"]) & (df["gen"] < t["gen_lt"])
+    return df.join(F.broadcast(t), on=cond, how="left_anti")
 
 
 def fold_postings_tombstones(spark: SparkSession, index_path: str) -> dict:
@@ -3857,6 +4005,11 @@ def _purge_tombstoned_rows(
       fully-emptied dir is dropped explicitly (dynamic overwrite leaves
       absent partitions in place).
 
+    When ``t`` carries a ``gen_lt`` column (versioned postings), "dead"
+    means ``id matches AND gen < gen_lt`` — the same predicate the
+    searches' _mask_tombstoned applies, so purge and mask can never
+    disagree; plain one-column tombstones keep the id equi-join.
+
     Returns rows removed. Callers delete the tombstone table LAST, so
     every crash point leaves the read-side anti-join mask protecting
     queries."""
@@ -3865,6 +4018,25 @@ def _purge_tombstoned_rows(
         hadoop_list_partition_dirs,
     )
     from bharatmlstack_spark.query_registry import defer_unpersist
+
+    gen_aware = "gen_lt" in t.columns
+    tt = (
+        t.select(F.col(join_col).alias("__t_key"), "gen_lt")
+        if gen_aware
+        else None
+    )
+
+    def _anti(df: DataFrame) -> DataFrame:
+        if not gen_aware:
+            return df.join(t, on=join_col, how="left_anti")
+        cond = (df[join_col] == tt["__t_key"]) & (df["gen"] < tt["gen_lt"])
+        return df.join(F.broadcast(tt), on=cond, how="left_anti")
+
+    def _semi(df: DataFrame) -> DataFrame:
+        if not gen_aware:
+            return df.join(t, on=join_col, how="left_semi")
+        cond = (df[join_col] == tt["__t_key"]) & (df["gen"] < tt["gen_lt"])
+        return df.join(F.broadcast(tt), on=cond, how="left_semi")
 
     # recover a crashed PURGE swap first (its stage suffix __purging is
     # unknown to _recover_root_swap): a missing live root must adopt the
@@ -3884,9 +4056,7 @@ def _purge_tombstoned_rows(
     if bucket_col is None:
         df = spark.read.parquet(root)
         before = df.count()
-        keep = defer_unpersist(
-            df.join(t, on=join_col, how="left_anti").persist()
-        )
+        keep = defer_unpersist(_anti(df).persist())
         n_after = keep.count()
         if n_after == before:
             return 0
@@ -3900,8 +4070,7 @@ def _purge_tombstoned_rows(
     if touched is None:
         touched = [
             r[0]
-            for r in spark.read.parquet(root)
-            .join(t, on=join_col, how="left_semi")
+            for r in _semi(spark.read.parquet(root))
             .select(bucket_col)
             .distinct()
             .collect()
@@ -3911,9 +4080,7 @@ def _purge_tombstoned_rows(
         return 0
     scoped = spark.read.option("basePath", root).parquet(*targeted.values())
     before = scoped.count()
-    keep = defer_unpersist(
-        scoped.join(t, on=join_col, how="left_anti").persist()
-    )
+    keep = defer_unpersist(_anti(scoped).persist())
     n_after = keep.count()
     if n_after == before:
         # nothing in the targeted dirs matched (absent/no-op ids):
@@ -4038,7 +4205,7 @@ def fold_neardup_tombstones(spark: SparkSession, state_dir: str) -> dict:
 
 
 def _append_tombstones(
-    spark: SparkSession, path: str, ids, target_type
+    spark: SparkSession, path: str, ids, target_type, gen_lt: int | None = None
 ) -> int:
     """Shared append half of the three tombstone surfaces: normalize a
     list or single-column DataFrame to a distinct ``id`` column CAST to
@@ -4051,7 +4218,12 @@ def _append_tombstones(
     would stay visible in every search yet be consumed by the next fold
     — an undeletable row must fail the delete call, not the reader.
     (A null can also appear post-cast when the caller's id does not
-    cast to the stored type — same refusal, same reason.) Returns
+    cast to the stored type — same refusal, same reason.)
+
+    ``gen_lt`` (versioned postings indexes only): rows of the id with
+    ``gen < gen_lt`` are dead — an UPDATE tombstone. A full delete on a
+    versioned index passes GEN_MAX (everything older than +inf). Omit
+    for unversioned tables (the plain one-column schema). Returns
     tombstones appended."""
     if isinstance(ids, DataFrame):
         frame = ids.select(F.col(ids.columns[0]).alias("id"))
@@ -4085,6 +4257,8 @@ def _append_tombstones(
             "type. Both would produce a tombstone no search or fold can "
             "ever match; refusing."
         )
+    if gen_lt is not None:
+        frame = frame.withColumn("gen_lt", F.lit(int(gen_lt)).cast("long"))
     frame.write.mode("append").parquet(path)
     return n
 
@@ -4112,7 +4286,10 @@ def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     maintenance_due now reports pending tombstones as due work)."""
     if not hadoop_path_exists(spark, path):
         return None
-    return spark.read.parquet(path).dropDuplicates(["id"])
+    # all-column dedup, not id-only: a versioned table legitimately
+    # holds several (id, gen_lt) rows for one id — the reader's max
+    # aggregation (not an arbitrary drop) picks the winner
+    return spark.read.parquet(path).dropDuplicates()
 
 
 def phrase_search_streamed(
@@ -4160,6 +4337,9 @@ def phrase_search_streamed(
         )
     n_buckets = int(meta["n_buckets"])
     out_id = meta.get("id_col", "doc_id")
+    # versioned index: gen-keyed dedup + gen-aware mask, exactly as in
+    # bm25_search_streamed (see the rationale there)
+    gen_cols = ["gen"] if meta.get("versioned") else []
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("phrase_search_streamed: empty phrase")
@@ -4188,13 +4368,15 @@ def phrase_search_streamed(
         spark.read.option("basePath", post_root)
         .parquet(*dirs)
         .filter(F.col("term").isin(list(set(terms))))
-        .select("term", "id", "positions")
+        .select("term", "id", "positions", *gen_cols)
     )
     if dedup:
-        pruned = pruned.dropDuplicates(["term", "id"])
+        pruned = pruned.dropDuplicates(["term", "id", *gen_cols])
     tomb = _postings_tombstones(spark, index_path)
     if tomb is not None:
-        pruned = pruned.join(F.broadcast(tomb), on="id", how="left_anti")
+        pruned = _mask_tombstoned(pruned, tomb)
+    if gen_cols:
+        pruned = pruned.drop("gen")
     # the pruned read feeds one branch per phrase slot: persist it
     from bharatmlstack_spark.query_registry import defer_unpersist
 
@@ -4215,3 +4397,87 @@ def phrase_search_streamed(
         .filter(F.col("n_occurrences") > 0)
         .select(F.col("id").alias(out_id), "n_occurrences")
     )
+
+
+def purge_docs_everywhere(
+    spark: SparkSession,
+    doc_ids,
+    postings_roots=(),
+    neardup_roots=(),
+    ivf_roots=(),
+    ivf_id_col: str = "vec_id",
+    fold: bool = False,
+) -> dict:
+    """Right-to-be-forgotten across EVERY index derived from a corpus,
+    in one call — the operational form of the three per-family delete
+    surfaces. A GDPR-class erasure request has to reach each state a
+    doc's content leaked into (its postings, its near-dup fingerprints,
+    its embedding vectors); forgetting one of N roots is the failure
+    mode this orchestrator exists to prevent, so the root lists are
+    explicit and the report names every root it touched.
+
+    Semantics per root (unchanged from the per-family calls):
+    tombstones mask reads IMMEDIATELY; ``fold=True`` additionally purges
+    each root physically right away (offline/between-batch —
+    single-writer, like every fold), otherwise folds ride the normal
+    maintenance cadence (``maintenance_due`` counts pending tombstones).
+
+    Idempotent and crash-resumable WITHOUT a manifest: tombstone appends
+    are append-only and readers/folds dedup them, so re-running the same
+    call after a crash re-covers the already-tombstoned roots for free
+    and reaches the rest. Any per-root failure raises AFTER the report
+    is annotated — the raised RuntimeError carries which roots were
+    already covered so the retry story is explicit. Returns
+    {root: {"family", "tombstones", "fold": {...}|None}}.
+
+    Reference anchor: the reference deletes an entity from the online
+    store, the interaction history, and the vector index as separate
+    API calls against separate services (online-feature-store
+    delete-by-key; skye vector delete, qdrant.go) — one corpus-level
+    erasure is the caller's loop there, a single orchestrated call
+    here."""
+    report: dict = {}
+    ids = (
+        doc_ids
+        if isinstance(doc_ids, DataFrame)
+        else list(doc_ids)
+    )
+
+    def _run(family: str, root: str, delete_fn, fold_fn) -> None:
+        try:
+            n = delete_fn(root)
+            entry = {"family": family, "tombstones": n, "fold": None}
+            if fold and n:
+                entry["fold"] = fold_fn(root)
+            report[root] = entry
+        except Exception as e:  # noqa: BLE001 — annotate, then re-raise
+            raise RuntimeError(
+                f"purge_docs_everywhere failed at {family} root {root!r} "
+                f"({type(e).__name__}: {e}); roots already covered this "
+                f"call: {sorted(report)}. The call is idempotent — fix "
+                "the failing root and re-run with the SAME arguments to "
+                "finish the erasure."
+            ) from e
+
+    for root in postings_roots:
+        _run(
+            "postings",
+            root,
+            lambda r: delete_postings_docs(spark, r, ids),
+            lambda r: fold_postings_tombstones(spark, r),
+        )
+    for root in neardup_roots:
+        _run(
+            "neardup",
+            root,
+            lambda r: delete_neardup_docs(spark, r, ids),
+            lambda r: fold_neardup_tombstones(spark, r),
+        )
+    for root in ivf_roots:
+        _run(
+            "ivf",
+            root,
+            lambda r: delete_indexed_vectors(spark, r, ids, id_col=ivf_id_col),
+            lambda r: fold_index_tombstones(spark, r, id_col=ivf_id_col),
+        )
+    return report

@@ -1,0 +1,231 @@
+"""Versioned postings index: stream UPDATE support (r13). A re-arriving
+doc id REPLACES its previous postings LSM-style — rows carry gen =
+batch_id, the sink's per-batch doclen probe writes update-tombstones
+(id, gen_lt) for re-arrivals, searches mask gen < gen_lt through the
+shared broadcast anti-join, and the fold purges dead generations
+physically. The oracle throughout is the batch BM25 over the LATEST
+version of every doc (operators/retrieval.bm25_topk — the registered
+bm25_topk twin's engine side), so blended tf, leaked old postings, or a
+dropped term that keeps scoring all break the comparison."""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.operators.retrieval import bm25_topk
+from bharatmlstack_spark.streaming.ingest import (
+    GEN_MAX,
+    await_stream,
+    bm25_search_streamed,
+    compact_streamed_postings,
+    delete_postings_docs,
+    fold_postings_tombstones,
+    maintenance_due,
+    phrase_search_streamed,
+    rebucket_postings_index,
+    stream_postings_sink,
+)
+
+V0 = {
+    1: "spark join table",
+    2: "query table spark spark",
+    3: "join query window",
+    4: "alpha beta gamma",
+}
+# doc 2's update DROPS both query terms it had (query, table, spark) in
+# favor of unrelated text; doc 3 gains an extra 'join'; doc 4 unchanged
+# text re-delivered is NOT sent (4 only exists at gen 0)
+V1 = {
+    2: "alpha beta unrelated entirely",
+    3: "join join query window",
+}
+
+
+def _write_batch(src, name, docs, mtime=None):
+    """``mtime`` pins the file-source processing ORDER when several
+    batch files pre-exist (Spark's file stream sorts by modification
+    time; a tie makes 'which version is the update' nondeterministic —
+    in production the ordering comes from the source, e.g. Kafka
+    offsets)."""
+    path = os.path.join(src, name)
+    with open(path, "w") as f:
+        for i, text in docs.items():
+            f.write(json.dumps({"doc_id": i, "text": text}) + "\n")
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+
+
+def _run_sink(spark, src, index_path, ck, **kw):
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = stream_postings_sink(
+        stream, index_path, ck, spark,
+        n_buckets=8, trigger_once=True, allow_updates=True, **kw,
+    )
+    await_stream(q, 300, "versioned postings sink")
+
+
+def _latest_docs(spark):
+    latest = dict(V0)
+    latest.update(V1)
+    return spark.createDataFrame(
+        sorted(latest.items()), "doc_id bigint, text string"
+    )
+
+
+def _search_rows(spark, index_path, dedup=True):
+    return sorted(
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_search_streamed(
+            spark, index_path, ["spark", "query", "join"], k=10, dedup=dedup
+        ).collect()
+    )
+
+
+def _oracle_rows(spark):
+    return sorted(
+        (r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(
+            _latest_docs(spark), ["spark", "query", "join"], k=10
+        ).collect()
+    )
+
+
+@pytest.fixture()
+def updated_index(spark, tmp_path):
+    """Two micro-batches: the full V0 corpus, then the V1 update wave
+    (docs 2 and 3 re-arrive with new text)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(src, "b0.json", V0)
+    index_path = str(tmp_path / "index")
+    _run_sink(spark, src, index_path, str(tmp_path / "ck"))
+    _write_batch(src, "b1.json", V1)
+    _run_sink(spark, src, index_path, str(tmp_path / "ck"))
+    return index_path
+
+
+def test_update_masks_old_generation_immediately(spark, updated_index):
+    """Before any fold, the search must already score ONLY the latest
+    version of every doc — dropped terms included (doc 2 lost all its
+    query terms and must vanish from the result)."""
+    got = _search_rows(spark, updated_index)
+    assert got == _oracle_rows(spark)
+    assert 2 not in {r[0] for r in got}  # the dropped-terms doc is gone
+    # the update wave left tombstones pending — maintenance is due
+    assert maintenance_due(spark, updated_index, every_n_batches=10_000)
+
+
+def test_update_tombstones_record_gen_boundary(spark, updated_index):
+    """The sink wrote (id, gen_lt=1) exactly for the two re-arrived ids
+    — first arrivals (1, 4) must not bloat the tombstone table."""
+    t = spark.read.parquet(f"{updated_index}/tombstones")
+    rows = {(r["id"], r["gen_lt"]) for r in t.collect()}
+    assert rows == {(2, 1), (3, 1)}
+
+
+def test_fold_purges_dead_generations_physically(spark, updated_index):
+    """After the fold: old-gen rows are gone from postings AND doclen,
+    the tombstone table is consumed, and the search (now mask-free)
+    still equals the latest-version oracle."""
+    want = _oracle_rows(spark)
+    stats = fold_postings_tombstones(spark, updated_index)
+    assert stats["tombstones"] == 2
+    assert stats["postings_removed"] > 0 and stats["doclen_removed"] == 2
+    assert not os.path.exists(f"{updated_index}/tombstones")
+    dl = spark.read.parquet(f"{updated_index}/doclen")
+    assert dl.count() == 4  # one live generation per doc
+    assert dl.filter((F.col("id") == 2) & (F.col("gen") == 0)).count() == 0
+    assert _search_rows(spark, updated_index) == want
+
+
+def test_redelivery_of_update_batch_is_idempotent(spark, tmp_path):
+    """Full redelivery (fresh checkpoint) of BOTH batches: the probe's
+    gen < batch_id filter writes no new tombstones for the first
+    delivery's own rows, copies stay byte-identical, and after
+    compaction a dedup=False search equals the latest-version oracle."""
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    _write_batch(src, "b0.json", V0, mtime=now - 60)
+    _write_batch(src, "b1.json", V1, mtime=now)  # the update arrives LATER
+    index_path = str(tmp_path / "index")
+    for ck in ("ck1", "ck2"):  # second pass = full redelivery
+        _run_sink(spark, src, index_path, str(tmp_path / ck))
+    t = spark.read.parquet(f"{index_path}/tombstones")
+    # replayed waves append byte-identical tombstone rows — distinct
+    # content is still exactly the two genuine re-arrivals
+    assert {(r["id"], r["gen_lt"]) for r in t.collect()} == {(2, 1), (3, 1)}
+    stats = compact_streamed_postings(spark, index_path)
+    assert not stats["bailed"]
+    got = _search_rows(spark, index_path, dedup=False)
+    assert got == _oracle_rows(spark)
+
+
+def test_delete_beats_update_until_fold(spark, updated_index):
+    """A full delete on a versioned index is gen_lt = GEN_MAX: every
+    generation dies, and the fold purges them all (deletes are terminal
+    until folded — updates mask only older gens)."""
+    assert delete_postings_docs(spark, updated_index, [3]) == 1
+    t = spark.read.parquet(f"{updated_index}/tombstones")
+    assert (3, GEN_MAX) in {(r["id"], r["gen_lt"]) for r in t.collect()}
+    got = bm25_search_streamed(spark, updated_index, ["join"], k=10)
+    assert 3 not in {r["doc_id"] for r in got.collect()}
+    fold_postings_tombstones(spark, updated_index)
+    dl = spark.read.parquet(f"{updated_index}/doclen")
+    assert dl.filter(F.col("id") == 3).count() == 0  # both gens purged
+
+
+def test_rebucket_preserves_versioned_results(spark, updated_index):
+    """The reset job folds first, keeps the gen column, and the search
+    through the re-bucketed index still equals the oracle."""
+    want = _oracle_rows(spark)
+    info = rebucket_postings_index(spark, updated_index, 32)
+    assert info["new_buckets"] == 32
+    assert "gen" in spark.read.parquet(f"{updated_index}/postings").columns
+    assert _search_rows(spark, updated_index) == want
+
+
+def test_phrase_search_sees_only_latest_version(spark, tmp_path):
+    """Positional + versioned compose: the phrase from the OLD version
+    stops matching the moment the update arrives; the new version's
+    phrase matches."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(src, "b0.json", {7: "order fast order fast", 8: "noise words"})
+    index_path = str(tmp_path / "index")
+    _run_sink(spark, src, index_path, str(tmp_path / "ck"),
+              store_positions=True)
+    _write_batch(src, "b1.json", {7: "slow order only"})
+    _run_sink(spark, src, index_path, str(tmp_path / "ck"),
+              store_positions=True)
+    old = phrase_search_streamed(spark, index_path, "order fast").collect()
+    assert old == []  # the old version's phrase is dead
+    new = phrase_search_streamed(spark, index_path, "slow order").collect()
+    assert [(r["doc_id"], r["n_occurrences"]) for r in new] == [(7, 1)]
+
+
+def test_versioned_flag_mismatch_refused_at_sink_start(spark, tmp_path):
+    """Appending unversioned (gen-less) rows into a versioned index
+    would make the mask silently miss them — refused like every other
+    signature mismatch."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(src, "b0.json", V0)
+    index_path = str(tmp_path / "index")
+    _run_sink(spark, src, index_path, str(tmp_path / "ck"))
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    with pytest.raises(Exception, match="versioned"):
+        q = stream_postings_sink(
+            stream, index_path, str(tmp_path / "ck2"), spark,
+            n_buckets=8, trigger_once=True, allow_updates=False,
+        )
+        await_stream(q, 120, "mismatched sink")
