@@ -1033,6 +1033,15 @@ RETIRED: list[tuple[str, str, str]] = [
 #    the postings index (delete -> masked search -> fold -> search,
 #    both phases vs the batch BM25 twin over the survivor corpus),
 #    staged r13 per the r12 verdict's task 4; next freed slot after #1.
+# 3. queries_text.stream_update_search — in-place doc UPDATE through a
+#    VERSIONED postings index (allow_updates=True: gen-masked search,
+#    then fold; both phases vs the BM25 twin over an independently-
+#    rebuilt updated corpus), staged r13 with the feature.
+# 4. queries_text.stream_upsert_ann_search — vector UPSERT through the
+#    versioned IVF sink (skye re-publish semantics): new embeddings
+#    find themselves at cosine 1.0, old embeddings find brute force's
+#    pick over the latest corpus; oracle rebuilds the updated corpus
+#    with list_reverse. Staged r13 with the feature.
 # Graduate by retiring heads below one-for-one; never reshuffle the
 # current round's pre-planned window.
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [

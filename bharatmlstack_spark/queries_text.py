@@ -1836,6 +1836,239 @@ def stream_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The update row's oracle IS the registered bm25_topk twin over the
+# corpus AFTER the update wave: every doc_id % 11 = 5 doc's text is
+# replaced by a fixed new version (SQL-expressible, so DuckDB rebuilds
+# the updated corpus independently). Both phases — eager gen-mask, and
+# after the fold physically purged the old generations — must equal it.
+_UPDATED_TEXT = "spark shuffle partition spark catalyst"
+_UPDATE_SURVIVOR_TWIN = R9_ORACLES["bm25_topk"].replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN "
+    f"'{_UPDATED_TEXT}' ELSE text END AS text FROM documents)",
+)
+STAGED_ORACLES["stream_update_search"] = f"""
+WITH updated_topk AS ({_UPDATE_SURVIVOR_TWIN})
+SELECT p.phase, k.doc_id, k.score, k.rank
+FROM updated_topk k
+CROSS JOIN (SELECT unnest(['masked', 'folded']) AS phase) p
+"""
+
+
+def stream_update_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-place document UPDATE through the versioned streamed postings
+    index — STAGED r13 beside stream_delete_search (rotation protocol
+    (b); tests/test_postings_updates.py and tests/test_stream_bm25.py
+    run the driver comparison until retirements free slots). The corpus
+    streams in as batch 0 of a versioned index
+    (``allow_updates=True``); an update wave re-ingests every
+    ``doc_id % 11 = 5`` doc with NEW text as batch 1 (the sink's doclen
+    probe writes the (id, gen_lt=1) update-tombstones); BM25 then runs
+    TWICE — under the eager generation mask (phase 'masked'), and after
+    ``fold_postings_tombstones`` physically purged the replaced
+    generations (phase 'folded'). Both phases must equal the batch BM25
+    twin DuckDB computes over an independently-rebuilt updated corpus,
+    so a blended tf, a leaked old posting, a dropped term still
+    scoring, or stats counting a doc twice each break the row. The
+    update binds: the new text injects the headline query terms into
+    docs that ranked nowhere. Reference anchor: skye's re-published
+    entity embeddings (the indexer consumes a live stream where
+    re-publication is normal — qdrant upsert semantics)."""
+    from bharatmlstack_spark.streaming.ingest import (
+        TOMBSTONES_DIR,
+        bm25_search_streamed,
+        fold_postings_tombstones,
+        hadoop_path_exists,
+        stream_postings_sink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    work = scratch_dir("bmls_updsearch_")
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    docs.repartition(2).write.parquet(topic)
+    updates = docs.filter(F.col("doc_id") % 11 == 5).select(
+        "doc_id", F.lit(_UPDATED_TEXT).alias("text")
+    )
+    n_updates = updates.count()
+    if not n_updates:
+        raise RuntimeError("empty update wave — the fixture must bind")
+
+    def _run() -> None:
+        from bharatmlstack_spark.streaming.ingest import await_stream
+
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            topic
+        )
+        q = stream_postings_sink(
+            stream, index_path, f"{work}/ck", spark,
+            n_buckets=16, trigger_once=True, allow_updates=True,
+        )
+        await_stream(q, 1800, "stream_postings_sink (update row)")
+
+    # batch 0: the full corpus. Then the update wave lands in the SAME
+    # source dir and the SAME checkpoint resumes — only the new files
+    # arrive, as micro-batch 1, so the wave's gen is strictly newer
+    # than the corpus's (the versioned contract's ordering comes from
+    # the source, exactly as Kafka offsets would provide it).
+    _run()
+    updates.repartition(1).write.mode("append").parquet(topic)
+    _run()
+
+    if not hadoop_path_exists(spark, f"{index_path}/{TOMBSTONES_DIR}"):
+        raise RuntimeError("update wave wrote no tombstones — probe broken?")
+    masked = [
+        (r["doc_id"], float(r["score"]), int(r["rank"]))
+        for r in bm25_search_streamed(
+            spark, index_path, _BM25_TERMS, k=10
+        ).collect()
+    ]
+    stats = fold_postings_tombstones(spark, index_path)
+    if stats["tombstones"] != n_updates:
+        raise RuntimeError(
+            f"fold consumed {stats['tombstones']} tombstones, expected "
+            f"{n_updates}"
+        )
+    folded = [
+        (r["doc_id"], float(r["score"]), int(r["rank"]))
+        for r in bm25_search_streamed(
+            spark, index_path, _BM25_TERMS, k=10
+        ).collect()
+    ]
+    return spark.createDataFrame(
+        [("masked", *row) for row in masked]
+        + [("folded", *row) for row in folded],
+        "phase string, doc_id bigint, score double, rank int",
+    )
+
+
+# The vector-upsert row's oracle: brute-force cosine top-1 over the
+# LATEST corpus (every vec_id % 40 = 0 embedding replaced by its
+# reversal — list_reverse is exact float reordering, so DuckDB and
+# Spark rebuild the identical updated corpus independently). Two query
+# families: the NEW embeddings (each must find ITSELF at cosine 1.0 —
+# a leaked old generation cannot score 1.0 there) and the OLD
+# embeddings (whose winner over the latest corpus is some OTHER doc —
+# if the index still served the replaced rows they would win at 1.0
+# and mismatch). The old family's score is NULLed on both sides: the
+# winner's identity is float32/float64-stable, its 6th decimal is not.
+STAGED_ORACLES["stream_upsert_ann_search"] = """
+WITH latest AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 40 = 0 THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+q AS (
+  SELECT 'new' AS family, vec_id AS query_id,
+         list_reverse(embedding) AS qe
+  FROM embeddings WHERE vec_id % 40 = 0
+  UNION ALL
+  SELECT 'old' AS family, vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id % 40 = 0
+),
+scored AS (
+  SELECT q.family, q.query_id, c.vec_id,
+         list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))) AS cosine
+  FROM q CROSS JOIN latest c
+),
+ranked AS (
+  SELECT family, query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY family, query_id ORDER BY cosine DESC, vec_id ASC
+         ) AS rn
+  FROM scored
+)
+SELECT family, query_id, vec_id,
+       CASE WHEN family = 'new' THEN ROUND(cosine, 6) END AS score
+FROM ranked WHERE rn = 1
+"""
+
+
+def stream_upsert_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search through a VERSIONED streamed IVF index after an
+    upsert wave — STAGED r13 with the feature (rotation protocol (b);
+    tests/test_ivf_updates.py runs the engine-side comparisons
+    meanwhile). The embeddings corpus streams in as batch 0
+    (``allow_updates=True``); every ``vec_id % 40 = 0`` vector
+    re-publishes REVERSED as batch 1 (the sink's registry probe writes
+    the update-tombstones); the search probes ALL cells (nprobe =
+    n_cells — upsert visibility is this row's claim, not pruning,
+    which ann_ivf_dot/ann_refit_search gate) with both the new and the
+    old embeddings. New-family queries must find themselves at cosine
+    1.0 — impossible if an old generation leaked, since the reversal
+    is its own inverse only at the replaced rows; old-family queries
+    must find whatever OTHER doc brute force picks over the latest
+    corpus — impossible if the replaced rows still served (they would
+    win at 1.0). Reference anchor: skye re-publish/upsert
+    (skye/internal/repositories/vector/qdrant.go Upsert)."""
+    from bharatmlstack_spark.operators.lsh import IvfIndex
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        read_streamed_ivf_index,
+        stream_ann_ivf_sink,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ivf = IvfIndex(n_cells=4, id_col="vec_id").fit(
+        e, sample_size=512, iters=3
+    )
+    work = scratch_dir("bmls_upsertann_")
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    e.coalesce(1).write.parquet(topic)
+
+    def _run() -> None:
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_ann_ivf_sink(
+            stream, ivf, index_path, f"{work}/ck", spark,
+            trigger_once=True, allow_updates=True,
+        )
+        await_stream(q, 1800, "stream_ann_ivf_sink (upsert row)")
+
+    _run()
+    wave = e.filter(F.col("vec_id") % 40 == 0).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    wave.coalesce(1).write.mode("append").parquet(topic)
+    _run()  # same checkpoint: only the wave arrives, as batch 1
+
+    index = read_streamed_ivf_index(spark, index_path)
+    olds = e.filter(F.col("vec_id") % 40 == 0)
+    fams = [
+        ("new", olds.select(
+            F.col("vec_id").alias("query_id"),
+            F.reverse("embedding").alias("query_embedding"),
+        )),
+        ("old", olds.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_embedding"),
+        )),
+    ]
+    parts = []
+    for fam, queries in fams:
+        hit = ivf.search(
+            index, queries, k=1, nprobe=4, metric="COSINE"
+        ).select(
+            F.lit(fam).alias("family"),
+            "query_id",
+            "vec_id",
+            (
+                F.round("score", 6) if fam == "new" else F.lit(None)
+            ).cast("double").alias("score"),
+        )
+        parts.append(hit)
+    return parts[0].unionAll(parts[1])
+
+
 _ANN_REFIT_SEARCH_ORACLE = """
 WITH ecorpus AS (
   SELECT vec_id, embedding FROM embeddings

@@ -1345,6 +1345,7 @@ def stream_ann_ivf_sink(
     trigger_once: bool = False,
     auto_maintain: bool = False,
     maintain_every_n_batches: int = 64,
+    allow_updates: bool = False,
 ):
     """Streaming IVF embedding indexer — skye's realtime indexer
     (skye/internal/consumers/handler/indexer/) as a foreachBatch sink,
@@ -1365,9 +1366,28 @@ def stream_ann_ivf_sink(
     skip the per-read dedup shuffle (dedup=False; measured in SCALE.md)
     — or pass ``auto_maintain=True`` to run the due-check after every
     append inside the sink's own loop (safe under the sink's
-    single-writer assumption). Assumes each vector id arrives once
-    (corpus build; for an UPDATED embedding, route through the CDC sink
-    and rebuild the cell, or version the id).
+    single-writer assumption).
+
+    ``allow_updates=False`` (default): each vector id arrives once
+    (corpus build).
+
+    ``allow_updates=True`` (VERSIONED index — skye's actual upsert
+    semantics: an entity's embedding is re-published and must REPLACE
+    the indexed one, qdrant.go Upsert): every index row carries ``gen``
+    = the micro-batch id, and the sink maintains a sibling ``_ids``
+    registry (id-bucketed (id, cell, gen) rows — underscore-prefixed,
+    so the root's parquet discovery never reads it). A re-arrival
+    cannot be detected from the index itself without knowing the OLD
+    embedding's cell, which is exactly what the registry records: the
+    per-batch probe reads only the batch ids' registry buckets
+    (O(batch)), finds older gens, and appends ``(id, gen_lt=batch_id)``
+    update-tombstones that ``read_streamed_ivf_index`` masks with the
+    postings family's gen-aware anti-join and
+    ``fold_index_tombstones`` purges physically at maintenance cadence.
+    Recorded in the sidecar ("versioned") and refused on mismatch —
+    gen-less rows would be invisible to the mask. Caveat shared with
+    deletion: stream_semantic_dedup_sink's direct cell probe does not
+    consult tombstones — fold before resuming that pipeline.
 
     Quantizer contract (r12): sink start refuses an ``ivf`` whose
     centroids disagree with the persisted ``__quantizer`` sidecar
@@ -1377,17 +1397,99 @@ def stream_ann_ivf_sink(
     subsequent probe; the same refuse-to-mis-hash stance the near-dup
     sink takes on bucket counts. A fresh state persists the handed
     quantizer, arming the guard for every restart."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
     _ensure_quantizer_consistent(spark, index_path, ivf)
+    stored = (read_table_meta(spark, index_path) or {}).get("versioned")
+    if stored is not None and bool(stored) != bool(allow_updates):
+        raise RuntimeError(
+            f"streamed IVF index {index_path} was built with "
+            f"versioned={bool(stored)!r} but this run passed "
+            f"allow_updates={allow_updates!r} — refusing to mix "
+            "gen-carrying and gen-less rows (the update mask would "
+            "silently miss half the index)."
+        )
+
+    gen_base = (
+        _gen_base_for_checkpoint(spark, index_path, checkpoint_dir)
+        if allow_updates
+        else 0
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         # ONE evaluation of the batch source: persist the assignment,
         # count it (doubles as the empty check — isEmpty would be a
         # second source scan), write it, unpersist
-        assigned = ivf.index(batch_df).persist()
+        gen_val = gen_base + int(batch_id)
+        assigned = ivf.index(batch_df)
+        if allow_updates:
+            assigned = assigned.withColumn(
+                "gen", F.lit(gen_val).cast("long")
+            )
+        assigned = assigned.persist()
         try:
             n = assigned.count()
             if not n:
                 return
+            if allow_updates:
+                # re-arrival probe against the _ids registry: only the
+                # batch ids' bucket dirs are read (the index itself
+                # cannot answer "where did this id's OLD embedding
+                # land" without a scan — the registry exists for this).
+                # Tombstone lands BEFORE the appends (the postings
+                # family's transient-delete-window trade, replay heals).
+                reg_root = f"{index_path}{IVF_IDS_SUFFIX}"
+                id_col = ivf.id_col
+                probe_dirs = [
+                    d
+                    for r in assigned.select(
+                        F.pmod(
+                            F.xxhash64(id_col), F.lit(IVF_ID_BUCKETS)
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                    if hadoop_path_exists(
+                        spark, d := f"{reg_root}/id_bucket={r[0]}"
+                    )
+                ]
+                if probe_dirs:
+                    rearrived = (
+                        spark.read.option("basePath", reg_root)
+                        .parquet(*probe_dirs)
+                        .join(
+                            assigned.select(F.col(id_col).alias("id"))
+                            .distinct(),
+                            "id",
+                            "left_semi",
+                        )
+                        .filter(F.col("gen") < F.lit(gen_val))
+                        .select("id")
+                        .distinct()
+                    )
+                    _append_tombstones(
+                        spark,
+                        f"{index_path}/{IVF_TOMBSTONES_DIR}",
+                        rearrived,
+                        rearrived.schema["id"].dataType,
+                        gen_lt=gen_val,
+                    )
+                # registry rows are (id, gen) ONLY: recording the cell
+                # would go stale the moment a refit re-assigns the
+                # corpus, and a staleness-prone column that exists to
+                # "target" folds is exactly how a fold mis-targets
+                (
+                    assigned.select(
+                        F.col(id_col).alias("id"),
+                        "gen",
+                        F.pmod(
+                            F.xxhash64(id_col), F.lit(IVF_ID_BUCKETS)
+                        ).alias("id_bucket"),
+                    )
+                    .write.mode("append")
+                    .partitionBy("id_bucket")
+                    .parquet(reg_root)
+                )
             (
                 assigned.write.mode("append")
                 .partitionBy("cell")
@@ -1401,7 +1503,15 @@ def stream_ann_ivf_sink(
                 index_path,
                 batch_id,
                 rows_appended=n,
-                extra={"n_cells": int(len(ivf.centroids))},
+                extra={
+                    "n_cells": int(len(ivf.centroids)),
+                    "versioned": bool(allow_updates),
+                    **(
+                        {"next_gen_base": gen_val + 1}
+                        if allow_updates
+                        else {}
+                    ),
+                },
             )
             if auto_maintain:
                 maybe_compact_streamed_index(
@@ -1480,9 +1590,19 @@ def stream_semantic_dedup_sink(
     from bharatmlstack_spark.functions.vector import cosine_similarity
     from bharatmlstack_spark.operators.feature_store import (
         hadoop_list_partition_dirs,
+        read_table_meta,
     )
 
     _ensure_quantizer_consistent(spark, index_path, ivf)
+    if (read_table_meta(spark, index_path) or {}).get("versioned"):
+        raise RuntimeError(
+            f"streamed index {index_path} is VERSIONED "
+            "(stream_ann_ivf_sink allow_updates=True) — the SemDeDup "
+            "sink appends gen-less rows and probes cell dirs without "
+            "consulting tombstones, so its pairs could name replaced "
+            "generations. Run it against an unversioned index, or fold "
+            "and rebuild."
+        )
     id_col, emb_col = ivf.id_col, ivf.emb_col
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -1605,7 +1725,10 @@ def read_streamed_ivf_index(
     df = spark.read.parquet(index_path)
     tomb = _ivf_tombstones(spark, index_path, id_col)
     if tomb is not None:
-        df = df.join(F.broadcast(tomb), on=id_col, how="left_anti")
+        # mask BEFORE the dedup: on a versioned index an id's masked old
+        # generation coexists with its replacement, and an id-only
+        # dropDuplicates first could keep the dead row
+        df = _mask_tombstoned(df, tomb, id_col=id_col)
     return df.dropDuplicates([id_col]) if dedup else df
 
 
@@ -1747,7 +1870,23 @@ def compact_streamed_index(
     # fold pending vector deletions first (also removes the _tombstones
     # dir before any flat-fallback root swap could drop it silently)
     fold_index_tombstones(spark, index_path, id_col)
-    removed, bailed = _compact_dedup_state(spark, index_path, [id_col], "cell")
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    # versioned index: gen rides the dedup keys (post-fold each id has
+    # one live gen, but gen-keyed dedup stays conservative if that
+    # invariant ever breaks) and the (id, gen) registry compacts too
+    versioned = (read_table_meta(spark, index_path) or {}).get("versioned")
+    gen = ["gen"] if versioned else []
+    removed, bailed = _compact_dedup_state(
+        spark, index_path, [id_col, *gen], "cell"
+    )
+    reg_root = f"{index_path}{IVF_IDS_SUFFIX}"
+    if versioned and hadoop_path_exists(spark, reg_root):
+        reg_removed, reg_bailed = _compact_dedup_state(
+            spark, reg_root, ["id", "gen"], "id_bucket"
+        )
+        removed += reg_removed
+        bailed = bailed or reg_bailed
     # a bail-out (duplicates exist but only in non-targetable dirs)
     # reclaimed nothing: keep the redelivery flag so maintenance_due
     # keeps reporting the duplicates honestly
@@ -2761,7 +2900,11 @@ def refit_streamed_index(
     n_cells_before = len(hadoop_list_partition_dirs(spark, index_path, "cell"))
     raw = spark.read.parquet(index_path)
     total = raw.count()
-    acc = raw.select(id_col, emb_col).dropDuplicates([id_col])
+    # versioned index: gen rides through the re-assignment (the fold
+    # above left one live gen per id; dropping the column would make
+    # every post-refit row invisible to later update masks)
+    gen = ["gen"] if old_meta.get("versioned") else []
+    acc = raw.select(id_col, emb_col, *gen).dropDuplicates([id_col])
     n = acc.count()
     n_cells = max(min_cells, _math.ceil(n / target_cell_rows))
     ivf = IvfIndex(n_cells=n_cells, id_col=id_col, emb_col=emb_col).fit(
@@ -3166,12 +3309,18 @@ def stream_postings_sink(
         )
 
     toks = _postings_tokens(text_col)
+    gen_base = (
+        _gen_base_for_checkpoint(spark, index_path, checkpoint_dir)
+        if allow_updates
+        else 0
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         # ONE evaluation of the batch source: the tokenized base feeds
         # BOTH writes (postings + doclen) from cache; the postings
         # aggregate is additionally persisted so its count (the empty
         # check + the sidecar row total) and its write share one pass
+        gen_val = gen_base + int(batch_id)
         base = batch_df.select(
             F.col(id_col).alias("id"), toks.alias("__w")
         ).persist()
@@ -3207,7 +3356,7 @@ def stream_postings_sink(
             .withColumn(
                 "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
             )
-            .withColumn("gen", F.lit(int(batch_id)).cast("long"))
+            .withColumn("gen", F.lit(gen_val).cast("long"))
             .persist()
         )
         try:
@@ -3223,7 +3372,15 @@ def stream_postings_sink(
             # as an upper bound; the counter firing maintenance one
             # batch early is harmless).
             _update_maintenance_meta(
-                spark, index_path, batch_id, rows_appended=n, extra=sig
+                spark,
+                index_path,
+                batch_id,
+                rows_appended=n,
+                extra=(
+                    {**sig, "next_gen_base": gen_val + 1}
+                    if allow_updates
+                    else sig
+                ),
             )
             if allow_updates:
                 # re-arrival probe: read ONLY the batch ids' doclen
@@ -3251,7 +3408,7 @@ def stream_postings_sink(
                         spark.read.option("basePath", dl_root)
                         .parquet(*probe_dirs)
                         .join(base.select("id").distinct(), "id", "left_semi")
-                        .filter(F.col("gen") < F.lit(int(batch_id)))
+                        .filter(F.col("gen") < F.lit(gen_val))
                         .select("id")
                         .distinct()
                     )
@@ -3261,7 +3418,7 @@ def stream_postings_sink(
                         f"{index_path}/{TOMBSTONES_DIR}",
                         rearrived,
                         id_type,
-                        gen_lt=int(batch_id),
+                        gen_lt=gen_val,
                     )
             (
                 postings.select(*cols)
@@ -3273,7 +3430,7 @@ def stream_postings_sink(
                 base.select(
                     "id",
                     F.size("__w").alias("dl"),
-                    *([F.lit(int(batch_id)).cast("long").alias("gen")]
+                    *([F.lit(gen_val).cast("long").alias("gen")]
                       if allow_updates else []),
                     F.pmod(F.xxhash64("id"), F.lit(n_buckets)).alias("id_bucket"),
                 )
@@ -3814,6 +3971,47 @@ def delete_postings_docs(
 # "everything below +inf" — long max, unreachable by any real batch id
 GEN_MAX = (1 << 63) - 1
 
+GEN_BASE_MARKER = "__bmls_gen_base.json"
+
+
+def _gen_base_for_checkpoint(
+    spark: SparkSession, state_root: str, checkpoint_dir: str
+) -> int:
+    """The generation EPOCH for this checkpoint lifetime. Generations
+    must be (a) byte-identical under checkpoint replay — so within one
+    checkpoint they derive from the batch id — and (b) MONOTONIC across
+    checkpoint lifetimes: a fresh checkpoint restarts batch ids at 0,
+    and without an epoch its updates would carry gens OLDER than the
+    live rows and silently never apply (and the re-arrival probe's
+    ``gen < batch_id`` filter would never fire). The epoch is pinned
+    INSIDE the checkpoint dir at first sink start (replays re-read the
+    same base), taken from the state sidecar's ``next_gen_base`` which
+    every batch rolls forward to ``base + batch_id + 1``; under
+    foreachBatch's commit protocol the only replayed batch is the
+    highest uncommitted one, so the rolled-forward value never
+    regresses. Effective gen = base + batch_id.
+
+    Contract (the single-writer assumption's corollary): ONE live
+    checkpoint per versioned state — resuming an abandoned older
+    checkpoint after a newer one has appended would re-issue its
+    retired epoch and collide."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_read_text,
+        hadoop_write_text_atomic,
+        read_table_meta,
+    )
+
+    marker = _os.path.join(checkpoint_dir, GEN_BASE_MARKER)
+    txt = hadoop_read_text(spark, marker)
+    if txt is not None:
+        return int(_json.loads(txt)["base"])
+    base = int((read_table_meta(spark, state_root) or {}).get("next_gen_base", 0))
+    hadoop_write_text_atomic(spark, marker, _json.dumps({"base": base}))
+    return base
+
 
 def _postings_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The live tombstone set, or None when empty/absent — searches
@@ -3835,18 +4033,23 @@ def _postings_tombstones(spark: SparkSession, index_path: str) -> DataFrame | No
     )
 
 
-def _mask_tombstoned(df: DataFrame, tomb: DataFrame) -> DataFrame:
-    """Apply the broadcast tombstone mask to a postings/doclen frame:
-    plain one-column tombstones anti-join on id; versioned tombstones
+def _mask_tombstoned(
+    df: DataFrame, tomb: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Apply the broadcast tombstone mask to an indexed frame: plain
+    one-column tombstones anti-join on the id; versioned tombstones
     (id, gen_lt) anti-join on ``id matches AND gen < gen_lt`` so only
     the dead generations disappear — the live (re-ingested) generation
-    keeps scoring. ONE implementation shared by both searches and used
-    by the fold's detection scan, so mask and purge can never disagree
-    about what "dead" means."""
+    keeps scoring. ONE implementation shared by the postings searches,
+    the IVF reader, and the folds' detection scans, so mask and purge
+    can never disagree about what "dead" means. ``tomb``'s id column is
+    named ``id`` (the tombstone-table schema); ``id_col`` names the
+    data frame's."""
     if "gen_lt" not in tomb.columns:
-        return df.join(F.broadcast(tomb), on="id", how="left_anti")
+        t = tomb.select(F.col("id").alias(id_col))
+        return df.join(F.broadcast(t), on=id_col, how="left_anti")
     t = tomb.select(F.col("id").alias("__t_id"), "gen_lt")
-    cond = (df["id"] == t["__t_id"]) & (df["gen"] < t["gen_lt"])
+    cond = (df[id_col] == t["__t_id"]) & (df["gen"] < t["gen_lt"])
     return df.join(F.broadcast(t), on=cond, how="left_anti")
 
 
@@ -3902,6 +4105,12 @@ def fold_postings_tombstones(spark: SparkSession, index_path: str) -> dict:
 # discovery skips _-prefixed paths, keeping them invisible to
 # spark.read.parquet(index_path) while staying directly readable
 IVF_TOMBSTONES_DIR = "_tombstones"
+# versioned IVF (allow_updates): the (id, gen) registry lives BESIDE the
+# root (sibling path — outside the root's discovery AND outside the
+# refit/compaction staged-root swaps, which rename the root itself);
+# id-bucketed so the sink's re-arrival probe reads O(batch) dirs
+IVF_IDS_SUFFIX = "__ids"
+IVF_ID_BUCKETS = 64
 
 
 def delete_indexed_vectors(
@@ -3939,24 +4148,46 @@ def delete_indexed_vectors(
             "path; a sink run creates the index)."
         )
     id_type = spark.read.parquet(index_path).schema[id_col].dataType
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    # versioned index: a delete is gen_lt = GEN_MAX (all generations
+    # dead, terminal until folded — the postings family's stance), and
+    # it keeps the tombstone table's schema UNIFORM: mixing one- and
+    # two-column files would make the parquet read's schema depend on
+    # which file it sampled
+    versioned = (read_table_meta(spark, index_path) or {}).get("versioned")
     return _append_tombstones(
-        spark, f"{index_path}/{IVF_TOMBSTONES_DIR}", vec_ids, id_type
+        spark,
+        f"{index_path}/{IVF_TOMBSTONES_DIR}",
+        vec_ids,
+        id_type,
+        gen_lt=GEN_MAX if versioned else None,
     )
 
 
 def _ivf_tombstones(
     spark: SparkSession, index_path: str, id_col: str
 ) -> DataFrame | None:
-    """The live vector tombstone set, or None — searches broadcast it
-    (a deletion wave big enough to strain a broadcast is a compaction
-    trigger, not a read-side problem)."""
+    """The live vector tombstone set normalized to one row per id, or
+    None — searches broadcast it (a deletion wave big enough to strain
+    a broadcast is a compaction trigger, not a read-side problem).
+    Versioned indexes carry gen_lt (max per id wins, nulls from
+    plain-delete files coalesce to GEN_MAX — the postings family's
+    normalization); the returned id column is ALWAYS named ``id``
+    (what _mask_tombstoned expects)."""
     t = _read_tombstones(spark, f"{index_path}/{IVF_TOMBSTONES_DIR}")
     if t is None:
         return None
     # stored under the family-wide "id" column; pre-fix tables used the
     # index's own id column name — accept either
     col = "id" if "id" in t.columns else id_col
-    return t.select(F.col(col).alias(id_col))
+    if "gen_lt" not in t.columns:
+        return t.select(F.col(col).alias("id"))
+    return (
+        t.select(F.col(col).alias("id"), "gen_lt")
+        .groupBy("id")
+        .agg(F.max(F.coalesce("gen_lt", F.lit(GEN_MAX))).alias("gen_lt"))
+    )
 
 
 def fold_index_tombstones(
@@ -3979,9 +4210,33 @@ def fold_index_tombstones(
         return {"tombstones": 0, "rows_removed": 0}
     t = defer_unpersist(F.broadcast(t).persist())
     n_t = t.count()
-    removed = _purge_tombstoned_rows(spark, index_path, t, id_col, "cell")
+    # the purge core joins on the DATA's id column name — rename the
+    # normalized tombstone frame's family-wide "id" to it
+    t_purge = t.withColumnRenamed("id", id_col)
+    removed = _purge_tombstoned_rows(spark, index_path, t_purge, id_col, "cell")
+    reg_removed = 0
+    reg_root = f"{index_path}{IVF_IDS_SUFFIX}"
+    if hadoop_path_exists(spark, reg_root):
+        # the versioned registry holds one (id, gen) row per generation:
+        # purge the same dead gens (derived buckets — no scan; rows
+        # carry gen, and the registry's own id column is "id")
+        touched = [
+            r[0]
+            for r in t.select(
+                F.pmod(F.xxhash64("id"), F.lit(IVF_ID_BUCKETS)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        reg_removed = _purge_tombstoned_rows(
+            spark, reg_root, t, "id", "id_bucket", touched=touched
+        )
     hadoop_delete_path(spark, f"{index_path}/{IVF_TOMBSTONES_DIR}")
-    return {"tombstones": n_t, "rows_removed": removed}
+    return {
+        "tombstones": n_t,
+        "rows_removed": removed,
+        "registry_removed": reg_removed,
+    }
 
 
 def _purge_tombstoned_rows(

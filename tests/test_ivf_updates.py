@@ -1,0 +1,249 @@
+"""Versioned IVF index: stream UPSERT support (r13) — skye's actual
+re-publish semantics (an entity's embedding changes and must REPLACE
+the indexed one). The sink maintains an id-bucketed (id, gen) registry
+beside the root so re-arrivals are detected in O(batch); update-
+tombstones mask old generations immediately; folds purge index AND
+registry; refit keeps the gen column alive."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from bharatmlstack_spark.operators.lsh import IvfIndex
+from bharatmlstack_spark.streaming.ingest import (
+    GEN_MAX,
+    IVF_IDS_SUFFIX,
+    await_stream,
+    compact_streamed_index,
+    delete_indexed_vectors,
+    fold_index_tombstones,
+    read_streamed_ivf_index,
+    refit_streamed_index,
+    stream_ann_ivf_sink,
+    stream_semantic_dedup_sink,
+)
+
+
+def _vec(seed, dim=4):
+    rng = np.random.default_rng(seed)
+    return [float(x) for x in rng.normal(size=dim)]
+
+
+V0 = {i: _vec(i) for i in range(12)}
+# ids 3 and 7 re-publish with NEW embeddings (far from the old ones so
+# the cell assignment actually moves)
+V1 = {3: [9.0, 9.0, 9.0, 9.0], 7: [-9.0, -9.0, -9.0, -9.0]}
+
+
+def _fit_ivf(spark):
+    df = spark.createDataFrame(
+        sorted(V0.items()), "vec_id long, embedding array<float>"
+    )
+    return IvfIndex(n_cells=3).fit(df, sample_size=32, iters=3)
+
+
+def _run_sink(spark, tmp_path, ivf, index_path, topic, ck):
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    q = stream_ann_ivf_sink(
+        stream, ivf, index_path, str(tmp_path / ck), spark,
+        trigger_once=True, allow_updates=True,
+    )
+    await_stream(q, 300, "versioned ivf sink")
+
+
+def _latest(spark):
+    latest = dict(V0)
+    latest.update(V1)
+    return {i: tuple(round(x, 5) for x in v) for i, v in latest.items()}
+
+
+def _read_vecs(spark, index_path, dedup=True):
+    return {
+        r["vec_id"]: tuple(round(float(x), 5) for x in r["embedding"])
+        for r in read_streamed_ivf_index(
+            spark, index_path, dedup=dedup
+        ).collect()
+    }
+
+
+@pytest.fixture()
+def updated_index(spark, tmp_path):
+    ivf = _fit_ivf(spark)
+    topic = str(tmp_path / "topic")
+    index_path = str(tmp_path / "index")
+    spark.createDataFrame(
+        sorted(V0.items()), "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(topic)  # one file -> batch 0
+    _run_sink(spark, tmp_path, ivf, index_path, topic, "ck")
+    spark.createDataFrame(
+        sorted(V1.items()), "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("append").parquet(topic)  # -> batch 1
+    _run_sink(spark, tmp_path, ivf, index_path, topic, "ck")
+    return ivf, index_path
+
+
+def test_upsert_replaces_vector_immediately(spark, updated_index):
+    """Before any fold, the reader serves exactly one row per id with
+    the LATEST embedding — the re-published vectors moved cells and the
+    old assignments are masked."""
+    _, index_path = updated_index
+    assert _read_vecs(spark, index_path) == _latest(spark)
+    # the registry recorded both generations for the updated ids
+    reg = spark.read.parquet(index_path + IVF_IDS_SUFFIX)
+    gens = {(r["id"], r["gen"]) for r in reg.collect()}
+    assert {(3, 0), (3, 1), (7, 0), (7, 1)} <= gens
+    # tombstones exist ONLY for the two genuine re-arrivals
+    t = spark.read.parquet(f"{index_path}/_tombstones")
+    assert {(r["id"], r["gen_lt"]) for r in t.collect()} == {(3, 1), (7, 1)}
+
+
+def test_fold_purges_index_and_registry(spark, updated_index):
+    _, index_path = updated_index
+    want = _latest(spark)
+    stats = fold_index_tombstones(spark, index_path)
+    assert stats["tombstones"] == 2
+    assert stats["rows_removed"] == 2 and stats["registry_removed"] == 2
+    assert not os.path.exists(f"{index_path}/_tombstones")
+    raw = spark.read.parquet(index_path)
+    assert raw.count() == len(V0)  # one live generation per id
+    assert _read_vecs(spark, index_path, dedup=False) == want
+    reg = spark.read.parquet(index_path + IVF_IDS_SUFFIX)
+    assert reg.count() == len(V0)
+
+
+def test_redelivery_idempotent_then_compact(spark, tmp_path):
+    """Full redelivery of both batches under a fresh checkpoint: the
+    new epoch re-applies every vector as an update (correct, tombstone
+    cost O(corpus), reclaimed by the compaction), and the read serves
+    exactly the latest corpus before AND after the fold."""
+    import time
+
+    ivf = _fit_ivf(spark)
+    topic = str(tmp_path / "topic")
+    index_path = str(tmp_path / "index")
+    now = time.time()
+    p0 = spark.createDataFrame(
+        sorted(V0.items()), "vec_id long, embedding array<float>"
+    )
+    p0.coalesce(1).write.parquet(topic)
+    for f in os.listdir(topic):
+        os.utime(os.path.join(topic, f), (now - 60, now - 60))
+    spark.createDataFrame(
+        sorted(V1.items()), "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("append").parquet(topic)
+    for ck in ("ck1", "ck2"):
+        _run_sink(spark, tmp_path, ivf, index_path, topic, ck)
+    t = spark.read.parquet(f"{index_path}/_tombstones")
+    gen_lts = {(r["id"], r["gen_lt"]) for r in t.collect()}
+    # ck1's genuine updates at epoch 0, plus ck2's redelivery
+    # re-applying every vector at the NEW epoch (gen_base rolled
+    # forward — the contract that makes fresh-checkpoint updates land
+    # NEWER than live rows instead of silently below them)
+    assert {(3, 1), (7, 1)} <= gen_lts
+    assert {(i, 2) for i in V0} <= gen_lts
+    assert _read_vecs(spark, index_path) == _latest(spark)
+    compact_streamed_index(spark, index_path)
+    assert not os.path.exists(f"{index_path}/_tombstones")
+    assert _read_vecs(spark, index_path, dedup=False) == _latest(spark)
+
+
+def test_refit_keeps_gens_and_later_updates_still_mask(spark, updated_index, tmp_path):
+    """The reset job folds, re-assigns, and must KEEP the gen column —
+    a post-refit update wave still replaces its target."""
+    from bharatmlstack_spark.streaming.ingest import (
+        load_streamed_index_quantizer,
+    )
+
+    ivf, index_path = updated_index
+    refit_streamed_index(spark, index_path, target_cell_rows=4)
+    new_ivf = load_streamed_index_quantizer(spark, index_path)
+    assert "gen" in spark.read.parquet(index_path).columns
+    assert _read_vecs(spark, index_path) == _latest(spark)
+    # a THIRD generation for id 3 through the refit quantizer
+    topic2 = str(tmp_path / "topic2")
+    spark.createDataFrame(
+        [(3, [5.0, 5.0, 5.0, 5.0])], "vec_id long, embedding array<float>"
+    ).write.parquet(topic2)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(topic2)
+    q = stream_ann_ivf_sink(
+        stream, new_ivf, index_path, str(tmp_path / "ck3"), spark,
+        trigger_once=True, allow_updates=True,
+    )
+    await_stream(q, 300, "post-refit update")
+    got = _read_vecs(spark, index_path)
+    assert got[3] == (5.0, 5.0, 5.0, 5.0)
+
+
+def test_delete_on_versioned_index_kills_all_gens(spark, updated_index):
+    _, index_path = updated_index
+    assert delete_indexed_vectors(spark, index_path, [3]) == 1
+    t = spark.read.parquet(f"{index_path}/_tombstones")
+    assert (3, GEN_MAX) in {(r["id"], r["gen_lt"]) for r in t.collect()}
+    assert 3 not in _read_vecs(spark, index_path)
+    fold_index_tombstones(spark, index_path)
+    reg = spark.read.parquet(index_path + IVF_IDS_SUFFIX)
+    assert reg.filter(F.col("id") == 3).count() == 0
+
+
+def test_versioned_flag_mismatch_refused(spark, updated_index, tmp_path):
+    ivf, index_path = updated_index
+    topic = str(tmp_path / "topic")  # existing corpus files
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(topic)
+    with pytest.raises(RuntimeError, match="versioned"):
+        stream_ann_ivf_sink(
+            stream, ivf, index_path, str(tmp_path / "ck_bad"), spark,
+            trigger_once=True, allow_updates=False,
+        )
+
+
+def test_semantic_sink_refuses_versioned_index(spark, updated_index, tmp_path):
+    ivf, index_path = updated_index
+    topic = str(tmp_path / "topic")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(topic)
+    with pytest.raises(RuntimeError, match="VERSIONED"):
+        stream_semantic_dedup_sink(
+            stream, ivf, index_path, str(tmp_path / "pairs"),
+            str(tmp_path / "ck_sd"), spark, trigger_once=True,
+        )
+
+
+def test_stream_upsert_ann_search_matches_duckdb_oracle(spark):
+    """Driver-identical comparison for the staged vector-upsert row:
+    both query families (new embeddings find themselves at 1.0, old
+    embeddings find brute force's pick over the latest corpus) against
+    the DuckDB twin."""
+    import duckdb
+
+    from bharatmlstack_spark.queries_text import (
+        STAGED_ORACLES,
+        stream_upsert_ann_search,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    out = stream_upsert_ann_search(spark, sf)
+    cols = sorted(out.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    rel = con.sql(STAGED_ORACLES["stream_upsert_ann_search"])
+    idx = [rel.columns.index(c) for c in cols]
+    ref = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+    assert len(got) > 0
+    assert got == ref

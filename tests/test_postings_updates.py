@@ -145,11 +145,11 @@ def test_fold_purges_dead_generations_physically(spark, updated_index):
     assert _search_rows(spark, updated_index) == want
 
 
-def test_redelivery_of_update_batch_is_idempotent(spark, tmp_path):
-    """Full redelivery (fresh checkpoint) of BOTH batches: the probe's
-    gen < batch_id filter writes no new tombstones for the first
-    delivery's own rows, copies stay byte-identical, and after
-    compaction a dedup=False search equals the latest-version oracle."""
+def test_same_checkpoint_replay_writes_no_tombstones(spark, tmp_path):
+    """Replay under the SAME checkpoint is byte-identical: the gen-base
+    marker pins the epoch, the probe's gen < gen filter finds nothing
+    for the first delivery's own rows, and the tombstone table's
+    distinct content stays exactly the two genuine re-arrivals."""
     import time
 
     src = str(tmp_path / "src")
@@ -158,14 +158,54 @@ def test_redelivery_of_update_batch_is_idempotent(spark, tmp_path):
     _write_batch(src, "b0.json", V0, mtime=now - 60)
     _write_batch(src, "b1.json", V1, mtime=now)  # the update arrives LATER
     index_path = str(tmp_path / "index")
-    for ck in ("ck1", "ck2"):  # second pass = full redelivery
+    _run_sink(spark, src, index_path, str(tmp_path / "ck"))
+    t0 = sorted(
+        (r["id"], r["gen_lt"])
+        for r in spark.read.parquet(f"{index_path}/tombstones").collect()
+    )
+    assert set(t0) == {(2, 1), (3, 1)}
+    # resuming the SAME checkpoint finds nothing new to process — the
+    # live state (tombstones included) must be exactly what one pass
+    # left, and the gen-base marker guarantees any true replay of an
+    # uncommitted batch would re-derive identical gens
+    _run_sink(spark, src, index_path, str(tmp_path / "ck"))
+    t1 = sorted(
+        (r["id"], r["gen_lt"])
+        for r in spark.read.parquet(f"{index_path}/tombstones").collect()
+    )
+    assert t0 == t1
+    got = _search_rows(spark, index_path)
+    assert got == _oracle_rows(spark)
+
+
+def test_fresh_checkpoint_redelivery_converges_as_updates(spark, tmp_path):
+    """Full redelivery under a NEW checkpoint gets a NEW generation
+    epoch (gen_base rolls forward in the sidecar): every redelivered
+    doc re-applies as an update — tombstone cost O(corpus), folded at
+    the next compaction — and the search still equals the
+    latest-version oracle at every point. The epoch is what makes a
+    fresh checkpoint's updates land NEWER than live rows instead of
+    silently below them."""
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = time.time()
+    _write_batch(src, "b0.json", V0, mtime=now - 60)
+    _write_batch(src, "b1.json", V1, mtime=now)  # the update arrives LATER
+    index_path = str(tmp_path / "index")
+    for ck in ("ck1", "ck2"):  # second pass = full redelivery, new epoch
         _run_sink(spark, src, index_path, str(tmp_path / ck))
     t = spark.read.parquet(f"{index_path}/tombstones")
-    # replayed waves append byte-identical tombstone rows — distinct
-    # content is still exactly the two genuine re-arrivals
-    assert {(r["id"], r["gen_lt"]) for r in t.collect()} == {(2, 1), (3, 1)}
+    gen_lts = {(r["id"], r["gen_lt"]) for r in t.collect()}
+    # ck1's genuine updates at epoch 0...
+    assert {(2, 1), (3, 1)} <= gen_lts
+    # ...and ck2's redelivery re-applied every doc at the NEW epoch
+    assert {(i, 2) for i in V0} <= gen_lts
+    assert _search_rows(spark, index_path) == _oracle_rows(spark)
     stats = compact_streamed_postings(spark, index_path)
     assert not stats["bailed"]
+    assert not os.path.exists(f"{index_path}/tombstones")
     got = _search_rows(spark, index_path, dedup=False)
     assert got == _oracle_rows(spark)
 

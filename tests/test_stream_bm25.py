@@ -731,3 +731,27 @@ def test_stream_delete_search_matches_duckdb_oracle(spark, con):
     }
     masked_ids = {r[1] for r in out.collect() if r[0] == "masked"}
     assert masked_ids != full
+
+
+def test_stream_update_search_matches_duckdb_oracle(spark, con):
+    """Driver-identical comparison for the staged UPDATE row (versioned
+    postings, r13): re-ingest a deterministic slice of the corpus with
+    new text, search under the eager generation mask, fold, search
+    again — both phases must equal the batch BM25 twin DuckDB computes
+    over an independently-rebuilt updated corpus."""
+    from bharatmlstack_spark.queries_text import stream_update_search
+
+    out = stream_update_search(spark, SF_DIR)
+    got = _rows(out)
+    ref = _oracle_rows(
+        con, STAGED_ORACLES["stream_update_search"], out.columns
+    )
+    assert len(got) > 0  # vacuous-pass guard
+    assert got == ref
+    # the update bound: the updated corpus's top-10 is NOT the original
+    full = {
+        r[0]
+        for r in con.sql(STAGED_ORACLES["stream_bm25_search"]).fetchall()
+    }
+    masked_ids = {r[1] for r in out.collect() if r[0] == "masked"}
+    assert masked_ids != full
