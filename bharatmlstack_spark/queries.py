@@ -787,9 +787,11 @@ from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
 # — the streamed postings index's first driver-gated row).
 # Windows: r13 = first 50 below (ann_refit_search + the 48 r10-era
 # greens + stream_semantic_dedup_sink pulled forward, pre-planned since
-# r12 and executed unshuffled); r14 = the next 50 (the remaining
+# r12 and executed unshuffled); r14 = the next 49 (the 48 remaining
 # r11-era greens, with stream_bm25_search riding salted_dim_join's
-# slot); r15 = the 50 r12-era greens at the tail. Freshness contract:
+# slot) PLUS the oldest r12-era green pulled forward to fill the 50th
+# driver slot at r14 rotation time; r15 = the remaining 49 r12-era
+# greens at the tail (plus the next pull-forward). Freshness contract:
 # after each round no registered query's newest green is older than two
 # rounds back.
 #
@@ -858,12 +860,15 @@ QUERY_PRIORITY: list[str] = [
     "table_profile",
     "stream_semantic_dedup_sink",
     # ---- window boundary (driver verifies the first 50) ----
-    # ROUND-14 WINDOW (pre-planned): the 49 remaining r11-era greens +
-    # stream_bm25_search (graduated r13 onto the pinned salted_dim_join
-    # retirement slot — its first driver verdict lands in r14, exactly
-    # as the r12 verdict prescribed). stream_phrase_search graduates in
-    # the r14 round via the sketch_union_distinct retirement (that row
-    # sits in the r13 window above, untouchable this round).
+    # ROUND-14 WINDOW (pre-planned): this block is 49 rows — the 48
+    # remaining r11-era greens + stream_bm25_search (graduated r13 onto
+    # the pinned salted_dim_join retirement slot — its first driver
+    # verdict lands in r14, exactly as the r12 verdict prescribed); at
+    # r14 rotation time the first r12-era green below fills the 50th
+    # driver slot (the same pull-forward the r13 window used).
+    # stream_phrase_search graduates in the r14 round via the
+    # sketch_union_distinct retirement (that row sits in the r13 window
+    # above, untouchable this round).
     "dedup_cross_corpus",
     "stream_dedup_minhash",
     "bpe_learn_until_vocab",

@@ -2038,8 +2038,23 @@ def stream_upsert_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wave = e.filter(F.col("vec_id") % 40 == 0).select(
         "vec_id", F.reverse("embedding").alias("embedding")
     )
+    if not wave.count():
+        raise RuntimeError(
+            "empty upsert wave — the fixture must bind or the row "
+            "attests nothing about update visibility"
+        )
     wave.coalesce(1).write.mode("append").parquet(topic)
     _run()  # same checkpoint: only the wave arrives, as batch 1
+    from bharatmlstack_spark.streaming.ingest import (
+        IVF_TOMBSTONES_DIR,
+        hadoop_path_exists,
+    )
+
+    if not hadoop_path_exists(spark, f"{index_path}/{IVF_TOMBSTONES_DIR}"):
+        raise RuntimeError(
+            "upsert wave wrote no update-tombstones — registry probe "
+            "broken?"
+        )
 
     index = read_streamed_ivf_index(spark, index_path)
     olds = e.filter(F.col("vec_id") % 40 == 0)

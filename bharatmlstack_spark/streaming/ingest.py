@@ -1400,15 +1400,23 @@ def stream_ann_ivf_sink(
     from bharatmlstack_spark.operators.feature_store import read_table_meta
 
     _ensure_quantizer_consistent(spark, index_path, ivf)
-    stored = (read_table_meta(spark, index_path) or {}).get("versioned")
-    if stored is not None and bool(stored) != bool(allow_updates):
-        raise RuntimeError(
-            f"streamed IVF index {index_path} was built with "
-            f"versioned={bool(stored)!r} but this run passed "
-            f"allow_updates={allow_updates!r} — refusing to mix "
-            "gen-carrying and gen-less rows (the update mask would "
-            "silently miss half the index)."
-        )
+    meta0 = read_table_meta(spark, index_path)
+    if meta0 is not None:
+        # an existing index whose sidecar predates the flag (or was
+        # written by the SemDeDup sink) IS the unversioned case —
+        # default, don't skip: accepting allow_updates=True against it
+        # would mix gen-carrying and gen-less rows, and the mask's
+        # gen < gen_lt predicate evaluates NULL (kept!) for gen-less
+        # rows — replaced embeddings would keep serving forever
+        stored = bool(meta0.get("versioned", False))
+        if stored != bool(allow_updates):
+            raise RuntimeError(
+                f"streamed IVF index {index_path} was built with "
+                f"versioned={stored!r} but this run passed "
+                f"allow_updates={allow_updates!r} — refusing to mix "
+                "gen-carrying and gen-less rows (the update mask would "
+                "silently miss half the index)."
+            )
 
     gen_base = (
         _gen_base_for_checkpoint(spark, index_path, checkpoint_dir)
@@ -1514,11 +1522,14 @@ def stream_ann_ivf_sink(
                 },
             )
             if auto_maintain:
+                # versioned stream: update-tombstones are steady state —
+                # counter cadence, not per-batch folds (see maintenance_due)
                 maybe_compact_streamed_index(
                     spark,
                     index_path,
                     id_col=ivf.id_col,
                     every_n_batches=maintain_every_n_batches,
+                    count_tombstones=not allow_updates,
                 )
         finally:
             assigned.unpersist()
@@ -2549,7 +2560,10 @@ def _reset_maintenance_meta(
 
 
 def maintenance_due(
-    spark: SparkSession, root: str, every_n_batches: int = 64
+    spark: SparkSession,
+    root: str,
+    every_n_batches: int = 64,
+    count_tombstones: bool = True,
 ) -> bool:
     """The cadence policy the compactor docstrings promise ("after a
     redelivery event or N batches"), decided from the sidecar the sinks
@@ -2560,7 +2574,18 @@ def maintenance_due(
     every ``every_n_batches`` appends (bounds the small-file count and
     the dedup=True readers' shuffle width between passes). One sidecar
     read plus two FS existence checks — call it per micro-batch or from
-    a cron job; it never scans the state."""
+    a cron job; it never scans the state.
+
+    ``count_tombstones=False``: ignore pending tombstones and decide on
+    the counter/redelivery signals alone. The VERSIONED sinks' in-loop
+    auto_maintain passes this — on an update-heavy stream tombstones are
+    STEADY-STATE (every re-arrival writes one), so treating them as
+    always-due would fold on every micro-batch, and a fold's rewrite is
+    bucket-population-bound (~the whole postings root per pass, measured
+    in SCALE.md) — exactly the amortization the cadence exists to buy.
+    The read-side mask keeps results correct between folds either way;
+    offline/cron callers keep the default True so an explicit deletion
+    wave on a quiet stream still folds promptly."""
     from bharatmlstack_spark.operators.feature_store import read_table_meta
 
     meta = read_table_meta(spark, root) or {}
@@ -2568,8 +2593,9 @@ def maintenance_due(
         return True
     # postings/near-dup roots keep tombstones under "tombstones", the
     # IVF root under "_tombstones" (invisible to its own parquet scan)
-    if hadoop_path_exists(spark, f"{root}/tombstones") or hadoop_path_exists(
-        spark, f"{root}/_tombstones"
+    if count_tombstones and (
+        hadoop_path_exists(spark, f"{root}/tombstones")
+        or hadoop_path_exists(spark, f"{root}/_tombstones")
     ):
         return True
     return int(meta.get(MAINT_COUNTER_KEY, 0)) >= every_n_batches
@@ -2580,13 +2606,16 @@ def maybe_compact_streamed_index(
     index_path: str,
     id_col: str = "vec_id",
     every_n_batches: int = 64,
+    count_tombstones: bool = True,
 ) -> int | None:
     """compact_streamed_index gated by maintenance_due — the
     policy-plus-mechanism form a pipeline calls after each batch (or on
     a timer) instead of inventing its own cadence. Returns rows removed,
     or None when maintenance wasn't due (the sidecar read is the only
     cost of a not-due call)."""
-    if not maintenance_due(spark, index_path, every_n_batches):
+    if not maintenance_due(
+        spark, index_path, every_n_batches, count_tombstones=count_tombstones
+    ):
         return None
     return compact_streamed_index(spark, index_path, id_col)
 
@@ -3439,8 +3468,13 @@ def stream_postings_sink(
                 .parquet(f"{index_path}/{DOCLEN_DIR}")
             )
             if auto_maintain:
+                # on a versioned stream, update-tombstones are steady
+                # state: fold them on the counter cadence, not per batch
                 maybe_compact_streamed_postings(
-                    spark, index_path, every_n_batches=maintain_every_n_batches
+                    spark,
+                    index_path,
+                    every_n_batches=maintain_every_n_batches,
+                    count_tombstones=not allow_updates,
                 )
         finally:
             postings.unpersist()
@@ -3686,11 +3720,16 @@ def _cache_postings_stats(
 
 
 def maybe_compact_streamed_postings(
-    spark: SparkSession, index_path: str, every_n_batches: int = 64
+    spark: SparkSession,
+    index_path: str,
+    every_n_batches: int = 64,
+    count_tombstones: bool = True,
 ) -> dict | None:
     """compact_streamed_postings gated by maintenance_due (see
     maybe_compact_streamed_index)."""
-    if not maintenance_due(spark, index_path, every_n_batches):
+    if not maintenance_due(
+        spark, index_path, every_n_batches, count_tombstones=count_tombstones
+    ):
         return None
     return compact_streamed_postings(spark, index_path)
 
@@ -4500,21 +4539,31 @@ def _append_tombstones(
     frame = frame.select(
         F.col("id").try_cast(target_type).alias("id")
     ).distinct()
-    n = frame.count()
-    if not n:
-        return 0
-    n_null = frame.filter(F.col("id").isNull()).count()
-    if n_null:
-        raise ValueError(
-            f"tombstone wave contains {n_null} NULL id(s) after casting "
-            f"to the stored type {target_type} — either the caller "
-            "passed NULL ids or the ids do not cast to the index's id "
-            "type. Both would produce a tombstone no search or fold can "
-            "ever match; refusing."
-        )
+    # this runs on the versioned sinks' per-batch hot path: persist so
+    # the probe's bucket read + semi-join evaluates once, and take both
+    # counts from a single aggregate job (row count + null count)
     if gen_lt is not None:
         frame = frame.withColumn("gen_lt", F.lit(int(gen_lt)).cast("long"))
-    frame.write.mode("append").parquet(path)
+    frame = frame.persist()
+    try:
+        counts = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("id").isNull()).alias("n_null"),
+        ).collect()[0]
+        n, n_null = int(counts["n"]), int(counts["n_null"])
+        if not n:
+            return 0
+        if n_null:
+            raise ValueError(
+                f"tombstone wave contains {n_null} NULL id(s) after "
+                f"casting to the stored type {target_type} — either the "
+                "caller passed NULL ids or the ids do not cast to the "
+                "index's id type. Both would produce a tombstone no "
+                "search or fold can ever match; refusing."
+            )
+        frame.write.mode("append").parquet(path)
+    finally:
+        frame.unpersist()
     return n
 
 

@@ -301,3 +301,22 @@ def test_empty_search_schemas_agree(spark, tmp_path):
     p2 = phrase_search_streamed(spark, bare, "alpha")
     assert b2.schema["doc_id"].dataType.simpleString() == "bigint"
     assert p2.schema["doc_id"].dataType.simpleString() == "bigint"
+
+
+def test_maintenance_due_can_ignore_steady_state_tombstones(spark, tiny_postings):
+    """count_tombstones=False (the VERSIONED sinks' in-loop cadence):
+    pending tombstones alone do not make maintenance due — on an
+    update-heavy stream they are steady state and folding per batch
+    would rewrite ~the whole postings root every micro-batch; the
+    counter/redelivery signals still fire, and offline callers keep the
+    default True so explicit deletion waves fold promptly."""
+    compact_streamed_postings(spark, tiny_postings)  # counters at zero
+    delete_postings_docs(spark, tiny_postings, [7])
+    assert maintenance_due(spark, tiny_postings, every_n_batches=64)
+    assert not maintenance_due(
+        spark, tiny_postings, every_n_batches=64, count_tombstones=False
+    )
+    # the counter signal still fires with the flag off
+    assert maintenance_due(
+        spark, tiny_postings, every_n_batches=0, count_tombstones=False
+    )

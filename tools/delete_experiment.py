@@ -44,7 +44,7 @@ from bharatmlstack_spark.streaming.ingest import (
     delete_postings_docs,
     fold_postings_tombstones,
 )
-from tools.postings_state_experiment import TERMS, seed_index, timed_search
+from tools.postings_state_experiment import seed_index, timed_search
 
 
 def _wave_ids(n_docs: int, k: int) -> list[int]:
@@ -79,6 +79,8 @@ def main() -> None:
     out["tombstone_write_1pct_s"] = round(time.time() - t0, 2)
     out["wave_size"] = n
     out["search_masked_1wave_s"], masked_rows = timed_search(spark, index)
+    if masked_rows == baseline_rows:
+        raise RuntimeError("the 1% wave did not bind — mask attests nothing")
 
     # 9 more waves accumulate (the maintenance-cadence regime)
     t0 = time.time()
@@ -100,7 +102,10 @@ def main() -> None:
     out["search_folded_s"], folded_rows = timed_search(spark, index)
 
     # the masked searches must already have served the post-delete truth
-    assert masked10_rows == folded_rows, "mask != fold result"
+    # (a real raise, not an assert — python -O would strip an assert and
+    # print timings over wrong results)
+    if masked10_rows != folded_rows:
+        raise RuntimeError("mask != fold result — the timings are invalid")
 
     # a fresh single-wave fold on the SAME index: ~the same wall as the
     # 10-wave fold (the rewrite is bucket-population-bound, not
