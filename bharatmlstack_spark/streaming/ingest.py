@@ -4710,6 +4710,7 @@ def purge_docs_everywhere(
     neardup_roots=(),
     ivf_roots=(),
     ivf_id_col: str = "vec_id",
+    feature_targets=(),
     fold: bool = False,
 ) -> dict:
     """Right-to-be-forgotten across EVERY index derived from a corpus,
@@ -4733,6 +4734,14 @@ def purge_docs_everywhere(
     is annotated — the raised RuntimeError carries which roots were
     already covered so the retry story is explicit. Returns
     {root: {"family", "tombstones", "fold": {...}|None}}.
+
+    ``feature_targets``: ``(FeatureStore, entity_label)`` or
+    ``(FeatureStore, entity_label, store_id)`` tuples for SINGLE-KEY
+    entities — the ids map onto the entity's one key column and
+    ``FeatureStore.delete`` runs its eager bucket-scoped physical
+    rewrite (there is no tombstone phase there; the report entry says
+    ``fold: "eager"``). Composite-key entities need a real keys frame —
+    call ``fs.delete`` directly for those.
 
     Reference anchor: the reference deletes an entity from the online
     store, the interaction history, and the vector index as separate
@@ -4784,4 +4793,38 @@ def purge_docs_everywhere(
             lambda r: delete_indexed_vectors(spark, r, ids, id_col=ivf_id_col),
             lambda r: fold_index_tombstones(spark, r, id_col=ivf_id_col),
         )
+    for target in feature_targets:
+        fs, label, *rest = target
+        store_id = rest[0] if rest else 0
+        entity = fs.registry.entity(label)
+        if len(entity.key_columns) != 1:
+            raise ValueError(
+                f"feature target {label!r} has composite key "
+                f"{entity.key_columns} — purge_docs_everywhere maps one "
+                "id column; call fs.delete directly with a full keys "
+                "frame for composite-key entities."
+            )
+        kcol = entity.key_columns[0]
+        if isinstance(ids, DataFrame):
+            keys = ids.select(F.col(ids.columns[0]).alias(kcol))
+        else:
+            keys = spark.createDataFrame([(i,) for i in ids], [kcol])
+        root = fs._table_path(label, store_id)
+        try:
+            n = fs.delete(label, keys, store_id=store_id)
+            # the feature delete IS physical (bucket-scoped rewrite) —
+            # no tombstone phase, nothing left for fold to do
+            report[root] = {
+                "family": "feature_store",
+                "rows_removed": n,
+                "fold": "eager",
+            }
+        except Exception as e:  # noqa: BLE001 — annotate, then re-raise
+            raise RuntimeError(
+                f"purge_docs_everywhere failed at feature_store target "
+                f"{label!r} ({type(e).__name__}: {e}); roots already "
+                f"covered this call: {sorted(report)}. The call is "
+                "idempotent — fix the failing target and re-run with "
+                "the SAME arguments to finish the erasure."
+            ) from e
     return report

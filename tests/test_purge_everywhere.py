@@ -146,3 +146,54 @@ def test_purge_failure_names_covered_roots(spark, all_state):
     # and the good root's tombstone really landed (retry-safe)
     t = spark.read.parquet(f"{postings}/tombstones")
     assert {r["id"] for r in t.collect()} == {2}
+
+
+def test_purge_covers_feature_store_targets(spark, tmp_path, all_state):
+    """feature_targets: the same id wave hard-deletes from a feature
+    table through FeatureStore.delete's eager bucket-scoped rewrite —
+    the erasure call covers the ONLINE store too, not just the
+    corpus-derived indexes."""
+    from pyspark.sql import functions as F
+
+    from bharatmlstack_spark import fixtures
+    from bharatmlstack_spark.operators.feature_store import FeatureStore
+
+    postings, _, _ = all_state
+    fs = FeatureStore(
+        spark, fixtures.user_registry(), str(tmp_path / "feat"), n_buckets=4
+    )
+    fs.persist(
+        "user",
+        spark.createDataFrame(
+            [(i, 20 + i) for i in (1, 2, 3)],
+            "user_id long, demo_int32__age int",
+        ),
+    )
+    report = purge_docs_everywhere(
+        spark, [1, 3],
+        postings_roots=[postings],
+        feature_targets=[(fs, "user")],
+    )
+    feat_root = fs._table_path("user")
+    assert report[feat_root] == {
+        "family": "feature_store", "rows_removed": 2, "fold": "eager",
+    }
+    left = spark.read.parquet(feat_root)
+    assert {r["user_id"] for r in left.collect()} == {2}
+    # composite-key entities are refused with directions, not mis-mapped
+    import pytest as _pytest
+
+    class _FakeEntity:
+        key_columns = ["a", "b"]
+
+    class _FakeReg:
+        def entity(self, label):
+            return _FakeEntity()
+
+    class _FakeFS:
+        registry = _FakeReg()
+
+    with _pytest.raises(ValueError, match="composite key"):
+        purge_docs_everywhere(
+            spark, [1], feature_targets=[(_FakeFS(), "pair")]
+        )
