@@ -225,7 +225,9 @@ def main() -> None:
         bm25_search_streamed,
         compact_streamed_postings,
         delete_postings_docs,
+        fold_postings_tombstones,
         maybe_compact_streamed_postings,
+        purge_docs_everywhere,
         rebucket_postings_index,
         stream_postings_sink,
     )
@@ -290,6 +292,54 @@ def main() -> None:
     print(
         f"deleted doc {top_doc}: out of the top-3 immediately, "
         f"{purged['purged_postings']} postings purged at compaction"
+    )
+
+    print("== 6. in-place UPDATES (versioned index) ==")
+    # a VERSIONED index replaces a re-arriving doc's postings in place —
+    # rows carry gen = batch id (+ a checkpoint-scoped epoch), the sink
+    # probes only the batch ids' doclen buckets for older gens, and the
+    # replaced generation stops scoring IMMEDIATELY, dropped terms
+    # included (r13; tests/test_postings_updates.py)
+    vindex = f"{work}/postings_versioned"
+    vtopic = f"{work}/vtopic"
+    docs.coalesce(1).write.parquet(vtopic)
+
+    def vrun():
+        q = stream_postings_sink(
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vtopic),
+            vindex, f"{work}/ck_v", spark,
+            n_buckets=16, trigger_once=True, allow_updates=True,
+        )
+        await_stream(q, 300)
+
+    vrun()
+    vtop = bm25_search_streamed(spark, vindex, terms, k=1).collect()
+    champ = vtop[0]["doc_id"]
+    # re-publish the champion with text that drops every query term
+    spark.createDataFrame(
+        [(champ, "entirely unrelated replacement text")], doc_schema
+    ).coalesce(1).write.mode("append").parquet(vtopic)
+    vrun()  # same checkpoint: the update arrives as a later micro-batch
+    after_upd = bm25_search_streamed(spark, vindex, terms, k=3).collect()
+    assert all(r["doc_id"] != champ for r in after_upd)
+    folded = fold_postings_tombstones(spark, vindex)
+    print(
+        f"doc {champ} re-published without the query terms: out of the "
+        f"results immediately; fold purged {folded['postings_removed']} "
+        "replaced postings"
+    )
+
+    # one erasure call across every state family (GDPR shape): the
+    # postings index here + any near-dup/IVF/feature roots in the same
+    # pipeline (purge_docs_everywhere, tests/test_purge_everywhere.py)
+    report = purge_docs_everywhere(
+        spark, [champ], postings_roots=[vindex], fold=True
+    )
+    print(
+        f"purge_docs_everywhere: {report[vindex]['tombstones']} id "
+        f"erased from {len(report)} root(s), folded physically"
     )
 
     shutil.rmtree(work, ignore_errors=True)
