@@ -1439,7 +1439,51 @@ def stream_ann_ivf_sink(
             n = assigned.count()
             if not n:
                 return
+            # meta BEFORE the appends (the postings sink's ordering,
+            # ingest.py:3395): next_gen_base must roll forward to
+            # gen_val + 1 before any gen_val row exists — a crash in
+            # between the gen-N append and a LATER meta write would
+            # leave next_gen_base == N, a fresh checkpoint would pin
+            # gen_base = N and re-ISSUE a live generation: its batch-0
+            # upsert of such an id carries gen == the stale row's, the
+            # probe's gen < gen_val filter writes no update-tombstone,
+            # and both generations serve unmasked. Meta-first merely
+            # over-counts rows_appended on a crash-replay (documented
+            # upper bound; one-batch-early maintenance is harmless).
+            _update_maintenance_meta(
+                spark,
+                index_path,
+                batch_id,
+                rows_appended=n,
+                extra={
+                    "n_cells": int(len(ivf.centroids)),
+                    "versioned": bool(allow_updates),
+                    **(
+                        {"next_gen_base": gen_val + 1}
+                        if allow_updates
+                        else {}
+                    ),
+                },
+            )
             if allow_updates:
+                # the versioned contract says "one row per id per
+                # micro-batch" — two versions of a doc in one batch
+                # would silently BLEND (same gen, probe tombstones
+                # neither, dedup picks arbitrarily). One cheap agg on
+                # the already-persisted frame enforces it loudly.
+                dup = assigned.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct(ivf.id_col).alias("n_ids"),
+                ).collect()[0]
+                if int(dup["n"]) != int(dup["n_ids"]):
+                    raise ValueError(
+                        f"stream_ann_ivf_sink(allow_updates=True): micro-"
+                        f"batch {batch_id} carries {int(dup['n'])} rows but "
+                        f"only {int(dup['n_ids'])} distinct {ivf.id_col!r} "
+                        "— duplicate ids within one batch would blend into "
+                        "the same generation. Dedup upstream (e.g. last-"
+                        "write-wins per id per trigger) before the sink."
+                    )
                 # re-arrival probe against the _ids registry: only the
                 # batch ids' bucket dirs are read (the index itself
                 # cannot answer "where did this id's OLD embedding
@@ -1502,24 +1546,6 @@ def stream_ann_ivf_sink(
                 assigned.write.mode("append")
                 .partitionBy("cell")
                 .parquet(index_path)
-            )
-            # maintenance bookkeeping (maintenance_due / refit_due read
-            # these): batch counter + redelivery detection via
-            # non-monotonic batch ids + appended rows + fitted cell count
-            _update_maintenance_meta(
-                spark,
-                index_path,
-                batch_id,
-                rows_appended=n,
-                extra={
-                    "n_cells": int(len(ivf.centroids)),
-                    "versioned": bool(allow_updates),
-                    **(
-                        {"next_gen_base": gen_val + 1}
-                        if allow_updates
-                        else {}
-                    ),
-                },
             )
             if auto_maintain:
                 # versioned stream: update-tombstones are steady state —
@@ -2468,6 +2494,12 @@ MAINT_LAST_BATCH_KEY = "last_batch_id"
 # upper bound on distinct rows, which is the safe side for a "has the
 # stream outgrown its fitted layout" decision); refit_due reads it
 MAINT_ROWS_KEY = "rows_appended"
+# set by the FULL-delete surfaces (delete_postings_docs /
+# delete_indexed_vectors on a versioned root), cleared by the folds:
+# lets maintenance_due treat an explicit erasure wave as always-due even
+# under the versioned sinks' count_tombstones=False cadence (full
+# deletes are rare events, unlike steady-state update tombstones)
+MAINT_FULLDELETE_KEY = "full_delete_pending"
 
 QUANTIZER_DIR_SUFFIX = "__quantizer"
 
@@ -2559,6 +2591,35 @@ def _reset_maintenance_meta(
     )
 
 
+def _set_meta_flag(spark: SparkSession, root: str, key: str, value) -> None:
+    """Read-modify-write ONE sidecar key (atomic replace, layout keys
+    survive) — _update_maintenance_meta without the batch-counter bump,
+    for event flags set outside the sinks' per-batch loop (the delete
+    surfaces). ``value=None`` clears the key; clearing an absent key
+    skips the rewrite."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text_atomic,
+        read_table_meta,
+    )
+
+    meta = read_table_meta(spark, root)
+    if meta is None:
+        meta = {}
+    if value is None:
+        if key not in meta:
+            return
+        meta.pop(key)
+    else:
+        meta[key] = value
+    hadoop_write_text_atomic(
+        spark, _os.path.join(root, TABLE_META_FILE), _json.dumps(meta)
+    )
+
+
 def maintenance_due(
     spark: SparkSession,
     root: str,
@@ -2576,20 +2637,31 @@ def maintenance_due(
     read plus two FS existence checks — call it per micro-batch or from
     a cron job; it never scans the state.
 
-    ``count_tombstones=False``: ignore pending tombstones and decide on
-    the counter/redelivery signals alone. The VERSIONED sinks' in-loop
-    auto_maintain passes this — on an update-heavy stream tombstones are
-    STEADY-STATE (every re-arrival writes one), so treating them as
-    always-due would fold on every micro-batch, and a fold's rewrite is
-    bucket-population-bound (~the whole postings root per pass, measured
-    in SCALE.md) — exactly the amortization the cadence exists to buy.
-    The read-side mask keeps results correct between folds either way;
-    offline/cron callers keep the default True so an explicit deletion
-    wave on a quiet stream still folds promptly."""
+    ``count_tombstones=False``: ignore pending UPDATE tombstones and
+    decide on the counter/redelivery signals alone. The VERSIONED sinks'
+    in-loop auto_maintain passes this — on an update-heavy stream update
+    tombstones are STEADY-STATE (every re-arrival writes one), so
+    treating them as always-due would fold on every micro-batch, and a
+    fold's rewrite is bucket-population-bound (~the whole postings root
+    per pass, measured in SCALE.md) — exactly the amortization the
+    cadence exists to buy. The read-side mask keeps results correct
+    between folds either way; offline/cron callers keep the default True
+    so an explicit deletion wave on a quiet stream still folds promptly.
+
+    FULL deletes are the exception count_tombstones=False does NOT
+    silence: an explicit erasure (delete_postings_docs /
+    delete_indexed_vectors / purge_docs_everywhere) on a versioned root
+    sets the ``full_delete_pending`` sidecar flag, and a pending erasure
+    is always due — full deletes are rare events (unlike steady-state
+    update tombstones), and right-to-be-forgotten waves should fold at
+    the next maintenance opportunity, not after N quiet batches. The
+    folds clear the flag with the tombstone table."""
     from bharatmlstack_spark.operators.feature_store import read_table_meta
 
     meta = read_table_meta(spark, root) or {}
     if meta.get(MAINT_REDELIVERY_KEY):
+        return True
+    if meta.get(MAINT_FULLDELETE_KEY):
         return True
     # postings/near-dup roots keep tombstones under "tombstones", the
     # IVF root under "_tombstones" (invisible to its own parquet scan)
@@ -3412,6 +3484,27 @@ def stream_postings_sink(
                 ),
             )
             if allow_updates:
+                # the versioned contract says "one row per id per
+                # micro-batch" — two versions of a doc in one batch
+                # would silently BLEND into a single aggregated posting
+                # (merged tf/positions under the same gen, and the
+                # probe's gen < gen_val filter tombstones neither). One
+                # cheap agg on the already-persisted base enforces the
+                # documented contract loudly instead.
+                dup = base.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("id").alias("n_ids"),
+                ).collect()[0]
+                if int(dup["n"]) != int(dup["n_ids"]):
+                    raise ValueError(
+                        f"stream_postings_sink(allow_updates=True): micro-"
+                        f"batch {batch_id} carries {int(dup['n'])} rows but "
+                        f"only {int(dup['n_ids'])} distinct {id_col!r} — "
+                        "duplicate doc ids within one batch would blend "
+                        "into a single posting under the same generation. "
+                        "Dedup upstream (e.g. last-write-wins per id per "
+                        "trigger) before the sink."
+                    )
                 # re-arrival probe: read ONLY the batch ids' doclen
                 # bucket dirs for rows with an OLDER gen. Under pure
                 # redelivery the first delivery's rows carry
@@ -3997,13 +4090,21 @@ def delete_postings_docs(
     # is dead, INCLUDING a re-ingest that lands while the tombstone is
     # live (deletes are terminal until folded — the right-to-be-
     # forgotten stance; updates, by contrast, mask only older gens)
-    return _append_tombstones(
+    n = _append_tombstones(
         spark,
         f"{index_path}/{TOMBSTONES_DIR}",
         doc_ids,
         id_type,
         gen_lt=GEN_MAX if meta.get("versioned") else None,
     )
+    if n and meta.get("versioned"):
+        # an erasure wave must not wait out the versioned auto_maintain
+        # cadence (count_tombstones=False): flag it always-due; the fold
+        # clears the flag with the tombstone table. Flag AFTER the
+        # append — a crash in between leaves tombstones that the default
+        # cron/offline cadence still counts, never a flag with no wave.
+        _set_meta_flag(spark, index_path, MAINT_FULLDELETE_KEY, True)
+    return n
 
 
 # an update tombstone masks gens strictly below gen_lt; a full delete is
@@ -4111,6 +4212,10 @@ def fold_postings_tombstones(spark: SparkSession, index_path: str) -> dict:
 
     t = _postings_tombstones(spark, index_path)
     if t is None or t.isEmpty():
+        # a crash between a prior fold's tombstone-dir delete and its
+        # flag clear would otherwise leave the always-due flag firing a
+        # no-op fold every maintenance check forever
+        _set_meta_flag(spark, index_path, MAINT_FULLDELETE_KEY, None)
         return {"tombstones": 0, "postings_removed": 0, "doclen_removed": 0}
     t = defer_unpersist(F.broadcast(t).persist())
     n_t = t.count()
@@ -4136,6 +4241,8 @@ def fold_postings_tombstones(spark: SparkSession, index_path: str) -> dict:
         ),
     }
     hadoop_delete_path(spark, f"{index_path}/{TOMBSTONES_DIR}")
+    # the erasure wave is physically purged — drop the always-due flag
+    _set_meta_flag(spark, index_path, MAINT_FULLDELETE_KEY, None)
     return removed
 
 
@@ -4195,13 +4302,18 @@ def delete_indexed_vectors(
     # two-column files would make the parquet read's schema depend on
     # which file it sampled
     versioned = (read_table_meta(spark, index_path) or {}).get("versioned")
-    return _append_tombstones(
+    n = _append_tombstones(
         spark,
         f"{index_path}/{IVF_TOMBSTONES_DIR}",
         vec_ids,
         id_type,
         gen_lt=GEN_MAX if versioned else None,
     )
+    if n and versioned:
+        # see delete_postings_docs: erasure waves are always-due even
+        # under the versioned auto_maintain cadence; fold clears it
+        _set_meta_flag(spark, index_path, MAINT_FULLDELETE_KEY, True)
+    return n
 
 
 def _ivf_tombstones(
@@ -4246,6 +4358,9 @@ def fold_index_tombstones(
 
     t = _ivf_tombstones(spark, index_path, id_col)
     if t is None or t.isEmpty():
+        # see fold_postings_tombstones: clear a flag orphaned by a crash
+        # between a prior fold's tombstone delete and its flag clear
+        _set_meta_flag(spark, index_path, MAINT_FULLDELETE_KEY, None)
         return {"tombstones": 0, "rows_removed": 0}
     t = defer_unpersist(F.broadcast(t).persist())
     n_t = t.count()
@@ -4271,6 +4386,8 @@ def fold_index_tombstones(
             spark, reg_root, t, "id", "id_bucket", touched=touched
         )
     hadoop_delete_path(spark, f"{index_path}/{IVF_TOMBSTONES_DIR}")
+    # the erasure wave is physically purged — drop the always-due flag
+    _set_meta_flag(spark, index_path, MAINT_FULLDELETE_KEY, None)
     return {
         "tombstones": n_t,
         "rows_removed": removed,
@@ -4725,7 +4842,12 @@ def purge_docs_everywhere(
     tombstones mask reads IMMEDIATELY; ``fold=True`` additionally purges
     each root physically right away (offline/between-batch —
     single-writer, like every fold), otherwise folds ride the normal
-    maintenance cadence (``maintenance_due`` counts pending tombstones).
+    maintenance cadence: ``maintenance_due`` counts pending tombstones,
+    and on VERSIONED roots — whose in-loop auto_maintain ignores
+    steady-state update tombstones (count_tombstones=False) — the delete
+    surfaces set the ``full_delete_pending`` sidecar flag, which
+    maintenance_due treats as always-due, so an erasure folds at the
+    next maintenance opportunity there too.
 
     Idempotent and crash-resumable WITHOUT a manifest: tombstone appends
     are append-only and readers/folds dedup them, so re-running the same
@@ -4755,6 +4877,18 @@ def purge_docs_everywhere(
         if isinstance(doc_ids, DataFrame)
         else list(doc_ids)
     )
+    persisted = None
+    if isinstance(ids, DataFrame):
+        # evaluate an expensive upstream ids plan ONCE: every family's
+        # delete (and every fold's detection scan) re-reads this frame —
+        # up to 2x per root — so persist the normalized single-column
+        # form at entry and materialize it here; unpersisted on every
+        # exit path below
+        persisted = ids.select(
+            F.col(ids.columns[0]).alias("id")
+        ).distinct().persist()
+        persisted.count()
+        ids = persisted
 
     def _run(family: str, root: str, delete_fn, fold_fn) -> None:
         try:
@@ -4772,59 +4906,66 @@ def purge_docs_everywhere(
                 "finish the erasure."
             ) from e
 
-    for root in postings_roots:
-        _run(
-            "postings",
-            root,
-            lambda r: delete_postings_docs(spark, r, ids),
-            lambda r: fold_postings_tombstones(spark, r),
-        )
-    for root in neardup_roots:
-        _run(
-            "neardup",
-            root,
-            lambda r: delete_neardup_docs(spark, r, ids),
-            lambda r: fold_neardup_tombstones(spark, r),
-        )
-    for root in ivf_roots:
-        _run(
-            "ivf",
-            root,
-            lambda r: delete_indexed_vectors(spark, r, ids, id_col=ivf_id_col),
-            lambda r: fold_index_tombstones(spark, r, id_col=ivf_id_col),
-        )
-    for target in feature_targets:
-        fs, label, *rest = target
-        store_id = rest[0] if rest else 0
-        entity = fs.registry.entity(label)
-        if len(entity.key_columns) != 1:
-            raise ValueError(
-                f"feature target {label!r} has composite key "
-                f"{entity.key_columns} — purge_docs_everywhere maps one "
-                "id column; call fs.delete directly with a full keys "
-                "frame for composite-key entities."
+    try:
+        for root in postings_roots:
+            _run(
+                "postings",
+                root,
+                lambda r: delete_postings_docs(spark, r, ids),
+                lambda r: fold_postings_tombstones(spark, r),
             )
-        kcol = entity.key_columns[0]
-        if isinstance(ids, DataFrame):
-            keys = ids.select(F.col(ids.columns[0]).alias(kcol))
-        else:
-            keys = spark.createDataFrame([(i,) for i in ids], [kcol])
-        root = fs._table_path(label, store_id)
-        try:
-            n = fs.delete(label, keys, store_id=store_id)
-            # the feature delete IS physical (bucket-scoped rewrite) —
-            # no tombstone phase, nothing left for fold to do
-            report[root] = {
-                "family": "feature_store",
-                "rows_removed": n,
-                "fold": "eager",
-            }
-        except Exception as e:  # noqa: BLE001 — annotate, then re-raise
-            raise RuntimeError(
-                f"purge_docs_everywhere failed at feature_store target "
-                f"{label!r} ({type(e).__name__}: {e}); roots already "
-                f"covered this call: {sorted(report)}. The call is "
-                "idempotent — fix the failing target and re-run with "
-                "the SAME arguments to finish the erasure."
-            ) from e
-    return report
+        for root in neardup_roots:
+            _run(
+                "neardup",
+                root,
+                lambda r: delete_neardup_docs(spark, r, ids),
+                lambda r: fold_neardup_tombstones(spark, r),
+            )
+        for root in ivf_roots:
+            _run(
+                "ivf",
+                root,
+                lambda r: delete_indexed_vectors(
+                    spark, r, ids, id_col=ivf_id_col
+                ),
+                lambda r: fold_index_tombstones(spark, r, id_col=ivf_id_col),
+            )
+        for target in feature_targets:
+            fs, label, *rest = target
+            store_id = rest[0] if rest else 0
+            entity = fs.registry.entity(label)
+            if len(entity.key_columns) != 1:
+                raise ValueError(
+                    f"feature target {label!r} has composite key "
+                    f"{entity.key_columns} — purge_docs_everywhere maps "
+                    "one id column; call fs.delete directly with a full "
+                    "keys frame for composite-key entities."
+                )
+            kcol = entity.key_columns[0]
+            if isinstance(ids, DataFrame):
+                keys = ids.select(F.col(ids.columns[0]).alias(kcol))
+            else:
+                keys = spark.createDataFrame([(i,) for i in ids], [kcol])
+            root = fs._table_path(label, store_id)
+            try:
+                n = fs.delete(label, keys, store_id=store_id)
+                # the feature delete IS physical (bucket-scoped rewrite)
+                # — no tombstone phase, nothing left for fold to do
+                report[root] = {
+                    "family": "feature_store",
+                    "rows_removed": n,
+                    "fold": "eager",
+                }
+            except Exception as e:  # noqa: BLE001 — annotate, re-raise
+                raise RuntimeError(
+                    f"purge_docs_everywhere failed at feature_store "
+                    f"target {label!r} ({type(e).__name__}: {e}); roots "
+                    f"already covered this call: {sorted(report)}. The "
+                    "call is idempotent — fix the failing target and "
+                    "re-run with the SAME arguments to finish the "
+                    "erasure."
+                ) from e
+        return report
+    finally:
+        if persisted is not None:
+            persisted.unpersist()

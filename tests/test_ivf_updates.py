@@ -247,3 +247,59 @@ def test_stream_upsert_ann_search_matches_duckdb_oracle(spark):
     ref = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
     assert len(got) > 0
     assert got == ref
+
+
+def test_ivf_full_delete_always_due_under_versioned_cadence(
+    spark, updated_index
+):
+    """Erasure waves must not wait out the versioned cadence: a full
+    delete sets full_delete_pending (always-due even with
+    count_tombstones=False, which ignores the fixture's steady-state
+    update tombstones); the fold clears it."""
+    from bharatmlstack_spark.streaming.ingest import maintenance_due
+
+    _, index_path = updated_index
+    assert not maintenance_due(
+        spark, index_path, every_n_batches=10_000, count_tombstones=False
+    )
+    assert delete_indexed_vectors(spark, index_path, [5]) == 1
+    assert maintenance_due(
+        spark, index_path, every_n_batches=10_000, count_tombstones=False
+    )
+    fold_index_tombstones(spark, index_path)
+    assert not maintenance_due(
+        spark, index_path, every_n_batches=10_000, count_tombstones=False
+    )
+
+
+def test_ivf_duplicate_ids_in_one_batch_refused(spark, tmp_path):
+    """Two embeddings for one id in ONE micro-batch would land under
+    the same generation (the registry probe tombstones neither, dedup
+    picks arbitrarily) — the versioned sink raises instead."""
+    ivf = _fit_ivf(spark)
+    topic = str(tmp_path / "topic")
+    spark.createDataFrame(
+        [(5, _vec(5)), (5, _vec(105)), (6, _vec(6))],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(topic)
+    with pytest.raises(Exception, match="duplicate ids"):
+        _run_sink(
+            spark, tmp_path, ivf, str(tmp_path / "index"), topic, "ck"
+        )
+
+
+def test_ivf_meta_rolls_gen_base_before_appends(spark, updated_index):
+    """Cross-checkpoint monotonicity invariant: after every committed
+    batch the sidecar's next_gen_base exceeds every live generation
+    (index AND registry) — the sink writes the sidecar BEFORE the
+    appends, so no crash window can leave next_gen_base <= a live gen
+    and let a fresh checkpoint re-issue it."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    _, index_path = updated_index
+    nxt = int(read_table_meta(spark, index_path)["next_gen_base"])
+    live = read_streamed_ivf_index(spark, index_path, dedup=False)
+    max_live = live.agg(F.max("gen")).collect()[0][0]
+    reg = spark.read.parquet(index_path + IVF_IDS_SUFFIX)
+    max_reg = reg.agg(F.max("gen")).collect()[0][0]
+    assert nxt > int(max_live) and nxt > int(max_reg)

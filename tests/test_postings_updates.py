@@ -269,3 +269,39 @@ def test_versioned_flag_mismatch_refused_at_sink_start(spark, tmp_path):
             n_buckets=8, trigger_once=True, allow_updates=False,
         )
         await_stream(q, 120, "mismatched sink")
+
+
+def test_full_delete_always_due_under_versioned_cadence(spark, updated_index):
+    """The versioned auto_maintain cadence ignores steady-state UPDATE
+    tombstones (count_tombstones=False) — but an explicit erasure
+    (gen_lt = GEN_MAX) sets the full_delete_pending sidecar flag and is
+    ALWAYS due, so a right-to-be-forgotten wave on an auto_maintain-only
+    pipeline folds at the next maintenance check instead of waiting out
+    the batch counter. The fold clears the flag."""
+    # update tombstones from the fixture's wave are pending, yet ignored
+    assert not maintenance_due(
+        spark, updated_index, every_n_batches=10_000, count_tombstones=False
+    )
+    assert delete_postings_docs(spark, updated_index, [4]) == 1
+    assert maintenance_due(
+        spark, updated_index, every_n_batches=10_000, count_tombstones=False
+    )
+    fold_postings_tombstones(spark, updated_index)
+    assert not maintenance_due(
+        spark, updated_index, every_n_batches=10_000, count_tombstones=False
+    )
+
+
+def test_duplicate_ids_in_one_batch_refused(spark, tmp_path):
+    """Two versions of a doc in ONE micro-batch would silently blend
+    into a single aggregated posting under the same generation (the
+    probe tombstones neither) — the versioned sink raises instead."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    path = os.path.join(src, "b0.json")
+    with open(path, "w") as f:
+        f.write(json.dumps({"doc_id": 9, "text": "one version"}) + "\n")
+        f.write(json.dumps({"doc_id": 9, "text": "another version"}) + "\n")
+        f.write(json.dumps({"doc_id": 10, "text": "innocent bystander"}) + "\n")
+    with pytest.raises(Exception, match="duplicate doc ids"):
+        _run_sink(spark, src, str(tmp_path / "index"), str(tmp_path / "ck"))
