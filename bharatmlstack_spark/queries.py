@@ -763,9 +763,15 @@ import bharatmlstack_spark.queries_corpus  # noqa: E402,F401
 # tier (tests/test_staged_retired.py) resolves every RETIRED name off
 # this module uniformly
 from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
+    cube_orders_status,
+    distinct_users_by_type,
+    events_value_histogram,
     multimodal_decode_rgb,
     salted_dim_join,
     segment_except,
+)
+from bharatmlstack_spark.queries_corpus import (  # noqa: E402,F401
+    sketch_union_distinct,
 )
 
 
@@ -778,22 +784,25 @@ from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Rotation state as of ROUND 13 (2026-08-16). Registry = 149: 151 peak,
-# minus six executed retirements (rpn_literal_div r09; rpn_bool_compare
-# + segment_except r10; multimodal_decode_rgb r11; knn_dot r12;
-# salted_dim_join r13), plus five registrations riding those slots
+# Rotation state as of ROUND 14 (2026-08-16). Registry = 149 (steady
+# since r10): ten executed retirements (rpn_literal_div r09;
+# rpn_bool_compare + segment_except r10; multimodal_decode_rgb r11;
+# knn_dot r12; salted_dim_join r13; cube_orders_status +
+# distinct_users_by_type + events_value_histogram +
+# sketch_union_distinct r14), with registrations riding those slots
 # (feature_retrieve_string_vector + stream_semantic_dedup_sink r10;
-# dedup_cross_corpus r11; ann_refit_search r12; stream_bm25_search r13
-# — the streamed postings index's first driver-gated row).
-# Windows: r13 = first 50 below (ann_refit_search + the 48 r10-era
-# greens + stream_semantic_dedup_sink pulled forward, pre-planned since
-# r12 and executed unshuffled); r14 = the next 49 (the 48 remaining
-# r11-era greens, with stream_bm25_search riding salted_dim_join's
-# slot) PLUS the oldest r12-era green pulled forward to fill the 50th
-# driver slot at r14 rotation time; r15 = the remaining 49 r12-era
-# greens at the tail (plus the next pull-forward). Freshness contract:
-# after each round no registered query's newest green is older than two
-# rounds back.
+# dedup_cross_corpus r11; ann_refit_search r12; stream_bm25_search r13;
+# stream_phrase_search + stream_delete_search + stream_update_search +
+# stream_upsert_ann_search r14 — the four staged streamed-index rows,
+# draining RETIREMENT_CANDIDATES exactly as the r13 verdict's tasks
+# 2/3/6 prescribed).
+# Windows: r14 = first 50 below (the 48 remaining r11-era greens +
+# stream_bm25_search's first verdict + bm25_topk pulled forward,
+# pre-planned since r13 and executed unshuffled); r15 = the next 50
+# (the four r14 graduations' first verdicts + 46 r12-era greens); r16 =
+# the last 49 (3 r12-era greens + the 46 r13-era greens). Freshness
+# contract: after each round no registered query's newest green is
+# older than two rounds back.
 #
 # Retirement protocol (pinned r09): a new operator must either
 # (a) retire one row from RETIREMENT_CANDIDATES below one-for-one
@@ -803,72 +812,13 @@ from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
 # (pytest replicating the driver comparison, like tests/
 # test_retrieval.py did for the four rows registered in r09).
 QUERY_PRIORITY: list[str] = [
-    # ROUND-13 WINDOW (first 50 — the driver verifies exactly these):
-    # ann_refit_search LEADS (its FIRST driver verdict — registered r12
-    # on the pinned knn_dot retirement slot, staged tier
-    # tests/test_refit_staged.py), then the 48 remaining r10-era greens,
-    # then stream_semantic_dedup_sink (the oldest r11-era green, pulled
-    # forward to fill the 50th slot — the r13 block proper is 49 rows).
-    "ann_refit_search",
-    "stream_cdc_apply",
-    "feature_retrieve_string_vector",
-    "asof_feature_join",
-    "bpe_vocab_learn",
-    "cdc_apply",
-    "cube_orders_status",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_users_by_type",
-    "event_wire_roundtrip",
-    "events_funnel",
-    "events_interarrival",
-    "events_merge_trim",
-    "events_retention_window",
-    "events_sessionize",
-    "events_union_types",
-    "events_value_histogram",
-    "feature_drift_psi",
-    "feature_hash_cross",
-    "feature_stats",
-    "filter_candidates",
-    "incremental_dedup_stream",
-    "incremental_materialize_orders",
-    "last_write_wins",
-    "min_cost_supplier",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "pairwise_inference",
-    "parts_never_ordered",
-    "percentile_by_group",
-    "pq_ann_topk",
-    "props_json_extract",
-    "q18_large_orders",
-    "q5_region_revenue",
-    "range_join_sessions",
-    "rolling_7d_user_value",
-    "rollup_lineitem",
-    "sketch_distinct_users",
-    "sketch_percentile_value",
-    "sketch_union_distinct",
-    "skye_stream_aggregate",
-    "stateful_topk_stream",
-    "stream_attribution_join",
-    "table_profile",
-    "stream_semantic_dedup_sink",
-    # ---- window boundary (driver verifies the first 50) ----
-    # ROUND-14 WINDOW (pre-planned): this block is 49 rows — the 48
-    # remaining r11-era greens + stream_bm25_search (graduated r13 onto
-    # the pinned salted_dim_join retirement slot — its first driver
-    # verdict lands in r14, exactly as the r12 verdict prescribed); at
-    # r14 rotation time the first r12-era green below fills the 50th
-    # driver slot (the same pull-forward the r13 window used).
-    # stream_phrase_search graduates in the r14 round via the
-    # sketch_union_distinct retirement (that row sits in the r13 window
-    # above, untouchable this round).
+    # ROUND-14 WINDOW (first 50 — the driver verifies exactly these):
+    # the 48 remaining r11-era greens + stream_bm25_search (graduated
+    # r13 onto the pinned salted_dim_join retirement slot — its FIRST
+    # driver verdict, this window's gating event) + bm25_topk (the
+    # oldest r12-era green, pulled forward to fill the 50th slot — the
+    # same pull-forward the r13 window used). Executed exactly as
+    # pre-planned since r13, unshuffled.
     "dedup_cross_corpus",
     "stream_dedup_minhash",
     "bpe_learn_until_vocab",
@@ -918,8 +868,17 @@ QUERY_PRIORITY: list[str] = [
     "unigram_lm_quality",
     "user_week_density",
     "zorder_cells",
-    # ROUND-15 WINDOW (pre-planned): the 50 r12-era greens.
     "bm25_topk",
+    # ---- window boundary (driver verifies the first 50) ----
+    # ROUND-15 WINDOW (pre-planned): the four r14 graduations LEAD
+    # (stream_phrase_search / stream_delete_search /
+    # stream_update_search / stream_upsert_ann_search — registered r14
+    # on the four pinned retirement slots, first driver verdicts land
+    # here) + the first 46 remaining r12-era greens.
+    "stream_phrase_search",
+    "stream_delete_search",
+    "stream_update_search",
+    "stream_upsert_ann_search",
     "bigram_pmi",
     "char_entropy_quality",
     "semantic_dedup_ivf",
@@ -966,9 +925,60 @@ QUERY_PRIORITY: list[str] = [
     "target_encode_loo",
     "text_stats",
     "tfidf_top_terms",
+    # ROUND-16 WINDOW (pre-planned): the last 3 r12-era greens + the
+    # 46 r13-era greens (the r13 window minus the four rows retired at
+    # r14: cube_orders_status, distinct_users_by_type,
+    # events_value_histogram, sketch_union_distinct — all staged in
+    # tests/test_staged_retired.py).
     "time_decay_user_value",
     "value_zscore_outliers",
     "woe_binning",
+    "ann_refit_search",
+    "stream_cdc_apply",
+    "feature_retrieve_string_vector",
+    "asof_feature_join",
+    "bpe_vocab_learn",
+    "cdc_apply",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "event_wire_roundtrip",
+    "events_funnel",
+    "events_interarrival",
+    "events_merge_trim",
+    "events_retention_window",
+    "events_sessionize",
+    "events_union_types",
+    "feature_drift_psi",
+    "feature_hash_cross",
+    "feature_stats",
+    "filter_candidates",
+    "incremental_dedup_stream",
+    "incremental_materialize_orders",
+    "last_write_wins",
+    "min_cost_supplier",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "pairwise_inference",
+    "parts_never_ordered",
+    "percentile_by_group",
+    "pq_ann_topk",
+    "props_json_extract",
+    "q18_large_orders",
+    "q5_region_revenue",
+    "range_join_sessions",
+    "rolling_7d_user_value",
+    "rollup_lineitem",
+    "sketch_distinct_users",
+    "sketch_percentile_value",
+    "skye_stream_aggregate",
+    "stateful_topk_stream",
+    "stream_attribution_join",
+    "table_profile",
+    "stream_semantic_dedup_sink",
 ]
 
 # Ordered retirement list (round 10+): rows whose SURVEY §2 / pipeline
@@ -1024,36 +1034,81 @@ RETIRED: list[tuple[str, str, str]] = [
         "driver-gated row, staged r12); skew salting stays attested by "
         "salted_hot_key_agg (same plans/skew.py core)",
     ),
+    (
+        "sketch_union_distinct",
+        "r14",
+        "freed the slot that registers stream_phrase_search (exact "
+        "phrase search through the POSITIONAL streamed postings index, "
+        "staged r12); sketches stay attested by sketch_distinct_users + "
+        "sketch_percentile_value, both r13-green",
+    ),
+    (
+        "cube_orders_status",
+        "r14",
+        "freed the slot that registers stream_delete_search (the whole "
+        "right-to-be-forgotten story — eager mask AND physical fold vs "
+        "the survivor-corpus BM25 twin — staged r13 per the r12 "
+        "verdict's task 4); grouping lattices stay attested by "
+        "grouping_sets_orders + rollup_lineitem",
+    ),
+    (
+        "distinct_users_by_type",
+        "r14",
+        "freed the slot that registers stream_update_search (in-place "
+        "doc UPDATE through the versioned postings index, staged r13 "
+        "with the feature); exact distinct aggs stay attested by "
+        "sketch_distinct_users's exact twin column + the events family",
+    ),
+    (
+        "events_value_histogram",
+        "r14",
+        "freed the slot that registers stream_upsert_ann_search (vector "
+        "UPSERT through the versioned IVF sink — skye re-publish "
+        "semantics, staged r13 with the feature); bucketed aggs stay "
+        "attested by events_weekly_buckets + quantile_binning",
+    ),
 ]
 
-# Staged registration candidates awaiting freed slots (protocol (b),
-# tests/test_stream_bm25.py runs the driver comparisons meanwhile;
-# stream_bm25_search graduated r13 onto salted_dim_join's slot):
-# 1. queries_text.stream_phrase_search — exact phrase occurrences
-#    through the POSITIONAL postings (store_positions=True), oracle =
-#    a direct token-window count (STAGED_ORACLES); graduate in the r14
-#    round via the sketch_union_distinct retirement (that row sits in
-#    the r13 window, untouchable this round).
-# 2. queries_text.stream_delete_search — right-to-be-forgotten through
-#    the postings index (delete -> masked search -> fold -> search,
-#    both phases vs the batch BM25 twin over the survivor corpus),
-#    staged r13 per the r12 verdict's task 4; next freed slot after #1.
-# 3. queries_text.stream_update_search — in-place doc UPDATE through a
-#    VERSIONED postings index (allow_updates=True: gen-masked search,
-#    then fold; both phases vs the BM25 twin over an independently-
-#    rebuilt updated corpus), staged r13 with the feature.
-# 4. queries_text.stream_upsert_ann_search — vector UPSERT through the
-#    versioned IVF sink (skye re-publish semantics): new embeddings
-#    find themselves at cosine 1.0, old embeddings find brute force's
-#    pick over the latest corpus; oracle rebuilds the updated corpus
-#    with list_reverse. Staged r13 with the feature.
-# Graduate by retiring heads below one-for-one; never reshuffle the
-# current round's pre-planned window.
+# POST-DRAIN ROTATION PLAN (pinned r14, per the r13 verdict's task 4).
+# The first-generation candidate list drained at r14: all four staged
+# streamed-index rows (stream_phrase_search, stream_delete_search,
+# stream_update_search, stream_upsert_ann_search) graduated onto the
+# four pinned slots in one rotation — every staged row now has a
+# registration, and the staged tier holds only executed retirements.
+#
+# Going forward the registry stays SIZE-STABLE at 149 and the protocol
+# is unchanged: a new operator must either (a) retire one row from the
+# SECOND-generation candidate list below one-for-one, or (b) ship in
+# the staged tier (a pytest replicating the driver comparison) until a
+# slot frees. The second-generation list applies the same redundancy
+# rule as the first (retire only rows whose SURVEY §2 / pipeline family
+# keeps >=2 OTHER registered greens), drawn from the largest remaining
+# families. Retire strictly in this order:
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
-    ("sketch_union_distinct", "sketches: sketch_distinct_users + sketch_percentile_value"),
-    ("cube_orders_status", "grouping lattices: grouping_sets_orders + rollup_lineitem"),
-    ("distinct_users_by_type", "exact distinct aggs: sketch_distinct_users's exact twin + events family"),
-    ("events_value_histogram", "bucketed aggs: events_weekly_buckets + quantile_binning"),
+    (
+        "dedup_ngram_jaccard",
+        "document dedup keeps 4 other greens: dedup_exact + "
+        "dedup_minhash_lsh (same banded-candidate shape) + dedup_simhash "
+        "+ dedup_embedding_cosine; the prefix-filtered AllPairs core "
+        "stays exercised by span_dedup_exact's inverted-index cousin",
+    ),
+    (
+        "bpe_merge_step",
+        "BPE keeps 3 other greens: bpe_vocab_learn + bpe_learn_until_"
+        "vocab (which iterate the same merge core) + bpe_tokenize_apply",
+    ),
+    (
+        "multimodal_decode_stats",
+        "multimodal decode keeps 5 other greens: multimodal_decode_image "
+        "/ _png / _audio_feature + multimodal_features/_frames/_resize "
+        "(same codec + mapInPandas plumbing)",
+    ),
+    (
+        "q18_large_orders",
+        "TPC-H shapes keep 3 other greens: q1_pricing_summary + "
+        "q3_shipping_priority + q5_region_revenue (the semi-join-on-"
+        "aggregate shape also lives in parts_never_ordered)",
+    ),
 ]
 
 

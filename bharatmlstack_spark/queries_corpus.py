@@ -18,7 +18,11 @@ from bharatmlstack_spark.operators import profile as PR
 from bharatmlstack_spark.operators import sampling as SP
 from bharatmlstack_spark.operators.dedup import word_shingles
 from bharatmlstack_spark.operators.graph import connected_components
-from bharatmlstack_spark.query_registry import defer_unpersist, query
+from bharatmlstack_spark.query_registry import (
+    RETIRED_ORACLES,
+    defer_unpersist,
+    query,
+)
 from bharatmlstack_spark.sources.events import load_events_raw
 from bharatmlstack_spark.queries_text import CORPUS_SQL, _SHINGLE_SQL, corpus
 
@@ -388,21 +392,28 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sketch_union_distinct",
-    oracle="""
+RETIRED_ORACLES["sketch_union_distinct"] = """
 SELECT COUNT(DISTINCT user_id) AS exact_users,
        TRUE AS within_bound
 FROM events
-""",
-)
+"""
+
+
 def sketch_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE HLL sketches — the actual 100 TB distinct-count pattern:
     per-group (or per-partition, per-day, ...) hll_sketch_agg partials
     union via hll_union_agg into one global estimate WITHOUT re-touching
     rows. Invariant-check form: the deliverable is the exact global
     distinct count (DuckDB recomputes it) plus a 5% bound on the merged
-    sketch's estimate — certifying the merge path, not just one sketch."""
+    sketch's estimate — certifying the merge path, not just one sketch.
+
+    RETIRED from the driver registry in r14 (head of the pinned
+    retirement order): sketches stay driver-attested by
+    sketch_distinct_users + sketch_percentile_value (both r13-green);
+    the freed slot registers stream_phrase_search — exact phrase search
+    through the POSITIONAL streamed postings index, exactly as the r13
+    verdict's task 2 prescribed. Still verified every pytest run
+    against its DuckDB oracle (tests/test_staged_retired.py)."""
     ev = load_events_raw(spark, sf_dir)
     per_type = ev.groupBy("event_type").agg(
         F.expr("hll_sketch_agg(user_id)").alias("__sk")

@@ -1983,18 +1983,26 @@ def events_retention_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("ts_ms") >= cutoff)
 
 
-@query(
-    "cube_orders_status",
-    oracle="""
+RETIRED_ORACLES["cube_orders_status"] = """
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-)
+"""
+
+
 def cube_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping-sets extension (free in Spark; SURVEY §2.4 note)."""
+    """CUBE grouping-sets extension (free in Spark; SURVEY §2.4 note).
+
+    RETIRED from the driver registry in r14 (second of the pinned
+    retirement order): grouping lattices stay driver-attested by
+    grouping_sets_orders + rollup_lineitem; the freed slot registers
+    stream_delete_search — the postings family's whole deletion story
+    (eager mask AND physical fold vs the survivor-corpus BM25 twin),
+    exactly as the r13 verdict's task 3 (and the r12 verdict's task 4)
+    prescribed. Still verified every pytest run against its DuckDB
+    oracle (tests/test_staged_retired.py)."""
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2040,20 +2048,27 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_value_histogram",
-    oracle="""
+RETIRED_ORACLES["events_value_histogram"] = """
 SELECT event_type,
        CAST(floor(value / 5.0) AS BIGINT) AS bucket,
        COUNT(*) AS n
 FROM events
 GROUP BY event_type, CAST(floor(value / 5.0) AS BIGINT)
-""",
-)
+"""
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event type (the monitoring/drift
     profile) — one map-side bucket expression + one aggregate; at 100 TB
-    the output is |types| x |buckets| rows, partial aggs do the work."""
+    the output is |types| x |buckets| rows, partial aggs do the work.
+
+    RETIRED from the driver registry in r14 (fourth of the pinned
+    retirement order): bucketed aggs stay driver-attested by
+    events_weekly_buckets + quantile_binning; the freed slot registers
+    stream_upsert_ann_search — vector upsert through the versioned IVF
+    sink (skye re-publish semantics), per the r13 verdict's task 6.
+    Still verified every pytest run against its DuckDB oracle
+    (tests/test_staged_retired.py)."""
     ev = load_events_raw(spark, sf_dir)
     return ev.groupBy(
         "event_type", F.floor(F.col("value") / 5.0).cast("bigint").alias("bucket")
@@ -2222,17 +2237,24 @@ def key_string_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "distinct_users_by_type",
-    oracle="""
+RETIRED_ORACLES["distinct_users_by_type"] = """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
 FROM events
 GROUP BY event_type
-""",
-)
+"""
+
+
 def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation (absent in the reference, free in Spark —
-    SURVEY §2.4 note)."""
+    SURVEY §2.4 note).
+
+    RETIRED from the driver registry in r14 (third of the pinned
+    retirement order): exact distinct aggs stay driver-attested by
+    sketch_distinct_users (which carries the exact twin column) plus the
+    events family; the freed slot registers stream_update_search —
+    in-place doc UPDATE through the versioned postings index, per the
+    r13 verdict's task 6. Still verified every pytest run against its
+    DuckDB oracle (tests/test_staged_retired.py)."""
     ev = load_events_raw(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),

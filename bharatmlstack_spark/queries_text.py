@@ -1636,16 +1636,21 @@ STAGED_ORACLES: dict[str, str] = {
     # corpus, same term bag), the precedent set by
     # stream_semantic_dedup_sink / semantic_dedup_ivf
     "stream_bm25_search": R9_ORACLES["bm25_topk"],
-    # exact phrase occurrences through positional postings vs a direct
-    # token-window count over the raw corpus
+    # GRADUATED r14 (registered on the pinned sketch_union_distinct
+    # retirement slot) — alias stays for tests/test_stream_bm25.py, the
+    # same pattern as stream_bm25_search above. The registered oracle is
+    # the direct token-window count over the raw corpus.
     "stream_phrase_search": _PHRASE_ORACLE,
 }
 
 
+@query("stream_phrase_search", oracle=_PHRASE_ORACLE)
 def stream_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT phrase search through a POSITIONAL streamed postings index
-    — STAGED r12 beside stream_bm25_search (rotation protocol (b);
-    tests/test_stream_bm25.py runs the driver comparison). The corpus
+    — staged r12 beside stream_bm25_search, GRADUATED r14 onto the
+    pinned sketch_union_distinct retirement slot (its first driver
+    verdict lands in the r15 window; tests/test_stream_bm25.py keeps
+    running the driver comparison meanwhile). The corpus
     replays IN FULL under a fresh checkpoint (at-least-once
     redelivery); the sink stores per-(term, doc) sorted position lists
     (store_positions=True), and the search intersects offset-shifted
@@ -1755,11 +1760,14 @@ CROSS JOIN (SELECT unnest(['masked', 'folded']) AS phase) p
 """
 
 
+@query("stream_delete_search", oracle=STAGED_ORACLES["stream_delete_search"])
 def stream_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten through the streamed postings index —
-    STAGED r13 (rotation protocol (b); tests/test_stream_bm25.py runs
-    the driver comparison until a retirement frees a slot, per the r12
-    verdict's task 4). One row gates the WHOLE deletion story: the
+    staged r13 per the r12 verdict's task 4, GRADUATED r14 onto the
+    pinned cube_orders_status retirement slot (its first driver verdict
+    lands in the r15 window; tests/test_stream_bm25.py keeps running
+    the driver comparison meanwhile). One row gates the WHOLE deletion
+    story: the
     corpus streams into the index, a fifth of the docs (doc_id % 5 = 3
     — the residue binds: survivors' top-10 differs from the full
     corpus's at every test SF) are deleted via delete_postings_docs,
@@ -1855,11 +1863,14 @@ CROSS JOIN (SELECT unnest(['masked', 'folded']) AS phase) p
 """
 
 
+@query("stream_update_search", oracle=STAGED_ORACLES["stream_update_search"])
 def stream_update_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-place document UPDATE through the versioned streamed postings
-    index — STAGED r13 beside stream_delete_search (rotation protocol
-    (b); tests/test_postings_updates.py and tests/test_stream_bm25.py
-    run the driver comparison until retirements free slots). The corpus
+    index — staged r13 beside stream_delete_search, GRADUATED r14 onto
+    the pinned distinct_users_by_type retirement slot (its first driver
+    verdict lands in the r15 window; tests/test_postings_updates.py and
+    tests/test_stream_bm25.py keep running the driver comparison
+    meanwhile). The corpus
     streams in as batch 0 of a versioned index
     (``allow_updates=True``); an update wave re-ingests every
     ``doc_id % 11 = 5`` doc with NEW text as batch 1 (the sink's doclen
@@ -1988,11 +1999,17 @@ FROM ranked WHERE rn = 1
 """
 
 
+@query(
+    "stream_upsert_ann_search",
+    oracle=STAGED_ORACLES["stream_upsert_ann_search"],
+)
 def stream_upsert_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN search through a VERSIONED streamed IVF index after an
-    upsert wave — STAGED r13 with the feature (rotation protocol (b);
-    tests/test_ivf_updates.py runs the engine-side comparisons
-    meanwhile). The embeddings corpus streams in as batch 0
+    upsert wave — staged r13 with the feature, GRADUATED r14 onto the
+    pinned events_value_histogram retirement slot (its first driver
+    verdict lands in the r15 window; tests/test_ivf_updates.py keeps
+    running the engine-side comparisons meanwhile). The embeddings
+    corpus streams in as batch 0
     (``allow_updates=True``); every ``vec_id % 40 = 0`` vector
     re-publishes REVERSED as batch 1 (the sink's registry probe writes
     the update-tombstones); the search probes ALL cells (nprobe =
