@@ -91,10 +91,69 @@ def dedup_minhash_lsh_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+# one prebuilt streamed-postings index per (process, sf_dir): the bench
+# times the READ path (what serves queries at 100 TB), not the one-time
+# build — the first draw pays the build, the recorded median of >=3
+# draws reflects the search alone
+_STREAMED_BM25_INDEX: dict[str, str] = {}
+
+
+def _prebuilt_streamed_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the streamed postings index over the
+    documents corpus, then leave ONE deletion wave PENDING (tombstones
+    appended, not folded) so the timed search exercises the shipping
+    steady-state read path: bucket-pruned postings read + broadcast
+    tombstone mask + in-plan dedup."""
+    path = _STREAMED_BM25_INDEX.get(sf_dir)
+    if path:
+        return path
+    from bharatmlstack_spark.query_registry import scratch_dir
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        delete_postings_docs,
+        stream_postings_sink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    work = scratch_dir("bmls_bench_bm25s_")
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    docs.repartition(3).write.parquet(topic)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    q = stream_postings_sink(
+        stream, index_path, f"{work}/ck", spark,
+        n_buckets=16, trigger_once=True,
+    )
+    await_stream(q, 1800, "stream_postings_sink (bench prebuild)")
+    victims = docs.filter(F.col("doc_id") % 101 == 7).select("doc_id")
+    delete_postings_docs(spark, index_path, victims)
+    _STREAMED_BM25_INDEX[sf_dir] = index_path
+    return index_path
+
+
+def bm25_search_streamed_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 through the PREBUILT streamed postings index with one
+    pending deletion wave — the flagship streamed-index family's read
+    path (term-bucket pruning + broadcast tombstone mask + in-plan
+    dedup), regression-guarded standalone: the registered
+    stream_bm25_search row times build + compact + search together."""
+    from bharatmlstack_spark.queries_text import _BM25_TERMS
+    from bharatmlstack_spark.streaming.ingest import bm25_search_streamed
+
+    index_path = _prebuilt_streamed_postings(spark, sf_dir)
+    return bm25_search_streamed(spark, index_path, _BM25_TERMS, k=10)
+
+
 PRODUCT_QUERIES = {
     "ann_lsh_dot_product": ann_lsh_dot_product,
     "ann_ivf_dot_product": ann_ivf_dot_product,
     "pq_ann_topk_product": pq_ann_topk_product,
     "dedup_simhash_product": dedup_simhash_product,
     "dedup_minhash_lsh_product": dedup_minhash_lsh_product,
+    "bm25_search_streamed_product": bm25_search_streamed_product,
 }
