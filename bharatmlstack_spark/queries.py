@@ -1084,6 +1084,13 @@ RETIRED: list[tuple[str, str, str]] = [
 # rule as the first (retire only rows whose SURVEY §2 / pipeline family
 # keeps >=2 OTHER registered greens), drawn from the largest remaining
 # families. Retire strictly in this order:
+#
+# Staged registrants awaiting these slots (protocol (b)):
+# 1. queries_text.ann_ivfpq_topk — IVF-PQ composed ANN (coarse cells +
+#    residual PQ codes, operators/ivfpq.py), staged r14 with
+#    tests/test_ivfpq.py running the driver comparison; graduates via
+#    the dedup_ngram_jaccard retirement (head below) at the next
+#    rotation where that row sits outside the active window.
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
     (
         "dedup_ngram_jaccard",

@@ -2257,3 +2257,74 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, incoming, id_col="doc_id", text_col="text", threshold=0.8
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# IVF-PQ staged row (r14, rotation protocol (b)): the deliverable is the
+# EXACT brute-force top-10 (bit-equal double-fold scores DuckDB
+# recomputes) plus a recall flag over the IVF-PQ candidate set — the
+# pq_ann_topk verification pattern applied to the composed index.
+_IVFPQ_DOT64 = " + ".join(
+    f"CAST(c.embedding[{i}] AS DOUBLE) * CAST(q.qe[{i}] AS DOUBLE)"
+    for i in range(1, 65)
+)  # left-associative fold, bit-identical to functions.vector.dot
+STAGED_ORACLES["ann_ivfpq_topk"] = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5)
+SELECT vec_id, score, rank, TRUE AS recall_ok FROM (
+  SELECT c.vec_id,
+         {_IVFPQ_DOT64} AS score,
+         ROW_NUMBER() OVER (ORDER BY {_IVFPQ_DOT64} DESC, c.vec_id ASC) AS rank
+  FROM c CROSS JOIN q
+) WHERE rank <= 10
+"""
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse cells + residual PQ codes (operators/ivfpq.py
+    — the composed FAISS ``IVF16,PQ16`` shape, 16 cells probed at
+    nprobe=8 so HALF the corpus's codes are never read, each stored
+    vector ~20 B instead of 256 B), ADC shortlist-100 prune + exact
+    re-rank top-10. STAGED r14 (rotation protocol (b);
+    tests/test_ivfpq.py runs the driver comparison) — pinned to
+    graduate via the dedup_ngram_jaccard retirement, head of the
+    second-generation RETIREMENT_CANDIDATES in queries.py.
+
+    Invariant-check form (the pq_ann_topk pattern): the deliverable
+    rows are the EXACT top-10 for the query vector (double-fold scores
+    DuckDB recomputes bit-wise) and ``recall_ok`` asserts the IVF-PQ
+    two-stage search covered >= 80% of them (0.9 measured at both test
+    SFs; the flag form survives testdata regeneration)."""
+    from pyspark.sql import Window
+
+    import numpy as np
+
+    from bharatmlstack_spark.functions.vector import dot
+    from bharatmlstack_spark.operators.ivfpq import IvfPqIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    cands = emb.filter(F.col("vec_id") >= 5)
+    idx = IvfPqIndex(n_cells=16, m=16, k=64).fit(cands, sample_size=1024)
+    ann = idx.search(
+        idx.index(cands), np.array(qrow[0]), k=10,
+        nprobe=8, rerank=cands, shortlist=100,
+    ).select("vec_id")
+
+    qcol = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    scored = cands.withColumn("score", dot(F.col("embedding"), qcol))
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    exact10 = defer_unpersist(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "score", "rank")
+        .persist()
+    )
+    hits = exact10.join(ann, ["vec_id"], "left_semi")
+    flag = (
+        hits.agg(F.count(F.lit(1)).alias("__n_hit"))
+        .crossJoin(exact10.agg(F.count(F.lit(1)).alias("__n_exact")))
+        .select(
+            (F.col("__n_hit") / F.col("__n_exact") >= 0.8).alias("recall_ok")
+        )
+    )
+    return exact10.crossJoin(F.broadcast(flag))
