@@ -1091,6 +1091,12 @@ RETIRED: list[tuple[str, str, str]] = [
 #    tests/test_ivfpq.py running the driver comparison; graduates via
 #    the dedup_ngram_jaccard retirement (head below) at the next
 #    rotation where that row sits outside the active window.
+# 2. queries_text.stream_sessionize — gap sessionization in its TRUE
+#    streaming-state form (applyInPandasWithState, cross-batch session
+#    continuity; streaming/ingest.stateful_sessionize), staged r14 with
+#    tests/test_stream_sessionize.py; oracle = the registered
+#    events_sessionize batch twin. Graduates via the bpe_merge_step
+#    retirement (second below).
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
     (
         "dedup_ngram_jaccard",

@@ -2328,3 +2328,97 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact10.crossJoin(F.broadcast(flag))
+
+
+# Streaming sessionization staged row (r14, rotation protocol (b)): the
+# oracle IS the registered events_sessionize twin — the strongest
+# statement available: the stateful streaming form must equal the batch
+# window form event-for-event.
+STAGED_ORACLES["stream_sessionize"] = """
+SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM (
+  SELECT event_id, user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+                     > 30 * 60 * 1000
+                OR LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  )
+)
+"""
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in its TRUE streaming-state form
+    (streaming/ingest.stateful_sessionize — applyInPandasWithState,
+    state = two longs per user), STAGED r14 (rotation protocol (b);
+    tests/test_stream_sessionize.py runs the driver comparison) —
+    pinned to graduate via the bpe_merge_step retirement, second of the
+    second-generation RETIREMENT_CANDIDATES in queries.py.
+
+    The events corpus replays as THREE time-ranged micro-batches
+    (boundaries from exact ts percentiles, so per-user arrival is
+    time-ordered across batches — the source contract Kafka per-key
+    ordering provides in production; mtimes pinned because the file
+    source breaks ties arbitrarily). Sessions that SPAN micro-batches
+    must keep their numbering through the cross-batch state, so the
+    emitted events — each exactly once, in its arrival batch — equal
+    the registered events_sessionize batch window row event-for-event
+    (the DuckDB twin recomputes it)."""
+    import os as _os
+
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        stateful_sessionize,
+    )
+
+    ev = load_events_ms(spark, sf_dir).select("user_id", "event_id", "ts_ms")
+    work = scratch_dir("bmls_sessstream_")
+    topic = f"{work}/topic"
+    _os.makedirs(topic, exist_ok=True)
+    b0, b1 = ev.agg(
+        F.expr("percentile(ts_ms, array(0.34, 0.67))")
+    ).head()[0]
+    tertile = (
+        F.when(F.col("ts_ms") < F.lit(int(b0)), 0)
+        .when(F.col("ts_ms") < F.lit(int(b1)), 1)
+        .otherwise(2)
+    )
+    seen: set[str] = set()
+    base = 1_600_000_000  # fixed epoch: only the ORDER of mtimes matters
+    for i in range(3):
+        ev.filter(tertile == i).coalesce(1).write.mode("append").parquet(
+            topic
+        )
+        for f in sorted(_os.listdir(topic)):
+            if f.endswith(".parquet") and f not in seen:
+                _os.utime(
+                    _os.path.join(topic, f), (base + i * 60, base + i * 60)
+                )
+                seen.add(f)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    out_path = f"{work}/emitted"
+
+    def _sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream(q, 600, "stateful_sessionize stream")
+    return spark.read.parquet(out_path).select(
+        "event_id", "user_id", "session_id"
+    )
