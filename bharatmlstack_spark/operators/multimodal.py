@@ -435,6 +435,92 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+SPECTROGRAM_SCHEMA = (
+    "media_id long, n_frames long, frame_energy long, "
+    "band_energy array<double>, parseval_ok boolean"
+)
+
+
+def spectrogram_features(
+    media: DataFrame, frame_len: int = 64, n_bands: int = 4
+) -> DataFrame:
+    """Spectral features over PCM16 audio through the REAL WAV codec:
+    non-overlapping rectangular frames of ``frame_len`` samples, numpy
+    rFFT per frame, |X|² pooled into ``n_bands`` equal bins-ranges and
+    summed over frames — the mapInPandas shape of a production
+    mel-spectrogram job (the mel filterbank swaps in for the equal-width
+    pooling; the framing/FFT/pool plumbing is identical).
+
+    Honest verification without an FFT in SQL: the output carries
+    ``frame_energy`` = Σ x[n]² over the framed samples — EXACT int64
+    arithmetic on the decoded int16s, so a SQL oracle recomputes it from
+    the closed-form fixture — and ``parseval_ok``, which asserts the
+    spectral side conserves it: with a rectangular window, hop ==
+    frame_len, and rFFT weights (1 for DC/Nyquist, 2 for interior bins,
+    all /N), Σ band_energy == frame_energy to float tolerance. A wrong
+    frame split, a dropped bin, a mis-weighted Nyquist, or a decode
+    off-by-one each break one of the two columns.
+
+    Scale: map-side only (Arrow batches, one vectorized rFFT per batch
+    row-group); at 100 TB the audio bytes stream through executors once,
+    nothing shuffles until whatever aggregates the features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, te, bands, ok = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                samples, _rate = decode_wav_pcm16(data)
+                n_frames = len(samples) // frame_len
+                framed = (
+                    samples[: n_frames * frame_len]
+                    .astype(np.float64)
+                    .reshape(n_frames, frame_len)
+                )
+                # exact integer energy over the framed samples (int16²
+                # sums fit int64 comfortably: < 2^30 per sample)
+                ints = samples[: n_frames * frame_len].astype(np.int64)
+                frame_energy = int((ints * ints).sum())
+                spec = np.fft.rfft(framed, axis=1)
+                power = (spec.real**2 + spec.imag**2) / float(frame_len)
+                # Parseval weights for even frame_len: interior bins
+                # carry their conjugate twin
+                w = np.full(power.shape[1], 2.0)
+                w[0] = 1.0
+                if frame_len % 2 == 0:
+                    w[-1] = 1.0
+                weighted = power * w[None, :]
+                # equal-width band pooling over the n_bins rFFT bins
+                n_bins = weighted.shape[1]
+                edges = np.linspace(0, n_bins, n_bands + 1).astype(int)
+                be = [
+                    float(weighted[:, edges[b] : edges[b + 1]].sum())
+                    for b in range(n_bands)
+                ]
+                spectral = float(sum(be))
+                ids.append(mid)
+                nfr.append(n_frames)
+                te.append(frame_energy)
+                bands.append(be)
+                ok.append(
+                    abs(spectral - frame_energy)
+                    <= 1e-9 * max(float(frame_energy), 1.0)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frames": nfr,
+                    "frame_energy": te,
+                    "band_energy": bands,
+                    "parseval_ok": ok,
+                }
+            )
+
+    return media.filter(F.col("modality") == "audio").mapInPandas(
+        run, schema=SPECTROGRAM_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
     """Frame sampling STUB with real batch plumbing: slices the binary
     payload at fixed strides (a real impl would seek keyframes). Output is

@@ -1097,6 +1097,12 @@ RETIRED: list[tuple[str, str, str]] = [
 #    tests/test_stream_sessionize.py; oracle = the registered
 #    events_sessionize batch twin. Graduates via the bpe_merge_step
 #    retirement (second below).
+# 3. queries_text.multimodal_spectrogram — audio spectrogram features
+#    through the real WAV codec (operators/multimodal.
+#    spectrogram_features: framing + rFFT + band pooling), staged r14
+#    with tests/test_spectrogram.py; oracle = exact int64 framed energy
+#    + Parseval conservation flag. Graduates via the
+#    multimodal_decode_stats retirement (third below).
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
     (
         "dedup_ngram_jaccard",

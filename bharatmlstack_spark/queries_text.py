@@ -2422,3 +2422,51 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_path).select(
         "event_id", "user_id", "session_id"
     )
+
+
+# Spectrogram staged row (r14, rotation protocol (b)): the deliverable
+# carries the EXACT framed time-domain energy (int64 arithmetic on the
+# decoded int16s — DuckDB recomputes it from the closed-form fixture)
+# plus parseval_ok asserting the FFT side conserves it; the band
+# energies themselves are pinned against a direct numpy STFT in
+# tests/test_spectrogram.py (no FFT in SQL).
+STAGED_ORACLES["multimodal_spectrogram"] = """
+WITH m AS (
+  SELECT i AS media_id, 120 + (i % 7) * 40 AS n_samples
+  FROM (SELECT UNNEST(generate_series(0, 47)) AS i) WHERE i % 2 = 1
+),
+f AS (SELECT media_id, n_samples, n_samples // 64 AS n_frames FROM m)
+SELECT media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(list_sum(list_transform(generate_series(0, n_frames * 64 - 1), k ->
+         CAST((media_id * 7919 + k * 104729) % 65536 - 32768 AS BIGINT)
+         * CAST((media_id * 7919 + k * 104729) % 65536 - 32768 AS BIGINT)
+       )) AS BIGINT) AS frame_energy,
+       TRUE AS parseval_ok
+FROM f
+"""
+
+
+def multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectrogram features through the REAL WAV codec
+    (operators/multimodal.spectrogram_features: non-overlapping 64-
+    sample frames, numpy rFFT, band-pooled power — the mapInPandas
+    shape of a production mel-spectrogram job). STAGED r14 (rotation
+    protocol (b); tests/test_spectrogram.py runs the driver comparison)
+    — pinned to graduate via the multimodal_decode_stats retirement,
+    third of the second-generation RETIREMENT_CANDIDATES in queries.py.
+
+    Invariant-check form: ``frame_energy`` is exact int64 over the
+    decoded framed samples (DuckDB recomputes it from the closed-form
+    fixture — a decode off-by-one or a wrong frame split breaks it) and
+    ``parseval_ok`` asserts the spectral side conserves exactly that
+    energy (a dropped bin, a mis-weighted Nyquist, or a scaling error
+    breaks it). The band energies are numpy-STFT-pinned in pytest."""
+    from bharatmlstack_spark.operators.multimodal import (
+        spectrogram_features,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, n=48)
+    out = spectrogram_features(media, frame_len=64, n_bands=4)
+    return out.select("media_id", "n_frames", "frame_energy", "parseval_ok")
