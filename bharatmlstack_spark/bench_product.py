@@ -136,6 +136,25 @@ def _prebuilt_streamed_postings(spark: SparkSession, sf_dir: str) -> str:
     return index_path
 
 
+def ann_ivfpq_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ fit + residual-code index + nprobe ADC + exact re-rank
+    top-10 (the product half of the staged ann_ivfpq_topk row — recorded
+    ahead of its graduation so the r15 registration lands with a bench
+    baseline)."""
+    import numpy as np
+
+    from bharatmlstack_spark.operators.ivfpq import IvfPqIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    cands = emb.filter(F.col("vec_id") >= 5)
+    idx = IvfPqIndex(n_cells=16, m=16, k=64).fit(cands, sample_size=1024)
+    return idx.search(
+        idx.index(cands), np.array(qrow[0]), k=10,
+        nprobe=8, rerank=cands, shortlist=100,
+    )
+
+
 def bm25_search_streamed_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 through the PREBUILT streamed postings index with one
     pending deletion wave — the flagship streamed-index family's read
@@ -156,4 +175,5 @@ PRODUCT_QUERIES = {
     "dedup_simhash_product": dedup_simhash_product,
     "dedup_minhash_lsh_product": dedup_minhash_lsh_product,
     "bm25_search_streamed_product": bm25_search_streamed_product,
+    "ann_ivfpq_product": ann_ivfpq_product,
 }
