@@ -1085,7 +1085,14 @@ RETIRED: list[tuple[str, str, str]] = [
 # keeps >=2 OTHER registered greens), drawn from the largest remaining
 # families. Retire strictly in this order:
 #
-# Staged registrants awaiting these slots (protocol (b)):
+# Staged registrants awaiting these slots (protocol (b)). All three
+# are graduation-ELIGIBLE at the r15 rotation: their pinned retirees
+# (dedup_ngram_jaccard, bpe_merge_step, multimodal_decode_stats) all
+# sit OUTSIDE the pre-planned r15 window — the first in the r16 block,
+# the other two in the r14 window that rotates out — so none is
+# untouchable the way sketch_union_distinct was at r13. Registering all
+# three at r15 places their first driver verdicts in the r16 window,
+# the same one-round lag every prior graduation rode:
 # 1. queries_text.ann_ivfpq_topk — IVF-PQ composed ANN (coarse cells +
 #    residual PQ codes, operators/ivfpq.py), staged r14 with
 #    tests/test_ivfpq.py running the driver comparison; graduates via
