@@ -3528,6 +3528,19 @@ def stream_postings_sink(
             n = postings.count()  # one evaluation; doubles as empty check
             if not n:
                 return
+            # pre-bump sidecar snapshot + ONE batch aggregate off the
+            # persisted base: feeds the versioned dup-id guard AND the
+            # post-append stats rollforward (_roll_postings_stats)
+            from bharatmlstack_spark.operators.feature_store import (
+                read_table_meta as _read_meta,
+            )
+
+            pre_meta = _read_meta(spark, index_path) or {}
+            bstats = base.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("id").alias("n_ids"),
+                F.sum(F.size("__w")).alias("dl"),
+            ).collect()[0]
             # meta BEFORE the appends: the counter bump is the stats
             # cache's staleness witness, so it must land first — a crash
             # between an append and a later meta write would leave
@@ -3547,27 +3560,23 @@ def stream_postings_sink(
                     else sig
                 ),
             )
+            dead_docs = dead_dl = 0
             if allow_updates:
                 # the versioned contract says "one row per id per
                 # micro-batch" — two versions of a doc in one batch
                 # would silently BLEND into a single aggregated posting
                 # (merged tf/positions under the same gen, and the
-                # probe's gen < gen_val filter tombstones neither). One
-                # cheap agg on the already-persisted base enforces the
-                # documented contract loudly instead.
-                dup = base.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.countDistinct("id").alias("n_ids"),
-                ).collect()[0]
-                if int(dup["n"]) != int(dup["n_ids"]):
+                # probe's gen < gen_val filter tombstones neither). The
+                # already-computed batch aggregate enforces it loudly.
+                if int(bstats["n"]) != int(bstats["n_ids"]):
                     raise ValueError(
                         f"stream_postings_sink(allow_updates=True): micro-"
-                        f"batch {batch_id} carries {int(dup['n'])} rows but "
-                        f"only {int(dup['n_ids'])} distinct {id_col!r} — "
-                        "duplicate doc ids within one batch would blend "
-                        "into a single posting under the same generation. "
-                        "Dedup upstream (e.g. last-write-wins per id per "
-                        "trigger) before the sink."
+                        f"batch {batch_id} carries {int(bstats['n'])} rows "
+                        f"but only {int(bstats['n_ids'])} distinct "
+                        f"{id_col!r} — duplicate doc ids within one batch "
+                        "would blend into a single posting under the same "
+                        "generation. Dedup upstream (e.g. last-write-wins "
+                        "per id per trigger) before the sink."
                     )
                 # re-arrival probe: read ONLY the batch ids' doclen
                 # bucket dirs for rows with an OLDER gen. Under pure
@@ -3590,22 +3599,41 @@ def stream_postings_sink(
                     )
                 ]
                 if probe_dirs:
-                    rearrived = (
+                    # persisted ONCE: feeds the tombstone wave AND the
+                    # stats rollforward's replaced-generation aggregate
+                    probe_rows = (
                         spark.read.option("basePath", dl_root)
                         .parquet(*probe_dirs)
                         .join(base.select("id").distinct(), "id", "left_semi")
                         .filter(F.col("gen") < F.lit(gen_val))
-                        .select("id")
-                        .distinct()
+                        .persist()
                     )
-                    id_type = rearrived.schema["id"].dataType
-                    _append_tombstones(
-                        spark,
-                        f"{index_path}/{TOMBSTONES_DIR}",
-                        rearrived,
-                        id_type,
-                        gen_lt=gen_val,
-                    )
+                    try:
+                        rearrived = probe_rows.select("id").distinct()
+                        id_type = rearrived.schema["id"].dataType
+                        _append_tombstones(
+                            spark,
+                            f"{index_path}/{TOMBSTONES_DIR}",
+                            rearrived,
+                            id_type,
+                            gen_lt=gen_val,
+                        )
+                        # the PREVIOUS live generation per re-arrived id
+                        # (max gen below gen_val — earlier gens were
+                        # already subtracted at their own replacement)
+                        drow = (
+                            probe_rows.groupBy("id")
+                            .agg(F.max_by("dl", "gen").alias("dl"))
+                            .agg(
+                                F.count(F.lit(1)).alias("c"),
+                                F.sum("dl").alias("s"),
+                            )
+                            .collect()[0]
+                        )
+                        dead_docs = int(drow["c"] or 0)
+                        dead_dl = int(drow["s"] or 0)
+                    finally:
+                        probe_rows.unpersist()
             (
                 postings.select(*cols)
                 .write.mode("append")
@@ -3623,6 +3651,21 @@ def stream_postings_sink(
                 .write.mode("append")
                 .partitionBy("id_bucket")
                 .parquet(f"{index_path}/{DOCLEN_DIR}")
+            )
+            # stats rollforward AFTER the appends (its stamp ordering
+            # contract): keeps the searches' cached (n_docs, sum_dl)
+            # live on an actively-appending stream instead of parking
+            # every between-compaction search on the doclen scan
+            _roll_postings_stats(
+                spark,
+                index_path,
+                pre_meta,
+                batch_id,
+                add_docs=int(bstats["n_ids"]),
+                add_dl=int(bstats["dl"] or 0),
+                dead_docs=dead_docs,
+                dead_dl=dead_dl,
+                batch_unique=int(bstats["n"]) == int(bstats["n_ids"]),
             )
             if auto_maintain:
                 # on a versioned stream, update-tombstones are steady
@@ -3737,19 +3780,26 @@ def bm25_search_streamed(
         tf = _mask_tombstoned(tf, tomb)
     if gen_cols:
         tf = tf.drop("gen")
-    # corpus stats: the sidecar cache (rolled forward by the compactor/
-    # rebucket) is provably fresh when NO batch has appended since it was
-    # written — the sink bumps the counter per batch, so counter==0 is
-    # the staleness witness — and no tombstones are pending (a delete
-    # drops the cache first, but the live set is the authority). Cached
-    # hit skips the search's only O(corpus) piece; miss pays one thin
-    # two-column map-side aggregate.
+    # corpus stats: the sidecar cache is provably fresh when its stamp
+    # matches the live batch counter — the compactor/rebucket write it
+    # stamped at their (reset) counter, and the sink's per-batch
+    # rollforward (_roll_postings_stats) re-stamps after every exact
+    # append, so an actively-appending stream keeps the cached path. A
+    # crash window, redelivery, or a blended batch leaves the stamp
+    # behind the counter and the scan path takes over. Pending
+    # tombstones: a DELETE drops the cache outright (so fresh stats
+    # never coexist with an unaccounted delete); a versioned stream's
+    # update-tombstones are already subtracted by the rollforward, so
+    # the cache equals the masked scan there. Cached hit skips the
+    # search's only O(corpus) piece; miss pays one thin two-column
+    # map-side aggregate.
     n_docs, sum_dl = meta.get("n_docs"), meta.get("sum_dl")
     if (
         n_docs
         and sum_dl is not None
-        and int(meta.get(MAINT_COUNTER_KEY, 1)) == 0
-        and tomb is None
+        and "stats_counter" in meta
+        and int(meta["stats_counter"]) == int(meta.get(MAINT_COUNTER_KEY, -1))
+        and (tomb is None or bool(meta.get("versioned")))
     ):
         stats = spark.range(1).select(
             F.lit(float(n_docs)).alias("__n_docs"),
@@ -3858,6 +3908,7 @@ def _cache_postings_stats(
             return
         meta.pop("n_docs", None)
         meta.pop("sum_dl", None)
+        meta.pop("stats_counter", None)
     else:
         doclen_path = f"{index_path}/{DOCLEN_DIR}"
         if not hadoop_path_exists(spark, doclen_path):
@@ -3871,6 +3922,84 @@ def _cache_postings_stats(
             return
         meta["n_docs"] = int(row["n"])
         meta["sum_dl"] = int(row["s"])
+        # the batch counter AT WHICH these stats are accurate: searches
+        # trust the cache iff stats_counter == the live counter, so a
+        # later append (counter bump) invalidates automatically unless
+        # the sink's per-batch rollforward re-stamps it
+        meta["stats_counter"] = int(meta.get(MAINT_COUNTER_KEY, 0))
+    hadoop_write_text_atomic(
+        spark, _os.path.join(index_path, TABLE_META_FILE), _json.dumps(meta)
+    )
+
+
+def _roll_postings_stats(
+    spark: SparkSession,
+    index_path: str,
+    pre: dict,
+    batch_id: int,
+    add_docs: int,
+    add_dl: int,
+    dead_docs: int,
+    dead_dl: int,
+    batch_unique: bool,
+) -> None:
+    """Per-batch corpus-stats rollforward — keeps the sidecar cache live
+    on an ACTIVELY-APPENDING stream (without this, every search between
+    compactions pays the doclen scan, the read path's only O(corpus)
+    piece). The sink calls this AFTER its appends with the batch's
+    (docs, Σdl) and — versioned streams — the replaced previous-live
+    generations' (docs, Σdl) from the re-arrival probe it already paid
+    for, so the rolled stats equal the masked deduped scan EXACTLY
+    (integer adds of integer aggregates; the cached avgdl divides the
+    same two numbers the scan would).
+
+    Rolls ONLY when provably exact, else silently leaves the cache
+    stale (the search's stats_counter check then falls back to the
+    scan, and the next compaction re-seeds):
+    - ``pre`` (the sidecar BEFORE this batch's counter bump) held stats
+      stamped fresh (stats_counter == pre counter), or the root is
+      brand new (no last_batch_id: start from (0, 0));
+    - the batch id is strictly increasing (a redelivered batch would
+      re-add rows the stats already count — its rows are byte-identical
+      and dedup'd by readers, so the OLD stats stay accurate but are
+      left unstamped out of caution);
+    - the batch has one row per id (``batch_unique`` — blended doclen
+      rows make 'the doc's dl' ill-defined; the versioned sinks refuse
+      such batches outright, the unversioned contract documents them).
+
+    Crash safety is the stamp ordering: the counter bump lands BEFORE
+    the appends (meta-first), this stamp lands AFTER them — a crash
+    anywhere between leaves stats_counter < counter and searches scan."""
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text_atomic,
+        read_table_meta,
+    )
+
+    last = pre.get(MAINT_LAST_BATCH_KEY)
+    fresh_root = last is None
+    monotonic = fresh_root or int(batch_id) > int(last)
+    had = (
+        "n_docs" in pre
+        and "sum_dl" in pre
+        and int(pre.get("stats_counter", -1))
+        == int(pre.get(MAINT_COUNTER_KEY, 0))
+    )
+    if not batch_unique or not monotonic or not (had or fresh_root):
+        return
+    old_docs = int(pre["n_docs"]) if had else 0
+    old_dl = int(pre["sum_dl"]) if had else 0
+    n_docs = old_docs + int(add_docs) - int(dead_docs)
+    sum_dl = old_dl + int(add_dl) - int(dead_dl)
+    if n_docs <= 0 or sum_dl < 0:
+        return  # arithmetic went impossible — leave the scan path
+    meta = read_table_meta(spark, index_path) or {}
+    meta["n_docs"] = int(n_docs)
+    meta["sum_dl"] = int(sum_dl)
+    meta["stats_counter"] = int(meta.get(MAINT_COUNTER_KEY, 0))
     hadoop_write_text_atomic(
         spark, _os.path.join(index_path, TABLE_META_FILE), _json.dumps(meta)
     )
