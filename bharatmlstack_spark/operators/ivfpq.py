@@ -63,6 +63,14 @@ class IvfPqIndex:
         id_col: str = "vec_id",
         emb_col: str = "embedding",
     ) -> None:
+        if k > 128:
+            # codes are stored array<tinyint>; code ids 128..255 would
+            # silently wrap negative and _adc would gather from the wrong
+            # end of the distance table
+            raise ValueError(
+                f"k={k} exceeds tinyint code range (max 128); "
+                "use k<=128 or widen code storage"
+            )
         self.n_cells, self.m, self.k = n_cells, m, k
         self.fit_iters, self.seed = fit_iters, seed
         self.id_col, self.emb_col = id_col, emb_col
@@ -84,16 +92,11 @@ class IvfPqIndex:
         codebooks model what the coarse quantizer leaves behind)."""
         self.ivf.fit(df, sample_size=sample_size, iters=ivf_iters)
         cents = np.asarray(self.ivf.centroids, dtype=np.float64)
-        # the same deterministic sample IvfIndex used (hash-least rows):
-        # re-collect rather than thread it through — fit is a one-time
-        # driver-side cost either way
-        rows = (
-            df.orderBy(F.xxhash64(F.col(self.id_col)), F.col(self.id_col))
-            .select(self.emb_col)
-            .limit(sample_size)
-            .collect()
-        )
-        x = np.array([r[0] for r in rows], dtype=np.float64)
+        # literally the same sample IvfIndex.fit trained on — retained by
+        # fit (including its hash-threshold thinning and small-input
+        # fallback), so the residual codebooks model exactly what the
+        # coarse quantizer leaves behind on its own training set
+        x = np.asarray(self.ivf._fit_sample, dtype=np.float64)
         dim = x.shape[1]
         if dim % self.m:
             raise ValueError(f"dim {dim} not divisible by m={self.m}")

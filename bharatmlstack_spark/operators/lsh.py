@@ -207,6 +207,9 @@ class IvfIndex:
                 .collect()
             )
         sample = np.array([r[0] for r in thinned], dtype=np.float64)
+        # retained so composed quantizers (IvfPqIndex) can train their
+        # residual codebooks on the SAME sample without re-collecting
+        self._fit_sample = sample
         rng = np.random.default_rng(self.seed)
         cents = sample[rng.choice(len(sample), size=min(self.n_cells, len(sample)), replace=False)]
         for _ in range(iters):

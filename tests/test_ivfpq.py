@@ -162,3 +162,36 @@ def test_ann_ivfpq_topk_matches_duckdb_oracle(spark):
     order = [rel.columns.index(c) for c in cols]
     ref = sorted(tuple(r[i] for i in order) for r in rel.fetchall())
     assert got == ref
+
+
+def test_k_above_tinyint_range_refused():
+    """Codes are stored array<tinyint>: k=256 (the conventional PQ
+    setting) would silently wrap codes >=128 negative and _adc would
+    gather from the wrong end of the table (r14 ADVICE). Refuse loudly
+    at construction."""
+    with pytest.raises(ValueError, match="tinyint"):
+        IvfPqIndex(k=256)
+    IvfPqIndex(k=128)  # boundary ok
+
+
+def test_pq_trains_on_ivf_retained_sample(spark, fitted):
+    """The PQ codebooks must train on LITERALLY the sample IvfIndex.fit
+    trained the coarse centroids on (including its hash-threshold
+    thinning / small-input fallback), not an independently re-collected
+    one (r14 ADVICE): recompute the residual k-means from the retained
+    sample and require bit-equality."""
+    from bharatmlstack_spark.operators.pq import _kmeans
+
+    idx, _ = fitted
+    x = np.asarray(idx.ivf._fit_sample, dtype=np.float64)
+    cents = np.asarray(idx.ivf.centroids, dtype=np.float64)
+    d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = (x - cents[d.argmin(axis=1)]).astype(np.float32)
+    sub = x.shape[1] // idx.m
+    books = np.stack(
+        [
+            _kmeans(resid[:, j * sub : (j + 1) * sub], idx.k, idx.fit_iters)
+            for j in range(idx.m)
+        ]
+    )
+    assert np.array_equal(books, idx.codebooks)
