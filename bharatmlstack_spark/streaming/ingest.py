@@ -1439,6 +1439,30 @@ def stream_ann_ivf_sink(
             n = assigned.count()
             if not n:
                 return
+            if allow_updates:
+                # the versioned contract says "one row per id per
+                # micro-batch" — two versions of a doc in one batch
+                # would silently BLEND (same gen, probe tombstones
+                # neither, dedup picks arbitrarily). One cheap agg on
+                # the already-persisted frame enforces it loudly —
+                # BEFORE the meta write, so a refused batch leaves the
+                # sidecar untouched (a meta bump for a batch that never
+                # appended would trip the non-monotonic batch-id check
+                # on the legitimate retry, flag a spurious redelivery,
+                # and park the stats rollforward on the scan path).
+                dup = assigned.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct(ivf.id_col).alias("n_ids"),
+                ).collect()[0]
+                if int(dup["n"]) != int(dup["n_ids"]):
+                    raise ValueError(
+                        f"stream_ann_ivf_sink(allow_updates=True): micro-"
+                        f"batch {batch_id} carries {int(dup['n'])} rows but "
+                        f"only {int(dup['n_ids'])} distinct {ivf.id_col!r} "
+                        "— duplicate ids within one batch would blend into "
+                        "the same generation. Dedup upstream (e.g. last-"
+                        "write-wins per id per trigger) before the sink."
+                    )
             # meta BEFORE the appends (the postings sink's ordering,
             # ingest.py:3395): next_gen_base must roll forward to
             # gen_val + 1 before any gen_val row exists — a crash in
@@ -1466,24 +1490,6 @@ def stream_ann_ivf_sink(
                 },
             )
             if allow_updates:
-                # the versioned contract says "one row per id per
-                # micro-batch" — two versions of a doc in one batch
-                # would silently BLEND (same gen, probe tombstones
-                # neither, dedup picks arbitrarily). One cheap agg on
-                # the already-persisted frame enforces it loudly.
-                dup = assigned.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.countDistinct(ivf.id_col).alias("n_ids"),
-                ).collect()[0]
-                if int(dup["n"]) != int(dup["n_ids"]):
-                    raise ValueError(
-                        f"stream_ann_ivf_sink(allow_updates=True): micro-"
-                        f"batch {batch_id} carries {int(dup['n'])} rows but "
-                        f"only {int(dup['n_ids'])} distinct {ivf.id_col!r} "
-                        "— duplicate ids within one batch would blend into "
-                        "the same generation. Dedup upstream (e.g. last-"
-                        "write-wins per id per trigger) before the sink."
-                    )
                 # re-arrival probe against the _ids registry: only the
                 # batch ids' bucket dirs are read (the index itself
                 # cannot answer "where did this id's OLD embedding
@@ -3143,34 +3149,68 @@ def stateful_sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts_ms",
     id_col: str = "event_id",
+    evict_idle: bool = False,
+    watermark_delay: str = "10 minutes",
 ):
     """Gap-based sessionization with TRUE cross-batch state via
     applyInPandasWithState — the streaming-state form of the registered
     ``events_sessionize`` row (lag + running sum): state = (last event
-    time, sessions so far) per user, each micro-batch sorts its own rows
+    time, current session) per user, each micro-batch sorts its own rows
     by (ts, id), opens a new session on a ``gap_ms`` silence, and emits
     every event ONCE with its session id. A session spanning micro-
-    batches keeps its number — the part the batch window can't give an
+    batches keeps its identity — the part the batch window can't give an
     unbounded stream — and the state is two longs per user, not the
     events.
 
-    Source contract: per-user arrival must be time-ordered ACROSS
-    micro-batches (Kafka per-key ordering / time-ranged files — the
-    same ordering contract the versioned sinks document); rows within a
-    batch may arrive in any order (sorted here). Ties at a batch
-    boundary are safe: an equal timestamp never opens a session. The
-    production extension is an event-time timeout that CLOSES idle
-    sessions and evicts their state (GroupStateTimeout.EventTimeTimeout
-    + a watermark); this form keeps state per user seen — fine at one
-    (long, long) per user, and what the exact batch-equality oracle can
-    gate."""
+    ``evict_idle=True`` is the form that survives an UNBOUNDED user
+    population (the reference's bounded-retention discipline,
+    interaction-store/internal/constants/constants.go:5-24): the input
+    gains an event-time watermark (``timestamp_millis(ts_col)``,
+    ``watermark_delay`` late-allowance) and each user's state carries an
+    EventTimeTimeout at ``last_ts + gap_ms``. Once the watermark passes
+    it, the session can never be extended again — any event that could
+    (ts <= last_ts + gap) is by then later-than-watermark late — so the
+    timeout invocation REMOVES the state. Because an ordinal counter
+    dies with the evicted state, this mode identifies a session by its
+    FIRST event's ``ts_col`` value (``session_start_ms``), which a
+    returning user can never need: their next event is > gap past the
+    evicted session by the same watermark argument, so it starts a
+    fresh session whose id is its own timestamp. State size is bounded
+    by the ACTIVE population (users inside watermark - gap), not users
+    ever seen. ``evict_idle=False`` keeps the ordinal ``session_id``
+    and NoTimeout — exact vs the batch oracle for bounded key
+    populations, unbounded state on unbounded ones.
+
+    Source contract (both modes): per-user arrival must be time-ordered
+    ACROSS micro-batches (Kafka per-key ordering / time-ranged files —
+    the same ordering contract the versioned sinks document); rows
+    within a batch may arrive in any order (sorted here). Ties at a
+    batch boundary are safe: an equal timestamp never opens a session.
+    With ``evict_idle`` the source must additionally respect the
+    watermark (no events later-than-watermark late — the standard
+    Structured Streaming contract); within it, eviction is
+    OBSERVATIONALLY FREE: the emitted rows equal the batch
+    recomputation exactly, which is what the registered
+    ``stream_sessionize`` row's DuckDB twin gates."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{user_col} long, {id_col} long, session_id long"
+    sess_col = "session_start_ms" if evict_idle else "session_id"
+    out_schema = f"{user_col} long, {id_col} long, {sess_col} long"
     state_schema = "last_ts long, sess long"
+    src = stream_df
+    if evict_idle:
+        src = stream_df.withColumn(
+            "__ets", F.timestamp_millis(F.col(ts_col).cast("long"))
+        ).withWatermark("__ets", watermark_delay)
 
     def update(key, pdf_iter, state: GroupState):
+        if evict_idle and state.hasTimedOut:
+            # watermark passed last_ts + gap: the session is closed for
+            # good (extending it would need an event later-than-
+            # watermark late) — drop the two longs
+            state.remove()
+            return
         last_ts, sess = state.get if state.exists else (None, 0)
         pdfs = [pdf for pdf in pdf_iter if len(pdf)]
         if not pdfs:
@@ -3180,24 +3220,35 @@ def stateful_sessionize(
         for ts in batch[ts_col]:
             ts = int(ts)
             if last_ts is None or ts - last_ts > gap_ms:
-                sess += 1
+                sess = ts if evict_idle else sess + 1
             out.append(sess)
             last_ts = ts
         state.update((last_ts, sess))
+        if evict_idle:
+            # must exceed the current watermark or Spark refuses: a
+            # batch can process rows already older than watermark+gap
+            # (they were on the wire when the watermark advanced)
+            state.setTimeoutTimestamp(
+                max(last_ts + gap_ms + 1, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(
             {
                 user_col: [key[0]] * len(out),
                 id_col: batch[id_col].to_numpy(),
-                "session_id": out,
+                sess_col: out,
             }
         )
 
-    return stream_df.groupBy(user_col).applyInPandasWithState(
+    return src.groupBy(user_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict_idle
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -3541,6 +3592,27 @@ def stream_postings_sink(
                 F.countDistinct("id").alias("n_ids"),
                 F.sum(F.size("__w")).alias("dl"),
             ).collect()[0]
+            if allow_updates and int(bstats["n"]) != int(bstats["n_ids"]):
+                # the versioned contract says "one row per id per
+                # micro-batch" — two versions of a doc in one batch
+                # would silently BLEND into a single aggregated posting
+                # (merged tf/positions under the same gen, and the
+                # probe's gen < gen_val filter tombstones neither).
+                # Refuse BEFORE the meta write, so the refused batch
+                # leaves the sidecar untouched: a meta bump here would
+                # trip the non-monotonic batch-id check on the
+                # legitimate retry of the same batch_id, flag a
+                # spurious redelivery, and park the stats rollforward
+                # on the scan path permanently.
+                raise ValueError(
+                    f"stream_postings_sink(allow_updates=True): micro-"
+                    f"batch {batch_id} carries {int(bstats['n'])} rows "
+                    f"but only {int(bstats['n_ids'])} distinct "
+                    f"{id_col!r} — duplicate doc ids within one batch "
+                    "would blend into a single posting under the same "
+                    "generation. Dedup upstream (e.g. last-write-wins "
+                    "per id per trigger) before the sink."
+                )
             # meta BEFORE the appends: the counter bump is the stats
             # cache's staleness witness, so it must land first — a crash
             # between an append and a later meta write would leave
@@ -3562,22 +3634,6 @@ def stream_postings_sink(
             )
             dead_docs = dead_dl = 0
             if allow_updates:
-                # the versioned contract says "one row per id per
-                # micro-batch" — two versions of a doc in one batch
-                # would silently BLEND into a single aggregated posting
-                # (merged tf/positions under the same gen, and the
-                # probe's gen < gen_val filter tombstones neither). The
-                # already-computed batch aggregate enforces it loudly.
-                if int(bstats["n"]) != int(bstats["n_ids"]):
-                    raise ValueError(
-                        f"stream_postings_sink(allow_updates=True): micro-"
-                        f"batch {batch_id} carries {int(bstats['n'])} rows "
-                        f"but only {int(bstats['n_ids'])} distinct "
-                        f"{id_col!r} — duplicate doc ids within one batch "
-                        "would blend into a single posting under the same "
-                        "generation. Dedup upstream (e.g. last-write-wins "
-                        "per id per trigger) before the sink."
-                    )
                 # re-arrival probe: read ONLY the batch ids' doclen
                 # bucket dirs for rows with an OLDER gen. Under pure
                 # redelivery the first delivery's rows carry

@@ -303,3 +303,63 @@ def test_ivf_meta_rolls_gen_base_before_appends(spark, updated_index):
     reg = spark.read.parquet(index_path + IVF_IDS_SUFFIX)
     max_reg = reg.agg(F.max("gen")).collect()[0][0]
     assert nxt > int(max_live) and nxt > int(max_reg)
+
+
+def test_ivf_refused_batch_leaves_sidecar_untouched(spark, tmp_path):
+    """The dup-id refusal must run BEFORE the meta write (r14 ADVICE):
+    a sidecar bump for a batch that never appended would advance
+    next_gen_base and last_batch_id, so the legitimate retry of the
+    SAME batch_id trips the non-monotonic check and flags a spurious
+    redelivery. Pin: refusal leaves the meta file byte-identical; the
+    corrected retry of the same batch then lands with no
+    redelivery_suspected and the expected generation."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    ivf = _fit_ivf(spark)
+    topic = str(tmp_path / "topic")
+    index_path = str(tmp_path / "index")
+    spark.createDataFrame(
+        sorted(V0.items()), "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(topic)
+    _run_sink(spark, tmp_path, ivf, index_path, topic, "ck")
+    before = read_table_meta(spark, index_path)
+    assert before["last_batch_id"] == 0
+    assert "redelivery_suspected" not in before
+
+    # batch 1 carries two embeddings for id 5 → refused loudly
+    import glob as _glob
+
+    spark.createDataFrame(
+        [(5, _vec(105)), (5, _vec(205))],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("append").parquet(topic)
+    new_files = sorted(
+        _glob.glob(os.path.join(topic, "*.parquet")), key=os.path.getmtime
+    )
+    with pytest.raises(Exception, match="duplicate ids"):
+        _run_sink(spark, tmp_path, ivf, index_path, topic, "ck")
+    assert read_table_meta(spark, index_path) == before
+
+    # fix the batch IN PLACE (the offset log pins the file path, so the
+    # checkpoint re-attempts the SAME batch_id with corrected content)
+    import shutil
+
+    bad = new_files[-1]
+    fix_dir = str(tmp_path / "fixed")
+    spark.createDataFrame(
+        [(5, _vec(105))], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(fix_dir)
+    fixed = _glob.glob(os.path.join(fix_dir, "*.parquet"))[0]
+    shutil.copyfile(fixed, bad)
+    # drop the stale Hadoop .crc sidecar for the rewritten file
+    crc = os.path.join(topic, f".{os.path.basename(bad)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_sink(spark, tmp_path, ivf, index_path, topic, "ck")
+    after = read_table_meta(spark, index_path)
+    assert after["last_batch_id"] == 1
+    assert "redelivery_suspected" not in after
+    assert after["next_gen_base"] == before["next_gen_base"] + 1
+    assert _read_vecs(spark, index_path)[5] == tuple(
+        round(float(x), 5) for x in _vec(105)
+    )

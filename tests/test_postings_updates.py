@@ -305,3 +305,49 @@ def test_duplicate_ids_in_one_batch_refused(spark, tmp_path):
         f.write(json.dumps({"doc_id": 10, "text": "innocent bystander"}) + "\n")
     with pytest.raises(Exception, match="duplicate doc ids"):
         _run_sink(spark, src, str(tmp_path / "index"), str(tmp_path / "ck"))
+
+
+def test_refused_batch_leaves_sidecar_untouched(spark, tmp_path):
+    """A dup-id batch must be refused BEFORE the meta write: a sidecar
+    bump for a batch that never appended would trip the non-monotonic
+    batch-id check on the legitimate retry of the SAME batch_id, flag a
+    spurious redelivery, and park the stats rollforward on the scan
+    path permanently (r14 ADVICE). Pin: refusal leaves the meta file
+    byte-identical; the corrected retry of the same batch then lands
+    with no redelivery_suspected and the (n_docs, sum_dl) rollforward
+    still active."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(src, "b0.json", V0, mtime=1_000)
+    index_path = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    _run_sink(spark, src, index_path, ck)
+    before = read_table_meta(spark, index_path)
+    assert before["last_batch_id"] == 0
+    assert "redelivery_suspected" not in before
+    assert before["n_docs"] == len(V0)  # rollforward active
+
+    # batch 1 carries two versions of doc 9 → refused loudly
+    bad = os.path.join(src, "b1.json")
+    with open(bad, "w") as f:
+        f.write(json.dumps({"doc_id": 9, "text": "one version"}) + "\n")
+        f.write(json.dumps({"doc_id": 9, "text": "another version"}) + "\n")
+    os.utime(bad, (2_000, 2_000))
+    with pytest.raises(Exception, match="duplicate doc ids"):
+        _run_sink(spark, src, index_path, ck)
+    assert read_table_meta(spark, index_path) == before
+
+    # fix the batch IN PLACE (the offset log pins the file path, so the
+    # checkpoint re-attempts the SAME batch_id with corrected content —
+    # production's dedup-upstream-then-retry) → must land cleanly
+    with open(bad, "w") as f:
+        f.write(json.dumps({"doc_id": 9, "text": "one version"}) + "\n")
+    os.utime(bad, (2_000, 2_000))
+    _run_sink(spark, src, index_path, ck)
+    after = read_table_meta(spark, index_path)
+    assert after["last_batch_id"] == 1
+    assert "redelivery_suspected" not in after
+    assert after["n_docs"] == len(V0) + 1
+    assert after["sum_dl"] == before["sum_dl"] + 2
