@@ -12,7 +12,8 @@ import pytest
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
-def _run_stream(spark, tmp_path, batches, gap_ms=30 * 60 * 1000):
+def _run_stream(spark, tmp_path, batches, gap_ms=30 * 60 * 1000,
+                evict=False, watermark_delay="10 minutes"):
     """Drive stateful_sessionize over pre-split, mtime-pinned batch
     files; return {(user, event): session}."""
     import json
@@ -44,7 +45,10 @@ def _run_stream(spark, tmp_path, batches, gap_ms=30 * 60 * 1000):
         batch_df.write.mode("append").parquet(out)
 
     q = (
-        stateful_sessionize(stream, gap_ms=gap_ms)
+        stateful_sessionize(
+            stream, gap_ms=gap_ms, evict_idle=evict,
+            watermark_delay=watermark_delay,
+        )
         .writeStream.outputMode("update")
         .foreachBatch(_sink)
         .option("checkpointLocation", str(tmp_path / "ck"))
@@ -52,8 +56,9 @@ def _run_stream(spark, tmp_path, batches, gap_ms=30 * 60 * 1000):
         .start()
     )
     await_stream(q, 300, "stateful_sessionize")
+    sess_col = "session_start_ms" if evict else "session_id"
     return {
-        (r.user_id, r.event_id): r.session_id
+        (r.user_id, r.event_id): r[sess_col]
         for r in spark.read.parquet(out).collect()
     }
 
@@ -127,3 +132,72 @@ def test_stream_sessionize_matches_duckdb_oracle(spark):
     order = [rel.columns.index(c) for c in cols]
     ref = sorted(tuple(r[i] for i in order) for r in rel.fetchall())
     assert got == ref
+
+
+def test_evicting_mode_same_sessions_start_keyed(spark, tmp_path):
+    """evict_idle=True must produce the SAME session grouping as the
+    ordinal mode — identified by the session's first event ts instead
+    of a counter (the id an eviction can never lose)."""
+    B = 1_000 * MIN  # off the epoch: ts==0 sits ON the initial watermark
+    got = _run_stream(
+        spark,
+        tmp_path,
+        [
+            [(1, 10, B), (1, 11, B + 10 * MIN)],
+            [(1, 12, B + 35 * MIN), (1, 13, B + 90 * MIN)],
+            [(1, 14, B + 100 * MIN), (2, 20, B + 101 * MIN)],
+        ],
+        evict=True,
+    )
+    assert got == {
+        (1, 10): B, (1, 11): B, (1, 12): B,
+        (1, 13): B + 90 * MIN, (1, 14): B + 90 * MIN,
+        (2, 20): B + 101 * MIN,
+    }
+
+
+def test_idle_state_evicted_after_watermark(spark, tmp_path):
+    """THE bounded-state pin (r14 verdict task 3): once the watermark
+    passes an idle user's last_ts + gap, their state rows are REMOVED
+    from the state store — state scales with the active population, not
+    users ever seen. Read the store back via the statestore data
+    source; only the still-active user may remain."""
+    B = 1_000 * MIN
+    _run_stream(
+        spark,
+        tmp_path,
+        [
+            # user 1: one event at B, then silent forever
+            [(1, 10, B), (2, 20, B)],
+            # user 2 stays active; max event time B+100' drives the
+            # watermark to B+90' > user 1's B + 30' gap at batch 2
+            [(2, 21, B + 100 * MIN)],
+            [(2, 22, B + 200 * MIN)],
+        ],
+        evict=True,
+    )
+    state = (
+        spark.read.format("statestore")
+        .load(str(tmp_path / "ck"))
+        .select("key.user_id")
+        .collect()
+    )
+    assert sorted(r.user_id for r in state) == [2]
+
+
+def test_no_evict_mode_keeps_all_state(spark, tmp_path):
+    """Contrast pin: the ordinal (NoTimeout) mode keeps every user's
+    state forever — the documented trade the evicting mode exists to
+    close."""
+    _run_stream(
+        spark,
+        tmp_path,
+        [[(1, 10, 0), (2, 20, 0)], [(2, 21, 100 * MIN)], [(2, 22, 200 * MIN)]],
+    )
+    state = (
+        spark.read.format("statestore")
+        .load(str(tmp_path / "ck"))
+        .select("key.user_id")
+        .collect()
+    )
+    assert sorted(r.user_id for r in state) == [1, 2]
