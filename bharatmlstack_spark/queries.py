@@ -767,11 +767,16 @@ from bharatmlstack_spark.queries_joins import (  # noqa: E402,F401
     distinct_users_by_type,
     events_value_histogram,
     multimodal_decode_rgb,
+    multimodal_decode_stats,
     salted_dim_join,
     segment_except,
 )
 from bharatmlstack_spark.queries_corpus import (  # noqa: E402,F401
     sketch_union_distinct,
+)
+from bharatmlstack_spark.queries_text import (  # noqa: E402,F401
+    bpe_merge_step,
+    dedup_ngram_jaccard,
 )
 
 
@@ -784,25 +789,31 @@ from bharatmlstack_spark.queries_corpus import (  # noqa: E402,F401
 # once; redundant variants of already-covered families come after. Names not
 # listed here sort last in registration order.
 # ---------------------------------------------------------------------------
-# Rotation state as of ROUND 14 (2026-08-16). Registry = 149 (steady
-# since r10): ten executed retirements (rpn_literal_div r09;
+# Rotation state as of ROUND 15 (2026-08-16). Registry = 149 (steady
+# since r10): thirteen executed retirements (rpn_literal_div r09;
 # rpn_bool_compare + segment_except r10; multimodal_decode_rgb r11;
 # knn_dot r12; salted_dim_join r13; cube_orders_status +
 # distinct_users_by_type + events_value_histogram +
-# sketch_union_distinct r14), with registrations riding those slots
+# sketch_union_distinct r14; dedup_ngram_jaccard + bpe_merge_step +
+# multimodal_decode_stats r15), with registrations riding those slots
 # (feature_retrieve_string_vector + stream_semantic_dedup_sink r10;
 # dedup_cross_corpus r11; ann_refit_search r12; stream_bm25_search r13;
 # stream_phrase_search + stream_delete_search + stream_update_search +
-# stream_upsert_ann_search r14 — the four staged streamed-index rows,
-# draining RETIREMENT_CANDIDATES exactly as the r13 verdict's tasks
-# 2/3/6 prescribed).
-# Windows: r14 = first 50 below (the 48 remaining r11-era greens +
-# stream_bm25_search's first verdict + bm25_topk pulled forward,
-# pre-planned since r13 and executed unshuffled); r15 = the next 50
-# (the four r14 graduations' first verdicts + 46 r12-era greens); r16 =
-# the last 49 (3 r12-era greens + the 46 r13-era greens). Freshness
-# contract: after each round no registered query's newest green is
-# older than two rounds back.
+# stream_upsert_ann_search r14; ann_ivfpq_topk + stream_sessionize +
+# multimodal_spectrogram r15 — the three second-generation
+# graduations, exactly as the r14 verdict's tasks 2/3/4 prescribed).
+# Windows: r15 = first 50 below (the four r14 graduations' first
+# verdicts + the 46 oldest r12-era greens, executed verbatim as
+# pre-planned since r13); r16 = the next 50 (the three r15
+# graduations' first verdicts + the 3 r12-era leftovers + 44 r13-era
+# greens); r17 = the last 49 (the spilled table_profile + the 48
+# registered rows of the r14 window). Freshness contract: after each
+# round no registered query's newest green is older than two rounds
+# back — with the pre-planned one-round overhang of the 3 r12-era
+# leftovers (see the r15 window comment: 53 rows due, 50 slots) and
+# of table_profile at r16 (51 due, 50 slots); both lead the next
+# window, so neither ever goes three rounds unverified by MORE than
+# that forced single round.
 #
 # Retirement protocol (pinned r09): a new operator must either
 # (a) retire one row from RETIREMENT_CANDIDATES below one-for-one
@@ -812,69 +823,16 @@ from bharatmlstack_spark.queries_corpus import (  # noqa: E402,F401
 # (pytest replicating the driver comparison, like tests/
 # test_retrieval.py did for the four rows registered in r09).
 QUERY_PRIORITY: list[str] = [
-    # ROUND-14 WINDOW (first 50 — the driver verifies exactly these):
-    # the 48 remaining r11-era greens + stream_bm25_search (graduated
-    # r13 onto the pinned salted_dim_join retirement slot — its FIRST
-    # driver verdict, this window's gating event) + bm25_topk (the
-    # oldest r12-era green, pulled forward to fill the 50th slot — the
-    # same pull-forward the r13 window used). Executed exactly as
-    # pre-planned since r13, unshuffled.
-    "dedup_cross_corpus",
-    "stream_dedup_minhash",
-    "bpe_learn_until_vocab",
-    "bpe_merge_step",
-    "cohort_retention",
-    "copurchase_pairs",
-    "corpus_filter_chain",
-    "corpus_mix_sample",
-    "doc_fingerprint",
-    "dot_score_ids",
-    "event_transition_matrix",
-    "events_limit_clamp",
-    "feature_schema_evolution",
-    "fuzzy_name_match",
-    "grouping_sets_orders",
-    "key_skew_report",
-    "key_string_join",
-    "knn_euclidean",
-    "lang_id_heuristic",
-    "multimodal_decode_audio_feature",
-    "multimodal_decode_image",
-    "multimodal_decode_stats",
-    "norm_min_max",
-    "norm_percentile_5_95",
-    "pair_expansion",
-    "percentile_rank",
-    "pii_redact",
-    "pipeline_inference",
-    "q3_shipping_priority",
-    "quality_score",
-    "request_validation_matrix",
-    "rpn_score",
-    "stream_bm25_search",
-    "salted_hot_key_agg",
-    "segment_intersect",
-    "shard_manifest",
-    "slate_expansion",
-    "span_dedup_exact",
-    "stratified_sample",
-    "stream_ann_ivf_dot",
-    "stream_cdc_gc",
-    "stream_dedup_watermark",
-    "temporal_split",
-    "topk_orders",
-    "train_test_split",
-    "uint64_decimal_sum",
-    "unigram_lm_quality",
-    "user_week_density",
-    "zorder_cells",
-    "bm25_topk",
-    # ---- window boundary (driver verifies the first 50) ----
-    # ROUND-15 WINDOW (pre-planned): the four r14 graduations LEAD
-    # (stream_phrase_search / stream_delete_search /
-    # stream_update_search / stream_upsert_ann_search — registered r14
-    # on the four pinned retirement slots, first driver verdicts land
-    # here) + the first 46 remaining r12-era greens.
+    # ROUND-15 WINDOW (first 50 — the driver verifies exactly these):
+    # executed EXACTLY as pre-planned since r13: the four r14
+    # graduations LEAD (stream_phrase_search / stream_delete_search /
+    # stream_update_search / stream_upsert_ann_search — first driver
+    # verdicts, this window's gating event) + the 46 oldest r12-era
+    # greens. NOTE the forced arithmetic: 4 never-attested + 49
+    # r12-era rows = 53 due > 50 slots, so three r12-era rows
+    # (time_decay_user_value / value_zscore_outliers / woe_binning)
+    # cannot fit and LEAD the r16 window instead — the one-round
+    # freshness overhang is pre-planned here, not drift.
     "stream_phrase_search",
     "stream_delete_search",
     "stream_update_search",
@@ -925,11 +883,18 @@ QUERY_PRIORITY: list[str] = [
     "target_encode_loo",
     "text_stats",
     "tfidf_top_terms",
-    # ROUND-16 WINDOW (pre-planned): the last 3 r12-era greens + the
-    # 46 r13-era greens (the r13 window minus the four rows retired at
-    # r14: cube_orders_status, distinct_users_by_type,
-    # events_value_histogram, sketch_union_distinct — all staged in
-    # tests/test_staged_retired.py).
+    # ---- window boundary (driver verifies the first 50) ----
+    # ROUND-16 WINDOW (pre-planned): the three r15 graduations LEAD
+    # (ann_ivfpq_topk / stream_sessionize / multimodal_spectrogram —
+    # registered r15 on the first three second-generation retirement
+    # slots, first driver verdicts land here), then the three r12-era
+    # rows the r15 window could not fit, then 44 of the 45 remaining
+    # r13-era greens (table_profile spills to r17 — the 51-rows-due vs
+    # 50-slots arithmetic again; chosen spill because its family —
+    # feature_stats / key_skew_report profiling — is broadly attested).
+    "ann_ivfpq_topk",
+    "stream_sessionize",
+    "multimodal_spectrogram",
     "time_decay_user_value",
     "value_zscore_outliers",
     "woe_binning",
@@ -942,7 +907,6 @@ QUERY_PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "event_wire_roundtrip",
     "events_funnel",
@@ -977,8 +941,59 @@ QUERY_PRIORITY: list[str] = [
     "skye_stream_aggregate",
     "stateful_topk_stream",
     "stream_attribution_join",
-    "table_profile",
     "stream_semantic_dedup_sink",
+    # ROUND-17 WINDOW (pre-planned): the spilled table_profile + the 48
+    # rows of the r14 window still registered (bpe_merge_step and
+    # multimodal_decode_stats retired r15 into the staged tier).
+    "table_profile",
+    "dedup_cross_corpus",
+    "stream_dedup_minhash",
+    "bpe_learn_until_vocab",
+    "cohort_retention",
+    "copurchase_pairs",
+    "corpus_filter_chain",
+    "corpus_mix_sample",
+    "doc_fingerprint",
+    "dot_score_ids",
+    "event_transition_matrix",
+    "events_limit_clamp",
+    "feature_schema_evolution",
+    "fuzzy_name_match",
+    "grouping_sets_orders",
+    "key_skew_report",
+    "key_string_join",
+    "knn_euclidean",
+    "lang_id_heuristic",
+    "multimodal_decode_audio_feature",
+    "multimodal_decode_image",
+    "norm_min_max",
+    "norm_percentile_5_95",
+    "pair_expansion",
+    "percentile_rank",
+    "pii_redact",
+    "pipeline_inference",
+    "q3_shipping_priority",
+    "quality_score",
+    "request_validation_matrix",
+    "rpn_score",
+    "stream_bm25_search",
+    "salted_hot_key_agg",
+    "segment_intersect",
+    "shard_manifest",
+    "slate_expansion",
+    "span_dedup_exact",
+    "stratified_sample",
+    "stream_ann_ivf_dot",
+    "stream_cdc_gc",
+    "stream_dedup_watermark",
+    "temporal_split",
+    "topk_orders",
+    "train_test_split",
+    "uint64_decimal_sum",
+    "unigram_lm_quality",
+    "user_week_density",
+    "zorder_cells",
+    "bm25_topk",
 ]
 
 # Ordered retirement list (round 10+): rows whose SURVEY §2 / pipeline
@@ -1067,6 +1082,34 @@ RETIRED: list[tuple[str, str, str]] = [
         "semantics, staged r13 with the feature); bucketed aggs stay "
         "attested by events_weekly_buckets + quantile_binning",
     ),
+    (
+        "dedup_ngram_jaccard",
+        "r15",
+        "freed the slot that registers ann_ivfpq_topk (IVF-PQ composed "
+        "ANN — coarse cells + residual PQ codes, the compressed-storage "
+        "shape that ships at 100 TB, staged r14 with the feature); "
+        "document dedup stays attested by dedup_exact + dedup_minhash_"
+        "lsh + dedup_simhash + dedup_embedding_cosine, the AllPairs "
+        "prefix-filter core by span_dedup_exact",
+    ),
+    (
+        "bpe_merge_step",
+        "r15",
+        "freed the slot that registers stream_sessionize (gap "
+        "sessionization with TRUE cross-batch state AND event-time "
+        "state eviction — the r14 verdict's task 3 precondition landed "
+        "first, commit e9a9f9b); BPE stays attested by bpe_vocab_learn "
+        "+ bpe_learn_until_vocab (same merge core iterated) + "
+        "bpe_tokenize_apply",
+    ),
+    (
+        "multimodal_decode_stats",
+        "r15",
+        "freed the slot that registers multimodal_spectrogram (framed "
+        "rFFT band power through the real WAV codec, staged r14 with "
+        "the feature); decode stays attested by multimodal_decode_image "
+        "/ _png / _audio_feature + multimodal_features/_frames/_resize",
+    ),
 ]
 
 # POST-DRAIN ROTATION PLAN (pinned r14, per the r13 verdict's task 4).
@@ -1078,62 +1121,54 @@ RETIRED: list[tuple[str, str, str]] = [
 #
 # Going forward the registry stays SIZE-STABLE at 149 and the protocol
 # is unchanged: a new operator must either (a) retire one row from the
-# SECOND-generation candidate list below one-for-one, or (b) ship in
-# the staged tier (a pytest replicating the driver comparison) until a
-# slot frees. The second-generation list applies the same redundancy
-# rule as the first (retire only rows whose SURVEY §2 / pipeline family
-# keeps >=2 OTHER registered greens), drawn from the largest remaining
-# families. Retire strictly in this order:
+# candidate list below one-for-one, or (b) ship in the staged tier (a
+# pytest replicating the driver comparison) until a slot frees. The
+# list applies the same redundancy rule as the first generation (retire
+# only rows whose SURVEY §2 / pipeline family keeps >=2 OTHER
+# registered greens), drawn from the largest remaining families.
+# Retire strictly in this order.
 #
-# Staged registrants awaiting these slots (protocol (b)). All three
-# are graduation-ELIGIBLE at the r15 rotation: their pinned retirees
-# (dedup_ngram_jaccard, bpe_merge_step, multimodal_decode_stats) all
-# sit OUTSIDE the pre-planned r15 window — the first in the r16 block,
-# the other two in the r14 window that rotates out — so none is
-# untouchable the way sketch_union_distinct was at r13. Registering all
-# three at r15 places their first driver verdicts in the r16 window,
-# the same one-round lag every prior graduation rode:
-# 1. queries_text.ann_ivfpq_topk — IVF-PQ composed ANN (coarse cells +
-#    residual PQ codes, operators/ivfpq.py), staged r14 with
-#    tests/test_ivfpq.py running the driver comparison; graduates via
-#    the dedup_ngram_jaccard retirement (head below) at the next
-#    rotation where that row sits outside the active window.
-# 2. queries_text.stream_sessionize — gap sessionization in its TRUE
-#    streaming-state form (applyInPandasWithState, cross-batch session
-#    continuity; streaming/ingest.stateful_sessionize), staged r14 with
-#    tests/test_stream_sessionize.py; oracle = the registered
-#    events_sessionize batch twin. Graduates via the bpe_merge_step
-#    retirement (second below).
-# 3. queries_text.multimodal_spectrogram — audio spectrogram features
-#    through the real WAV codec (operators/multimodal.
-#    spectrogram_features: framing + rFFT + band pooling), staged r14
-#    with tests/test_spectrogram.py; oracle = exact int64 framed energy
-#    + Parseval conservation flag. Graduates via the
-#    multimodal_decode_stats retirement (third below).
+# SECOND GENERATION: executed at r15. The three staged registrants
+# (ann_ivfpq_topk, stream_sessionize — eviction added first per the
+# r14 verdict's task 3 — and multimodal_spectrogram) graduated onto
+# the first three slots (dedup_ngram_jaccard, bpe_merge_step,
+# multimodal_decode_stats — all outside the pre-planned r15 window, as
+# the r14 eligibility analysis required); their first driver verdicts
+# lead the r16 window. The staged tier again holds only executed
+# retirements.
+#
+# THIRD-GENERATION PLAN (pinned r15, per the r14 verdict's task 6 —
+# written BEFORE the queue drains again). q18_large_orders carries
+# over from the second generation; the two rows after it extend the
+# same redundancy rule to the next-largest families. There are
+# currently NO staged registrants awaiting slots — new operators enter
+# via protocol (b) first, so these slots gate FUTURE work, not a
+# backlog; if no new operator warrants a slot by the time a freeze is
+# preferable, freezing the registry at 149 with this list unconsumed
+# is the explicit alternative, and either choice should be recorded
+# here at the round that makes it:
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
-    (
-        "dedup_ngram_jaccard",
-        "document dedup keeps 4 other greens: dedup_exact + "
-        "dedup_minhash_lsh (same banded-candidate shape) + dedup_simhash "
-        "+ dedup_embedding_cosine; the prefix-filtered AllPairs core "
-        "stays exercised by span_dedup_exact's inverted-index cousin",
-    ),
-    (
-        "bpe_merge_step",
-        "BPE keeps 3 other greens: bpe_vocab_learn + bpe_learn_until_"
-        "vocab (which iterate the same merge core) + bpe_tokenize_apply",
-    ),
-    (
-        "multimodal_decode_stats",
-        "multimodal decode keeps 5 other greens: multimodal_decode_image "
-        "/ _png / _audio_feature + multimodal_features/_frames/_resize "
-        "(same codec + mapInPandas plumbing)",
-    ),
     (
         "q18_large_orders",
         "TPC-H shapes keep 3 other greens: q1_pricing_summary + "
         "q3_shipping_priority + q5_region_revenue (the semi-join-on-"
         "aggregate shape also lives in parts_never_ordered)",
+    ),
+    (
+        "ngram_topk",
+        "corpus text statistics keep 4 other greens: text_stats + "
+        "tfidf_top_terms + bigram_pmi + char_entropy_quality (the "
+        "explode->partial-agg->TakeOrdered shape is identical in "
+        "tfidf_top_terms; n-gram construction itself stays exercised "
+        "by bigram_pmi and the dedup shingle family)",
+    ),
+    (
+        "events_range_user",
+        "event-store range scans keep >=3 other greens: "
+        "events_retention_window (P5's cited row) + events_batch_topn "
+        "+ events_merge_trim + order_stream_merge_trim (same "
+        "time-predicate + per-user assembly core in "
+        "operators/event_store.py)",
     ),
 ]
 

@@ -791,9 +791,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_decode_stats",
-    oracle="""
+RETIRED_ORACLES["multimodal_decode_stats"] = """
 WITH img AS (
   SELECT i AS media_id,
          (8 + (i % 5) * 4) * (6 + (i % 3) * 6) AS n_values
@@ -830,8 +828,9 @@ auds AS (
   FROM audv GROUP BY media_id, n_values
 )
 SELECT * FROM imgs UNION ALL SELECT * FROM auds
-""",
-)
+"""
+
+
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path, no stand-ins: binary P5 images and RIFF/WAVE PCM16
     audio are decoded by the pure-numpy codecs (strict_decode=True) inside
@@ -840,7 +839,17 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py synthetic_real_media), so DuckDB recomputes
     every decoded value arithmetically — a hash mismatch means the decoder
     read wrong bytes. Reference anchor: per-record payload decode at ingest
-    (skye/internal/consumers/handler/indexer/)."""
+    (skye/internal/consumers/handler/indexer/).
+
+    RETIRED from the driver registry in r15 (third of the pinned
+    second-generation retirement order): multimodal decode stays
+    driver-attested by multimodal_decode_image / _png / _audio_feature
+    + multimodal_features / _frames / _resize (same codecs, same
+    mapInPandas plumbing); the freed slot registers
+    multimodal_spectrogram — audio spectrograms through the same WAV
+    codec, exactly as the r14 verdict's task 4 prescribed. Still
+    verified every pytest run against its DuckDB oracle
+    (tests/test_staged_retired.py)."""
     from bharatmlstack_spark.operators.multimodal import (
         decode_stats,
         synthetic_real_media,

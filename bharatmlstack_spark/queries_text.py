@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bharatmlstack_spark.query_registry import defer_unpersist, query, scratch_dir
+from bharatmlstack_spark.query_registry import (
+    RETIRED_ORACLES,
+    defer_unpersist,
+    query,
+    scratch_dir,
+)
 from bharatmlstack_spark.sources.events import load_events_ms, load_events_raw
 from bharatmlstack_spark.functions import text as TX
 from bharatmlstack_spark.operators import dedup as DD
@@ -96,9 +101,7 @@ inter AS (
 """
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+RETIRED_ORACLES["dedup_ngram_jaccard"] = f"""
 WITH {CORPUS_SQL.strip()},
 {_SHINGLE_SQL.strip()}
 SELECT id_a, id_b,
@@ -107,13 +110,23 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
-""",
-)
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle Jaccard >= 0.8 via prefix filtering (AllPairs) —
     exact same pairs as the naive shingle self-join (tested equivalent),
     with candidate generation bounded by the (1-t) prefix instead of every
-    shared shingle."""
+    shared shingle.
+
+    RETIRED from the driver registry in r15 (head of the second-
+    generation retirement order): document dedup stays driver-attested
+    by dedup_exact + dedup_minhash_lsh + dedup_simhash +
+    dedup_embedding_cosine, and the prefix-filtered AllPairs core by
+    span_dedup_exact's inverted-index cousin; the freed slot registers
+    ann_ivfpq_topk — the composed IVF+PQ ANN shape, exactly as the r14
+    verdict's task 2 prescribed. Still verified every pytest run
+    against its DuckDB oracle (tests/test_staged_retired.py)."""
     out = DD.ngram_jaccard_pairs_prefix(
         corpus(spark, sf_dir), id_col="doc_id", text_col="text", n=3, threshold=0.8
     )
@@ -959,9 +972,7 @@ def corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "bpe_merge_step",
-    oracle=r"""
+RETIRED_ORACLES["bpe_merge_step"] = r"""
 WITH words AS (
   SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
 ),
@@ -974,8 +985,9 @@ pairs AS (
 SELECT pair, COUNT(*) AS cnt
 FROM pairs GROUP BY pair
 ORDER BY cnt DESC, pair ASC LIMIT 20
-""",
-)
+"""
+
+
 def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE tokenizer-training iteration: count every adjacent
     character pair inside words across the corpus and rank merge
@@ -984,7 +996,16 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (the winning pair would be merged and the count pass
     repeated). Pair construction stays JVM-side (substring over an index
     sequence); the global top-20 is TakeOrderedAndProject, never a full
-    sort."""
+    sort.
+
+    RETIRED from the driver registry in r15 (second of the pinned
+    second-generation retirement order): BPE stays driver-attested by
+    bpe_vocab_learn + bpe_learn_until_vocab (which iterate this same
+    merge core) + bpe_tokenize_apply; the freed slot registers
+    stream_sessionize — gap sessionization in its true streaming-state
+    form WITH event-time state eviction, exactly as the r14 verdict's
+    task 3 prescribed. Still verified every pytest run against its
+    DuckDB oracle (tests/test_staged_retired.py)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
@@ -2259,10 +2280,12 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-# IVF-PQ staged row (r14, rotation protocol (b)): the deliverable is the
-# EXACT brute-force top-10 (bit-equal double-fold scores DuckDB
-# recomputes) plus a recall flag over the IVF-PQ candidate set — the
-# pq_ann_topk verification pattern applied to the composed index.
+# IVF-PQ row (staged r14, GRADUATED r15 onto the pinned
+# dedup_ngram_jaccard retirement slot — alias stays for
+# tests/test_ivfpq.py): the deliverable is the EXACT brute-force top-10
+# (bit-equal double-fold scores DuckDB recomputes) plus a recall flag
+# over the IVF-PQ candidate set — the pq_ann_topk verification pattern
+# applied to the composed index.
 _IVFPQ_DOT64 = " + ".join(
     f"CAST(c.embedding[{i}] AS DOUBLE) * CAST(q.qe[{i}] AS DOUBLE)"
     for i in range(1, 65)
@@ -2279,15 +2302,17 @@ SELECT vec_id, score, rank, TRUE AS recall_ok FROM (
 """
 
 
+@query("ann_ivfpq_topk", oracle=STAGED_ORACLES["ann_ivfpq_topk"])
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: coarse cells + residual PQ codes (operators/ivfpq.py
     — the composed FAISS ``IVF16,PQ16`` shape, 16 cells probed at
     nprobe=8 so HALF the corpus's codes are never read, each stored
     vector ~20 B instead of 256 B), ADC shortlist-100 prune + exact
-    re-rank top-10. STAGED r14 (rotation protocol (b);
-    tests/test_ivfpq.py runs the driver comparison) — pinned to
-    graduate via the dedup_ngram_jaccard retirement, head of the
-    second-generation RETIREMENT_CANDIDATES in queries.py.
+    re-rank top-10. STAGED r14, GRADUATED r15 onto the pinned
+    dedup_ngram_jaccard retirement slot (head of the second-generation
+    RETIREMENT_CANDIDATES; first driver verdict lands in the r16
+    window; tests/test_ivfpq.py keeps running the driver comparison
+    meanwhile).
 
     Invariant-check form (the pq_ann_topk pattern): the deliverable
     rows are the EXACT top-10 for the query vector (double-fold scores
@@ -2330,13 +2355,21 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact10.crossJoin(F.broadcast(flag))
 
 
-# Streaming sessionization staged row (r14, rotation protocol (b)): the
-# oracle IS the registered events_sessionize twin — the strongest
-# statement available: the stateful streaming form must equal the batch
-# window form event-for-event.
+# Streaming sessionization row (staged r14; r15 switched it to the
+# EVICTING form per the r14 verdict — don't graduate unbounded state —
+# and GRADUATED it onto the pinned bpe_merge_step retirement slot;
+# alias stays for tests/test_stream_sessionize.py): the oracle IS the
+# registered events_sessionize twin
+# recast to session-START ids — the strongest statement available: the
+# stateful streaming form, WITH event-time-timeout state eviction
+# running, must equal the batch window recomputation event-for-event
+# (eviction is observationally free inside the watermark contract).
 STAGED_ORACLES["stream_sessionize"] = """
-SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM (
-  SELECT event_id, user_id,
+SELECT event_id, user_id,
+       CAST(MIN(ts_ms) OVER (PARTITION BY user_id, session_id) AS BIGINT)
+         AS session_start_ms
+FROM (
+  SELECT event_id, user_id, ts_ms,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM (
@@ -2351,23 +2384,33 @@ SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM (
 """
 
 
+@query("stream_sessionize", oracle=STAGED_ORACLES["stream_sessionize"])
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization in its TRUE streaming-state form
     (streaming/ingest.stateful_sessionize — applyInPandasWithState,
-    state = two longs per user), STAGED r14 (rotation protocol (b);
-    tests/test_stream_sessionize.py runs the driver comparison) —
-    pinned to graduate via the bpe_merge_step retirement, second of the
-    second-generation RETIREMENT_CANDIDATES in queries.py.
+    state = two longs per ACTIVE user), in the EVICTING mode: an
+    event-time timeout (watermark + gap) removes each idle user's state
+    the moment no admissible event could extend their session, so state
+    is bounded by the active population, not users ever seen — the
+    reference's bounded-retention discipline (interaction-store/
+    internal/constants/constants.go:5-24). Sessions are identified by
+    their FIRST event's ts_ms (``session_start_ms`` — eviction-stable
+    where an ordinal counter is not). STAGED r14, switched to this form
+    and GRADUATED r15 onto the pinned bpe_merge_step retirement slot
+    (second of the second-generation RETIREMENT_CANDIDATES; first
+    driver verdict lands in the r16 window;
+    tests/test_stream_sessionize.py keeps running the driver comparison
+    AND pins the eviction itself via the statestore reader).
 
     The events corpus replays as THREE time-ranged micro-batches
     (boundaries from exact ts percentiles, so per-user arrival is
     time-ordered across batches — the source contract Kafka per-key
     ordering provides in production; mtimes pinned because the file
     source breaks ties arbitrarily). Sessions that SPAN micro-batches
-    must keep their numbering through the cross-batch state, so the
-    emitted events — each exactly once, in its arrival batch — equal
-    the registered events_sessionize batch window row event-for-event
-    (the DuckDB twin recomputes it)."""
+    must keep their identity through the cross-batch state — WITH
+    evictions firing as the watermark sweeps the three batches — so the
+    emitted events, each exactly once in its arrival batch, equal the
+    batch window recomputation event-for-event (the DuckDB twin)."""
     import os as _os
 
     from bharatmlstack_spark.streaming.ingest import (
@@ -2411,7 +2454,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("append").parquet(out_path)
 
     q = (
-        stateful_sessionize(stream)
+        stateful_sessionize(stream, evict_idle=True)
         .writeStream.outputMode("update")
         .foreachBatch(_sink)
         .option("checkpointLocation", f"{work}/ckpt")
@@ -2420,11 +2463,13 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     await_stream(q, 600, "stateful_sessionize stream")
     return spark.read.parquet(out_path).select(
-        "event_id", "user_id", "session_id"
+        "event_id", "user_id", "session_start_ms"
     )
 
 
-# Spectrogram staged row (r14, rotation protocol (b)): the deliverable
+# Spectrogram row (staged r14, GRADUATED r15 onto the pinned
+# multimodal_decode_stats retirement slot — alias stays for
+# tests/test_spectrogram.py): the deliverable
 # carries the EXACT framed time-domain energy (int64 arithmetic on the
 # decoded int16s — DuckDB recomputes it from the closed-form fixture)
 # plus parseval_ok asserting the FFT side conserves it; the band
@@ -2447,14 +2492,19 @@ FROM f
 """
 
 
+@query(
+    "multimodal_spectrogram",
+    oracle=STAGED_ORACLES["multimodal_spectrogram"],
+)
 def multimodal_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectrogram features through the REAL WAV codec
     (operators/multimodal.spectrogram_features: non-overlapping 64-
     sample frames, numpy rFFT, band-pooled power — the mapInPandas
-    shape of a production mel-spectrogram job). STAGED r14 (rotation
-    protocol (b); tests/test_spectrogram.py runs the driver comparison)
-    — pinned to graduate via the multimodal_decode_stats retirement,
-    third of the second-generation RETIREMENT_CANDIDATES in queries.py.
+    shape of a production mel-spectrogram job). STAGED r14, GRADUATED
+    r15 onto the pinned multimodal_decode_stats retirement slot (third
+    of the second-generation RETIREMENT_CANDIDATES; first driver
+    verdict lands in the r16 window; tests/test_spectrogram.py keeps
+    running the driver comparison meanwhile).
 
     Invariant-check form: ``frame_energy`` is exact int64 over the
     decoded framed samples (DuckDB recomputes it from the closed-form

@@ -162,8 +162,12 @@ def test_filter_chain_rules_all_fire_and_order_wins(spark, sf_dir, qs):
     assert bad.count() == 0
 
 
-def test_bpe_merge_step_counts(spark, sf_dir, qs):
-    out = qs["bpe_merge_step"](spark, sf_dir).collect()
+def test_bpe_merge_step_counts(spark, sf_dir):
+    # bpe_merge_step retired r15 (staged tier) — the invariants under
+    # test live on the function itself
+    from bharatmlstack_spark.queries_text import bpe_merge_step
+
+    out = bpe_merge_step(spark, sf_dir).collect()
     assert len(out) == 20
     # descending counts, all pairs are 2 chars
     cnts = [r.cnt for r in out]

@@ -429,17 +429,25 @@ def test_round5_rows_hold_their_shuffle_budgets(spark, sf_dir, qs):
         "cdc_apply": 2,             # change-batch window x2 consumers; snapshot never shuffles
         "compact_small_files": 1,   # read-back manifest agg (writes are actions)
     }
+    from bharatmlstack_spark import queries as _qmod
+
     for name, budget in budgets.items():
-        df = qs[name](spark, sf_dir)
+        # retired rows (e.g. bpe_merge_step r15) keep their plan pins
+        # through the staged-tier function on the queries module
+        fn = qs.get(name) or getattr(_qmod, name)
+        df = fn(spark, sf_dir)
         plan = explain_formatted(df)
         assert shuffle_count(df) <= budget, (name, shuffle_count(df))
         assert "Cartesian" not in plan, name
 
 
-def test_bpe_merge_step_topk_is_heap(spark, sf_dir, qs):
+def test_bpe_merge_step_topk_is_heap(spark, sf_dir):
+    # bpe_merge_step retired r15 (staged tier) — the heap pin stays on
+    # the function itself
     from bharatmlstack_spark.plans import explain_formatted
+    from bharatmlstack_spark.queries_text import bpe_merge_step
 
-    plan = explain_formatted(qs["bpe_merge_step"](spark, sf_dir))
+    plan = explain_formatted(bpe_merge_step(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
 
 
