@@ -3098,34 +3098,70 @@ def stateful_top_events(
     ts_col: str = "ts_ms",
     payload_col: str = "event_id",
     watermark_col: str | None = None,
+    retention_ms: int | None = None,
+    watermark_delay: str = "10 minutes",
 ):
     """SS5: incremental per-user top-K newest events via
     applyInPandasWithState — the true streaming-state form of the 500/week
     cap (persist/click.go:178-181). State = the current top-K list per
     user; each micro-batch merges, re-sorts desc, truncates.
-    """
+
+    ``retention_ms`` bounds the state on an UNBOUNDED user population
+    the way the reference bounds the interaction store (the rolling
+    24-week ring, interaction-store/internal/constants/constants.go:
+    5-24 — events beyond the horizon are unreadable by design): an
+    event-time timeout fires once the watermark passes a user's newest
+    event + retention, and the timeout invocation REMOVES their state —
+    every retained event would by then be outside the retention window
+    anyway, so dropping the whole list loses nothing a retention-
+    windowed reader could see. A returning user rebuilds from their new
+    events, exactly as the reference's expired ring slots do. Default
+    None keeps NoTimeout (state per user ever seen — the exact-equality
+    form the registered stateful_topk_stream row gates)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = f"{user_col} long, {ts_col} long, {payload_col} long"
     state_schema = f"ts array<long>, payload array<long>"
+    src = stream_df
+    if retention_ms is not None:
+        src = stream_df.withColumn(
+            "__ets", F.timestamp_millis(F.col(ts_col).cast("long"))
+        ).withWatermark("__ets", watermark_delay)
 
     def update(key, pdf_iter, state: GroupState):
+        if retention_ms is not None and state.hasTimedOut:
+            # watermark passed newest_ts + retention: every retained
+            # event is outside the rolling window — drop the list
+            state.remove()
+            return
         rows_ts: list[int] = []
         rows_payload: list[int] = []
         if state.exists:
             (ts_list, payload_list) = state.get
             rows_ts = list(ts_list)
             rows_payload = list(payload_list)
+        had_data = False
         for pdf in pdf_iter:
+            if len(pdf):
+                had_data = True
             rows_ts.extend(int(v) for v in pdf[ts_col])
             rows_payload.extend(int(v) for v in pdf[payload_col])
+        if not had_data:
+            return  # no rows for this key this batch: state unchanged
         order = sorted(
             range(len(rows_ts)), key=lambda i: (-rows_ts[i], -rows_payload[i])
         )[:k]
         rows_ts = [rows_ts[i] for i in order]
         rows_payload = [rows_payload[i] for i in order]
         state.update((rows_ts, rows_payload))
+        if retention_ms is not None:
+            state.setTimeoutTimestamp(
+                max(
+                    rows_ts[0] + retention_ms + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         yield pd.DataFrame(
             {
                 user_col: [key[0]] * len(rows_ts),
@@ -3134,12 +3170,16 @@ def stateful_top_events(
             }
         )
 
-    return stream_df.groupBy(user_col).applyInPandasWithState(
+    return src.groupBy(user_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if retention_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

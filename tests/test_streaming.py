@@ -1704,3 +1704,67 @@ def test_cross_dedup_against_state_randomized_equivalence(spark, tmp_path):
     }
     assert want  # the exact copies guarantee pairs exist
     assert got == want
+
+
+def test_stateful_top_events_retention_eviction(spark, tmp_path):
+    """SS5 bounded-state mode (the reference's rolling-retention
+    discipline): once the watermark passes a user's newest event +
+    retention_ms, their top-K state is REMOVED — every retained event
+    would be outside the rolling window anyway. Pin via the statestore
+    reader: the idle user's state rows are gone, the active user's
+    remain; a returning user rebuilds from new events only."""
+    import json
+    import os as _os
+
+    MIN = 60_000
+    B = 1_000 * MIN
+    src = str(tmp_path / "topk_ret_src")
+    _os.makedirs(src)
+    batches = [
+        # user 1 goes idle after B; user 2 stays active
+        [
+            {"user_id": 1, "ts_ms": B, "event_id": 11},
+            {"user_id": 2, "ts_ms": B, "event_id": 21},
+        ],
+        # watermark after this batch: B+100' - 10' = B+90' > B + 30'
+        [{"user_id": 2, "ts_ms": B + 100 * MIN, "event_id": 22}],
+        # timeout fires here; user 1 returns AFTER eviction next batch
+        [{"user_id": 2, "ts_ms": B + 200 * MIN, "event_id": 23}],
+        # user 2 stays inside retention of the FINAL watermark
+        # (B+300' - 10' delay); user 1 rebuilds from scratch
+        [
+            {"user_id": 1, "ts_ms": B + 300 * MIN, "event_id": 12},
+            {"user_id": 2, "ts_ms": B + 299 * MIN, "event_id": 24},
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        p = _os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        _os.utime(p, (1_600_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("user_id long, ts_ms long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    topk = stateful_top_events(stream, k=2, retention_ms=30 * MIN)
+    q = (
+        topk.writeStream.format("memory")
+        .queryName("topk_ret_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "topk_ret_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = (
+        spark.read.format("statestore")
+        .load(str(tmp_path / "topk_ret_ck"))
+        .select("key.user_id", "value.groupState.ts")
+        .collect()
+    )
+    by_user = {r.user_id: sorted(r.ts) for r in state}
+    # user 1's pre-eviction event is NOT in the rebuilt state; user 2
+    # kept the newest k=2 across batches
+    assert by_user == {1: [B + 300 * MIN], 2: [B + 200 * MIN, B + 299 * MIN]}
