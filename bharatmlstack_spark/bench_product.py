@@ -168,6 +168,81 @@ def bm25_search_streamed_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search_streamed(spark, index_path, _BM25_TERMS, k=10)
 
 
+# one prebuilt VERSIONED index with several pending update waves — the
+# steady state of an update-heavy stream; cached like the masked index
+_STREAMED_MULTIWAVE_INDEX: dict[str, str] = {}
+
+
+def _prebuilt_multiwave_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the VERSIONED streamed postings index:
+    the full corpus as batch 0, then THREE update waves (each
+    re-publishing ~9% of the docs) left PENDING — update-tombstones
+    appended by the sink's re-arrival probe, nothing folded. The timed
+    search then pays the shipping steady state of an update-heavy
+    stream: bucket-pruned postings read + ONE broadcast gen-mask
+    anti-join covering all three waves + in-plan dedup."""
+    path = _STREAMED_MULTIWAVE_INDEX.get(sf_dir)
+    if path:
+        return path
+    import os
+
+    from bharatmlstack_spark.query_registry import scratch_dir
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        stream_postings_sink,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    work = scratch_dir("bmls_bench_bm25mw_")
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    # one file per wave, mtimes pinned ascending: the file source breaks
+    # mtime ties arbitrarily, and wave order IS the update semantics
+    base, seen = 1_600_000_000, set()
+
+    def _pin(i: int) -> None:
+        for f in sorted(os.listdir(topic)):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(os.path.join(topic, f), (base + i * 60,) * 2)
+                seen.add(f)
+
+    docs.coalesce(1).write.parquet(topic)
+    _pin(0)
+    for i in (1, 2, 3):
+        docs.filter(F.col("doc_id") % 11 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(topic)
+        _pin(i)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic)
+    )
+    q = stream_postings_sink(
+        stream, index_path, f"{work}/ck", spark,
+        n_buckets=16, trigger_once=True, allow_updates=True,
+    )
+    await_stream(q, 1800, "stream_postings_sink (multiwave prebuild)")
+    _STREAMED_MULTIWAVE_INDEX[sf_dir] = index_path
+    return index_path
+
+
+def bm25_search_multiwave_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked BM25 top-10 through the versioned streamed index with
+    THREE pending update waves — regression-guards the mask's flat-cost
+    claim (SCALE.md): the gen-mask is ONE broadcast anti-join no matter
+    how many unfolded waves are pending, so this should track
+    bm25_search_streamed_product (one pending deletion wave) closely;
+    a widening gap means the mask path regressed. First draw pays the
+    one-time versioned build, the recorded median reflects the search."""
+    from bharatmlstack_spark.queries_text import _BM25_TERMS
+    from bharatmlstack_spark.streaming.ingest import bm25_search_streamed
+
+    index_path = _prebuilt_multiwave_postings(spark, sf_dir)
+    return bm25_search_streamed(spark, index_path, _BM25_TERMS, k=10)
+
+
 PRODUCT_QUERIES = {
     "ann_lsh_dot_product": ann_lsh_dot_product,
     "ann_ivf_dot_product": ann_ivf_dot_product,
@@ -175,5 +250,6 @@ PRODUCT_QUERIES = {
     "dedup_simhash_product": dedup_simhash_product,
     "dedup_minhash_lsh_product": dedup_minhash_lsh_product,
     "bm25_search_streamed_product": bm25_search_streamed_product,
+    "bm25_search_multiwave_product": bm25_search_multiwave_product,
     "ann_ivfpq_product": ann_ivfpq_product,
 }
