@@ -243,6 +243,51 @@ def bm25_search_multiwave_product(spark: SparkSession, sf_dir: str) -> DataFrame
     return bm25_search_streamed(spark, index_path, _BM25_TERMS, k=10)
 
 
+def hybrid_search_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion through the two legs that actually ship at 100 TB:
+    BM25 top-20 from the PREBUILT streamed postings index (one pending
+    deletion wave — the masked read path) + IVF-PQ ANN top-20
+    (cell-pruned ADC + exact re-rank). The registered-form twin
+    (queries_text.hybrid_search_rrf, staged r15) runs both legs exact
+    so DuckDB can recompute the fusion; this entry times the shipping
+    composition. Fusion itself is a 40-row broadcast full-outer join —
+    leg cost dominates by construction."""
+    import numpy as np
+
+    from bharatmlstack_spark.operators.ivfpq import IvfPqIndex
+    from bharatmlstack_spark.queries_text import _BM25_TERMS
+    from bharatmlstack_spark.streaming.ingest import bm25_search_streamed
+
+    index_path = _prebuilt_streamed_postings(spark, sf_dir)
+    lex = bm25_search_streamed(spark, index_path, _BM25_TERMS, k=20).select(
+        "doc_id", F.col("rank").alias("lrank")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    cands = emb.filter(F.col("vec_id") >= 5)
+    idx = IvfPqIndex(n_cells=16, m=16, k=64).fit(cands, sample_size=1024)
+    vec = idx.search(
+        idx.index(cands), np.array(qrow[0]), k=20,
+        nprobe=8, rerank=cands, shortlist=100,
+    ).select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("vrank"))
+    from pyspark.sql import Window
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lrank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vrank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rrf_score", "rank")
+    )
+
+
 PRODUCT_QUERIES = {
     "ann_lsh_dot_product": ann_lsh_dot_product,
     "ann_ivf_dot_product": ann_ivf_dot_product,
@@ -252,4 +297,5 @@ PRODUCT_QUERIES = {
     "bm25_search_streamed_product": bm25_search_streamed_product,
     "bm25_search_multiwave_product": bm25_search_multiwave_product,
     "ann_ivfpq_product": ann_ivfpq_product,
+    "hybrid_search_product": hybrid_search_product,
 }

@@ -1140,13 +1140,23 @@ RETIRED: list[tuple[str, str, str]] = [
 # THIRD-GENERATION PLAN (pinned r15, per the r14 verdict's task 6 —
 # written BEFORE the queue drains again). q18_large_orders carries
 # over from the second generation; the two rows after it extend the
-# same redundancy rule to the next-largest families. There are
-# currently NO staged registrants awaiting slots — new operators enter
-# via protocol (b) first, so these slots gate FUTURE work, not a
-# backlog; if no new operator warrants a slot by the time a freeze is
-# preferable, freezing the registry at 149 with this list unconsumed
-# is the explicit alternative, and either choice should be recorded
-# here at the round that makes it:
+# same redundancy rule to the next-largest families. New operators
+# enter via protocol (b) first; if no staged registrant warrants a
+# slot by the time a freeze is preferable, freezing the registry at
+# 149 with this list unconsumed is the explicit alternative, and
+# either choice should be recorded here at the round that makes it.
+#
+# Staged registrant awaiting a slot (protocol (b)):
+# 1. queries_text.hybrid_search_rrf (staged r15) — RRF fusion (k0=60)
+#    of a BM25 top-20 leg and a vector dot top-20 leg over the shared
+#    corpus id space; both legs exact so the DuckDB twin recomputes
+#    the whole fusion (tests/test_hybrid.py runs the driver
+#    comparison; the streamed-postings + IVF-PQ composition is benched
+#    as hybrid_search_product). Graduates via the q18_large_orders
+#    retirement (head below) at the first rotation where that row sits
+#    outside the active window — it sits in the r16 window, so the
+#    earliest graduation is the r17 rotation (same one-round
+#    eligibility wait sketch_union_distinct rode at r13).
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
     (
         "q18_large_orders",

@@ -2355,6 +2355,129 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact10.crossJoin(F.broadcast(flag))
 
 
+# Hybrid retrieval staged row (r15, rotation protocol (b)): RRF fusion
+# of a lexical BM25 leg and a vector dot leg over the shared corpus id
+# space (documents.doc_id == embeddings.vec_id in the testdata). Both
+# legs are exact, so DuckDB recomputes the whole fusion: the BM25 leg
+# is the registered bm25_topk twin at k=20, the vector leg the 64-term
+# left-associative dot fold, the fusion pure rational arithmetic over
+# RANKS (float divergence can't reach it once each leg's 6-dp-rounded
+# ordering is fixed — the same rank discipline both registered parents
+# use).
+STAGED_ORACLES["hybrid_search_rrf"] = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text,''))), '\s+') AS w
+  FROM documents
+),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len(w)) AS avgdl FROM toks),
+t AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+  FROM t WHERE term IN ('spark', 'table', 'query', 'join') GROUP BY doc_id, term
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+lexscore AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, rn AS lrank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM lexscore
+  ) WHERE rn <= 20
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vecscore AS (
+  SELECT c.vec_id AS doc_id, {_IVFPQ_DOT64} AS score
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5) c
+  CROSS JOIN q
+),
+vec AS (
+  SELECT doc_id, rn AS vrank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM vecscore
+  ) WHERE rn <= 20
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + l.lrank), 0)
+               + COALESCE(1.0 / (60 + v.vrank), 0), 6) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rrf_score, CAST(rn AS INT) AS rank FROM (
+  SELECT doc_id, rrf_score,
+         ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rn
+  FROM fused
+) WHERE rn <= 10
+"""
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k0=60, the Cormack/
+    Clarke/Buettcher constant) of a lexical BM25 top-20 leg and a
+    vector dot top-20 leg over the shared corpus id space — the serving
+    shape a qdrant-class vector store pairs with lexical search
+    (reference anchor: skye KNN serving,
+    skye/internal/repositories/vector/qdrant.go:351-412, fronting the
+    same corpus a BM25 index covers). STAGED r15 (rotation protocol
+    (b); tests/test_hybrid.py runs the driver comparison); graduates
+    via the third-generation candidate list when a future rotation
+    frees a slot.
+
+    RRF(d) = Σ_legs 1/(k0 + rank_leg(d)) — rank-only fusion, so the
+    two legs' incomparable score scales never meet; a doc missing from
+    a leg contributes 0 from it. Each leg ranks on its own 6-dp-rounded
+    score with id tiebreak (the parents' exact-rank discipline), and
+    the fusion is rational arithmetic over those ranks, so the DuckDB
+    twin recomputes everything bit-for-bit.
+
+    Plan shape at 100 TB: each leg is its own pruned top-k (postings-
+    pruned BM25 scan / ANN index probe — the streamed-index composition
+    is benched as hybrid_search_product), so the fusion's full-outer
+    join sees 2k rows, broadcastable by construction; the corpus is
+    never re-scanned for fusion."""
+    from pyspark.sql import Window
+
+    from bharatmlstack_spark.functions.vector import dot
+    from bharatmlstack_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20).select(
+        "doc_id", F.col("rank").alias("lrank")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qcol = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    wv = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    vec = (
+        emb.filter(F.col("vec_id") >= 5)
+        .withColumn("score", dot(F.col("embedding"), qcol))
+        .withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") <= 20)
+        .select(F.col("vec_id").alias("doc_id"), "vrank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lrank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vrank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "rrf_score", "rank")
+    )
+
+
 # Streaming sessionization row (staged r14; r15 switched it to the
 # EVICTING form per the r14 verdict — don't graduate unbounded state —
 # and GRADUATED it onto the pinned bpe_merge_step retirement slot;
