@@ -1146,7 +1146,8 @@ RETIRED: list[tuple[str, str, str]] = [
 # 149 with this list unconsumed is the explicit alternative, and
 # either choice should be recorded here at the round that makes it.
 #
-# Staged registrant awaiting a slot (protocol (b)):
+# Staged registrants awaiting slots (protocol (b)), in graduation
+# order:
 # 1. queries_text.hybrid_search_rrf (staged r15) — RRF fusion (k0=60)
 #    of a BM25 top-20 leg and a vector dot top-20 leg over the shared
 #    corpus id space; both legs exact so the DuckDB twin recomputes
@@ -1157,6 +1158,17 @@ RETIRED: list[tuple[str, str, str]] = [
 #    outside the active window — it sits in the r16 window, so the
 #    earliest graduation is the r17 rotation (same one-round
 #    eligibility wait sketch_union_distinct rode at r13).
+# 2. queries_text.stream_ann_ivfpq_search (staged r15) — ANN through a
+#    STREAM-BUILT compressed (IVFADC) index: streaming/ingest.
+#    stream_ann_ivfpq_sink encodes each micro-batch against the frozen
+#    two-stage quantizer (~20 B/vector), both quantizer halves persist
+#    as sidecars with exact-consistency guards, search reloads them
+#    bit-identically; oracle = the ann_ivfpq_topk twin, valid because
+#    the deduped streamed codes equal the batch index bit-for-bit
+#    (pinned in tests/test_stream_ivfpq.py along with the driver
+#    comparison and both refusal guards). Graduates via the ngram_topk
+#    retirement (second below) once a slot is due — also earliest r17
+#    (ngram_topk sits in the r16 window too).
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
     (
         "q18_large_orders",

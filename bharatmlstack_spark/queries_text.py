@@ -2478,6 +2478,91 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streamed compressed-index staged row (r15, rotation protocol (b)):
+# ANN through a STREAM-BUILT IVF-PQ index — the oracle IS the
+# registered ann_ivfpq_topk twin (exact brute-force top-10 + recall
+# flag): assignment AND residual encoding are deterministic for a
+# frozen two-stage quantizer, so the deduped streamed codes equal the
+# one-shot batch index bit-for-bit (pinned directly in
+# tests/test_stream_ivfpq.py) and the same search gives the same hits.
+STAGED_ORACLES["stream_ann_ivfpq_search"] = STAGED_ORACLES["ann_ivfpq_topk"]
+
+
+def stream_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the streamed COMPRESSED index: the candidate corpus
+    arrives as a 3-batch topic that REPLAYS IN FULL under a fresh
+    checkpoint (at-least-once redelivery); each batch is cell-assigned
+    AND residual-PQ-encoded against the frozen two-stage quantizer
+    (streaming/ingest.stream_ann_ivfpq_sink — ~20 B stored per vector
+    instead of 256, the form that ships at 100 TB) and appended
+    cell-partitioned. Search rebuilds the quantizer from the sidecars
+    (bit-identical), dedups redelivery copies on id, ADC-prunes
+    nprobe=8 of 16 cells to a shortlist of 100, and exact-re-ranks —
+    so the deliverable is the registered ann_ivfpq_topk shape (exact
+    top-10 + recall_ok) through the streamed state. STAGED r15
+    (rotation protocol (b); tests/test_stream_ivfpq.py runs the driver
+    comparison); graduates via the third-generation candidate list
+    behind hybrid_search_rrf. Reference anchor: skye realtime indexer
+    feeding KNN serving at compressed storage
+    (skye/internal/consumers/handler/indexer/, qdrant.go:351-412)."""
+    import numpy as np
+
+    from bharatmlstack_spark.functions.vector import dot
+    from bharatmlstack_spark.operators.ivfpq import IvfPqIndex
+    from bharatmlstack_spark.streaming.ingest import (
+        ann_search_streamed_ivfpq,
+        await_stream,
+        stream_ann_ivfpq_sink,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    cands = emb.filter(F.col("vec_id") >= 5)
+    idx = IvfPqIndex(n_cells=16, m=16, k=64).fit(cands, sample_size=1024)
+
+    work = scratch_dir("bmls_ivfpqstream_")
+    topic, index_path = f"{work}/topic", f"{work}/index"
+    cands.select("vec_id", "embedding").repartition(3).write.parquet(topic)
+    schema = "vec_id bigint, embedding array<float>"
+    for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_ann_ivfpq_sink(
+            stream, idx, index_path, f"{work}/{replay}", spark,
+            trigger_once=True,
+        )
+        await_stream(q, 300)
+
+    ann = ann_search_streamed_ivfpq(
+        spark, index_path, np.array(qrow[0]), k=10,
+        nprobe=8, rerank=cands, shortlist=100,
+    ).select("vec_id")
+
+    from pyspark.sql import Window as _W
+
+    qcol = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    scored = cands.withColumn("score", dot(F.col("embedding"), qcol))
+    w = _W.orderBy(F.desc("score"), F.asc("vec_id"))
+    exact10 = defer_unpersist(
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "score", "rank")
+        .persist()
+    )
+    hits = exact10.join(ann, ["vec_id"], "left_semi")
+    flag = (
+        hits.agg(F.count(F.lit(1)).alias("__n_hit"))
+        .crossJoin(exact10.agg(F.count(F.lit(1)).alias("__n_exact")))
+        .select(
+            (F.col("__n_hit") / F.col("__n_exact") >= 0.8).alias("recall_ok")
+        )
+    )
+    return exact10.crossJoin(F.broadcast(flag))
+
+
 # Streaming sessionization row (staged r14; r15 switched it to the
 # EVICTING form per the r14 verdict — don't graduate unbounded state —
 # and GRADUATED it onto the pinned bpe_merge_step retirement slot;

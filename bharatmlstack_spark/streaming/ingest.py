@@ -2792,6 +2792,234 @@ def _ensure_quantizer_consistent(
         )
 
 
+PQ_CODEBOOKS_SUFFIX = "__codebooks"
+
+
+def _write_codebooks(spark: SparkSession, out_dir: str, books) -> None:
+    rows = [
+        (int(j), int(c), [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    df = spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+
+
+def _read_codebooks(spark: SparkSession, in_dir: str):
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(in_dir).orderBy("subspace", "code").collect()
+    )
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    sub = len(rows[0]["centroid"])
+    books = np.zeros((m, k, sub), dtype=np.float32)
+    for r in rows:
+        books[r["subspace"], r["code"]] = np.array(
+            r["centroid"], dtype=np.float32
+        )
+    return books
+
+
+def save_streamed_ivfpq_quantizer(
+    spark: SparkSession, index_path: str, ivfpq
+) -> None:
+    """Persist BOTH halves of a fit IvfPqIndex beside its index: the
+    coarse centroids in the shared ``__quantizer`` sidecar (float64 —
+    the IVF sinks' format, so the guard machinery is one code path) and
+    the residual PQ codebooks in ``__codebooks``. Codebook values are
+    float32 stored losslessly as parquet doubles (m=16, k=64, sub=4:
+    4,096 values — driver-small), so the round-trip is bit-exact and
+    the consistency guard can compare with array_equal."""
+    assert ivfpq.codebooks is not None, "fit() first"
+    save_streamed_index_quantizer(spark, index_path, ivfpq.ivf)
+    _write_codebooks(spark, index_path + PQ_CODEBOOKS_SUFFIX, ivfpq.codebooks)
+
+
+def load_streamed_ivfpq_quantizer(
+    spark: SparkSession,
+    index_path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """The read half of save_streamed_ivfpq_quantizer: rebuild the fit
+    IvfPqIndex a restarted sink (or a search) assigns and scores with —
+    bit-identical to the persisted fit."""
+    from bharatmlstack_spark.operators.ivfpq import IvfPqIndex
+
+    ivf = load_streamed_index_quantizer(
+        spark, index_path, id_col=id_col, emb_col=emb_col
+    )
+    books = _read_codebooks(spark, index_path + PQ_CODEBOOKS_SUFFIX)
+    idx = IvfPqIndex(
+        n_cells=len(ivf.centroids),
+        m=int(books.shape[0]),
+        k=int(books.shape[1]),
+        id_col=id_col,
+        emb_col=emb_col,
+    )
+    idx.ivf = ivf
+    idx.codebooks = books
+    return idx
+
+
+def _ensure_ivfpq_quantizer_consistent(
+    spark: SparkSession, index_path: str, ivfpq
+) -> None:
+    """The two-stage form of _ensure_quantizer_consistent: a sink
+    starting against an existing compressed index must hold the SAME
+    coarse centroids AND the same residual codebooks — stale codebooks
+    would encode new vectors against tables the accumulated codes don't
+    mean, and every ADC gather over a mixed cell would silently score
+    garbage. Fresh state persists both handed halves, arming the guard
+    for every restart."""
+    import numpy as np
+
+    assert ivfpq.codebooks is not None, "fit() first"
+    _ensure_quantizer_consistent(spark, index_path, ivfpq.ivf)
+    bdir = index_path + PQ_CODEBOOKS_SUFFIX
+    if not hadoop_path_exists(spark, bdir):
+        _write_codebooks(spark, bdir, ivfpq.codebooks)
+        return
+    stored = _read_codebooks(spark, bdir)
+    ours = np.asarray(ivfpq.codebooks, dtype=np.float32)
+    if ours.shape != stored.shape or not np.array_equal(ours, stored):
+        raise RuntimeError(
+            f"streamed IVF-PQ index {index_path} was built with different "
+            f"residual codebooks (persisted shape {stored.shape}, handed "
+            f"{ours.shape}) — appending with them would encode new "
+            "vectors against tables the accumulated codes do not mean, "
+            "silently corrupting every ADC score. Pass "
+            f"load_streamed_ivfpq_quantizer(spark, {index_path!r}), or "
+            "rebuild the state."
+        )
+
+
+def stream_ann_ivfpq_sink(
+    stream_df: DataFrame,
+    ivfpq,
+    index_path: str,
+    checkpoint_dir: str,
+    spark: SparkSession,
+    trigger_once: bool = False,
+    auto_maintain: bool = False,
+    maintain_every_n_batches: int = 64,
+):
+    """Streaming ingestion into the COMPRESSED ANN index — the form that
+    actually ships at 100 TB: stream_ann_ivf_sink stores full-precision
+    vectors (a 100 TB embedding stream stays 100 TB on disk), this sink
+    stores IVFADC rows (id, cell, m tinyint codes — ~20 B/vector at
+    dim=64, m=16, the 12.8x measured in SCALE.md) through the same
+    frozen-quantizer discipline. Per micro-batch: ONE Arrow map-side
+    pass assigns each vector's nearest cell and PQ-encodes its residual
+    (IvfPqIndex.index — no shuffle), appended cell-partitioned so a
+    search's nprobe cells read only their partition dirs.
+
+    Both quantizer halves are frozen at bootstrap and persisted as
+    sidecars (``__quantizer`` + ``__codebooks``); restarts refuse a
+    mismatched fit (_ensure_ivfpq_quantizer_consistent) — the FAISS
+    ingestion discipline: fit once on a sample, then ingestion only
+    assigns and encodes. Assignment AND encoding are deterministic for
+    a frozen fit, so at-least-once redelivery appends byte-identical
+    rows — readers dedup on the vector id (read_streamed_ivf_index
+    works unchanged on a codes root; compact_streamed_index reclaims
+    physically at maintenance cadence).
+
+    Append-only corpus build: each vector id arrives once. The
+    versioned upsert path lives on the full-precision sink
+    (stream_ann_ivf_sink allow_updates=True); a versioned compressed
+    index would reuse that machinery unchanged (gen column + _ids
+    registry + update-tombstones over these same rows) — kept apart so
+    each sink's contract stays single-purpose. Search:
+    ann_search_streamed_ivfpq (cell-pruned ADC + optional exact
+    re-rank). Reference anchor: skye realtime indexer
+    (skye/internal/consumers/handler/indexer/) serving KNN at
+    compressed storage (qdrant.go:351-412)."""
+    from bharatmlstack_spark.operators.feature_store import read_table_meta
+
+    _ensure_ivfpq_quantizer_consistent(spark, index_path, ivfpq)
+    meta0 = read_table_meta(spark, index_path)
+    if meta0 is not None and not meta0.get("ivfpq", False):
+        raise RuntimeError(
+            f"index root {index_path} was built by a full-precision IVF "
+            "sink (no 'ivfpq' sidecar flag) — appending tinyint-code "
+            "rows would mix schemas under one root. Use a fresh root."
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = ivfpq.index(batch_df).persist()
+        try:
+            n = assigned.count()
+            if not n:
+                return
+            _update_maintenance_meta(
+                spark,
+                index_path,
+                batch_id,
+                rows_appended=n,
+                extra={
+                    "n_cells": int(len(ivfpq.ivf.centroids)),
+                    "ivfpq": True,
+                    "pq_m": int(ivfpq.m),
+                    "pq_k": int(ivfpq.k),
+                },
+            )
+            (
+                assigned.write.mode("append")
+                .partitionBy("cell")
+                .parquet(index_path)
+            )
+            if auto_maintain:
+                maybe_compact_streamed_index(
+                    spark,
+                    index_path,
+                    id_col=ivfpq.id_col,
+                    every_n_batches=maintain_every_n_batches,
+                )
+        finally:
+            assigned.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ann_search_streamed_ivfpq(
+    spark: SparkSession,
+    index_path: str,
+    query,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: DataFrame | None = None,
+    shortlist: int | None = None,
+    dedup: bool = True,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN search through the stream-built compressed index: rebuild the
+    frozen two-stage quantizer from the sidecars (bit-identical), read
+    the cell-partitioned codes (redelivery dedup on id — pass
+    dedup=False on the hot path after compact_streamed_index), then
+    IvfPqIndex.search: nprobe cell prune (partition-pruned scan via the
+    isin filter) → vectorized ADC gather → heap top-N → optional
+    broadcast-semi-join exact re-rank."""
+    idx = load_streamed_ivfpq_quantizer(
+        spark, index_path, id_col=id_col, emb_col=emb_col
+    )
+    codes = read_streamed_ivf_index(
+        spark, index_path, id_col=id_col, dedup=dedup
+    )
+    return idx.search(
+        codes, query, k, nprobe=nprobe, rerank=rerank, shortlist=shortlist
+    )
+
+
 def refit_due(
     spark: SparkSession,
     index_path: str,
