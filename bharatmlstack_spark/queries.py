@@ -1167,8 +1167,22 @@ RETIRED: list[tuple[str, str, str]] = [
 #    the deduped streamed codes equal the batch index bit-for-bit
 #    (pinned in tests/test_stream_ivfpq.py along with the driver
 #    comparison and both refusal guards). Graduates via the ngram_topk
-#    retirement (second below) once a slot is due — also earliest r17
-#    (ngram_topk sits in the r16 window too).
+#    retirement (second below) once a slot is due — ngram_topk sits in
+#    the r15 window (attested this round) and OUTSIDE the r16 window,
+#    so the earliest graduation is the r16 rotation.
+# 3. queries_corpus.stream_dedup_clusters (staged r15) — INCREMENTAL
+#    connected components: streaming/ingest.stream_cluster_sink folds a
+#    streamed dedup-pair feed into a persisted union-find (append-only
+#    labels + a merge log, O(batch + touched clusters) per micro-batch,
+#    idempotent in ROWS under redelivery), read_cluster_state resolves
+#    via pointer doubling over the log alone; oracle = the
+#    dedup_components recursive CTE, exact because connected components
+#    are independent of edge arrival order (tests/test_stream_clusters.
+#    py runs the driver comparison + merge/idempotence/compaction
+#    invariants). Graduates via the events_range_user retirement (third
+#    below) once a slot is due — events_range_user sits in the r15
+#    window (attested this round) and OUTSIDE the r16 window, so the
+#    earliest graduation is the r16 rotation, same as #2.
 RETIREMENT_CANDIDATES: list[tuple[str, str]] = [
     (
         "q18_large_orders",

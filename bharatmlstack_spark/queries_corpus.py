@@ -22,9 +22,15 @@ from bharatmlstack_spark.query_registry import (
     RETIRED_ORACLES,
     defer_unpersist,
     query,
+    scratch_dir,
 )
 from bharatmlstack_spark.sources.events import load_events_raw
-from bharatmlstack_spark.queries_text import CORPUS_SQL, _SHINGLE_SQL, corpus
+from bharatmlstack_spark.queries_text import (
+    CORPUS_SQL,
+    STAGED_ORACLES,
+    _SHINGLE_SQL,
+    corpus,
+)
 
 # ---------------------------------------------------------------------------
 # corpus n-gram statistics (count-based LM data prep / vocab building)
@@ -350,6 +356,85 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return c.join(dropped, on="doc_id", how="left_anti").select("doc_id", "lang")
+
+
+# STAGED (r15, rotation protocol (b) — graduates via the third-generation
+# candidate list in queries.py when a rotation frees a slot): the
+# INCREMENTAL form of dedup_components. Oracle = the identical recursive
+# CTE — connected components are independent of edge arrival order, so
+# the maintained labels must equal the one-shot computation under any
+# batching or redelivery. Driver comparison replicated in
+# tests/test_stream_clusters.py.
+STAGED_ORACLES["stream_dedup_clusters"] = f"""
+WITH RECURSIVE {CORPUS_SQL.strip()},
+{_SHINGLE_SQL.strip()},
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(ni AS DOUBLE) / CAST(sa.set_size + sb.set_size - ni AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+"""
+
+
+def stream_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally MAINTAINED dedup clusters: the exact near-dup pair
+    set streams in 3 hash-split micro-batch waves (multi-edge clusters
+    span waves, so established components MERGE mid-stream), and
+    streaming.ingest.stream_cluster_sink folds each wave into a
+    persisted union-find — per-batch cost O(batch + touched clusters),
+    never a recompute over the accumulated corpus. The whole topic then
+    REPLAYS under a fresh checkpoint (full at-least-once redelivery),
+    which appends nothing (the sink is idempotent in rows). Readout =
+    read_cluster_state: one label scan + the broadcast-resolved merge
+    log. Oracle = dedup_components' recursive CTE — order-independence
+    of connected components makes the one-shot set the exact spec."""
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        read_cluster_state,
+        stream_cluster_sink,
+    )
+
+    pairs = DD.ngram_jaccard_pairs_prefix(
+        corpus(spark, sf_dir), id_col="doc_id", text_col="text", n=3, threshold=0.8
+    ).select("id_a", "id_b")
+    work = scratch_dir("bmls_clusters_")
+    topic = f"{work}/topic"
+    waves = pairs.withColumn(
+        "__w", F.pmod(F.xxhash64(F.col("id_a"), F.col("id_b")), F.lit(3))
+    )
+    for w in range(3):
+        waves.filter(F.col("__w") == w).drop("__w").coalesce(1).write.mode(
+            "append"
+        ).parquet(topic)
+    for replay in ("ckpt1", "ckpt2"):  # second pass = full redelivery
+        stream = (
+            spark.readStream.schema("id_a bigint, id_b bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_cluster_sink(
+            stream,
+            state_dir=f"{work}/state",
+            checkpoint_dir=f"{work}/{replay}",
+            spark=spark,
+            state_buckets=8,
+            trigger_once=True,
+        )
+        await_stream(q, 300)
+    return read_cluster_state(spark, f"{work}/state")
 
 
 # ---------------------------------------------------------------------------

@@ -5486,3 +5486,409 @@ def purge_docs_everywhere(
     finally:
         if persisted is not None:
             persisted.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup-cluster maintenance: streamed pairs -> maintained
+# canonical component labels (union-find with a persisted merge log)
+# ---------------------------------------------------------------------------
+
+
+CLUSTER_RESOLVE_MAX_ITER = 64
+
+
+def _resolve_merge_forest(merges: DataFrame) -> DataFrame:
+    """(child, parent) merge-forest rows -> (child, root) full resolution
+    by pointer DOUBLING: each round replaces every parent that is itself
+    a child with that child's current parent, so chain depth halves per
+    round and resolution converges in O(log depth) tiny self-joins over
+    the merge log alone — never touching the (corpus-sized) label store.
+
+    The forest is built by stream_cluster_sink with union-by-min
+    (parent = component minimum < child, children are only-ever-roots at
+    append time), so parents strictly decrease along a chain: no cycles,
+    and the root each chain reaches is the minimum label of the merged
+    component. Redelivered duplicates collapse in the initial
+    dropDuplicates; the per-child min(parent) aggregate is belt-and-
+    braces for the crash window where a batch's merges landed but its
+    labels did not (re-processing then re-merges through the already-
+    recorded parent, which resolves identically)."""
+    cur = (
+        merges.select("child", "parent")
+        .groupBy("child")
+        .agg(F.min("parent").alias("parent"))
+        .localCheckpoint()
+    )
+    for _ in range(CLUSTER_RESOLVE_MAX_ITER):
+        a, b = cur.alias("a"), cur.alias("b")
+        nxt = (
+            a.join(b, F.col("a.parent") == F.col("b.child"), "left")
+            .select(
+                F.col("a.child").alias("child"),
+                F.coalesce(F.col("b.parent"), F.col("a.parent")).alias("parent"),
+                F.col("b.parent").isNotNull().alias("__hop"),
+            )
+            .localCheckpoint()
+        )
+        hops = nxt.filter(F.col("__hop")).count()
+        cur = nxt.drop("__hop")
+        if hops == 0:
+            return cur.select("child", F.col("parent").alias("root"))
+    raise RuntimeError(
+        f"merge-forest resolution did not converge in "
+        f"{CLUSTER_RESOLVE_MAX_ITER} pointer-doubling rounds — chain "
+        f"depth exceeds 2^{CLUSTER_RESOLVE_MAX_ITER}, which a "
+        "union-by-min forest cannot produce; the merge log is corrupt."
+    )
+
+
+def stream_cluster_sink(
+    pairs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    spark: SparkSession,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    state_buckets: int | None = None,
+    trigger_once: bool = False,
+):
+    """Incremental connected components over a streamed dedup-pair feed:
+    turns the pair DISCOVERY the near-dup sinks emit
+    (stream_neardup_minhash_sink and friends) into MAINTAINED canonical
+    cluster labels — the keep-one-per-cluster decision of
+    queries_corpus.dedup_components, without recomputing components over
+    the accumulated corpus each micro-batch. Reference analog: the
+    dedup/canonicalization step of a corpus build (SURVEY LLM-pipeline
+    mandate); same O(touched) state discipline as the other sinks here.
+
+    State (two roots under ``state_dir``):
+
+    - ``labels/`` — append-only ``(node, label)``, one row per node ever
+      seen in a pair; ``label`` is the node's component minimum AS OF
+      its arrival batch and is NEVER rewritten. Optionally ``__kb=``
+      partitioned on ``pmod(xxhash64(node), state_buckets)`` so the
+      per-batch probe reads only the batch endpoints' buckets.
+    - ``merges/`` — flat append-only ``(child, parent)``: one row per
+      CLUSTER MERGE (two established components connected by a later
+      pair), parent = the merged component's new minimum. The log grows
+      by at most one row per merge — bounded by the number of clusters
+      ever formed, orders of magnitude smaller than the corpus — and is
+      the only state consulted to canonicalize a stale label.
+
+    Per micro-batch (all O(batch + touched), no full-state pass):
+
+    1. probe ``labels`` for the batch endpoints (bucket-pruned targeted
+       read, broadcast semi-join — endpoints are the small side);
+    2. canonicalize the stored labels through the merge forest
+       (_resolve_merge_forest: O(log depth) self-joins over the log);
+    3. run batch-scale label propagation (operators.graph.
+       connected_components) over the batch pairs UNION one star edge
+       (node -> canonical root) per known endpoint — components and
+       their minima over batch nodes + touched clusters;
+    4. append ``(root, component_min)`` to ``merges`` for every touched
+       root whose component found a smaller minimum — BEFORE step 5:
+       merge rows can only JOIN clusters the pair evidence already
+       connects, so a crash between the appends never splits a cluster,
+       while the reverse order could (labels without their merges);
+    5. append ``(node, component_min)`` to ``labels`` for the batch's
+       NEW nodes only.
+
+    Because connected components are independent of edge arrival order,
+    the read-back labels equal the one-shot batch computation over the
+    union of all delivered pairs — under ANY batching, interleaving, or
+    at-least-once redelivery. A fully redelivered batch finds every
+    endpoint stored and every root already minimal and appends NOTHING:
+    the sink is idempotent in rows, not just in results (contrast the
+    append-only near-dup state, which accretes byte-identical copies and
+    needs compaction to reclaim them).
+
+    Deletions are out of scope by the same contract as the pair sinks
+    ("each doc id arrives once — a corpus build, not a changelog"):
+    removing a node can SPLIT a component (decremental connectivity),
+    which no merge log can express; rebuild the state from the surviving
+    pair stream instead (delete_neardup_docs + a replay).
+
+    100 TB cost model: write path touches the batch's label buckets +
+    the merge log; read path (read_cluster_state) is ONE label scan
+    joined against the broadcast-resolved merge forest. The naive
+    alternative — re-running connected_components over all accumulated
+    pairs each batch — is O(corpus x diameter) per batch.
+    """
+    import json as _json
+    import os as _os
+
+    from bharatmlstack_spark.operators.feature_store import (
+        TABLE_META_FILE,
+        hadoop_write_text_atomic,
+        read_table_meta,
+    )
+    from bharatmlstack_spark.operators.graph import connected_components
+
+    labels_path = f"{state_dir}/labels"
+    merges_path = f"{state_dir}/merges"
+    bucketed = state_buckets is not None
+
+    def _kb(c) -> Column:
+        # the ONE derivation shared by the labels writer and the probe
+        return F.pmod(F.xxhash64(c), F.lit(state_buckets))
+
+    _layout_ok: list[bool] = []
+
+    def _ensure_layout() -> None:
+        if _layout_ok:
+            return
+        _recover_root_swap(spark, labels_path)  # crashed compaction swap
+        meta = read_table_meta(spark, state_dir)
+        recorded = (
+            int(meta["n_buckets"])
+            if meta and meta.get("n_buckets") is not None
+            else None
+        )
+        if bucketed and recorded is not None and recorded != state_buckets:
+            raise RuntimeError(
+                f"cluster state {state_dir} was created with "
+                f"state_buckets={recorded} but this run passed "
+                f"{state_buckets} — the probe's pmod pruning would miss "
+                f"stored labels hashed with the old count. Pass "
+                f"state_buckets={recorded}."
+            )
+        if not bucketed and recorded is not None:
+            raise RuntimeError(
+                f"cluster state {state_dir} is recorded as bucketed "
+                f"(state_buckets={recorded}) but this run passed None — "
+                f"refusing to degrade the layout. Pass state_buckets={recorded}."
+            )
+        _ensure_neardup_root(
+            spark,
+            labels_path,
+            lambda df: _kb(F.col("node")),
+            bucketed,
+        )
+        if bucketed and recorded is None:
+            merged = dict(meta or {})
+            merged["n_buckets"] = state_buckets
+            hadoop_write_text_atomic(
+                spark,
+                _os.path.join(state_dir, TABLE_META_FILE),
+                _json.dumps(merged),
+            )
+        _layout_ok.append(True)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _ensure_layout()
+        pairs = (
+            batch_df.select(
+                F.col(id_a).cast("long").alias("u"),
+                F.col(id_b).cast("long").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .persist()
+        )
+        try:
+            endpoints = (
+                pairs.select(F.explode(F.array("u", "v")).alias("node"))
+                .distinct()
+                .persist()
+            )
+            try:
+                stored_res = None
+                if hadoop_path_exists(spark, labels_path):
+                    if bucketed:
+                        need_kb = [
+                            r[0]
+                            for r in endpoints.select(
+                                _kb(F.col("node")).alias("kb")
+                            )
+                            .distinct()
+                            .collect()
+                        ]
+                        existing = _list_kb_dirs(spark, labels_path)
+                        paths = [existing[b] for b in need_kb if b in existing]
+                        lab = (
+                            spark.read.option("basePath", labels_path).parquet(*paths)
+                            if paths
+                            else None
+                        )
+                    else:
+                        lab = spark.read.parquet(labels_path)
+                    if lab is not None:
+                        stored = lab.join(
+                            F.broadcast(endpoints), on="node", how="left_semi"
+                        ).select("node", "label")
+                        if hadoop_path_exists(spark, merges_path):
+                            res = _resolve_merge_forest(
+                                spark.read.parquet(merges_path)
+                            )
+                            stored = (
+                                stored.join(
+                                    F.broadcast(res),
+                                    stored.label == res.child,
+                                    "left",
+                                )
+                                .select(
+                                    "node",
+                                    F.coalesce("root", "label").alias("root"),
+                                )
+                            )
+                        else:
+                            stored = stored.select(
+                                "node", F.col("label").alias("root")
+                            )
+                        # min-agg: redelivery can store one node twice
+                        # with labels from different epochs; both resolve
+                        # to the same root once the merge log is read, so
+                        # min is an identity — kept for the crash window
+                        # where the second append's merges are ahead of
+                        # this reader's log snapshot
+                        stored_res = (
+                            stored.groupBy("node")
+                            .agg(F.min("root").alias("root"))
+                            .persist()
+                        )
+                edges = pairs
+                if stored_res is not None:
+                    edges = edges.unionByName(
+                        stored_res.select(
+                            F.col("node").alias("u"), F.col("root").alias("v")
+                        )
+                    )
+                comps = connected_components(edges, src="u", dst="v").persist()
+                try:
+                    if stored_res is not None:
+                        roots = stored_res.select("root").distinct()
+                        new_merges = (
+                            comps.join(
+                                F.broadcast(roots),
+                                comps.node == roots.root,
+                            )
+                            .filter(F.col("component") < F.col("root"))
+                            .select(
+                                F.col("root").alias("child"),
+                                F.col("component").alias("parent"),
+                            )
+                        )
+                        # merges BEFORE labels (docstring step 4); the
+                        # isEmpty gate keeps a merge-free state's read
+                        # path resolve-free (no merges/ dir at all)
+                        if not new_merges.isEmpty():
+                            new_merges.write.mode("append").parquet(merges_path)
+                        new_nodes = endpoints.join(
+                            stored_res.select("node"), on="node", how="left_anti"
+                        )
+                    else:
+                        new_nodes = endpoints
+                    new_labels = new_nodes.join(comps, on="node").select(
+                        "node", F.col("component").alias("label")
+                    )
+                    if bucketed:
+                        (
+                            new_labels.withColumn("__kb", _kb(F.col("node")))
+                            .repartition("__kb")
+                            .write.mode("append")
+                            .partitionBy("__kb")
+                            .parquet(labels_path)
+                        )
+                    else:
+                        new_labels.write.mode("append").parquet(labels_path)
+                    _update_maintenance_meta(
+                        spark, state_dir, batch_id, rows_appended=pairs.count()
+                    )
+                finally:
+                    comps.unpersist()
+                    if stored_res is not None:
+                        stored_res.unpersist()
+            finally:
+                endpoints.unpersist()
+        finally:
+            pairs.unpersist()
+
+    writer = pairs_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cluster_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(node, component) for every node the cluster sink has seen:
+    component = minimum node id reachable through all delivered pairs —
+    bit-equal to connected_components over the one-shot pair set.
+
+    ONE scan of the label store joined against the broadcast-resolved
+    merge forest (the log is merges-count-sized — broadcastable at any
+    realistic corpus; the hint is deliberate so the corpus-sized label
+    side never shuffles). The per-node min collapses redelivery-epoch
+    duplicates (see stream_cluster_sink)."""
+    labels_path = f"{state_dir}/labels"
+    merges_path = f"{state_dir}/merges"
+    _recover_root_swap(spark, labels_path)
+    labels = spark.read.parquet(labels_path).select("node", "label")
+    if hadoop_path_exists(spark, merges_path):
+        res = _resolve_merge_forest(spark.read.parquet(merges_path))
+        labels = labels.join(
+            F.broadcast(res), labels.label == res.child, "left"
+        ).select("node", F.coalesce("root", "label").alias("component"))
+    else:
+        labels = labels.select("node", F.col("label").alias("component"))
+    return labels.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def compact_cluster_state(spark: SparkSession, state_dir: str) -> dict:
+    """Fold the merge log into the label store: rewrite every stored
+    label to its canonical root (also collapsing redelivery duplicates),
+    then clear ``merges/`` — after which reads skip the resolve join
+    entirely. Maintenance-cadence, single-writer (same contract as the
+    other compactors here).
+
+    Crash ordering: the canonical labels SWAP IN first (staged root +
+    _swap_staged_root, recovered by _recover_root_swap from any entry
+    point), the merge log is deleted second. A crash between the two
+    leaves canonical labels plus a stale log whose children no longer
+    appear as any stored label — every resolve join misses, reads stay
+    correct, and the next compaction clears the log. The reverse order
+    would leave STALE labels with NO log: silently split clusters."""
+    from bharatmlstack_spark.operators.feature_store import (
+        hadoop_delete_path,
+        read_table_meta,
+    )
+
+    labels_path = f"{state_dir}/labels"
+    merges_path = f"{state_dir}/merges"
+    _recover_root_swap(spark, labels_path)
+    meta = read_table_meta(spark, state_dir)
+    recorded = (
+        int(meta["n_buckets"]) if meta and meta.get("n_buckets") is not None else None
+    )
+    if not hadoop_path_exists(spark, merges_path):
+        return {"labels_rewritten": 0, "merges_cleared": 0}
+    merges = spark.read.parquet(merges_path)
+    n_merges = merges.count()
+    res = _resolve_merge_forest(merges)
+    labels = spark.read.parquet(labels_path).select("node", "label")
+    canonical = (
+        labels.join(F.broadcast(res), labels.label == res.child, "left")
+        .select("node", F.coalesce("root", "label").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+    stage = labels_path + "__compacting"
+    if recorded is not None:
+        (
+            canonical.withColumn(
+                "__kb", F.pmod(F.xxhash64(F.col("node")), F.lit(recorded))
+            )
+            .repartition("__kb")
+            .write.mode("overwrite")
+            .partitionBy("__kb")
+            .parquet(stage)
+        )
+    else:
+        canonical.write.mode("overwrite").parquet(stage)
+    n_labels = spark.read.parquet(stage).count()
+    _swap_staged_root(spark, stage, labels_path)
+    hadoop_delete_path(spark, merges_path)
+    return {"labels_rewritten": n_labels, "merges_cleared": n_merges}

@@ -1,0 +1,168 @@
+"""Incremental dedup-cluster maintenance (stream_cluster_sink): the
+STAGED driver comparison for the pinned ``stream_dedup_clusters`` row
+(r15, rotation protocol (b) — graduates via the third-generation
+candidate list in queries.py when a rotation frees a slot), plus the
+state invariants the oracle equality alone doesn't spell out: the merge
+log records cross-batch cluster merges, full redelivery appends ZERO
+rows, compaction folds the log away without changing reads, and the
+pointer-doubling resolver collapses deep union-by-min chains."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_stream_dedup_clusters_matches_duckdb_oracle(spark):
+    """The driver's exact comparison on the STAGED (query, oracle) pair
+    — components recomputed independently by DuckDB's recursive CTE."""
+    from bharatmlstack_spark.queries_corpus import stream_dedup_clusters
+    from bharatmlstack_spark.queries_text import STAGED_ORACLES
+
+    df = stream_dedup_clusters(spark, SF_DIR)
+    assert df.dtypes == [("node", "bigint"), ("component", "bigint")]
+    rows = df.collect()
+    cols = sorted(df.columns)
+    got = sorted(tuple(r[c] for c in cols) for r in rows)
+    assert got, "corpus has near-dup pairs; empty readout means sink loss"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rel = con.sql(STAGED_ORACLES["stream_dedup_clusters"])
+    assert sorted(rel.columns) == cols
+    order = [rel.columns.index(c) for c in cols]
+    ref = sorted(tuple(r[i] for i in order) for r in rel.fetchall())
+    assert got == ref
+
+
+WAVES = [
+    [(1, 2), (2, 3), (10, 11)],  # clusters {1,2,3}, {10,11}
+    [(20, 21)],  # cluster {20,21}
+    [(3, 10), (30, 31), (1, 2)],  # MERGES {1,2,3}+{10,11}; intra-topic redelivery
+]
+EXPECTED = {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+@pytest.fixture()
+def cluster_state(spark, tmp_path):
+    """3-wave synthetic topic with an engineered cross-batch merge, run
+    TWICE (second pass = full at-least-once redelivery)."""
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        stream_cluster_sink,
+    )
+
+    topic = str(tmp_path / "topic")
+    for w in WAVES:
+        spark.createDataFrame(w, "id_a long, id_b long").coalesce(1).write.mode(
+            "append"
+        ).parquet(topic)
+    state = str(tmp_path / "state")
+    for replay in ("ck1", "ck2"):
+        stream = (
+            spark.readStream.schema("id_a long, id_b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_cluster_sink(
+            stream,
+            state_dir=state,
+            checkpoint_dir=str(tmp_path / replay),
+            spark=spark,
+            state_buckets=4,
+            trigger_once=True,
+        )
+        await_stream(q, 180)
+    return state
+
+
+def test_cross_batch_merge_and_row_idempotence(spark, cluster_state):
+    from bharatmlstack_spark.streaming.ingest import read_cluster_state
+
+    got = {
+        r["node"]: r["component"]
+        for r in read_cluster_state(spark, cluster_state).collect()
+    }
+    assert got == EXPECTED
+    # the (3,10) wave merged two ESTABLISHED clusters: exactly one merge
+    # row, child = the losing root (10), parent = the joint minimum (1)
+    merges = spark.read.parquet(f"{cluster_state}/merges").collect()
+    assert [(m["child"], m["parent"]) for m in merges] == [(10, 1)]
+    # full redelivery appended NOTHING: one label row per node, ever
+    assert spark.read.parquet(f"{cluster_state}/labels").count() == len(EXPECTED)
+
+
+def test_compaction_folds_merges(spark, cluster_state):
+    from bharatmlstack_spark.streaming.ingest import (
+        compact_cluster_state,
+        read_cluster_state,
+    )
+
+    rep = compact_cluster_state(spark, cluster_state)
+    assert rep == {"labels_rewritten": len(EXPECTED), "merges_cleared": 1}
+    assert not os.path.isdir(f"{cluster_state}/merges")
+    # stored labels are now canonical (resolve join no longer needed)
+    lab = {
+        r["node"]: r["label"]
+        for r in spark.read.parquet(f"{cluster_state}/labels").collect()
+    }
+    assert lab == EXPECTED
+    got = {
+        r["node"]: r["component"]
+        for r in read_cluster_state(spark, cluster_state).collect()
+    }
+    assert got == EXPECTED
+    # idempotent second pass over a merge-free state
+    assert compact_cluster_state(spark, cluster_state) == {
+        "labels_rewritten": 0,
+        "merges_cleared": 0,
+    }
+
+
+def test_bucket_count_contract(spark, cluster_state, tmp_path):
+    """A run against an existing state with a different bucket count (or
+    flat against bucketed) must refuse — the probe's pmod pruning would
+    miss stored labels hashed with the recorded count."""
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        stream_cluster_sink,
+    )
+
+    topic = str(tmp_path / "topic2")
+    spark.createDataFrame([(50, 51)], "id_a long, id_b long").coalesce(1).write.parquet(
+        topic
+    )
+    for bad_buckets in (8, None):
+        stream = (
+            spark.readStream.schema("id_a long, id_b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic)
+        )
+        q = stream_cluster_sink(
+            stream,
+            state_dir=cluster_state,
+            checkpoint_dir=str(tmp_path / f"ckbad{bad_buckets}"),
+            spark=spark,
+            state_buckets=bad_buckets,
+            trigger_once=True,
+        )
+        with pytest.raises(Exception, match="state_buckets"):
+            await_stream(q, 180)
+
+
+def test_merge_forest_deep_chain(spark):
+    """Pointer doubling resolves a maximally deep union-by-min chain
+    (5->4->3->2->1) to the single root in O(log depth) rounds."""
+    from bharatmlstack_spark.streaming.ingest import _resolve_merge_forest
+
+    chain = spark.createDataFrame(
+        [(c, c - 1) for c in range(2, 7)], "child long, parent long"
+    )
+    res = {r["child"]: r["root"] for r in _resolve_merge_forest(chain).collect()}
+    assert res == {c: 1 for c in range(2, 7)}
