@@ -5551,6 +5551,8 @@ def stream_cluster_sink(
     id_b: str = "id_b",
     state_buckets: int | None = None,
     trigger_once: bool = False,
+    batch_driver_max: int = 200_000,
+    merge_driver_max: int = 2_000_000,
 ):
     """Incremental connected components over a streamed dedup-pair feed:
     turns the pair DISCOVERY the near-dup sinks emit
@@ -5592,6 +5594,17 @@ def stream_cluster_sink(
        while the reverse order could (labels without their merges);
     5. append ``(node, component_min)`` to ``labels`` for the batch's
        NEW nodes only.
+
+    Steps 2-5 run in one of two TIERS chosen per batch: at or below
+    ``batch_driver_max`` pairs (and ``merge_driver_max`` log rows — a
+    parquet-metadata count, no scan), the batch graph, touched labels,
+    and merge log collect to the driver and the union-find runs as
+    plain Python (microseconds of CPU vs the ~dozen Spark jobs the
+    distributed tier schedules — the bounded-driver-work discipline of
+    IvfIndex.fit's sample); above either bound, everything stays
+    DataFrames (pointer-doubling resolution + distributed label
+    propagation). Both tiers write identical state
+    (tests/test_stream_clusters.py runs the full fixture through each).
 
     Because connected components are independent of edge arrival order,
     the read-back labels equal the one-shot batch computation over the
@@ -5674,6 +5687,167 @@ def stream_cluster_sink(
             )
         _layout_ok.append(True)
 
+    def _probe_stored(endpoints: DataFrame):
+        """(node, label) rows for the batch endpoints — bucket-pruned
+        targeted read (touched dirs only, O(needed) listing) + broadcast
+        semi-join; labels are UNresolved (each tier resolves through the
+        merge forest its own way). None when no endpoint is stored."""
+        if not hadoop_path_exists(spark, labels_path):
+            return None
+        if bucketed:
+            need_kb = [
+                r[0]
+                for r in endpoints.select(_kb(F.col("node")).alias("kb"))
+                .distinct()
+                .collect()
+            ]
+            existing = _list_kb_dirs(spark, labels_path)
+            paths = [existing[b] for b in need_kb if b in existing]
+            if not paths:
+                return None
+            lab = spark.read.option("basePath", labels_path).parquet(*paths)
+        else:
+            lab = spark.read.parquet(labels_path)
+        return lab.join(F.broadcast(endpoints), on="node", how="left_semi").select(
+            "node", "label"
+        )
+
+    def _append_labels(new_labels: DataFrame, small: bool) -> None:
+        if bucketed:
+            out = new_labels.withColumn("__kb", _kb(F.col("node")))
+            out = out.coalesce(1) if small else out.repartition("__kb")
+            out.write.mode("append").partitionBy("__kb").parquet(labels_path)
+        else:
+            out = new_labels.coalesce(1) if small else new_labels
+            out.write.mode("append").parquet(labels_path)
+
+    def _apply_driver(pairs: DataFrame, stored_lab, merges_df) -> None:
+        """Micro-batch tier: the batch graph, the touched stored labels,
+        and the merge log all fit the driver comfortably (bounded by
+        batch_driver_max pairs / merge_driver_max log rows), so the
+        union-find runs as plain Python — microseconds of CPU instead of
+        the ~dozen Spark jobs the distributed tier schedules. Same
+        bounded-driver-work discipline as IvfIndex.fit's sample."""
+        plist = [(r[0], r[1]) for r in pairs.collect()]
+        stored_rows = (
+            [(r[0], r[1]) for r in stored_lab.collect()]
+            if stored_lab is not None
+            else []
+        )
+        forest: dict[int, int] = {}
+        if merges_df is not None:
+            for child, parent in merges_df.collect():
+                prev = forest.get(child)
+                forest[child] = parent if prev is None else min(prev, parent)
+
+        def _root(lbl: int) -> int:
+            seen = []
+            while lbl in forest:
+                seen.append(lbl)
+                lbl = forest[lbl]
+            for s in seen:  # path compression
+                forest[s] = lbl
+            return lbl
+
+        par: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while par.get(r, r) != r:
+                r = par[r]
+            while par.get(x, x) != x:
+                par[x], x = r, par[x]
+            return r
+
+        def union(a: int, b: int) -> None:
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                return
+            if rb < ra:
+                ra, rb = rb, ra
+            par[rb] = ra  # union-by-min: the smaller id is the root
+
+        for u, v in plist:
+            union(u, v)
+        stored_nodes: set[int] = set()
+        roots_set: set[int] = set()
+        for node, label in stored_rows:
+            r = _root(label)
+            stored_nodes.add(node)
+            roots_set.add(r)
+            union(node, r)
+        # merges BEFORE labels (docstring step 4)
+        new_merges = [(r0, find(r0)) for r0 in sorted(roots_set) if find(r0) < r0]
+        if new_merges:
+            spark.createDataFrame(new_merges, "child long, parent long").coalesce(
+                1
+            ).write.mode("append").parquet(merges_path)
+        new_nodes = sorted({x for p in plist for x in p} - stored_nodes)
+        if new_nodes:
+            _append_labels(
+                spark.createDataFrame(
+                    [(n, find(n)) for n in new_nodes], "node long, label long"
+                ),
+                small=True,
+            )
+
+    def _apply_distributed(pairs: DataFrame, endpoints: DataFrame, stored_lab, merges_df) -> None:
+        """Large-batch tier: everything stays DataFrames — merge-forest
+        resolution by pointer doubling, batch components by label
+        propagation (operators.graph.connected_components)."""
+        stored_res = None
+        if stored_lab is not None:
+            if merges_df is not None:
+                res = _resolve_merge_forest(merges_df)
+                stored = stored_lab.join(
+                    F.broadcast(res), stored_lab.label == res.child, "left"
+                ).select("node", F.coalesce("root", "label").alias("root"))
+            else:
+                stored = stored_lab.select("node", F.col("label").alias("root"))
+            # min-agg: redelivery can store one node twice with labels
+            # from different epochs; both resolve to the same root once
+            # the merge log is read, so min is an identity — kept for
+            # the crash window where the second append's merges are
+            # ahead of this reader's log snapshot
+            stored_res = (
+                stored.groupBy("node").agg(F.min("root").alias("root")).persist()
+            )
+        edges = pairs
+        if stored_res is not None:
+            edges = edges.unionByName(
+                stored_res.select(F.col("node").alias("u"), F.col("root").alias("v"))
+            )
+        comps = connected_components(edges, src="u", dst="v").persist()
+        try:
+            if stored_res is not None:
+                roots = stored_res.select("root").distinct()
+                new_merges = (
+                    comps.join(F.broadcast(roots), comps.node == roots.root)
+                    .filter(F.col("component") < F.col("root"))
+                    .select(
+                        F.col("root").alias("child"),
+                        F.col("component").alias("parent"),
+                    )
+                )
+                # merges BEFORE labels (docstring step 4); the isEmpty
+                # gate keeps a merge-free state's read path resolve-free
+                # (no merges/ dir at all)
+                if not new_merges.isEmpty():
+                    new_merges.write.mode("append").parquet(merges_path)
+                new_nodes = endpoints.join(
+                    stored_res.select("node"), on="node", how="left_anti"
+                )
+            else:
+                new_nodes = endpoints
+            new_labels = new_nodes.join(comps, on="node").select(
+                "node", F.col("component").alias("label")
+            )
+            _append_labels(new_labels, small=False)
+        finally:
+            comps.unpersist()
+            if stored_res is not None:
+                stored_res.unpersist()
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -5688,118 +5862,32 @@ def stream_cluster_sink(
             .persist()
         )
         try:
+            n_pairs = pairs.count()
             endpoints = (
                 pairs.select(F.explode(F.array("u", "v")).alias("node"))
                 .distinct()
                 .persist()
             )
             try:
-                stored_res = None
-                if hadoop_path_exists(spark, labels_path):
-                    if bucketed:
-                        need_kb = [
-                            r[0]
-                            for r in endpoints.select(
-                                _kb(F.col("node")).alias("kb")
-                            )
-                            .distinct()
-                            .collect()
-                        ]
-                        existing = _list_kb_dirs(spark, labels_path)
-                        paths = [existing[b] for b in need_kb if b in existing]
-                        lab = (
-                            spark.read.option("basePath", labels_path).parquet(*paths)
-                            if paths
-                            else None
-                        )
-                    else:
-                        lab = spark.read.parquet(labels_path)
-                    if lab is not None:
-                        stored = lab.join(
-                            F.broadcast(endpoints), on="node", how="left_semi"
-                        ).select("node", "label")
-                        if hadoop_path_exists(spark, merges_path):
-                            res = _resolve_merge_forest(
-                                spark.read.parquet(merges_path)
-                            )
-                            stored = (
-                                stored.join(
-                                    F.broadcast(res),
-                                    stored.label == res.child,
-                                    "left",
-                                )
-                                .select(
-                                    "node",
-                                    F.coalesce("root", "label").alias("root"),
-                                )
-                            )
-                        else:
-                            stored = stored.select(
-                                "node", F.col("label").alias("root")
-                            )
-                        # min-agg: redelivery can store one node twice
-                        # with labels from different epochs; both resolve
-                        # to the same root once the merge log is read, so
-                        # min is an identity — kept for the crash window
-                        # where the second append's merges are ahead of
-                        # this reader's log snapshot
-                        stored_res = (
-                            stored.groupBy("node")
-                            .agg(F.min("root").alias("root"))
-                            .persist()
-                        )
-                edges = pairs
-                if stored_res is not None:
-                    edges = edges.unionByName(
-                        stored_res.select(
-                            F.col("node").alias("u"), F.col("root").alias("v")
-                        )
-                    )
-                comps = connected_components(edges, src="u", dst="v").persist()
-                try:
-                    if stored_res is not None:
-                        roots = stored_res.select("root").distinct()
-                        new_merges = (
-                            comps.join(
-                                F.broadcast(roots),
-                                comps.node == roots.root,
-                            )
-                            .filter(F.col("component") < F.col("root"))
-                            .select(
-                                F.col("root").alias("child"),
-                                F.col("component").alias("parent"),
-                            )
-                        )
-                        # merges BEFORE labels (docstring step 4); the
-                        # isEmpty gate keeps a merge-free state's read
-                        # path resolve-free (no merges/ dir at all)
-                        if not new_merges.isEmpty():
-                            new_merges.write.mode("append").parquet(merges_path)
-                        new_nodes = endpoints.join(
-                            stored_res.select("node"), on="node", how="left_anti"
-                        )
-                    else:
-                        new_nodes = endpoints
-                    new_labels = new_nodes.join(comps, on="node").select(
-                        "node", F.col("component").alias("label")
-                    )
-                    if bucketed:
-                        (
-                            new_labels.withColumn("__kb", _kb(F.col("node")))
-                            .repartition("__kb")
-                            .write.mode("append")
-                            .partitionBy("__kb")
-                            .parquet(labels_path)
-                        )
-                    else:
-                        new_labels.write.mode("append").parquet(labels_path)
-                    _update_maintenance_meta(
-                        spark, state_dir, batch_id, rows_appended=pairs.count()
-                    )
-                finally:
-                    comps.unpersist()
-                    if stored_res is not None:
-                        stored_res.unpersist()
+                stored_lab = _probe_stored(endpoints)
+                merges_df = (
+                    spark.read.parquet(merges_path)
+                    if hadoop_path_exists(spark, merges_path)
+                    else None
+                )
+                # tier choice: the driver tier also collects the merge
+                # log, so a pathologically deep log (> merge_driver_max
+                # rows — parquet-metadata count, no scan) falls back to
+                # the distributed tier regardless of batch size
+                if n_pairs <= batch_driver_max and (
+                    merges_df is None or merges_df.count() <= merge_driver_max
+                ):
+                    _apply_driver(pairs, stored_lab, merges_df)
+                else:
+                    _apply_distributed(pairs, endpoints, stored_lab, merges_df)
+                _update_maintenance_meta(
+                    spark, state_dir, batch_id, rows_appended=n_pairs
+                )
             finally:
                 endpoints.unpersist()
         finally:

@@ -49,10 +49,12 @@ WAVES = [
 EXPECTED = {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20, 21: 20, 30: 30, 31: 30}
 
 
-@pytest.fixture()
-def cluster_state(spark, tmp_path):
+@pytest.fixture(params=[200_000, 0], ids=["driver-tier", "distributed-tier"])
+def cluster_state(spark, tmp_path, request):
     """3-wave synthetic topic with an engineered cross-batch merge, run
-    TWICE (second pass = full at-least-once redelivery)."""
+    TWICE (second pass = full at-least-once redelivery) — through BOTH
+    execution tiers (param = batch_driver_max; 0 forces the distributed
+    tier), which must write identical state."""
     from bharatmlstack_spark.streaming.ingest import (
         await_stream,
         stream_cluster_sink,
@@ -77,6 +79,7 @@ def cluster_state(spark, tmp_path):
             spark=spark,
             state_buckets=4,
             trigger_once=True,
+            batch_driver_max=request.param,
         )
         await_stream(q, 180)
     return state
