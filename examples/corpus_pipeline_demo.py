@@ -80,6 +80,47 @@ def main() -> None:
     deduped = exact.join(dropped, on="doc_id", how="left_anti")
     print(f"== 4. dedup: {mixed.count()} -> exact {exact.count()} -> clustered {deduped.count()} ==")
 
+    # 4b. the same clusters MAINTAINED incrementally: stream the pair
+    # set in waves through the persisted union-find — at corpus scale
+    # this replaces the per-refresh connected_components recompute
+    # (O(batch + touched clusters) per wave; see stream_dedup_clusters)
+    import tempfile
+
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        read_cluster_state,
+        stream_cluster_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix="demo_clusters_")
+    waves = pairs.select("id_a", "id_b").withColumn(
+        "__w", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(3))
+    )
+    for w in range(3):
+        waves.filter(F.col("__w") == w).drop("__w").coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{work}/topic")
+    q = stream_cluster_sink(
+        spark.readStream.schema("id_a bigint, id_b bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/topic"),
+        state_dir=f"{work}/state",
+        checkpoint_dir=f"{work}/ck",
+        spark=spark,
+        trigger_once=True,
+    )
+    await_stream(q, 300)
+    inc = read_cluster_state(spark, f"{work}/state")
+    n_diff = (
+        inc.join(comps, on="node")
+        .filter(inc.component != comps.component)
+        .count()
+    )
+    print(f"== 4b. incremental clusters: {inc.count()} labels, {n_diff} differ from batch ==")
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
+
     # 5. decontaminate: drop train docs sharing a 5-gram with the test split
     split = F.when(SP.knuth_mix(F.col("doc_id")) % 100 < 80, "train").otherwise("test")
     tagged = deduped.withColumn("split", split)
