@@ -169,3 +169,59 @@ def test_merge_forest_deep_chain(spark):
     )
     res = {r["child"]: r["root"] for r in _resolve_merge_forest(chain).collect()}
     assert res == {c: 1 for c in range(2, 7)}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_randomized_waves_match_batch_components(spark, tmp_path, seed):
+    """Randomized equivalence: arbitrary pair graphs (chains, triangles,
+    bridges between waves) split into 2 waves through the real sink must
+    reproduce the one-shot connected_components labels exactly — the
+    order-independence claim under graph shapes the engineered fixture
+    doesn't cover."""
+    import random
+
+    from bharatmlstack_spark.operators.graph import connected_components
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        read_cluster_state,
+        stream_cluster_sink,
+    )
+
+    rng = random.Random(seed)
+    nodes = list(range(1, 120))
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(80)
+        }
+    )
+    rng.shuffle(pairs)
+    half = len(pairs) // 2
+    topic = str(tmp_path / "topic")
+    for wave in (pairs[:half], pairs[half:]):
+        spark.createDataFrame(wave, "id_a long, id_b long").coalesce(1).write.mode(
+            "append"
+        ).parquet(topic)
+    state = str(tmp_path / "state")
+    q = stream_cluster_sink(
+        spark.readStream.schema("id_a long, id_b long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(topic),
+        state_dir=state,
+        checkpoint_dir=str(tmp_path / "ck"),
+        spark=spark,
+        state_buckets=4,
+        trigger_once=True,
+    )
+    await_stream(q, 180)
+    got = {
+        r["node"]: r["component"]
+        for r in read_cluster_state(spark, state).collect()
+    }
+    expected = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(pairs, "id_a long, id_b long")
+        ).collect()
+    }
+    assert got == expected
