@@ -225,3 +225,62 @@ def test_randomized_waves_match_batch_components(spark, tmp_path, seed):
         ).collect()
     }
     assert got == expected
+
+
+def test_crash_window_merges_ahead_of_labels(spark, tmp_path):
+    """The crash contract, exercised: a batch that appended its MERGES
+    but died before its LABELS (the only partial state the sink's
+    merge-first ordering can leave) must (a) keep reads correct in the
+    window — merging "early" agrees with the components the pair
+    evidence will prove — and (b) heal completely when the batch
+    redelivers: labels appear, no duplicate or contradictory merge rows."""
+    from bharatmlstack_spark.streaming.ingest import (
+        await_stream,
+        read_cluster_state,
+        stream_cluster_sink,
+    )
+
+    def deliver(wave, ck):
+        topic = str(tmp_path / f"topic_{ck}")
+        spark.createDataFrame(wave, "id_a long, id_b long").coalesce(1).write.parquet(
+            topic
+        )
+        q = stream_cluster_sink(
+            spark.readStream.schema("id_a long, id_b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(topic),
+            state_dir=state,
+            checkpoint_dir=str(tmp_path / ck),
+            spark=spark,
+            state_buckets=4,
+            trigger_once=True,
+        )
+        await_stream(q, 180)
+
+    state = str(tmp_path / "state")
+    deliver([(1, 2), (2, 3), (10, 11)], "ck1")  # clusters {1,2,3}, {10,11}
+
+    # simulate the crash window of batch [(3,10),(40,41)]: its merge row
+    # (10 -> 1) landed, its labels (40, 41) did not
+    spark.createDataFrame([(10, 1)], "child long, parent long").coalesce(
+        1
+    ).write.mode("append").parquet(f"{state}/merges")
+
+    # (a) mid-window reads are already consistent with the merged future
+    mid = {
+        r["node"]: r["component"] for r in read_cluster_state(spark, state).collect()
+    }
+    assert mid == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+
+    # (b) redelivery completes the batch: labels appear, the established
+    # merge is recognized (roots already minimal — nothing re-appended)
+    deliver([(3, 10), (40, 41)], "ck2")
+    got = {
+        r["node"]: r["component"] for r in read_cluster_state(spark, state).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 40: 40, 41: 40}
+    merges = [
+        (m["child"], m["parent"])
+        for m in spark.read.parquet(f"{state}/merges").collect()
+    ]
+    assert merges == [(10, 1)]
