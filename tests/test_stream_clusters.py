@@ -284,3 +284,40 @@ def test_crash_window_merges_ahead_of_labels(spark, tmp_path):
         for m in spark.read.parquet(f"{state}/merges").collect()
     ]
     assert merges == [(10, 1)]
+
+
+def test_compaction_crash_window_stale_log(spark, cluster_state):
+    """compact_cluster_state's crash contract: labels swap in FIRST, the
+    merge log is deleted SECOND. Simulate a crash between the two — a
+    canonical label store plus the stale pre-compaction log — and pin
+    the docstring's claim: the stale children no longer appear as any
+    stored label, so every resolve join misses and reads stay correct;
+    the next compaction clears the leftover log."""
+    from bharatmlstack_spark.streaming.ingest import (
+        compact_cluster_state,
+        read_cluster_state,
+    )
+
+    stale = [
+        (m["child"], m["parent"])
+        for m in spark.read.parquet(f"{cluster_state}/merges").collect()
+    ]
+    assert compact_cluster_state(spark, cluster_state)["merges_cleared"] == 1
+    # crash simulation: the pre-compaction log re-materializes AFTER the
+    # canonical labels swapped in
+    spark.createDataFrame(stale, "child long, parent long").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{cluster_state}/merges")
+
+    got = {
+        r["node"]: r["component"]
+        for r in read_cluster_state(spark, cluster_state).collect()
+    }
+    assert got == EXPECTED
+    rep = compact_cluster_state(spark, cluster_state)
+    assert rep["merges_cleared"] == len(stale)
+    assert not os.path.isdir(f"{cluster_state}/merges")
+    assert {
+        r["node"]: r["label"]
+        for r in spark.read.parquet(f"{cluster_state}/labels").collect()
+    } == EXPECTED
