@@ -542,6 +542,17 @@ def simhash(
     output, matching the explode form's behavior."""
     _FIELD = 21  # 3 packed counters per long; safe below 2**21 tokens/doc
     n_packed = (bits + 2) // 3
+    # the fold below is the CPU-heaviest map in the SimHash pipeline
+    # (tokenize + per-token hash + ceil(bits/3)+1 packed folds + the
+    # 64-term fingerprint sum); when the source arrives in fewer splits
+    # than cores (a 3-branch corpus union reading one parquet file), the
+    # whole fingerprint stage runs on those few tasks — spread the raw
+    # text first, exactly as minhash_lsh_dedup_pairs does (the text
+    # exchange is bytes-cheap next to the map it unblocks; a well-split
+    # source at scale skips it)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     base = df.select(
         F.col(id_col).alias("id"),
         F.transform(tokenize(text_col), lambda w: F.xxhash64(w)).alias("__wh"),

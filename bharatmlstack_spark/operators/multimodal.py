@@ -639,6 +639,20 @@ def decode_stats(media: DataFrame, strict_decode: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
 
 
+def _media_frame(spark, rows) -> DataFrame:
+    """Fixture frame with partitions sized by ROW COUNT (~6 rows/task,
+    capped at the core count) instead of the default parallelism:
+    createDataFrame over a local list slices into defaultParallelism
+    partitions, so a 24-row fixture fanned out to 32 one-row tasks —
+    and the first mapInPandas over it cold-started 32 Python workers at
+    once for a few KB of media (measured: ~40 s of pure worker-spawn
+    wall with <5 s CPU). Real media at scale arrives from parquet with
+    byte-sized splits; only the synthetic fixtures need this."""
+    par = spark.sparkContext.defaultParallelism
+    n_slices = max(1, min(par, len(rows) // 6 or 1))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_slices)
+
+
 def synthetic_real_media(spark, n: int = 48) -> DataFrame:
     """Deterministic fixture of REAL decodable media: even ids are binary
     P5 (PGM) images, odd ids are RIFF/WAVE PCM16 audio. Pixels and samples
@@ -665,7 +679,7 @@ def synthetic_real_media(spark, n: int = 48) -> DataFrame:
             content = encode_wav_pcm16(samples.astype(np.int16), rate)
             meta = ("audio/wav", None, None, rate, n_samples * 1000 // rate)
             rows.append((i, "audio", content, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def synthetic_rgb_media(spark, n: int = 24) -> DataFrame:
@@ -682,7 +696,7 @@ def synthetic_rgb_media(spark, n: int = 24) -> DataFrame:
         content = encode_pnm(flat.astype(np.uint8).reshape(h, w, 3))
         meta = ("image/x-portable-pixmap", w, h, None, None)
         rows.append((i, "image", content, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def synthetic_png_media(spark, n: int = 24) -> DataFrame:
@@ -704,7 +718,7 @@ def synthetic_png_media(spark, n: int = 24) -> DataFrame:
             flat = (i * 53 + np.arange(w * h * 3)) % 256
             content = encode_png(flat.astype(np.uint8).reshape(h, w, 3))
         rows.append((i, "image", content, ("image/png", w, h, None, None)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def synthetic_media(spark, n: int = 16) -> DataFrame:
@@ -721,4 +735,4 @@ def synthetic_media(spark, n: int = 16) -> DataFrame:
             1000 * (i + 1) if modality == "video" else None,
         )
         rows.append((i, modality, content, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _media_frame(spark, rows)

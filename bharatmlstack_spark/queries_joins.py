@@ -464,8 +464,15 @@ def _exact_knn_with_flag(emb, ann, flag_name: str, bound: float) -> DataFrame:
     """Shared verification harness for the ANN rows: emit the exact
     brute-force top-10 per query (what DuckDB recomputes) plus a boolean
     asserting the ANN candidate set covered >= ``bound`` of it overall.
-    The exact side is persisted — it feeds the deliverable, the recall
-    denominator, and the hit join."""
+    The exact side is persisted — it feeds the deliverable and the flag.
+
+    The flag is ONE aggregation over a left join (numerator = count of
+    hit markers, denominator = count(*) of the same pass) instead of the
+    former two aggregate branches crossJoined together — one scan of the
+    persisted exact side and one aggregation job instead of two of each.
+    Sound because every ANN candidate frame is unique on the join key by
+    construction (row_number top-k / dropDuplicates upstream), so the
+    left join never duplicates an exact row."""
     from bharatmlstack_spark.functions.vector import dot
 
     q = emb.filter(F.col("vec_id") < 5).select(
@@ -482,11 +489,13 @@ def _exact_knn_with_flag(emb, ann, flag_name: str, bound: float) -> DataFrame:
         .select("query_id", "vec_id", "score", "rank")
         .persist()
     )
-    hits = exact10.join(ann, ["query_id", "vec_id"], "left_semi")
     flag = (
-        hits.agg(F.count(F.lit(1)).alias("__n_hit"))
-        .crossJoin(exact10.agg(F.count(F.lit(1)).alias("__n_exact")))
-        .select((F.col("__n_hit") / F.col("__n_exact") >= bound).alias(flag_name))
+        exact10.join(
+            ann.withColumn("__hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        .agg(
+            (F.count("__hit") / F.count(F.lit(1)) >= bound).alias(flag_name)
+        )
     )
     return exact10.crossJoin(F.broadcast(flag))
 
@@ -654,12 +663,12 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "score", "rank")
         .persist()
     )
-    hits = exact10.join(ann, ["vec_id"], "left_semi")
-    flag = (
-        hits.agg(F.count(F.lit(1)).alias("__n_hit"))
-        .crossJoin(exact10.agg(F.count(F.lit(1)).alias("__n_exact")))
-        .select((F.col("__n_hit") / F.col("__n_exact") >= 0.8).alias("recall_ok"))
-    )
+    # one-pass recall flag (see _exact_knn_with_flag): left join marks the
+    # hits, a single aggregation computes hit / total — ann is unique on
+    # vec_id (top-k re-rank), so no exact row duplicates
+    flag = exact10.join(
+        ann.withColumn("__hit", F.lit(1)), ["vec_id"], "left"
+    ).agg((F.count("__hit") / F.count(F.lit(1)) >= 0.8).alias("recall_ok"))
     return exact10.crossJoin(F.broadcast(flag))
 
 

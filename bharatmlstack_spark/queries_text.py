@@ -272,15 +272,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .persist()
     )
-    hits = exact.join(sh_pairs, ["id_a", "id_b"], "left_semi")
-    flag = (
-        hits.agg(F.count(F.lit(1)).alias("__n_hit"))
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("__n_exact")))
-        .select(
-            (F.col("__n_hit") / F.col("__n_exact") >= 0.55).alias(
-                "simhash_recall_ok"
-            )
-        )
+    # one-pass recall flag (see queries_joins._exact_knn_with_flag): left
+    # join marks the SimHash-covered pairs, one aggregation computes
+    # hit / total — sh_pairs is unique on (id_a, id_b) (dropDuplicates in
+    # simhash_near_pairs), so no exact row duplicates
+    flag = exact.join(
+        sh_pairs.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        (F.count("__hit") / F.count(F.lit(1)) >= 0.55).alias("simhash_recall_ok")
     )
     return exact.crossJoin(F.broadcast(flag))
 
@@ -2344,14 +2343,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "score", "rank")
         .persist()
     )
-    hits = exact10.join(ann, ["vec_id"], "left_semi")
-    flag = (
-        hits.agg(F.count(F.lit(1)).alias("__n_hit"))
-        .crossJoin(exact10.agg(F.count(F.lit(1)).alias("__n_exact")))
-        .select(
-            (F.col("__n_hit") / F.col("__n_exact") >= 0.8).alias("recall_ok")
-        )
-    )
+    # one-pass recall flag (see queries_joins._exact_knn_with_flag): left
+    # join marks the hits, one aggregation computes hit / total — ann is
+    # unique on vec_id (top-k re-rank), so no exact row duplicates
+    flag = exact10.join(
+        ann.withColumn("__hit", F.lit(1)), ["vec_id"], "left"
+    ).agg((F.count("__hit") / F.count(F.lit(1)) >= 0.8).alias("recall_ok"))
     return exact10.crossJoin(F.broadcast(flag))
 
 
@@ -2552,14 +2549,12 @@ def stream_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "score", "rank")
         .persist()
     )
-    hits = exact10.join(ann, ["vec_id"], "left_semi")
-    flag = (
-        hits.agg(F.count(F.lit(1)).alias("__n_hit"))
-        .crossJoin(exact10.agg(F.count(F.lit(1)).alias("__n_exact")))
-        .select(
-            (F.col("__n_hit") / F.col("__n_exact") >= 0.8).alias("recall_ok")
-        )
-    )
+    # one-pass recall flag (see queries_joins._exact_knn_with_flag): left
+    # join marks the hits, one aggregation computes hit / total — ann is
+    # unique on vec_id (top-k re-rank), so no exact row duplicates
+    flag = exact10.join(
+        ann.withColumn("__hit", F.lit(1)), ["vec_id"], "left"
+    ).agg((F.count("__hit") / F.count(F.lit(1)) >= 0.8).alias("recall_ok"))
     return exact10.crossJoin(F.broadcast(flag))
 
 

@@ -32,6 +32,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-coalesce the output partitioning of CACHED plans too
+        # (default false): this engine persists multi-consumer intermediates
+        # (hashed shingle sets, banded signatures, BPE word tables), and
+        # without this every one of them freezes the static
+        # spark.sql.shuffle.partitions constant into its cache layout — the
+        # exact anti-pattern the optimization guide §2 warns about (partition
+        # count as a constant instead of derived from bytes). With it on,
+        # cached-plan partitioning follows the same AQE advisory sizing as
+        # everything else at every scale. Measured 0.77-0.92x on the
+        # cache-heavy bench rows (OPTIMIZATION_r16.md).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # dimension tables (region/nation/supplier, schema registry joins) are
         # tiny; let Catalyst broadcast aggressively.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")

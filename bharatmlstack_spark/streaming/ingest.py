@@ -1402,6 +1402,18 @@ def stream_ann_ivf_sink(
     _ensure_quantizer_consistent(spark, index_path, ivf)
     meta0 = read_table_meta(spark, index_path)
     if meta0 is not None:
+        # mirror of the reverse-direction guard in stream_ann_ivfpq_sink:
+        # an IVF-PQ codes root shares the coarse-quantizer sidecar (so
+        # _ensure_quantizer_consistent passes), but appending
+        # full-precision embedding rows into it would mix schemas under
+        # one root — refuse symmetrically
+        if meta0.get("ivfpq", False):
+            raise RuntimeError(
+                f"index root {index_path} was built by the IVF-PQ codes "
+                "sink ('ivfpq' sidecar flag set) — appending "
+                "full-precision embedding rows would mix schemas under "
+                "one root. Use a fresh root."
+            )
         # an existing index whose sidecar predates the flag (or was
         # written by the SemDeDup sink) IS the unversioned case —
         # default, don't skip: accepting allow_updates=True against it
@@ -5497,6 +5509,25 @@ def purge_docs_everywhere(
 CLUSTER_RESOLVE_MAX_ITER = 64
 
 
+# the resolved merge forest is merges-count-sized and normally tiny next
+# to the label store, so the read/compact joins hint broadcast to keep the
+# corpus-sized label side un-shuffled. But an explicit hint BYPASSES
+# autoBroadcastJoinThreshold — a pathologically deep log must degrade to a
+# shuffle join instead of OOMing driver/executors. 2M rows of (child,
+# root) longs ≈ 32 MB framed: comfortably broadcastable, aligned with
+# stream_cluster_sink's merge_driver_max tier bound.
+CLUSTER_BROADCAST_MAX_MERGES = 2_000_000
+
+
+def _maybe_broadcast_forest(res: DataFrame, n_merges: int | None) -> DataFrame:
+    """Broadcast-hint the resolved merge forest only while the merge log
+    is provably broadcast-sized; above the bound (or when the caller has
+    no count) size is unknown-large — leave the join strategy to Spark."""
+    if n_merges is not None and n_merges <= CLUSTER_BROADCAST_MAX_MERGES:
+        return F.broadcast(res)
+    return res
+
+
 def _resolve_merge_forest(merges: DataFrame) -> DataFrame:
     """(child, parent) merge-forest rows -> (child, root) full resolution
     by pointer DOUBLING: each round replaces every parent that is itself
@@ -5791,7 +5822,9 @@ def stream_cluster_sink(
                 small=True,
             )
 
-    def _apply_distributed(pairs: DataFrame, endpoints: DataFrame, stored_lab, merges_df) -> None:
+    def _apply_distributed(
+        pairs: DataFrame, endpoints: DataFrame, stored_lab, merges_df, n_merges
+    ) -> None:
         """Large-batch tier: everything stays DataFrames — merge-forest
         resolution by pointer doubling, batch components by label
         propagation (operators.graph.connected_components)."""
@@ -5800,7 +5833,9 @@ def stream_cluster_sink(
             if merges_df is not None:
                 res = _resolve_merge_forest(merges_df)
                 stored = stored_lab.join(
-                    F.broadcast(res), stored_lab.label == res.child, "left"
+                    _maybe_broadcast_forest(res, n_merges),
+                    stored_lab.label == res.child,
+                    "left",
                 ).select("node", F.coalesce("root", "label").alias("root"))
             else:
                 stored = stored_lab.select("node", F.col("label").alias("root"))
@@ -5878,13 +5913,29 @@ def stream_cluster_sink(
                 # tier choice: the driver tier also collects the merge
                 # log, so a pathologically deep log (> merge_driver_max
                 # rows — parquet-metadata count, no scan) falls back to
-                # the distributed tier regardless of batch size
-                if n_pairs <= batch_driver_max and (
-                    merges_df is None or merges_df.count() <= merge_driver_max
-                ):
+                # the distributed tier regardless of batch size; the
+                # count also gates the distributed tier's broadcast hint
+                # (_maybe_broadcast_forest)
+                n_merges = merges_df.count() if merges_df is not None else 0
+                if n_pairs <= batch_driver_max and n_merges <= merge_driver_max:
                     _apply_driver(pairs, stored_lab, merges_df)
                 else:
-                    _apply_distributed(pairs, endpoints, stored_lab, merges_df)
+                    _apply_distributed(
+                        pairs, endpoints, stored_lab, merges_df, n_merges
+                    )
+                # meta AFTER the appends — deliberately opposite the
+                # meta-first ordering the other sinks enforce: here the
+                # crash-window contract is carried by the merges-before-
+                # labels append order (docstring step 4, pinned by
+                # tests/test_stream_clusters.py), and the state is
+                # idempotent in rows — a crash between appends and this
+                # meta write only understates rows_appended/last_batch_id
+                # (maintenance-cadence hints, never read correctness);
+                # redelivery then re-applies the batch, whose merges and
+                # labels collapse in the per-node min. Writing meta FIRST
+                # would instead overstate progress across the same crash,
+                # and unlike the other sinks nothing here uses the
+                # counter to detect redelivery.
                 _update_maintenance_meta(
                     spark, state_dir, batch_id, rows_appended=n_pairs
                 )
@@ -5908,17 +5959,23 @@ def read_cluster_state(spark: SparkSession, state_dir: str) -> DataFrame:
 
     ONE scan of the label store joined against the broadcast-resolved
     merge forest (the log is merges-count-sized — broadcastable at any
-    realistic corpus; the hint is deliberate so the corpus-sized label
-    side never shuffles). The per-node min collapses redelivery-epoch
-    duplicates (see stream_cluster_sink)."""
+    realistic corpus; the hint keeps the corpus-sized label side
+    un-shuffled, and is dropped past CLUSTER_BROADCAST_MAX_MERGES so an
+    outsized log degrades to a shuffle join instead of an OOM; the gate
+    count is one metadata-cheap job over the log alone). The per-node
+    min collapses redelivery-epoch duplicates (see
+    stream_cluster_sink)."""
     labels_path = f"{state_dir}/labels"
     merges_path = f"{state_dir}/merges"
     _recover_root_swap(spark, labels_path)
     labels = spark.read.parquet(labels_path).select("node", "label")
     if hadoop_path_exists(spark, merges_path):
-        res = _resolve_merge_forest(spark.read.parquet(merges_path))
+        merges = spark.read.parquet(merges_path)
+        res = _resolve_merge_forest(merges)
         labels = labels.join(
-            F.broadcast(res), labels.label == res.child, "left"
+            _maybe_broadcast_forest(res, merges.count()),
+            labels.label == res.child,
+            "left",
         ).select("node", F.coalesce("root", "label").alias("component"))
     else:
         labels = labels.select("node", F.col("label").alias("component"))
@@ -5958,7 +6015,11 @@ def compact_cluster_state(spark: SparkSession, state_dir: str) -> dict:
     res = _resolve_merge_forest(merges)
     labels = spark.read.parquet(labels_path).select("node", "label")
     canonical = (
-        labels.join(F.broadcast(res), labels.label == res.child, "left")
+        labels.join(
+            _maybe_broadcast_forest(res, n_merges),
+            labels.label == res.child,
+            "left",
+        )
         .select("node", F.coalesce("root", "label").alias("label"))
         .groupBy("node")
         .agg(F.min("label").alias("label"))

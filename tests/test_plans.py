@@ -156,14 +156,25 @@ def test_minhash_signatures_are_map_side_only(spark, sf_dir):
 
 def test_simhash_fingerprint_is_map_side_only(spark, sf_dir):
     """SimHash fingerprinting is an in-row array fold (r09 rewrite of
-    the explode+groupBy form): one whole-stage-codegen projection, zero
-    exchanges — the only shuffle in the SimHash pipeline is the band
-    bucket join downstream. An Exchange appearing here means the
-    fingerprint stage regressed to an aggregate."""
+    the explode+groupBy form): a whole-stage-codegen projection with no
+    AGGREGATE exchange — the only key-partitioned shuffle in the SimHash
+    pipeline is the band bucket join downstream. r16 adds the same
+    conditional input spread minhash_lsh_dedup_pairs has (a round-robin
+    repartition of the raw text when the source arrives in fewer splits
+    than cores), so the allowed exchanges here are round-robin ONLY: a
+    hashpartitioning exchange means the fingerprint regressed to an
+    aggregate."""
     from bharatmlstack_spark.operators.dedup import simhash
+    from bharatmlstack_spark.plans import explain_formatted
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    assert shuffle_count(simhash(docs, id_col="doc_id")) == 0
+    fp = simhash(docs, id_col="doc_id")
+    plan = explain_formatted(fp)
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    # the spread fires here (one parquet file < test parallelism) and is
+    # the ONLY exchange
+    assert shuffle_count(fp) <= 1
 
 
 def test_salted_join_matches_plain(spark):
