@@ -101,6 +101,11 @@ def negative_sample(
 
     ``users`` x ``items`` must be pre-bounded by the caller (hash-filter
     subsets); the cross join is their product, broadcast on the item side.
+    The same goes for ``interactions``: only pairs inside users x items
+    can ever eliminate a candidate, so the caller should apply the pool
+    predicates AT THE SCANS (as queries_corpus.negative_sampling does) —
+    the distinct + anti-join shuffle then shrinks by the product of the
+    two sampling rates instead of paying the full fact table.
     """
     u = users.select(F.col(user_col).cast("bigint").alias(user_col)).distinct()
     i = items.select(F.col(item_col).cast("bigint").alias(item_col)).distinct()

@@ -200,8 +200,22 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pos = orders.join(li, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey")
+    # restrict positives to the sampled pools AT THE SCANS (guide §3.2 /
+    # §6): only purchases by a pooled user of a pooled item can ever
+    # eliminate a candidate pair, so filtering here changes nothing —
+    # but the literal predicates push down to the parquet scans and the
+    # orders⋈lineitem join shrinks by the product of the two sampling
+    # rates instead of joining the full fact
+    pos = (
+        orders.filter(F.col("o_custkey") % 30 == 0)
+        .join(
+            li.filter(F.col("l_partkey") % 20 == 0),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
     )
     return SP.negative_sample(
         pos, user_col="c_custkey", item_col="p_partkey", users=cust, items=parts, k=5
@@ -711,9 +725,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    # doc_id < 100 BEFORE the window: it filters whole window partitions
+    # (doc_id is the partition key) so it commutes with row_number, but
+    # Catalyst leaves the conjunction above the Window — pushed by hand,
+    # the rank exchange carries only the requested docs' scored rows
+    # instead of the whole corpus's (plans/r16/tfidf_top_terms_*.txt)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") <= 5) & (F.col("doc_id") < 100))
+        scored.filter(F.col("doc_id") < 100)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
         .select("doc_id", "term", "tfidf")
     )
 

@@ -781,9 +781,17 @@ def span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is bounded by true duplication, the property that makes this
     the standard substring-dedup shape at 100 TB."""
     docs = corpus(spark, sf_dir).filter(F.size(DD.tokenize("text")) >= 8)
+    # spans participate only as KEYS (the count-distinct and the
+    # inverted-index join), never as output — ship 8-byte xxhash64 hashes
+    # instead of the 8-token strings, the same collision-equivalence
+    # trade ngram_jaccard_pairs_prefix documents (~|spans|²/2^64,
+    # deterministic either way, pinned by the string-side DuckDB oracle).
+    # The persisted frame, the groupBy(span) exchange and the join
+    # exchange all shrink from ~50-100 B/span to 8 B/span.
     spans = defer_unpersist(
         docs.select(
-            "doc_id", F.explode(DD.word_shingles("text", n=8)).alias("span")
+            "doc_id",
+            F.explode(DD.hashed_word_shingles("text", n=8)).alias("span"),
         ).persist()
     )
     dup_spans = (
@@ -1041,10 +1049,6 @@ _BPE_BARE = (
     "transform(filter(split(s, ' '), x -> x <> ''),"
     " x -> substring(x, 1, length(x) - 1))"
 )
-_BPE_MERGE = (
-    "replace(s, concat(' ', split(pair, ' ')[0], '| ', split(pair, ' ')[1], '|'),"
-    " concat(' ', split(pair, ' ')[0], split(pair, ' ')[1], '|'))"
-)
 
 
 _BPE_ORACLE_BARE = (
@@ -1265,34 +1269,75 @@ def bpe_learn_until_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, token string, cnt long")
 
 
+_BPE_MERGE = (
+    "replace(s, concat(' ', split(pair, ' ')[0], '| ', split(pair, ' ')[1], '|'),"
+    " concat(' ', split(pair, ' ')[0], split(pair, ' ')[1], '|'))"
+)
+
+
 def _bpe_learn_words(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, collect_winners: bool = False
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Shared 3-round BPE learn loop: returns the merged distinct-word
     table (w, s, n) — raw word, symbol-sequence encoding after all
     merges, corpus frequency — plus the per-round winner frames
-    (step, token, cnt). Each round's winner is a 1-row broadcast; each
-    round's word table persists so round k never recomputes 1..k-1."""
-    w0 = _bpe_initial_words(spark, sf_dir)
-    pair_counts = _bpe_pair_counts
+    (step, token, cnt).
 
+    Two winner plumbings, both measured (OPTIMIZATION_r16.md), each
+    optimal for one caller:
+
+    - ``collect_winners=False`` (bpe_vocab_learn): each round's argmax
+      pair stays IN-PLAN as a persisted 1-row frame crossJoin-broadcast
+      into the next round — zero driver round-trips; right when the
+      winners' VALUES are part of the query output, because the whole
+      learn+emit chain stays one action.
+    - ``collect_winners=True`` (bpe_tokenize_apply): the winner comes
+      back to the driver as ONE bounded row (the shape
+      bpe_learn_until_vocab already uses) and is inlined into the next
+      round's replace() as a literal — the word table becomes a pure
+      projection chain over the ONE persisted w0, with no per-round
+      persists or broadcast subtrees; right when the caller only needs
+      the final encoded words (the merge frames are still returned, as
+      literal rows). Winners are [a-z]+ by construction, safe to embed.
+
+    At 100 TB the loop state is the persisted distinct-word table either
+    way (Heaps'-law-sized); rounds stay one partial-agg shuffle each."""
+    w0 = _bpe_initial_words(spark, sf_dir)
     words = defer_unpersist(w0.persist())
     merges = []
     for step in (1, 2, 3):
-        best = pair_counts(words).orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
-        best = defer_unpersist(best.persist())
-        merges.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.expr("replace(pair, ' ', '')").alias("token"),
-                "cnt",
+        ranked = _bpe_pair_counts(words).orderBy(F.desc("cnt"), F.asc("pair"))
+        if collect_winners:
+            win = ranked.limit(1).collect()
+            if not win:  # every word fully merged — nothing left to count
+                break
+            pair, cnt = win[0]["pair"], int(win[0]["cnt"])
+            a, b = pair.split(" ")
+            merges.append(
+                spark.createDataFrame(
+                    [(step, pair.replace(" ", ""), cnt)],
+                    "step int, token string, cnt long",
+                )
             )
-        )
-        words = defer_unpersist(
-            words.crossJoin(F.broadcast(best.select("pair")))
-            .select("w", F.expr(_BPE_MERGE).alias("s"), "n")
-            .persist()
-        )
+            words = words.select(
+                "w",
+                F.expr(f"replace(s, ' {a}| {b}|', ' {a}{b}|')").alias("s"),
+                "n",
+            )
+        else:
+            best = defer_unpersist(ranked.limit(1).persist())
+            merges.append(
+                best.select(
+                    F.lit(step).alias("step"),
+                    F.expr("replace(pair, ' ', '')").alias("token"),
+                    "cnt",
+                )
+            )
+            words = defer_unpersist(
+                words.crossJoin(F.broadcast(best.select("pair")))
+                .select("w", F.expr(_BPE_MERGE).alias("s"), "n")
+                .persist()
+            )
     return words, merges
 
 
@@ -1362,7 +1407,7 @@ def bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-key join, never per-document merge recomputation. Learn + apply
     in one plan mirrors train-then-encode pipelines; out-of-vocabulary
     words (non [a-z]+ after lowering) are excluded on both engines."""
-    words, _merges = _bpe_learn_words(spark, sf_dir)
+    words, _merges = _bpe_learn_words(spark, sf_dir, collect_winners=True)
     lookup = words.select("w", F.expr(f"size({_BPE_BARE})").alias("n_tokens"))
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     doc_words = d.select(
