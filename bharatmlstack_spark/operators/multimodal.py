@@ -640,16 +640,21 @@ def decode_stats(media: DataFrame, strict_decode: bool = False) -> DataFrame:
 
 
 def _media_frame(spark, rows) -> DataFrame:
-    """Fixture frame with partitions sized by ROW COUNT (~6 rows/task,
-    capped at the core count) instead of the default parallelism:
+    """Fixture frame with ONE row per task, capped at the core count:
     createDataFrame over a local list slices into defaultParallelism
-    partitions, so a 24-row fixture fanned out to 32 one-row tasks —
-    and the first mapInPandas over it cold-started 32 Python workers at
-    once for a few KB of media (measured: ~40 s of pure worker-spawn
-    wall with <5 s CPU). Real media at scale arrives from parquet with
-    byte-sized splits; only the synthetic fixtures need this."""
+    partitions, so a 24-row fixture fanned out to 32 tasks of which 8
+    were EMPTY — every task (empty ones included) round-trips a Python
+    worker under mapInPandas. Coalescing to min(cores, rows) keeps the
+    full decode parallelism of the warm path (measured: packing 6
+    rows/task serialized the per-row decode and tripled the warm
+    median; 1 row/task is the warm optimum) while dropping the empty
+    slices. The first-ever media query in a cold process still pays one
+    worker-spawn wave (~rows workers) — a per-process one-time cost the
+    surrounding workload amortizes. Real media at scale arrives from
+    parquet with byte-sized splits; only the synthetic fixtures need
+    this."""
     par = spark.sparkContext.defaultParallelism
-    n_slices = max(1, min(par, len(rows) // 6 or 1))
+    n_slices = max(1, min(par, len(rows)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_slices)
 
 
