@@ -781,6 +781,16 @@ def span_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is bounded by true duplication, the property that makes this
     the standard substring-dedup shape at 100 TB."""
     docs = corpus(spark, sf_dir).filter(F.size(DD.tokenize("text")) >= 8)
+    # the span map (tokenize + per-word xxhash64 + per-span xxhash64 +
+    # explode) is the CPU-heavy stage and runs BEFORE the first exchange;
+    # a few-split source (the 3-branch corpus union reading one parquet
+    # file) strands it on those few tasks — spread the raw text first,
+    # exactly as the minhash/simhash pipelines do (measured ~2.8x here:
+    # min 4.03 s -> 1.45 s at sf0.1; a well-split source at scale skips
+    # the exchange, the condition is false)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     # spans participate only as KEYS (the count-distinct and the
     # inverted-index join), never as output — ship 8-byte xxhash64 hashes
     # instead of the 8-token strings, the same collision-equivalence

@@ -425,7 +425,10 @@ def test_round5_rows_hold_their_shuffle_budgets(spark, sf_dir, qs):
         "bpe_merge_step": 1,        # pair partial-agg (top-k is a heap)
         "cohort_retention": 2,      # collect_set per user + final agg
         "zorder_cells": 2,          # bounds agg + cell agg
-        "span_dedup_exact": 3,      # span index + dup join + doc agg
+        "span_dedup_exact": 4,      # span index + dup join + doc agg
+                                    # + conditional round-robin input
+                                    # spread (O9: few-split local fixture
+                                    # only; absent on well-split sources)
         "unigram_lm_quality": 3,    # vocab + score join + doc agg
         "value_zscore_outliers": 1, # moments agg broadcast back onto scan
         "user_week_density": 2,     # weekly agg + bounds (spine is map-side)
@@ -450,6 +453,24 @@ def test_round5_rows_hold_their_shuffle_budgets(spark, sf_dir, qs):
         plan = explain_formatted(df)
         assert shuffle_count(df) <= budget, (name, shuffle_count(df))
         assert "Cartesian" not in plan, name
+
+
+def test_span_dedup_spread_is_round_robin_only(spark, sf_dir, qs):
+    """O9: span_dedup_exact's extra exchange over its 3-hash-shuffle core
+    (span index + dup join + doc agg) must be the conditional round-robin
+    input spread, never a fourth key-partitioned shuffle — a
+    hashpartitioning regression stays caught even though the total budget
+    above allows 4."""
+    from bharatmlstack_spark.plans import explain_formatted
+
+    df = qs["span_dedup_exact"](spark, sf_dir)
+    plan = explain_formatted(df)
+    assert plan.count("hashpartitioning") <= 3 + plan.count(
+        "ReusedExchange"
+    ), plan[:2000]
+    # the fixture corpus arrives in fewer splits than test parallelism,
+    # so the spread fires here
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_bpe_merge_step_topk_is_heap(spark, sf_dir):
