@@ -55,10 +55,8 @@ def hashed_word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams. transform over a 0..len-n sequence keeps the
-    whole thing JVM-side (no UDF)."""
-    words = tokenize(col)
+def _shingles_of_words(words: Column, n: int) -> Column:
+    """Distinct word n-grams from an already-tokenized words array."""
     return F.array_distinct(
         F.when(
             F.size(words) >= n,
@@ -68,6 +66,12 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             ),
         ).otherwise(F.array(F.concat_ws(" ", words)))
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams. transform over a 0..len-n sequence keeps the
+    whole thing JVM-side (no UDF)."""
+    return _shingles_of_words(tokenize(col), n)
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +139,7 @@ def ngram_jaccard_pairs_prefix(
     n: int = 3,
     threshold: float = 0.8,
     broadcast_sets: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard >= threshold via prefix filtering (AllPairs/PPJoin,
     Bayardo et al. 2007) — same output as ngram_jaccard_pairs, sub-linear
@@ -143,6 +148,11 @@ def ngram_jaccard_pairs_prefix(
     ``broadcast_sets`` broadcasts the (id -> shingle array) side of the
     verification joins — right up to ~10M docs; beyond that pass False and
     the verify becomes two shuffle joins on the pair ids.
+
+    ``tokens_col``: a pre-tokenized words array column (a persisted
+    (id, words) frame shared with another tokenizing branch — see
+    queries_text.dedup_simhash). Skips the tokenize and the input spread:
+    the caller is expected to have spread/persisted the frame.
 
     With a global shingle order (rarest first), two sets with J >= t MUST
     share an element within each one's first (n - ceil(t*n) + 1) shingles,
@@ -165,17 +175,19 @@ def ngram_jaccard_pairs_prefix(
     # Jaccard over hashed distinct shingles == Jaccard over the strings
     # unless xxhash64 collides within a candidate pair (~|set|^2/2^64;
     # deterministic either way, and pinned by the DuckDB string oracle).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        # a small/compacted source (one parquet file) would pin the
-        # shingle map to a few cores; one cheap shuffle of the raw text
-        # spreads it across the cluster before the expensive map
-        df = df.repartition(par)
+    if tokens_col is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            # a small/compacted source (one parquet file) would pin the
+            # shingle map to a few cores; one cheap shuffle of the raw text
+            # spreads it across the cluster before the expensive map
+            df = df.repartition(par)
+        shingles = word_shingles(text_col, n)
+    else:
+        shingles = _shingles_of_words(F.col(tokens_col), n)
     sets = df.select(
         F.col(id_col).alias("id"),
-        F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
-            "shingles"
-        ),
+        F.transform(shingles, lambda s: F.xxhash64(s)).alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     defer_unpersist(sets)
     sh = sets.select(
@@ -258,17 +270,19 @@ def minhash_signatures_from_hashes(
     path. Entirely map-side over the cached arrays; no explode, no
     shuffle."""
 
-    def slot(i: int):
-        # NB: the lambda must take ONE arg — pyspark's transform() passes
-        # the array index to 2-arg lambdas, which would silently shadow a
-        # `lambda s, i=i` default and collapse every slot to the same hash
-        return F.array_min(
-            F.transform(F.col(hashes_col), lambda s: F.xxhash64(F.lit(i), s))
-        )
-
+    # one parsed SQL string instead of num_hashes Column-built slots: the
+    # Column form pays ~num_hashes lambda conversions + array() assembly in
+    # py4j round-trips (~0.8 s driver time per call at 64 slots, measured
+    # in OPTIMIZATION_r17.md) — the parsed expression tree, plan and
+    # values are identical. The lambda must take ONE arg (a 2-arg lambda
+    # would receive the array index and collapse every slot).
+    slots = ", ".join(
+        f"array_min(transform(`{hashes_col}`, __s -> xxhash64({i}, __s)))"
+        for i in range(num_hashes)
+    )
     return base.select(
         F.col(id_col).alias("id"),
-        F.array(*[slot(i) for i in range(num_hashes)]).alias("signature"),
+        F.expr(f"array({slots})").alias("signature"),
     )
 
 
@@ -512,6 +526,7 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """64-bit SimHash: per-token xxhash64, each bit votes +1/-1 weighted by
     term frequency; fingerprint bit b set iff the vote is positive.
@@ -539,7 +554,12 @@ def simhash(
     Integer adds commute, so the fold is bit-identical to the exploded
     sum (pinned against an independent per-bit reference in
     tests/test_dedup_text.py). NULL text drops the doc from the
-    output, matching the explode form's behavior."""
+    output, matching the explode form's behavior.
+
+    ``tokens_col``: a pre-tokenized words array column (e.g. a persisted
+    (id, words) frame shared with an exact-verification branch —
+    queries_text.dedup_simhash). Skips both the tokenize and the input
+    spread: the caller is expected to have spread/persisted the frame."""
     _FIELD = 21  # 3 packed counters per long; safe below 2**21 tokens/doc
     n_packed = (bits + 2) // 3
     # the fold below is the CPU-heaviest map in the SimHash pipeline
@@ -550,48 +570,59 @@ def simhash(
     # text first, exactly as minhash_lsh_dedup_pairs does (the text
     # exchange is bytes-cheap next to the map it unblocks; a well-split
     # source at scale skips it)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    tokens = tokenize(text_col) if tokens_col is None else F.col(tokens_col)
+    if tokens_col is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     base = df.select(
         F.col(id_col).alias("id"),
-        F.transform(tokenize(text_col), lambda w: F.xxhash64(w)).alias("__wh"),
+        F.transform(tokens, lambda w: F.xxhash64(w)).alias("__wh"),
     ).filter(F.col("__wh").isNotNull())
 
-    def packed(h: Column, j: int) -> Column:
+    # The fold and fingerprint expressions below are built as SQL STRINGS
+    # parsed once by F.expr, not as Column-by-Column Python trees: the
+    # Column form costs ~2 s of driver time PER CALL in py4j round-trips
+    # (22 lambda conversions + 64 when-terms x ~6 calls each, measured in
+    # OPTIMIZATION_r17.md) while the parsed tree — and therefore the
+    # analyzed plan, the codegen and every result bit — is identical.
+    # Guide §5: the driver should do almost no work; expression
+    # construction is driver work.
+    def packed_sql(j: int) -> str:
         # bits 3j, 3j+1, 3j+2 of h -> 21-bit fields 0, 1, 2 of sum j
-        c = F.shiftrightunsigned(h, 3 * j).bitwiseAND(F.lit(1))
+        c = f"(shiftrightunsigned(__h, {3 * j}) & 1)"
         for k in (1, 2):
             b = 3 * j + k
             if b < bits:
-                c = c + F.shiftleft(
-                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long"),
-                    _FIELD * k,
+                c += (
+                    f" + shiftleft(CAST((shiftrightunsigned(__h, {b}) & 1)"
+                    f" AS BIGINT), {_FIELD * k})"
                 )
         return c
 
-    def fold(j: int) -> Column:
-        return F.aggregate(
-            "__wh",
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + packed(h, j),
+    def fold_sql(j: int) -> Column:
+        return F.expr(
+            "aggregate(__wh, CAST(0 AS BIGINT),"
+            f" (__acc, __h) -> __acc + {packed_sql(j)})"
         )
 
     votes = base.select(
         "id",
         F.size("__wh").cast("long").alias("__cnt"),
-        *[fold(j).alias(f"p{j}") for j in range(n_packed)],
+        *[fold_sql(j).alias(f"p{j}") for j in range(n_packed)],
     )
-    mask = F.lit((1 << _FIELD) - 1)
-    fp = F.lit(0).cast("long")
-    one = F.lit(1).cast("long")
+    mask = (1 << _FIELD) - 1
+    fp_terms = ["CAST(0 AS BIGINT)"]
     for b in range(bits):
         j, k = divmod(b, 3)
-        ones = F.shiftrightunsigned(f"p{j}", _FIELD * k).bitwiseAND(mask)
+        ones = f"(shiftrightunsigned(p{j}, {_FIELD * k}) & {mask})"
         # vote = 2*ones - cnt; positive iff 2*ones > cnt
-        fp = fp + F.when(ones * 2 > F.col("__cnt"), F.shiftleft(one, b)).otherwise(
-            F.lit(0).cast("long")
+        fp_terms.append(
+            f"CASE WHEN {ones} * 2 > __cnt THEN"
+            f" shiftleft(CAST(1 AS BIGINT), {b})"
+            " ELSE CAST(0 AS BIGINT) END"
         )
+    fp = F.expr(" + ".join(fp_terms))
     guard = F.assert_true(
         F.col("__cnt") < F.lit(1 << _FIELD),
         F.concat(

@@ -137,21 +137,30 @@ def pagerank(
     """
     from pyspark.sql import Window as W
 
-    from bharatmlstack_spark.query_registry import defer_unpersist
-
-    e = defer_unpersist(
+    # localCheckpoint, not persist: every iteration's join re-inlines the
+    # edge frame's LOGICAL subtree (scan + window + union), so a k-round
+    # stacked plan re-optimizes k copies of it per action — measured 2.5 s
+    # of the co-purchase caller's ~5 s at sf0.1 (OPTIMIZATION_r17.md; the
+    # r16 verdict's item 4). Checkpointing materializes the same rows and
+    # replaces the subtree with an RDD-backed leaf: plan size and
+    # per-action optimize time stay constant in the round count
+    # (guide §5 — localCheckpoint is the documented cheap lineage cut;
+    # §3.3 — materialize intermediates when planning time bites). Trade:
+    # executor loss forces a job restart instead of partition recompute —
+    # the convergence loop below already made that trade.
+    e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
-        .persist()
+        .localCheckpoint()
     )
     # one endpoint aggregate yields BOTH the seed universe and the
     # no-in-edge set: has_in = 1 iff the node ever appears as a dst
-    nodes = defer_unpersist(
+    nodes = (
         e.select(F.col("src").alias("node"), F.lit(0).alias("i"))
         .unionAll(e.select(F.col("dst").alias("node"), F.lit(1).alias("i")))
         .groupBy("node")
         .agg(F.max("i").alias("has_in"))
-        .persist()
+        .localCheckpoint()
     )
     # nodes with no in-edges: absent from every dst-side aggregate, rank
     # fixed at the teleport term from round 1 on. On symmetric graphs

@@ -213,7 +213,7 @@ class VectorSearch:
     ) -> DataFrame:
         """J7/F17: dot-product scoring for an explicit candidate id list
         (skye.proto:67-83; adapter.go:68): semi-join then score per row."""
-        q = F.array(*[F.lit(float(v)) for v in query_embedding])
+        q = F.lit([float(v) for v in query_embedding])  # one array literal py4j call
         return (
             candidates.join(F.broadcast(ids_df), on=self.id_col, how="left_semi")
             .withColumn("score", score_column(metric, F.col(self.emb_col), q))

@@ -30,7 +30,10 @@ from bharatmlstack_spark.operators.knn import score_column
 
 
 def _lit_vec(v: np.ndarray) -> Column:
-    return F.array(*[F.lit(float(x)) for x in v])
+    # ONE py4j call (array literal), not dim lit() calls + array() — the
+    # per-element form costs ~dim*2 driver round-trips per vector (guide
+    # §5: driver work); the literal's double values are identical
+    return F.lit([float(x) for x in v])
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

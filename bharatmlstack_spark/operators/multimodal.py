@@ -640,22 +640,29 @@ def decode_stats(media: DataFrame, strict_decode: bool = False) -> DataFrame:
 
 
 def _media_frame(spark, rows) -> DataFrame:
-    """Fixture frame with ONE row per task, capped at the core count:
-    createDataFrame over a local list slices into defaultParallelism
-    partitions, so a 24-row fixture fanned out to 32 tasks of which 8
-    were EMPTY — every task (empty ones included) round-trips a Python
-    worker under mapInPandas. Coalescing to min(cores, rows) keeps the
-    full decode parallelism of the warm path (measured: packing 6
-    rows/task serialized the per-row decode and tripled the warm
-    median; 1 row/task is the warm optimum) while dropping the empty
-    slices. The first-ever media query in a cold process still pays one
-    worker-spawn wave (~rows workers) — a per-process one-time cost the
-    surrounding workload amortizes. Real media at scale arrives from
-    parquet with byte-sized splits; only the synthetic fixtures need
-    this."""
+    """Fixture frame with ~6 rows per task, EXACTLY sliced, capped at the
+    core count. parallelize(rows, n_slices) slices exactly (ceil/floor
+    rows per slice, no empties): the previous createDataFrame(...)
+    .coalesce(n) only merged ADJACENT slices of the default
+    defaultParallelism slicing, so a 24-row/32-slice frame could coalesce
+    interleaved 0/1-row slices into 2-row and 0-row partitions — neither
+    the claimed task layout nor "no empty slices" was guaranteed (ADVICE
+    r16), and r16's rows-per-task A/B was run against that uneven
+    packing (its "1 row/task is the warm optimum" conclusion does not
+    survive exact slicing: measured warm medians at sf0.1,
+    4-draw x 2 reps, 1 row/task 0.73-0.82 s, 4 rows 0.42-0.46,
+    6 rows 0.39-0.40, 8 rows 0.38, 12 rows 0.36-0.39 — the per-task
+    Arrow/worker round-trip dominates the trivial per-row decode, guide
+    §4). 6 rows/task sits on the flat part of that curve while keeping
+    >= 4 tasks of decode parallelism for the larger fixtures; the cold
+    worker-spawn wave also shrinks from ~rows workers to ~rows/6. Real
+    media at scale arrives from parquet with byte-sized splits; only the
+    synthetic fixtures need this."""
     par = spark.sparkContext.defaultParallelism
-    n_slices = max(1, min(par, len(rows)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(n_slices)
+    n_slices = max(1, min(par, -(-len(rows) // 6)))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
 
 
 def synthetic_real_media(spark, n: int = 48) -> DataFrame:

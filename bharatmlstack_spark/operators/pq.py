@@ -156,7 +156,7 @@ class PqIndex:
             .limit(n)
         )
         if rerank is not None:
-            qcol = F.array(*[F.lit(float(v)) for v in q])
+            qcol = F.lit([float(v) for v in q])  # one array literal, not dim lit() py4j calls
             exact = F.aggregate(
                 F.zip_with(
                     F.col(self.emb_col).cast("array<double>"),

@@ -521,11 +521,16 @@ def _dot_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
 
 
 def _dot_col(a: str, b: str, dim: int = _EMB_DIM) -> Column:
-    out = None
-    for i in range(1, dim + 1):
-        term = F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        out = term if out is None else out + term
-    return out
+    # ONE parsed SQL string, not dim Column-built terms (~4 py4j driver
+    # round-trips per term — guide §5); the parsed left-associative fold
+    # is the identical expression tree, bit-identical scores
+    return F.expr(
+        " + ".join(
+            f"CAST(element_at({a}, {i}) AS DOUBLE)"
+            f" * CAST(element_at({b}, {i}) AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+    )
 
 
 def _eucl_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:

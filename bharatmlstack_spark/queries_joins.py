@@ -654,7 +654,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.encode(cands), np.array(qrow[0]), k=10, rerank=cands, shortlist=50
     ).select("vec_id")
 
-    qcol = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    qcol = F.lit([float(v) for v in qrow[0]])  # one array literal py4j call
     scored = cands.withColumn("score", dot(F.col("embedding"), qcol))
     w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
     exact10 = defer_unpersist(

@@ -260,14 +260,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding is pigeonhole-complete for hamming<=3, the loss is SimHash's
     own similarity distortion). The exact side exists only for
     verification; pytest pins recall on injected duplicates."""
+    from pyspark import StorageLevel
+
     docs = corpus(spark, sf_dir)
-    fp = DD.simhash(docs, id_col="doc_id", text_col="text")
+    # ONE tokenize for both branches (r16 verdict item 3): the SimHash
+    # fingerprint and the exact PPJoin side each re-tokenized the corpus
+    # (regex split is the shared expensive prefix of both maps). Spread
+    # the raw text once (same §2.5 conditional the operators would each
+    # apply), split once, persist the (id, words) frame, derive the
+    # fingerprint (per-word xxhash64 + packed votes) and the hashed
+    # shingle sets (per-span concat + xxhash64) from the one cache.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    toks = defer_unpersist(
+        docs.select("doc_id", DD.tokenize("text").alias("__toks")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    fp = DD.simhash(toks, id_col="doc_id", tokens_col="__toks")
     sh_pairs = DD.simhash_near_pairs(fp, max_hamming=3).select("id_a", "id_b")
     # exact is referenced three times (deliverable rows, denominator,
     # hit join) — persist it or the whole prefix join runs three times
     exact = defer_unpersist(
         DD.ngram_jaccard_pairs_prefix(
-            docs, id_col="doc_id", text_col="text", n=3, threshold=0.9
+            toks, id_col="doc_id", n=3, threshold=0.9, tokens_col="__toks"
         )
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .persist()
@@ -2389,7 +2406,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=8, rerank=cands, shortlist=100,
     ).select("vec_id")
 
-    qcol = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    qcol = F.lit([float(v) for v in qrow[0]])  # one array literal py4j call
     scored = cands.withColumn("score", dot(F.col("embedding"), qcol))
     w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
     exact10 = defer_unpersist(
@@ -2505,7 +2522,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
-    qcol = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    qcol = F.lit([float(v) for v in qrow[0]])  # one array literal py4j call
     wv = Window.orderBy(F.desc("score"), F.asc("vec_id"))
     vec = (
         emb.filter(F.col("vec_id") >= 5)
@@ -2595,7 +2612,7 @@ def stream_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as _W
 
-    qcol = F.array(*[F.lit(float(v)) for v in qrow[0]])
+    qcol = F.lit([float(v) for v in qrow[0]])  # one array literal py4j call
     scored = cands.withColumn("score", dot(F.col("embedding"), qcol))
     w = _W.orderBy(F.desc("score"), F.asc("vec_id"))
     exact10 = defer_unpersist(

@@ -605,3 +605,31 @@ def test_compaction_detection_prunes_payload_columns(spark, tmp_path):
     # final agg on the partition col — two exchanges, both carrying only
     # the thin key columns (never the payload)
     assert shuffle_count(det) <= 2
+
+
+def test_cached_plan_layout_follows_aqe_advisory_sizing(spark):
+    """G1 scale pin (r16): `canChangeCachedPlanOutputPartitioning=true` lets
+    AQE re-coalesce the output partitioning of persisted plans, so a cached
+    post-shuffle intermediate's layout is derived from bytes — NOT frozen at
+    the static spark.sql.shuffle.partitions constant. A conf regression would
+    silently bake the local constant into every persisted intermediate at any
+    scale (guide §2: partition counts derive from input size)."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")
+        == "true"
+    )
+    static = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cached = (
+        spark.range(10_000)
+        .groupBy((F.col("id") % 500).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    try:
+        cached.count()  # materialize: AQE fixes the cached layout here
+        n_parts = cached.rdd.getNumPartitions()
+        # a few-KB aggregate must coalesce to ~1 partition; the frozen-conf
+        # failure mode is exactly n_parts == static (8 in tests, 32 in bench)
+        assert n_parts < static, (n_parts, static)
+    finally:
+        cached.unpersist()
