@@ -74,20 +74,37 @@ def _read_vecs(spark, index_path, dedup=True):
     }
 
 
-@pytest.fixture()
-def updated_index(spark, tmp_path):
+@pytest.fixture(scope="module")
+def _updated_index_base(spark, tmp_path_factory):
+    """The 2-batch streamed upsert build, ONCE per module: tests mutate
+    the index (fold/refit/delete), so each gets its own copytree copy of
+    the whole root (index + sibling __ids/__quantizer sidecars) — the
+    per-test streaming rebuild was ~30 s x 7 tests of suite wall-clock;
+    the copy is a few KB of parquet."""
+    base = tmp_path_factory.mktemp("ivf_upd_base")
     ivf = _fit_ivf(spark)
-    topic = str(tmp_path / "topic")
-    index_path = str(tmp_path / "index")
+    topic = str(base / "topic")
+    index_path = str(base / "root" / "index")
+    os.makedirs(str(base / "root"))
     spark.createDataFrame(
         sorted(V0.items()), "vec_id long, embedding array<float>"
     ).coalesce(1).write.parquet(topic)  # one file -> batch 0
-    _run_sink(spark, tmp_path, ivf, index_path, topic, "ck")
+    _run_sink(spark, base, ivf, index_path, topic, "ck")
     spark.createDataFrame(
         sorted(V1.items()), "vec_id long, embedding array<float>"
     ).coalesce(1).write.mode("append").parquet(topic)  # -> batch 1
-    _run_sink(spark, tmp_path, ivf, index_path, topic, "ck")
-    return ivf, index_path
+    _run_sink(spark, base, ivf, index_path, topic, "ck")
+    return ivf, str(base / "root")
+
+
+@pytest.fixture()
+def updated_index(_updated_index_base, tmp_path):
+    import shutil
+
+    ivf, root = _updated_index_base
+    dst = str(tmp_path / "root")
+    shutil.copytree(root, dst)
+    return ivf, os.path.join(dst, "index")
 
 
 def test_upsert_replaces_vector_immediately(spark, updated_index):
@@ -197,7 +214,10 @@ def test_delete_on_versioned_index_kills_all_gens(spark, updated_index):
 
 def test_versioned_flag_mismatch_refused(spark, updated_index, tmp_path):
     ivf, index_path = updated_index
-    topic = str(tmp_path / "topic")  # existing corpus files
+    topic = str(tmp_path / "topic")
+    spark.createDataFrame(
+        sorted(V1.items()), "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(topic)
     stream = spark.readStream.schema(
         "vec_id long, embedding array<float>"
     ).parquet(topic)
@@ -211,6 +231,9 @@ def test_versioned_flag_mismatch_refused(spark, updated_index, tmp_path):
 def test_semantic_sink_refuses_versioned_index(spark, updated_index, tmp_path):
     ivf, index_path = updated_index
     topic = str(tmp_path / "topic")
+    spark.createDataFrame(
+        sorted(V1.items()), "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(topic)
     stream = spark.readStream.schema(
         "vec_id long, embedding array<float>"
     ).parquet(topic)

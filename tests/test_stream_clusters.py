@@ -49,23 +49,31 @@ WAVES = [
 EXPECTED = {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20, 21: 20, 30: 30, 31: 30}
 
 
-@pytest.fixture(params=[200_000, 0], ids=["driver-tier", "distributed-tier"])
-def cluster_state(spark, tmp_path, request):
+@pytest.fixture(
+    scope="module", params=[200_000, 0], ids=["driver-tier", "distributed-tier"]
+)
+def _cluster_state_base(spark, tmp_path_factory, request):
     """3-wave synthetic topic with an engineered cross-batch merge, run
     TWICE (second pass = full at-least-once redelivery) — through BOTH
     execution tiers (param = batch_driver_max; 0 forces the distributed
-    tier), which must write identical state."""
+    tier), which must write identical state.
+
+    Module-scoped: the 6-restart streaming build runs ONCE per tier;
+    each test works on its own cheap copytree copy (the per-test
+    rebuild was ~40 s x 4 tests x 2 tiers of the suite's wall-clock —
+    the state itself is a handful of KB-sized parquet files)."""
     from bharatmlstack_spark.streaming.ingest import (
         await_stream,
         stream_cluster_sink,
     )
 
-    topic = str(tmp_path / "topic")
+    base = tmp_path_factory.mktemp(f"cluster_base_{request.param}")
+    topic = str(base / "topic")
     for w in WAVES:
         spark.createDataFrame(w, "id_a long, id_b long").coalesce(1).write.mode(
             "append"
         ).parquet(topic)
-    state = str(tmp_path / "state")
+    state = str(base / "state")
     for replay in ("ck1", "ck2"):
         stream = (
             spark.readStream.schema("id_a long, id_b long")
@@ -75,7 +83,7 @@ def cluster_state(spark, tmp_path, request):
         q = stream_cluster_sink(
             stream,
             state_dir=state,
-            checkpoint_dir=str(tmp_path / replay),
+            checkpoint_dir=str(base / replay),
             spark=spark,
             state_buckets=4,
             trigger_once=True,
@@ -83,6 +91,17 @@ def cluster_state(spark, tmp_path, request):
         )
         await_stream(q, 180)
     return state
+
+
+@pytest.fixture()
+def cluster_state(_cluster_state_base, tmp_path):
+    """Per-test isolated copy of the once-per-tier streamed state (tests
+    compact/mutate it)."""
+    import shutil
+
+    dst = str(tmp_path / "state")
+    shutil.copytree(_cluster_state_base, dst)
+    return dst
 
 
 def test_cross_batch_merge_and_row_idempotence(spark, cluster_state):
