@@ -161,17 +161,14 @@ def ngram_jaccard_pairs_prefix(
     all-shared-shingles join (the dominant shuffle) into a prefix-only join
     ~ (1-t) of the size, with verification on the (small) candidate set.
     """
-    from pyspark import StorageLevel
 
     # The whole pipeline runs on 8-byte shingle HASHES (xxhash64): the
     # df-count shuffle, the rarity sort, the prefix join, and the
     # verification intersect all move longs instead of n-gram strings.
     # Shingling (regex split + per-position concat over every doc) is the
     # single most expensive map in this plan and three branches consume it
-    # (prefix explode + both verification sides) — persisting the hashed
+    # (prefix explode + both verification sides) — materializing the hashed
     # sets makes it run ONCE, and long arrays are cheap to store.
-    # MEMORY_AND_DISK spills instead of OOMing at large corpus sizes;
-    # eviction just means recompute — correctness never depends on it.
     # Jaccard over hashed distinct shingles == Jaccard over the strings
     # unless xxhash64 collides within a candidate pair (~|set|^2/2^64;
     # deterministic either way, and pinned by the DuckDB string oracle).
@@ -185,11 +182,19 @@ def ngram_jaccard_pairs_prefix(
         shingles = word_shingles(text_col, n)
     else:
         shingles = _shingles_of_words(F.col(tokens_col), n)
+    # localCheckpoint, not persist: the sets frame feeds THREE consumers
+    # (the exploded prefix index and both broadcast verify sides), and the
+    # lazily-cached form re-plans + decompresses an InMemoryTableScan per
+    # consumer under AQE; eager checkpoint materializes the compact
+    # (id, long-array) rows ONCE and every consumer scans stored blocks
+    # (guide §5 — localCheckpoint as the cheap lineage cut; measured ~1.5x
+    # on the isolated path and confirmed on the bench rows,
+    # OPTIMIZATION_r17.md). Trade: executor loss restarts the job instead
+    # of recomputing a partition — same trade pagerank's loop makes.
     sets = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles, lambda s: F.xxhash64(s)).alias("shingles"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    defer_unpersist(sets)
+    ).localCheckpoint()
     sh = sets.select(
         "id",
         F.size("shingles").alias("__n"),
@@ -410,7 +415,6 @@ def minhash_lsh_dedup_pairs(
     similarity join here would defeat the point of LSH). Same
     hashed-distinct-shingle semantics as ngram_jaccard_pairs (exact up to
     xxhash64 collisions within a pair)."""
-    from pyspark import StorageLevel
 
     # shingling is the expensive map and EVERY stage needs it — the
     # signatures AND both verification sides (and the source may itself
@@ -422,12 +426,13 @@ def minhash_lsh_dedup_pairs(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    sets = defer_unpersist(
-        df.select(
-            F.col(id_col).alias("id"),
-            hashed_word_shingles(text_col, shingle_n).alias("sh"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # localCheckpoint, not persist: three consumers (signatures + both
+    # verify sides) — same rationale and measurement as the PPJoin sets
+    # frame above (OPTIMIZATION_r17.md)
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        hashed_word_shingles(text_col, shingle_n).alias("sh"),
+    ).localCheckpoint()
     sigs = minhash_signatures_from_hashes(sets, "id", "sh", num_hashes)
     cands = lsh_candidate_pairs(sigs, bands)
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -472,7 +477,6 @@ def minhash_lsh_cross_pairs(
     the self-join form. Ids may repeat across corpora (they are
     different documents); pair identity is (id_a, id_b) with the sides
     kept distinct."""
-    from pyspark import StorageLevel
 
     sess = df_a.sparkSession
     par = sess.sparkContext.defaultParallelism
@@ -480,12 +484,12 @@ def minhash_lsh_cross_pairs(
     def _sets(df: DataFrame) -> DataFrame:
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
-        return defer_unpersist(
-            df.select(
-                F.col(id_col).alias("id"),
-                hashed_word_shingles(text_col, shingle_n).alias("sh"),
-            ).persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        # localCheckpoint for the same multi-consumer reason as the
+        # self-join form above
+        return df.select(
+            F.col(id_col).alias("id"),
+            hashed_word_shingles(text_col, shingle_n).alias("sh"),
+        ).localCheckpoint()
 
     sets_a, sets_b = _sets(df_a), _sets(df_b)
     bands_a = band_signatures(
