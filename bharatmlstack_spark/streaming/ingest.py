@@ -4024,6 +4024,23 @@ def stream_postings_sink(
     return writer.start()
 
 
+def _term_buckets(spark: SparkSession, terms: list[str], n_buckets: int) -> list[int]:
+    """term_bucket ids for a distinct term list, WITHOUT launching a job:
+    Spark's xxhash64 is not exposed driver-side, but a one-row projection
+    of literals (parameter markers — no string splicing) constant-folds to
+    a LocalTableScan the driver evaluates at collect. The previous
+    createDataFrame(...).distinct().collect() probe is RDD-backed in
+    PySpark (local lists never become a LocalRelation), so every search
+    paid a real cluster job + shuffle for |terms| rows — measured
+    ~0.45 s/draw at 32 cores vs ~0.15 s for this form, same ids."""
+    exprs = ", ".join(
+        f"pmod(xxhash64(:t{i}), :nb)" for i in range(len(terms))
+    )
+    args: dict[str, object] = {f"t{i}": t for i, t in enumerate(terms)}
+    args["nb"] = n_buckets
+    return sorted(set(spark.sql(f"SELECT {exprs}", args=args).head()))
+
+
 def bm25_search_streamed(
     spark: SparkSession,
     index_path: str,
@@ -4068,13 +4085,7 @@ def bm25_search_streamed(
     # mask is gen-aware (_mask_tombstoned)
     gen_cols = ["gen"] if meta.get("versioned") else []
     terms = sorted({t.lower() for t in query_terms})
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    buckets = sorted(
-        r[0]
-        for r in tdf.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
-        ).distinct().collect()
-    )
+    buckets = _term_buckets(spark, terms, n_buckets)
     post_root = f"{index_path}/{POSTINGS_DIR}"
     dirs = [
         d
@@ -5293,13 +5304,7 @@ def phrase_search_streamed(
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("phrase_search_streamed: empty phrase")
-    tdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
-    buckets = sorted(
-        r[0]
-        for r in tdf.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
-        ).distinct().collect()
-    )
+    buckets = _term_buckets(spark, sorted(set(terms)), n_buckets)
     post_root = f"{index_path}/{POSTINGS_DIR}"
     dirs = [
         d
