@@ -99,6 +99,7 @@ def pagerank(
     until_delta: int | None = None,
     check_every: int = 5,
     max_iter: int = 60,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Integer micro-unit PageRank (damping 0.85): (node, r) with ranks in
     millionths, every contribution integer-divided (r*85 div (100*deg)) so
@@ -134,6 +135,25 @@ def pagerank(
     on symmetric graphs (the co-purchase callers) the no-in branch is
     empty. Dangling mass (nodes with no OUT-edges) is dropped, not
     redistributed — the simplified-PageRank convention.
+
+    Two structural constant-folds (guide §1.2 "the distributed
+    algorithm", §2.4 "remove shuffles outright"), both value-identical:
+
+    - **Round 1 never joins.** Every node's seed rank is the constant
+      1_000_000, so round 1's contribution is ``(1_000_000*85) div
+      (100*d)`` — a row-local expression over the checkpointed edge
+      list. The generic round's e⋈rank join (and the rank-side shuffle
+      feeding it) is folded away; the join's only other effect —
+      restricting to e.src ∈ universe — is vacuous because the universe
+      contains every src by construction. Rounds 2+ join as before.
+    - ``symmetric=True`` (caller-asserted: the edge list was built as
+      pairs ∪ reversed(pairs)): every src is also a dst, so the no-in
+      set is empty by construction and the endpoint aggregate + its
+      materialization + the isEmpty probe are skipped outright; the
+      seed universe, when a mode still needs one (iters=0 /
+      until_delta), is distinct(src) alone. Wrongly passing it on a
+      directed graph would silently drop source-only nodes — leave it
+      False unless the construction guarantees symmetry.
     """
     from pyspark.sql import Window as W
 
@@ -153,46 +173,73 @@ def pagerank(
         .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
         .localCheckpoint()
     )
-    # one endpoint aggregate yields BOTH the seed universe and the
-    # no-in-edge set: has_in = 1 iff the node ever appears as a dst
-    nodes = (
-        e.select(F.col("src").alias("node"), F.lit(0).alias("i"))
-        .unionAll(e.select(F.col("dst").alias("node"), F.lit(1).alias("i")))
-        .groupBy("node")
-        .agg(F.max("i").alias("has_in"))
-        .localCheckpoint()
-    )
-    # nodes with no in-edges: absent from every dst-side aggregate, rank
-    # fixed at the teleport term from round 1 on. On symmetric graphs
-    # (the co-purchase callers) the set is EMPTY — checked once against
-    # the persisted aggregate (one cheap action) so every round stays a
-    # pure join+agg instead of carrying a vacuous union branch
-    no_in = nodes.filter(F.col("has_in") == 0).select(
-        "node", F.lit(150_000).cast("bigint").alias("r")
-    )
-    conserve = not no_in.isEmpty()
-    rank = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
+    if symmetric:
+        # caller guarantees src set == dst set == node universe: the
+        # no-in set is empty by construction — skip the endpoint
+        # aggregate, its checkpoint job, and the isEmpty action
+        conserve = False
+        no_in = None
 
-    def step(r: DataFrame) -> DataFrame:
-        contrib = e.join(r, e.src == r.node).select(
-            F.col("dst"), F.expr("(r * 85) div (100 * d)").alias("c")
+        def seed() -> DataFrame:
+            return e.select(F.col("src").alias("node")).distinct().select(
+                "node", F.lit(1_000_000).cast("bigint").alias("r")
+            )
+    else:
+        # one endpoint aggregate yields BOTH the seed universe and the
+        # no-in-edge set: has_in = 1 iff the node ever appears as a dst
+        nodes = (
+            e.select(F.col("src").alias("node"), F.lit(0).alias("i"))
+            .unionAll(e.select(F.col("dst").alias("node"), F.lit(1).alias("i")))
+            .groupBy("node")
+            .agg(F.max("i").alias("has_in"))
+            .localCheckpoint()
         )
+        # nodes with no in-edges: absent from every dst-side aggregate,
+        # rank fixed at the teleport term from round 1 on — checked once
+        # against the persisted aggregate (one cheap action) so every
+        # round stays a pure join+agg instead of carrying a vacuous
+        # union branch
+        no_in = nodes.filter(F.col("has_in") == 0).select(
+            "node", F.lit(150_000).cast("bigint").alias("r")
+        )
+        conserve = not no_in.isEmpty()
+
+        def seed() -> DataFrame:
+            return nodes.select(
+                "node", F.lit(1_000_000).cast("bigint").alias("r")
+            )
+
+    def step(r: DataFrame | None) -> DataFrame:
+        if r is None:
+            # round 1: rank is the uniform seed constant — fold it into
+            # the contribution expression instead of joining the seed
+            # frame (the join's src ∈ universe restriction is vacuous)
+            contrib = e.select(
+                F.col("dst"), F.expr("(1000000 * 85) div (100 * d)").alias("c")
+            )
+        else:
+            contrib = e.join(r, e.src == r.node).select(
+                F.col("dst"), F.expr("(r * 85) div (100 * d)").alias("c")
+            )
         agg = contrib.groupBy(F.col("dst").alias("node")).agg(
             (F.lit(150_000) + F.sum("c")).cast("bigint").alias("r")
         )
         return agg.unionByName(no_in) if conserve else agg
 
     if until_delta is None:
+        if int(iters) <= 0:
+            return seed()
+        rank: DataFrame | None = None
         for _ in range(int(iters)):
             rank = step(rank)
         return rank
 
-    rank = rank.localCheckpoint()
+    rank = seed().localCheckpoint()
     done = 0
     while done < max_iter:
         prev = rank
-        for _ in range(check_every):
-            rank = step(rank)
+        for i in range(check_every):
+            rank = step(None if done == 0 and i == 0 else rank)
         rank = rank.localCheckpoint()  # truncate BEFORE the check action
         done += check_every
         delta = (

@@ -3745,7 +3745,10 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see operators/graph.py pagerank)
     from bharatmlstack_spark.operators.graph import pagerank
 
-    rank = pagerank(sym, iters=3)
+    # sym = strong ∪ reversed(strong): symmetric BY CONSTRUCTION, so the
+    # operator skips the endpoint aggregate + no-in probe, and round 1
+    # folds the constant seed (operators/graph.py pagerank)
+    rank = pagerank(sym, iters=3, symmetric=True)
     return (
         rank.orderBy(F.desc("r"), F.asc("node"))
         .limit(20)

@@ -549,6 +549,39 @@ def test_pagerank_directed_graph_conserves_node_universe(spark):
     assert got[1] == 150_000  # source-only node: pure teleport, present
 
 
+def test_pagerank_round1_seed_fold_and_symmetric_fastpath(spark):
+    """r17: round 1 folds the constant seed rank into the contribution
+    expression instead of joining the seed frame — an iters=1 plan
+    carries ZERO joins (the generic form had one e⋈rank join per round).
+    And symmetric=True (caller-asserted pairs ∪ reversed(pairs) input)
+    must return bit-identical ranks to the generic path while skipping
+    the endpoint aggregate."""
+    from bharatmlstack_spark.operators.graph import pagerank
+    from bharatmlstack_spark.plans import explain_formatted
+
+    path = [(i, i + 1) for i in range(5)]
+    sym = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    # round-1 fold: one round needs no join at all
+    plan1 = explain_formatted(pagerank(edges, iters=1))
+    assert "Join" not in plan1, plan1
+
+    # symmetric fast path: values identical to the generic path
+    generic = {r.node: r.r for r in pagerank(edges, iters=3).collect()}
+    fast = {
+        r.node: r.r
+        for r in pagerank(edges, iters=3, symmetric=True).collect()
+    }
+    assert fast == generic
+    # and iters=0 still returns the full uniform seed universe
+    seed = {
+        r.node: r.r
+        for r in pagerank(edges, iters=0, symmetric=True).collect()
+    }
+    assert seed == {n: 1_000_000 for n in range(6)}
+
+
 def test_bpe_until_vocab_lineage_bounded(spark, sf_dir):
     """Convergence-mode BPE (merge until |vocab| >= V) truncates lineage
     every checkpoint_every merges: after 35 real merges the word table's
