@@ -56,6 +56,38 @@ def test_negative_sample_excludes_positives_and_caps_k(spark):
     assert per_user == {1: 3, 2: 3, 3: 3}
 
 
+def test_negative_sample_matches_window_reference(spark):
+    """r17: the anti-join + row_number window was replaced by an in-row
+    array_except + struct array_sort + slice (shuffle |pos| rows, not
+    |users| x |items| candidates). Pin the selection AND rank order
+    against a pure-Python replay of the old window semantics: per user,
+    non-positive items ordered by (mix score asc, item asc), first k."""
+    users = spark.createDataFrame([(u,) for u in (0, 3, 7, 1 << 21)], ["u"])
+    items = spark.createDataFrame([(i,) for i in range(100, 140)], ["i"])
+    pos_rows = [(3, i) for i in range(100, 135)] + [(7, 101), (7, 101), (7, 120)]
+    pos = spark.createDataFrame(pos_rows, ["u", "i"])
+    out = SP.negative_sample(pos, "u", "i", users, items, k=4)
+    got = sorted((r.u, r.i) for r in out.collect())
+
+    def mix(u, i):
+        return (
+            (u % (1 << 20)) * 1000003
+            + (u >> 20) * 7919
+            + (i % (1 << 20)) * 2654435761
+            + (i >> 20) * 40503
+        ) % 999999937
+
+    posset = set(pos_rows)
+    want = []
+    for u in (0, 3, 7, 1 << 21):
+        negs = [i for i in range(100, 140) if (u, i) not in posset]
+        negs.sort(key=lambda i: (mix(u, i), i))
+        want += [(u, i) for i in negs[:4]]
+    assert got == sorted(want)
+    # user 3 has only 5 eligible items -> still exactly k of them chosen
+    assert sum(1 for u, _ in got if u == 3) == 4
+
+
 def test_negative_sample_k_larger_than_pool(spark):
     pos = spark.createDataFrame([(1, 10)], ["u", "i"])
     users = spark.createDataFrame([(1,)], ["u"])
