@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761  # 2^32 * golden-ratio conjugate; engine-portable int mix
@@ -100,66 +100,42 @@ def negative_sample(
     positive events; sampling is our engine extension.
 
     ``users`` x ``items`` must be pre-bounded by the caller (hash-filter
-    subsets); the item pool folds to ONE in-row array (the bound the old
-    broadcast cross join already required). The same goes for
-    ``interactions``: only pairs inside users x items can ever eliminate
-    a candidate, so the caller should apply the pool predicates AT THE
-    SCANS (as queries_corpus.negative_sampling does) — the per-user
-    positives aggregate then shrinks by the product of the two sampling
-    rates instead of paying the full fact table.
+    subsets); the cross join is their product, broadcast on the item side.
+    The same goes for ``interactions``: only pairs inside users x items
+    can ever eliminate a candidate, so the caller should apply the pool
+    predicates AT THE SCANS (as queries_corpus.negative_sampling does) —
+    the distinct + anti-join shuffle then shrinks by the product of the
+    two sampling rates instead of paying the full fact table.
 
-    Shape (guide §2.3 "aggregate before you shuffle", §1.2): the old
-    form materialized the |users| x |items| candidate cross product,
-    shuffled IT through a (user, item) anti-join, then re-shuffled it
-    through a per-user row_number window. Only |pos| rows ever needed to
-    move: positives aggregate to one set per user (collect_set folds the
-    old ``distinct`` into the same exchange), join the user pool on
-    user, and the anti-join + hash-rank + top-k run IN-ROW over the
-    pooled item array (array_except + array_sort + slice) — candidate
-    pairs are born ranked inside their row and never cross the network.
-    Exchanges 14 -> 10, Window nodes 6 -> 0 on the registered caller
-    (plans/r17/negative_sampling_{before,after}.txt); values are
-    identical — same int64-safe mix, same (score, item) tie order
-    (array_sort on a (s, item) struct = the window's ORDER BY), pinned
-    by the DuckDB oracle and tests/test_corpus_ops.py.
+    Shape note (r17, measured): an in-row variant — positives aggregated
+    to one set per user, anti-join + hash-rank + top-k run per row over
+    the pooled item array (array_except + struct array_sort + slice) —
+    shuffles only |pos| rows instead of the candidate product, but
+    measured 1.5-1.7x SLOWER in an interleaved A/B (min 0.94 vs 0.63 s
+    at sf0.1/32c; spreading the per-user rows did not recover it): the
+    per-row O(|items| log |items|) interpreted-HOF sort replaces a
+    codegen'd distributed window, and its per-row cost GROWS with the
+    item pool while the window form only grows the (cheap, two-column)
+    candidate shuffle. Kept the window form; see OPTIMIZATION_r17.md
+    "Rejected" and tests/test_corpus_ops.py's replay pin, which fixes
+    the (score, item) order either implementation must produce.
     """
     u = users.select(F.col(user_col).cast("bigint").alias(user_col)).distinct()
     i = items.select(F.col(item_col).cast("bigint").alias(item_col)).distinct()
-    # ONE row: the sorted item pool as an in-row array (pre-bounded by
-    # contract — this is the same bound the broadcast cross join imposed)
-    pool = i.agg(F.array_sort(F.collect_set(item_col)).alias("__pool"))
-    # one exchange on user: the per-user positive set (collect_set
-    # subsumes the old pos.distinct() — duplicates die in the aggregate)
-    pos_sets = (
-        interactions.select(
-            F.col(user_col).cast("bigint").alias(user_col),
-            F.col(item_col).cast("bigint").alias(item_col),
-        )
-        .groupBy(user_col)
-        .agg(F.collect_set(item_col).alias("__pos"))
-    )
+    pos = interactions.select(user_col, item_col).distinct()
+    cand = u.crossJoin(F.broadcast(i)).join(pos, on=[user_col, item_col], how="left_anti")
     # per-(user, item) mix in the same int64-safe form as knuth_mix —
     # the raw user*1000003 + item*KNUTH wraps for item >= ~3.5e9
-    u_c = F.col(user_col).cast("bigint")
-
-    def score(i_c: Column) -> Column:
-        return (
-            (u_c % F.lit(MIX_LOW)) * F.lit(1000003)
-            + F.shiftright(u_c, 20) * F.lit(7919)
-            + (i_c % F.lit(MIX_LOW)) * F.lit(KNUTH)
-            + F.shiftright(i_c, 20) * F.lit(MIX_HI)
-        ) % F.lit(999999937)
-
-    negs = F.array_except(F.col("__pool"), F.coalesce(F.col("__pos"), F.array()))
-    ranked = F.array_sort(
-        F.transform(negs, lambda x: F.struct(score(x).alias("s"), x.alias("i")))
-    )
+    u_c, i_c = F.col(user_col).cast("bigint"), F.col(item_col).cast("bigint")
+    score = (
+        (u_c % F.lit(MIX_LOW)) * F.lit(1000003)
+        + F.shiftright(u_c, 20) * F.lit(7919)
+        + (i_c % F.lit(MIX_LOW)) * F.lit(KNUTH)
+        + F.shiftright(i_c, 20) * F.lit(MIX_HI)
+    ) % F.lit(999999937)
+    w = Window.partitionBy(user_col).orderBy(score.asc(), F.col(item_col).asc())
     return (
-        u.crossJoin(F.broadcast(pool))
-        .join(pos_sets, on=user_col, how="left")
-        .select(
-            user_col,
-            F.explode(F.slice(ranked, 1, k)).alias("__top"),
-        )
-        .select(user_col, F.col("__top.i").alias(item_col))
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
