@@ -669,9 +669,28 @@ def simhash_near_pairs(
         ).persist()
     )
     a, b = pieces.alias("a"), pieces.alias("b")
+
+    # A pair colliding in k bands comes out of the equi-join k times. The
+    # old form removed the duplicates with dropDuplicates — a full shuffle
+    # of the candidate pair set. Both fingerprints already ride in the
+    # joined row, so "is THIS band the pair's first matching band?" is a
+    # row-local predicate (r17, guide §2.4 "remove shuffles outright"):
+    # keep the row iff piece_idx equals the lowest band index where the
+    # two fingerprints agree (the join guarantees at least one), and every
+    # qualifying pair survives exactly once — same multiset, same hamming
+    # (a function of the two fingerprints alone), zero pair exchanges.
+    def _band(side: str, j: int) -> Column:
+        return F.shiftright(F.col(f"{side}.simhash"), j * band_bits).bitwiseAND(
+            F.lit(mask)
+        )
+
+    first_match = F.coalesce(
+        *[F.when(_band("a", j) == _band("b", j), F.lit(j)) for j in range(n_bands)]
+    )
     return (
         a.join(b, on=["piece_idx", "piece"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.col("piece_idx") == first_match)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -679,10 +698,9 @@ def simhash_near_pairs(
                 "hamming"
             ),
         )
-        # popcount is row-local and cheap: filter BEFORE the pair-dedup
-        # shuffle so only surviving pairs are exchanged
+        # popcount is row-local too: every filter in this pipeline runs
+        # inside the join stage; no exchange touches the pair set
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

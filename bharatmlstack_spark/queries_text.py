@@ -291,8 +291,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one-pass recall flag (see queries_joins._exact_knn_with_flag): left
     # join marks the SimHash-covered pairs, one aggregation computes
-    # hit / total — sh_pairs is unique on (id_a, id_b) (dropDuplicates in
-    # simhash_near_pairs), so no exact row duplicates
+    # hit / total — sh_pairs is unique on (id_a, id_b) (the first-matching-
+    # band filter in simhash_near_pairs), so no exact row duplicates
     flag = exact.join(
         sh_pairs.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
     ).agg(
